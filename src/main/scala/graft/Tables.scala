@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-provided parquet star schema (TESTDATA.md).
+  *
+  * All queries receive an `sfDir` (e.g. `/root/testdata/sf0.01`) and read
+  * one parquet file per table. Explicit-path parquet reads keep partition
+  * pruning / filter pushdown available to Catalyst (the reference instead
+  * re-reads CSV with inferSchema each run — see SURVEY.md §4 for why we
+  * deliberately do not replicate that inefficiency).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
+    * nanos (legacy conf) and truncate to microseconds with *integer*
+    * division — `div`, not `/`, because nanos ≈ 1.7e18 exceeds double's
+    * 2^53 mantissa and float division would corrupt the microseconds.
+    * Truncation (not rounding) matches how DuckDB ingests ns→us, keeping
+    * the oracle comparison exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

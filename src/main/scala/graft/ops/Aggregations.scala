@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation layer (SURVEY.md §2.3). All aggregates are Catalyst hash
+  * aggregates — partial (map-side) + final automatically, so each one is a
+  * single shuffle keyed on the group-by columns; at cluster scale that is
+  * the minimum movement possible for these semantics.
+  */
+object Aggregations {
+
+  /** A1: daily revenue — `groupBy(date, key).agg(round(sum(amount),2))`
+    * (pipeline_batch.py:205-207), plus total sort O1 (line 207). */
+  def dailyRevenue(df: DataFrame, dateCol: String = "order_date",
+                   keyCol: String = "product",
+                   amountCol: String = "amount"): DataFrame =
+    df.groupBy(col(dateCol), col(keyCol))
+      .agg(round(sum(col(amountCol)), 2).as("total_amount"))
+      .orderBy(col(dateCol), col(keyCol))
+
+  /** A2: global KPI triple (pipeline_batch.py:210-213). The reference runs
+    * a *separate* `count()` action and stitches it in as a literal; we fold
+    * the row count into the same single-pass aggregate — output identical,
+    * one distributed job instead of two. */
+  def kpis(df: DataFrame, amountCol: String = "amount",
+           keyCol: String = "product"): DataFrame =
+    df.agg(
+      round(sum(col(amountCol)), 2).as("grand_total"),
+      countDistinct(col(keyCol)).as("distinct_products"),
+      count(lit(1)).as("rows"))
+
+  /** A3/T2: sliding-window revenue — 1-hour windows every 15 minutes, each
+    * event in 4 overlapping windows (streaming_sales_aggregator.py:266-277).
+    * Works on both batch and streaming DataFrames; window bounds are emitted
+    * as epoch seconds (grid-aligned, so no sub-second loss) to keep the
+    * DuckDB oracle comparison free of cross-engine timestamp formatting. */
+  def slidingRevenue(df: DataFrame, tsCol: String = "order_ts",
+                     keyCol: String = "product",
+                     amountCol: String = "line_amount",
+                     windowDuration: String = "1 hour",
+                     slideDuration: String = "15 minutes"): DataFrame =
+    df.groupBy(
+        window(col(tsCol), windowDuration, slideDuration).as("time_window"),
+        col(keyCol))
+      .agg(round(sum(col(amountCol)), 2).as("revenue"))
+      .select(
+        col(keyCol),
+        unix_timestamp(col("time_window").getField("start")).as("window_start"),
+        unix_timestamp(col("time_window").getField("end")).as("window_end"),
+        col("revenue"))
+
+  /** Revenue expression used across the TPC-H-shaped queries. */
+  def revenue(price: Column, discount: Column): Column =
+    price * (lit(1) - discount)
+}
