@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -181,6 +182,70 @@ object SparkEntry {
         col("value").as("amount")))
       S.perDayRollup(daily)
     }),
+
+    // ===== extension tier: dedup ========================================
+    "q16_dedup_exact" -> ((s, d) => Dedup.exactDups(documents(s, d))),
+
+    "q17_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(documents(s, d), threshold = 0.5)),
+
+    "q18_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
+
+    "q19_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(documents(s, d), maxDist = 3)),
+
+    // ===== extension tier: similarity search ============================
+    "q20_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(embeddings(s, d), threshold = 0.4)),
+
+    "q21_ann_brute" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "q22_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        bits = 4, tables = 8)
+    }),
+
+    // ===== extension tier: text analysis ================================
+    "q23_text_quality" -> ((s, d) =>
+      T.withQuality(documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
+          col("punct_count"), col("punct_ratio"), col("stop_ratio"),
+          col("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q24_lang_id" -> ((s, d) =>
+      T.withLangId(documents(s, d))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("lang") === col("pred_lang")).as("correct"))
+        .orderBy(col("doc_id"))),
+
+    "q25_fingerprint" -> ((s, d) =>
+      T.withFingerprint(documents(s, d))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "q26_winnow" -> ((s, d) =>
+      T.withWinnow(documents(s, d))
+        .select(col("doc_id"), col("n_fingerprints"), col("winnow_xor"))
+        .orderBy(col("doc_id"))),
+
+    "q27_top_tokens" -> ((s, d) => T.topTokens(documents(s, d), k = 20)),
+
+    // ===== extension tier: multimodal columns ===========================
+    "q28_multimodal_meta" -> ((s, d) =>
+      Multimodal.metaTable(documents(s, d))),
+
+    "q29_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.assets(documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          T.trunc4(col("byte_mean")).as("byte_mean_t"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -287,5 +352,134 @@ object SparkEntry {
         |  FROM events GROUP BY 1,2)
         |SELECT order_date, round(sum(total_amount),2) AS daily_total
         |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       floor(CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt)*10000)/10000 AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |WHERE CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q20_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q21_ann_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM q, e c WHERE q.vec_id <> c.vec_id)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q23_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens, n_chars_obs, punct_count,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base)
+        |SELECT doc_id, n_tokens, n_chars_obs, punct_count, punct_ratio,
+        |  stop_ratio,
+        |  floor(least(n_tokens/100.0, 1.0)
+        |        * (1.0 - least(punct_ratio*5, 1.0))
+        |        * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |    AS quality
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS s_en,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x))) AS s_de,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x))) AS s_fr,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  (lang = CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END) AS correct
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |    ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q28_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (doc_id * 2654435761) % 193 AS INT) AS width,
+        |  CAST(64 + (doc_id * 40503) % 151 AS INT) AS height,
+        |  CAST(1 + doc_id % 3 AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines — extension
+  * tier (SURVEY.md §7 step 5). Four families:
+  *
+  *  - exact:          hash-groupBy on the full text (one shuffle)
+  *  - n-gram Jaccard: exact set similarity over word shingles (inverted-
+  *                    index self-join — exact but quadratic in the worst
+  *                    case; the correctness yardstick for the fuzzy ops)
+  *  - MinHash + LSH:  the 100 TB-scale path — fixed-width signatures,
+  *                    banded bucketing, candidates only within buckets
+  *  - SimHash:        64-bit near-dup hash, chunk-banded pair generation
+  *
+  * All signature computation is per-row map-side work expressed with
+  * higher-order array functions (no UDFs, no explode of the hash space);
+  * only candidate generation shuffles, keyed on band buckets whose
+  * cardinality we control.
+  */
+object Dedup {
+
+  // ===== shared shingling ==================================================
+
+  /** Distinct word n-gram shingles of a token array (empty when fewer
+    * than n tokens — guards sequence() from descending). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+
+  /** xxhash64 of each shingle (distinct), for sketching. */
+  def shingleHashes(toks: Column, n: Int = 3): Column =
+    transform(shingles(toks, n), s => xxhash64(s))
+
+  private def toks(textCol: String): Column =
+    TextAnalysis.tokens(col(textCol))
+
+  // ===== exact dedup =======================================================
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest doc_id as the canonical survivor. Single hash-aggregate
+    * shuffle keyed on md5 — at 100 TB this is the minimal-movement plan
+    * (only 16-byte keys + ids move, never the text). */
+  def exactDups(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  // ===== exact n-gram Jaccard ==============================================
+
+  /** All pairs with word-3-gram Jaccard ≥ `threshold`, via an inverted
+    * index: explode distinct shingles, self-join on the shingle, count
+    * intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Exact but worst-case quadratic (a shingle shared by k docs yields
+    * k² join rows) — this is the correctness oracle for the sketch-based
+    * variants; at 100 TB use `minhashPairs`, which bounds the blowup by
+    * band-bucket size. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(toks(textCol))).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("cnt"))
+    val j = col("cnt").cast("double") /
+      (col("na") + col("nb") - col("cnt"))
+    inter
+      .join(sizes.select(col("id"), col("n").as("na")), col("doc_a") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")), col("doc_b") === col("id")).drop("id")
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysis.trunc4(j).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ===== MinHash + LSH =====================================================
+
+  /** k-component MinHash signature: component i is
+    * min over shingles of xxhash64(shingle, i) — the seed column makes
+    * xxhash64 a cheap hash family.
+    *
+    * Computed as one hash-aggregate over exploded shingles with k
+    * partial `min`s: xxhash64 and min are codegen'd (the nested
+    * higher-order alternative runs interpreted and gets re-evaluated on
+    * every downstream reference — measured 170× slower), map-side
+    * combine reduces the shuffle to one (id, k longs) row per doc, and
+    * the aggregate is a materialization barrier so banding never
+    * recomputes the signature. Docs with zero shingles drop out. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"), explode(shingles(toks(textCol))).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
+  }
+
+  /** Near-dup pairs via banded LSH over MinHash signatures: signatures
+    * split into `bands` bands of k/bands rows each; docs sharing any
+    * band-hash become candidates; candidates are verified against the
+    * full signature (estimated Jaccard = matching components / k).
+    *
+    * Scale: the only shuffle keys are (band, bandHash) — collision
+    * groups are the LSH buckets, so join fan-out is bounded by bucket
+    * size, not corpus size. AQE handles residual bucket skew. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
+                   k: Int = 64, bands: Int = 16,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k, idCol, textCol)
+    val banded = sigs.select(
+      col("id"), col("mh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("mh"), b * r + 1, lit(r))).as("bh"))))
+        .as("bb"))
+      .select(col("id"), col("mh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bh"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("a.mh").as("mh_a"),
+              col("b.id").as("doc_b"), col("b.mh").as("mh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => x === y), b => b)) / lit(k.toDouble)
+    cand
+      .withColumn("est_jaccard", TextAnalysis.trunc4(est))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ===== SimHash ===========================================================
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
+    * votes ±1, final bit j is 1 iff the vote sum is ≥ 0. Expressed as a
+    * single SQL higher-order expression (bit ops via `>>`/`&`), map-side
+    * only. */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("toks_", toks(textCol))
+      .withColumn("counters_", expr(
+        """aggregate(
+          |  toks_,
+          |  array_repeat(CAST(0 AS BIGINT), 64),
+          |  (acc, t) -> zip_with(acc,
+          |     transform(sequence(0, 63),
+          |       j -> IF(shiftright(xxhash64(t), j) & 1 = 1,
+          |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+          |     (a, v) -> a + v))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  zip_with(counters_, sequence(0, 63),
+          |    (c, j) -> IF(c >= 0, shiftleft(CAST(1 AS BIGINT), j),
+          |                 CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin))
+      .drop("toks_", "counters_")
+
+  /** Near-dup pairs with Hamming distance ≤ `maxDist` (< 4) between
+    * SimHashes. Pigeonhole banding: split the 64-bit hash into 4
+    * 16-bit chunks — any pair within distance 3 must agree on ≥ 1 chunk,
+    * so candidates come from equi-joins on (chunk index, chunk value)
+    * and only candidates pay the bit_count verification. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(maxDist < 4, "chunk banding assumes maxDist <= 3")
+    val sigs = withSimhash(docs, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val chunked = sigs.select(
+      col("id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  k -> struct(k AS k, shiftright(simhash, 16*k) & 65535 AS chunk))"""
+          .stripMargin)).as("c"))
+      .select(col("id"), col("simhash"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+    chunked.as("a").join(chunked.as("b"), Seq("k", "chunk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — extension
+  * tier (SURVEY.md §7 step 5).
+  *
+  *  - `cosine`:       higher-order zip_with/aggregate dot product — one
+  *                    codegen'd expression, no UDF. Floats are cast to
+  *                    double *before* the fold so the arithmetic (and its
+  *                    left-to-right order) matches the DuckDB oracle's
+  *                    double list_cosine_similarity bit-for-bit.
+  *  - `bruteTopK`:    exact top-k per query via broadcast of the query
+  *                    set — the correctness baseline. Linear scan of the
+  *                    corpus per query; fine when queries are few.
+  *  - SRP-LSH ANN:    the 100 TB path — deterministic signed-random-
+  *                    projection signatures (hyperplanes derived from
+  *                    xxhash64, so no RNG state ships anywhere), bucket
+  *                    join on the signature, exact re-rank inside buckets.
+  */
+object Similarity {
+
+  import graft.functions.VectorFunctions.dot_product
+
+  /** array<float> → array<double>, for stable cross-engine arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Codegen'd dot product (tight primitive loop — the higher-order
+    * zip_with/aggregate formulation runs interpreted, ~50× slower on
+    * 64-dim embeddings). Inputs must already be array<double>. */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** All pairs with cosine ≥ threshold. Exact self-join (O(n²) pairs):
+    * the yardstick for the LSH variant — at corpus scale, bucket first.
+    * Norms are computed once per vector on the join inputs (the join is
+    * a projection barrier), so per-pair work is exactly one dot product. */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(sim, 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact top-k nearest (cosine) corpus vectors per query vector.
+    * The query set is broadcast, so the corpus is scanned exactly once
+    * regardless of query count; ranking is windowed per query. Ties are
+    * broken on (rounded sim, id) so results are total-ordered and
+    * oracle-stable. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(sim, 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** `bits`-bit signed-random-projection signature (SQL higher-order
+    * form — bit packing needs column-valued shift amounts). Hyperplane
+    * weight (i, d) is ±1 derived from xxhash64(i*4096+d) —
+    * deterministic, no RNG, no broadcast of plane matrices; the whole
+    * signature is one map-side expression. Vectors with equal signatures
+    * collide with probability increasing in cosine similarity. */
+  private def srpSignatureExpr(vecExpr: String, bits: Int): String =
+    s"""aggregate(
+       |  zip_with(
+       |    transform(sequence(0, ${bits - 1}), i ->
+       |      aggregate(
+       |        zip_with(
+       |          transform($vecExpr, x -> CAST(x AS DOUBLE)),
+       |          transform(sequence(0, size($vecExpr) - 1),
+       |            d -> CAST(pmod(xxhash64(i*4096 + d), 2) * 2 - 1 AS DOUBLE)),
+       |          (x, p) -> x * p),
+       |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)),
+       |    sequence(0, ${bits - 1}),
+       |    (s, i) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), i),
+       |                 CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin
+
+  def withSrpSignature(emb: DataFrame, bits: Int = 16,
+                       vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("srp_sig", expr(srpSignatureExpr(vecCol, bits)))
+
+  /** Per-row (table, signature) pairs for `tables` independent SRP hash
+    * tables of `bits` bits each (table t uses hyperplanes offset by
+    * t*bits, so tables are independent). */
+  private def tableSigExpr(vecExpr: String, bits: Int, tables: Int): String =
+    s"""transform(sequence(0, ${tables - 1}), t ->
+       |  struct(t AS tbl,
+       |    aggregate(
+       |      zip_with(
+       |        transform(sequence(0, ${bits - 1}), i ->
+       |          aggregate(
+       |            zip_with(
+       |              transform($vecExpr, x -> CAST(x AS DOUBLE)),
+       |              transform(sequence(0, size($vecExpr) - 1),
+       |                d -> CAST(pmod(xxhash64((t*$bits + i)*4096 + d), 2) * 2 - 1
+       |                          AS DOUBLE)),
+       |              (x, p) -> x * p),
+       |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)),
+       |        sequence(0, ${bits - 1}),
+       |        (s, i) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), i),
+       |                     CAST(0 AS BIGINT))),
+       |      CAST(0 AS BIGINT), (a, x) -> a | x) AS sig))""".stripMargin
+
+  /** Approximate top-k via multi-table SRP LSH: `tables` independent
+    * signature tables; candidates are the union of corpus vectors
+    * sharing the query's bucket in ANY table (standard L-table LSH —
+    * recall ≈ 1-(1-p^bits)^tables), then exact cosine re-rank of the
+    * candidates only.
+    *
+    * Scale: the shuffle is keyed on (table, signature) — bucket-bounded,
+    * never a cross join; `bits` controls bucket size (selectivity),
+    * `tables` buys recall with linear extra hashing. This is the plan
+    * shape that survives a 100 TB corpus; `bruteTopK` is the exactness
+    * yardstick. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 4, tables: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sigs(df: DataFrame, id: String, v: String, n: String) = df
+      .select(col(idCol).as(id), asDouble(col(vecCol)).as(v),
+        explode(expr(tableSigExpr(vecCol, bits, tables))).as("ts"))
+      .select(col(id), col(v), norm(col(v)).as(n),
+        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val c = sigs(corpus, "cid", "cv", "cn")
+    val q = sigs(queries, "qid", "qv", "qn")
+    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"), col("cv"), col("cn"))
+      .dropDuplicates("qid", "cid")
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val scored = cand.select(col("qid"), col("cid"),
+      round(sim, 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. Extension tier — the
+  * reference has no text ops (SURVEY.md §7 step 5); semantics here are
+  * standard corpus-prep heuristics (length/punct/stopword ratios, n-gram
+  * stopword language scoring, winnowing fingerprints).
+  *
+  * Everything is built from codegen'd built-ins and higher-order array
+  * functions — per-row, map-side only, no shuffle, no UDFs — so the ops
+  * scale linearly with the corpus and stay inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (split("\\s+") emits a leading
+    * "" for text starting with whitespace — both we and the DuckDB oracle
+    * filter it). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** A BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Tiny per-language stopword lists for the n-gram language heuristic.
+    * Deliberately small and fixed: they are part of the operator's
+    * contract (the DuckDB oracle embeds the same lists). */
+  val StopEn = Seq("the", "of", "and", "to", "a", "in", "is", "it", "you", "that")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "auf")
+  val StopFr = Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "pas", "vous")
+  val StopEs = Seq("el", "los", "y", "en", "un", "es", "por", "con", "para", "como")
+
+  private def hits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(stops), t)))
+
+  /** Truncate to 4 decimals via floor-scaling. For *discrete* rationals
+    * (k/n ratios) this is deterministic across engines, unlike round():
+    * k/2^m values sit exactly on round-half boundaries (e.g. 1/32 =
+    * 0.03125) where HALF_UP vs half-even implementations disagree.
+    * floor of identical doubles is always identical. */
+  def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Quality metrics per document: token count, punctuation ratio,
+    * stopword ratio, and a composite [0,1] quality score. */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("toks", tokens(lower(t)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars_obs", length(t).cast("long"))
+      .withColumn("punct_count",
+        regexp_count(t, lit("[.,!?;:]")).cast("long"))
+      .withColumn("punct_ratio",
+        trunc4(col("punct_count") / greatest(col("n_chars_obs"), lit(1L))))
+      .withColumn("stop_ratio",
+        trunc4(hits(col("toks"), StopEn) / greatest(col("n_tokens"), lit(1L))))
+      .withColumn("quality",
+        trunc4(
+          least(col("n_tokens") / lit(100.0), lit(1.0)) *
+            (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) *
+            (lit(0.25) + lit(0.75) * least(col("stop_ratio") * 4, lit(1.0)))))
+      .drop("toks")
+  }
+
+  /** Language ID: CJK characters force `zh`; otherwise the language with
+    * the highest stopword-hit count wins, ties resolved en→de→fr→es.
+    * The fixed tie order is part of the contract (oracle replicates it). */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(lower(t))
+    val cjk = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
+    val (en, de, fr, es) =
+      (hits(toks, StopEn), hits(toks, StopDe), hits(toks, StopFr), hits(toks, StopEs))
+    df.withColumn("pred_lang",
+      when(cjk > 0, "zh")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /** Canonical-form fingerprint: md5 of the lowercased, single-spaced
+    * token stream. Whitespace-insensitive exact-dup key. */
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      md5(array_join(tokens(lower(col(textCol))), " ")))
+
+  /** Winnowing document sketch (Schleimer/Wilkerson/Aiken-style): hash
+    * word n-gram shingles, slide a window of `w` hashes, keep each
+    * window's min, dedupe. Emits the sketch size and an order-insensitive
+    * XOR combination of the selected hashes. Map-side only. */
+  def withWinnow(df: DataFrame, textCol: String = "text",
+                 n: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hashes = Dedup.shingleHashes(toks, n)
+    val wins = when(size(hashes) >= w,
+      transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    df.withColumn("winnow_set", array_distinct(wins))
+      .withColumn("n_fingerprints", size(col("winnow_set")).cast("long"))
+      .withColumn("winnow_xor",
+        aggregate(col("winnow_set"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+      .drop("winnow_set")
+  }
+
+  /** Corpus-level token frequency top-k. One shuffle on the token key with
+    * map-side partial aggregation; top-k is TakeOrderedAndProject. */
+  def topTokens(df: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+}
