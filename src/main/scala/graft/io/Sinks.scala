@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Output layer (SURVEY.md §2.1 S6-S8). */
+object Sinks {
+
+  /** Absolute local path → explicit `file://` URI (the reference's
+    * helper for dodging a default-FS of HDFS, pipeline_batch.py:40-49). */
+  def fileUri(path: String): String =
+    if (path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")) path
+    else "file://" + new java.io.File(path).getAbsolutePath
+
+  /** S6: hive-partitioned parquet write with dynamic partition overwrite
+    * (pipeline_batch.py:215-221). The `repartition` on the partition
+    * column aligns the shuffle with the output directories — one file
+    * per partition instead of numShufflePartitions small files per
+    * partition; downstream readers get partition pruning for free.
+    * Dynamic overwrite mode only replaces the date partitions present
+    * in this batch — the incremental-backfill semantics the reference
+    * relies on. */
+  def partitionedParquet(df: DataFrame, out: String,
+                         partitionCol: String = "order_date"): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(out)
+  }
+
+  /** S7: single-file CSV with header (pipeline_batch.py:223-237) — a
+    * deliberate coalesce(1) bottleneck for the dashboard consumer; keep
+    * it out of large outputs. */
+  def singleCsv(df: DataFrame, out: String): Unit =
+    df.coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .csv(fileUri(out))
+}

@@ -61,11 +61,16 @@ object Cleansing {
   }
 
   /** P3: the reference's three-step date cascade applied to one column:
-    * timestamp-parse → date-parse → `yyyyMMdd` regex. Unparseable → null. */
+    * timestamp-parse → date-parse → `yyyyMMdd` regex. Unparseable → null.
+    * Spark 4 defaults to ANSI mode where to_date/to_timestamp THROW on
+    * malformed input; the reference's contract is bad → null → filtered,
+    * so every parse here is a try_* variant regardless of session conf. */
   def dateCascade(c: Column): Column = coalesce(
     to_date(c.try_cast("timestamp")),
     c.try_cast("date"),
-    to_date(regexp_extract(c.cast("string"), "^(\\d{8})", 1), "yyyyMMdd"))
+    try_to_timestamp(
+      regexp_extract(c.cast("string"), "^(\\d{8})", 1), lit("yyyyMMdd"))
+      .cast("date"))
 
   /** P3 applied to the first present date candidate → `order_date`. */
   def withOrderDate(df: DataFrame, candidates: Seq[String] = DateCandidates): DataFrame =
@@ -81,12 +86,12 @@ object Cleansing {
     val s = c.cast("string")
     coalesce(
       s.try_cast("timestamp"),
-      to_timestamp(regexp_replace(s, "T", " ")),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ssXXX"),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss"),
-      to_timestamp(s, "yyyy-MM-dd"))
+      try_to_timestamp(regexp_replace(s, "T", " ")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd")))
   }
 
   /** P4 + P5: `order_ts` from the first present stream candidate; if no

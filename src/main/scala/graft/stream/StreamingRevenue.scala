@@ -1,0 +1,102 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.ops.{Aggregations, Cleansing}
+
+/** The reference's streaming job (streaming_sales_aggregator.py) as a
+  * source-pluggable Structured Streaming pipeline:
+  *
+  *   source → from_json(EventSchema) flatten → cleanse (P2,P4-P9,P12) →
+  *   watermark 15 min (T1) → 1 h/15 min sliding-window sum (T2/A3) →
+  *   append-mode parquet sink, 30 s processing-time trigger (T3-T5).
+  *
+  * The transform stages are plain `DataFrame => DataFrame` so the same
+  * code runs on a Kafka stream, a file stream, a MemoryStream in tests,
+  * or a static batch frame (Structured Streaming's unified semantics) —
+  * the offline environment has no Kafka connector jar, so tests drive
+  * the pipeline with MemoryStream and the Kafka path stays config-only
+  * (SURVEY.md §2.6 T8: the connector fail-fast check becomes
+  * `validateKafkaAvailable`).
+  */
+object StreamingRevenue {
+
+  /** Default tuning, mirroring the reference's env knobs. */
+  val WatermarkDelay = "15 minutes"
+  val WindowDuration = "1 hour"
+  val SlideDuration = "15 minutes"
+  val DefaultTrigger = "30 seconds"
+
+  /** S4: Kafka source plan (requires the Kafka connector on the
+    * classpath at runtime — absent in this offline environment). */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** T8: fail fast if the Kafka source provider is not on the classpath
+    * (the reference resolves connector jars at launch; with a compiled
+    * classpath this reduces to a loadability check). */
+  def validateKafkaAvailable(): Boolean =
+    try {
+      Class.forName(
+        "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** S5: decode a Kafka-shaped frame (binary `value` column) into the
+    * flat 12-string-column event frame. */
+  def decodeJson(raw: DataFrame): DataFrame =
+    raw.select(
+        from_json(col("value").cast("string"), EventSchema.schema).as("event"))
+      .select(col("event.*"))
+
+  /** P2, P4-P9, P12: shared with the batch layer (same cleansing code —
+    * Structured Streaming runs identical expressions incrementally). */
+  def transformOrders(events: DataFrame): DataFrame =
+    Cleansing.cleanseStream(events)
+
+  /** T1-T3/A3: watermarked sliding-window revenue with the reference's
+    * output schema `(product, revenue, window_start, window_end)`
+    * (streaming_sales_aggregator.py:278-285). State is bounded by the
+    * watermark; in append mode a (window, product) row is emitted
+    * exactly once, when the watermark passes window_end. */
+  def aggregate(cleansed: DataFrame,
+                watermark: String = WatermarkDelay,
+                window: String = WindowDuration,
+                slide: String = SlideDuration): DataFrame =
+    cleansed
+      .withWatermark("order_ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("order_ts"), window, slide)
+          .as("time_window"),
+        col("product"))
+      .agg(round(sum(col("line_amount")), 2).as("revenue"))
+      .select(
+        col("product"),
+        col("revenue"),
+        col("time_window").getField("start").as("window_start"),
+        col("time_window").getField("end").as("window_end"))
+
+  /** Full pipeline from a raw (string-columned) event frame. */
+  def pipeline(events: DataFrame): DataFrame =
+    aggregate(transformOrders(events))
+
+  /** S8/T3-T5: append-mode parquet sink with checkpointing and a
+    * processing-time trigger. Caller invokes `.start()`. */
+  def sink(aggregated: DataFrame, outPath: String, checkpointPath: String,
+           triggerInterval: String = DefaultTrigger): DataStreamWriter[Row] =
+    aggregated.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregations, Serving}
+
+class AggServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val daily = Seq(
+    ("2025-01-01", "A", 10.0), ("2025-01-01", "B", 5.0),
+    ("2025-01-02", "A", 2.5), ("2025-01-02", "A", 2.5))
+    .toDF("order_date", "product", "amount")
+
+  test("A1 dailyRevenue groups, sums, rounds, sorts") {
+    val got = Aggregations.dailyRevenue(daily).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("2025-01-01", "A", 10.0), ("2025-01-01", "B", 5.0),
+      ("2025-01-02", "A", 5.0)))
+  }
+
+  test("A2 kpis computes grand total, distinct keys, row count in one pass") {
+    val r = Aggregations.kpis(daily).collect().head
+    assert(r.getDouble(0) === 20.0 && r.getLong(1) === 2L && r.getLong(2) === 4L)
+  }
+
+  test("A3 slidingRevenue puts each event into exactly 4 windows") {
+    val df = Seq(("A", Timestamp.valueOf("2025-01-01 10:07:00"), 1.0))
+      .toDF("product", "order_ts", "line_amount")
+    val got = Aggregations.slidingRevenue(df).collect()
+    assert(got.length === 4)
+    val starts = got.map(_.getLong(1)).sorted
+    // 10:07 floor to 15-min grid = 10:00; windows start 09:15..10:00
+    val base = Timestamp.valueOf("2025-01-01 10:00:00").toInstant.getEpochSecond
+    assert(starts.toSeq === Seq(base - 2700, base - 1800, base - 900, base))
+    assert(got.forall(r => r.getLong(2) - r.getLong(1) === 3600))
+  }
+
+  test("A5/O4 topK orders by revenue desc with key tiebreak") {
+    val got = Serving.topK(daily, "product", "amount", 2).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("A", 15.0), ("B", 5.0)))
+  }
+
+  test("A7 latestWindowLeaderboard keeps only the max window") {
+    val df = Seq((1L, "A", 1.0), (1L, "B", 2.0), (2L, "A", 3.0), (2L, "B", 1.0))
+      .toDF("w", "product", "v")
+    val got = Serving.latestWindowLeaderboard(df, "w", "product", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("A", 3.0), ("B", 1.0)))
+  }
+
+  test("A8 windowHealth counts distinct keys per window, newest first") {
+    val df = Seq((1L, 2L, "A", 1.0), (1L, 2L, "B", 2.0), (3L, 4L, "A", 5.0))
+      .toDF("ws", "we", "product", "v")
+    val got = Serving.windowHealth(df, "ws", "we", "product", "v", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((3L, 5.0, 1L), (1L, 3.0, 2L)))
+  }
+
+  test("O2 sample sorts multi-key mixed-direction and limits") {
+    val df = Seq((1, "b"), (2, "a"), (2, "b"), (1, "a")).toDF("k", "s")
+    val got = Serving.sample(df, 3)(("k", false), ("s", true))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((2, "a"), (2, "b"), (1, "a")))
+  }
+
+  test("O5 distinctOn dedupes the key subset") {
+    val df = Seq((1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
+    assert(Serving.distinctOn(df, Seq("a")).count() === 2)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions.dot_product
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different words about spark query engines and columnar io"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val got = Dedup.exactDups(docs).collect()
+    assert(got.length === 3)
+    val dup = got.find(_.getLong(2) === 2L).get
+    assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
+  }
+
+  test("jaccard pairs finds near and exact duplicates with correct scores") {
+    val got = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got.find(p => p._1 == 1L && p._2 == 4L).get._3 === 1.0)
+  }
+
+  test("minhash LSH recalls the exact jaccard pairs on the fixture corpus") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.jaccardPairs(real, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashPairs(real, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low")
+  }
+
+  test("simhash distance 0 for identical docs; finds near-dups in fixture corpus") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val identical = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(identical.exists(_._3 === 0))
+    // short docs differing by one token can flip several bits (each bit's
+    // vote sum moves ±2), so (1,2) is not asserted; the fixture corpus's
+    // long near-dup docs must produce pairs though
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Dedup.simhashPairs(real, maxDist = 3).count() > 0)
+  }
+
+  test("dot_product codegen expression matches manual computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val got = df.select(dot_product(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(got === 32.0)
+  }
+
+  test("cosine: orthogonal → 0, identical direction → 1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(2.0, 0.0), Array(5.0, 0.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(got(0) === 0.0 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteTopK is exact and annTopK recalls a reasonable fraction") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size === 50)
+    val ann = Similarity.annTopK(emb, q, 5, bits = 4, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ann recall $recall too low")
+  }
+
+  test("text quality: punct and stopword ratios behave") {
+    val df = Seq((1L, "the cat, the hat!!! sat;")).toDF("doc_id", "text")
+    val r = TextAnalysis.withQuality(df).select(
+      "n_tokens", "punct_count", "stop_ratio").collect().head
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) === 5L) // one comma, three bangs, one semicolon
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat is in the hat and it is fine"),
+      (2L, "der hund ist nicht auf der wiese und ich"),
+      (3L, "el perro es un animal y los gatos por para"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df).select("doc_id", "pred_lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) === "en" && got(2L) === "de" && got(3L) === "es")
+  }
+
+  test("fingerprint is whitespace-insensitive") {
+    val df = Seq((1L, "a  b\tc"), (2L, "a b c")).toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprint(df).select("fingerprint")
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+  }
+
+  test("winnow sketch is deterministic and smaller than the shingle count") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val a = TextAnalysis.withWinnow(real).select("doc_id", "winnow_xor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = TextAnalysis.withWinnow(real).select("doc_id", "winnow_xor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("multimodal meta + features are deterministic and sane") {
+    val df = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val meta = Multimodal.metaTable(df).collect().head
+    assert(meta.getLong(1) === 11L) // utf-8 bytes
+    assert(meta.getInt(2) === 64 + (3 * 2654435761L % 193).toInt)
+    val feats = Multimodal.extractFeatures(Multimodal.assets(df)).collect().head
+    assert(feats.n_bytes === 11L)
+    assert(math.abs(feats.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("frame sampling yields n frames per asset") {
+    val df = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.assets(df), n = 4).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.stream.{EventSchema, StreamingRevenue}
+
+/** T1-T5 streaming semantics, driven synchronously by MemoryStream (no
+  * Kafka in this environment; event time is always explicit, never
+  * wall-clock, so watermark behavior is deterministic).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runPipeline(batches: Seq[Seq[String]]): Seq[(String, Double, Long)] = {
+    val input = MemoryStream[String](spark)
+    val raw = input.toDF().select(col("value"))
+    val events = StreamingRevenue.decodeJson(
+      raw.select(col("value").cast("binary").as("value")))
+    val agg = StreamingRevenue.pipeline(events)
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+      .select(col("product"), col("revenue"),
+        unix_timestamp(col("window_start")).as("ws"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+  }
+
+  private def ev(time: String, product: String, total: String): String =
+    s"""{"event_time":"$time","product":"$product","total_price":"$total"}"""
+
+  test("append mode emits a window only after the watermark passes it; late data dropped") {
+    val out = runPipeline(Seq(
+      // batch 1: two events in the 10:00-10:15 slide region
+      Seq(ev("2025-01-01 10:05:00", "A", "10.00"),
+          ev("2025-01-01 10:10:00", "A", "5.00")),
+      // batch 2: advance event time far enough to close those windows
+      // (watermark = max event time - 15 min must pass window_end)
+      Seq(ev("2025-01-01 13:00:00", "B", "1.00")),
+      // batch 3: a *late* event for the already-closed windows → dropped
+      Seq(ev("2025-01-01 10:06:00", "A", "100.00")),
+      // batch 4: advance even further so nothing else closes around it
+      Seq(ev("2025-01-01 16:00:00", "C", "1.00"))))
+    // the 4 sliding windows containing 10:05/10:10 all sum to 15.0
+    val aRows = out.filter(_._1 == "A")
+    assert(aRows.length === 4)
+    assert(aRows.forall(_._2 === 15.0))
+    // the late 100.00 never appears (no window with revenue 115 or 100)
+    assert(!out.exists(r => r._2 === 115.0 || r._2 === 100.0))
+  }
+
+  test("EventSchema decodes all 12 fields with missing keys as null") {
+    val df = Seq("""{"product":"X","quantity":"2"}""").toDF("value")
+    val flat = StreamingRevenue.decodeJson(
+      df.select(col("value").cast("binary").as("value")))
+    assert(flat.columns.toSeq === EventSchema.fields)
+    val r = flat.collect().head
+    assert(r.getAs[String]("product") === "X")
+    assert(r.getAs[String]("unit_price") === null)
+  }
+
+  test("kafka availability check reports absence in this offline env") {
+    assert(!StreamingRevenue.validateKafkaAvailable())
+  }
+}
