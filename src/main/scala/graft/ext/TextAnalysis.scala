@@ -96,16 +96,28 @@ object TextAnalysis {
                  n: Int = 3, w: Int = 4): DataFrame = {
     val toks = tokens(col(textCol))
     val hashes = Dedup.shingleHashes(toks, n)
-    val wins = when(size(hashes) >= w,
-      transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
-    df.withColumn("winnow_set", array_distinct(wins))
-      .withColumn("n_fingerprints", size(col("winnow_set")).cast("long"))
-      .withColumn("winnow_xor",
-        aggregate(col("winnow_set"), lit(0L), (a, x) => a.bitwiseXOR(x)))
-      .drop("winnow_set")
+    // Bind the hash array as a lambda variable (single-element transform)
+    // so it is evaluated ONCE per row. Splicing the `hashes` Column tree
+    // directly into the window expression re-evaluates the full
+    // tokenize→shingle→hash chain for every window index — O(len²)
+    // interpreted work per document (measured 380 s vs 0.3 s at sf0.1).
+    val winSet = flatten(transform(array(hashes), hs =>
+      array_distinct(
+        when(size(hs) >= w,
+          transform(sequence(lit(0), size(hs) - w),
+            i => array_min(slice(hs, i + 1, lit(w)))))
+          .otherwise(when(size(hs) > 0, array(array_min(hs)))
+            .otherwise(array().cast("array<bigint>"))))))
+    // One more binding for the distinct window set: size + xor both read
+    // it, which would otherwise re-run the whole chain per consumer.
+    val packed = element_at(
+      transform(array(winSet), ws => struct(
+        size(ws).cast("long").as("n"),
+        aggregate(ws, lit(0L), (a, x) => a.bitwiseXOR(x)).as("x"))), 1)
+    df.withColumn("_w", packed)
+      .withColumn("n_fingerprints", col("_w.n"))
+      .withColumn("winnow_xor", col("_w.x"))
+      .drop("_w")
   }
 
   /** Corpus-level token frequency top-k. One shuffle on the token key with
