@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
+  * works next to the Column API. Activate with either
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * (the config form is what a cluster deployment would use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "dot_product(a, b) takes two arrays")
+    DotProduct(children.head, children(1))
+  }
+
+  private[graft] val dotProductDescriptor = (
+    new FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => build(children))
+
+  /** Runtime registration on an already-built session (withExtensions
+    * only binds at session construction; getOrCreate() on an existing
+    * session silently ignores it). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", build, "scala_udf")
+}
