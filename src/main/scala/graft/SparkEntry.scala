@@ -213,9 +213,10 @@ object SparkEntry {
     // ===== extension tier: text analysis ================================
     "q23_text_quality" -> ((s, d) =>
       T.withQuality(documents(s, d))
-        .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
-          col("punct_count"), col("punct_ratio"), col("stop_ratio"),
-          col("quality"))
+        .withColumn("n_bpe_tokens", T.bpeishTokenCount(col("text")).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+          col("n_chars_obs"), col("punct_count"), col("punct_ratio"),
+          col("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))),
 
     "q24_lang_id" -> ((s, d) =>
@@ -246,6 +247,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"),
           T.trunc4(col("byte_mean")).as("byte_mean_t"))
         .orderBy(col("doc_id"))),
+
+    // ===== T1-T3 production streaming code, batch-mode parity ===========
+    "q30_stream_parity" -> ((s, d) => {
+      // The exact StreamingRevenue stages (cleanse → watermark → sliding
+      // window agg) run over the static events table — Structured
+      // Streaming's unified semantics make the batch result the ground
+      // truth for what the incremental query emits in total.
+      val raw = events(s, d).select(
+        col("ts").cast("string").as("event_time"),
+        col("event_type").as("product"),
+        col("value").cast("string").as("total_price"))
+      graft.stream.StreamingRevenue
+        .aggregate(graft.stream.StreamingRevenue.transformOrders(raw))
+        .select(col("product"), col("revenue"),
+          unix_timestamp(col("window_start")).as("ws"),
+          unix_timestamp(col("window_end")).as("we"))
+        .orderBy(col("ws"), col("product"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,6 +430,9 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text,
+        |             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_bpe_tokens,
         |    CAST(length(text) AS BIGINT) AS n_chars_obs,
         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
         |      AS punct_count,
@@ -420,14 +442,14 @@ object SparkEntry {
         |      AS BIGINT) AS stop_hits
         |  FROM documents),
         |ratios AS (
-        |  SELECT doc_id, n_tokens, n_chars_obs, punct_count,
+        |  SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_obs, punct_count,
         |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
         |      AS punct_ratio,
         |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
         |      AS stop_ratio
         |  FROM base)
-        |SELECT doc_id, n_tokens, n_chars_obs, punct_count, punct_ratio,
-        |  stop_ratio,
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_obs, punct_count,
+        |  punct_ratio, stop_ratio,
         |  floor(least(n_tokens/100.0, 1.0)
         |        * (1.0 - least(punct_ratio*5, 1.0))
         |        * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
@@ -473,6 +495,14 @@ object SparkEntry {
         |                x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q30_stream_parity" ->
+      """SELECT event_type AS product,
+        | round(sum(round(value, 2)), 2) AS revenue,
+        | CAST(floor(epoch(ts)/900)*900 - n.n*900 AS BIGINT) AS ws,
+        | CAST(floor(epoch(ts)/900)*900 - n.n*900 + 3600 AS BIGINT) AS we
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS n) n
+        |GROUP BY 1, 3, 4 ORDER BY ws, product""".stripMargin,
 
     "q28_multimodal_meta" ->
       """SELECT doc_id,
