@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation joins for the 100 TB tier. AQE's skew-join split
+  * handles most sort-merge skew at runtime; explicit salting is still
+  * the tool of choice when one join key dominates so heavily that a
+  * single post-split partition is still too large, or when AQE is off
+  * (e.g. inside some streaming micro-batches).
+  *
+  * `saltedEquiJoin` spreads each big-side row across `salt` sub-keys
+  * and replicates the small side `salt` times, so one hot key lands on
+  * `salt` different reducers instead of one. Row-for-row equivalent to
+  * the plain equi-join (verified by test).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of a skewed `big` side with a smaller `dim` side on
+    * big(bigKey) == dim(dimKey), salted `salt` ways. Column sets must be
+    * disjoint (as after the usual select-projection discipline). */
+  def saltedEquiJoin(big: DataFrame, dim: DataFrame,
+                     bigKey: String, dimKey: String,
+                     salt: Int = 16): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // big side: deterministic pseudo-random salt per row — derived from
+    // the whole row's hash, not rand(), so retries/speculative tasks
+    // produce identical output.
+    val salted = big.withColumn("_salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(salt)))
+    // dim side: replicate once per salt value.
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated,
+        salted("_salt") === replicated("_salt") &&
+          col(bigKey) === col(dimKey))
+      .drop("_salt")
+  }
+
+  /** Two-stage (partial → final) aggregation with an explicit salt — for
+    * aggregates without map-side combine (e.g. exact countDistinct over
+    * a hot group key). `aggs` must be decomposable (sum/count/min/max). */
+  def saltedGroupSum(df: DataFrame, groupCol: String, valueCol: String,
+                     salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salt)))
+      .groupBy(col(groupCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+}
