@@ -265,6 +265,49 @@ object SparkEntry {
           unix_timestamp(col("window_end")).as("we"))
         .orderBy(col("ws"), col("product"))
     }),
+
+    // ===== composite corpus curation (quality ∧ lang ∧ exact-dedup) =====
+    "q31_corpus_curation" -> ((s, d) => {
+      val scored = T.withLangId(T.withQuality(documents(s, d)))
+      val filtered = scored
+        .filter(col("n_tokens") >= 20 &&
+          col("punct_ratio") <= 0.05 && col("pred_lang") === "en")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      filtered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ===== sessionization: 30-min-gap sessions per user ================
+    "q32_sessionize" -> ((s, d) => {
+      val e = events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val epoch = unix_timestamp(col("ts"))
+      val gap = epoch - lag(epoch, 1).over(w)
+      val isNew = when(gap.isNull || gap > 1800, 1).otherwise(0)
+      e.withColumn("sess",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(
+          min(epoch).as("session_start"),
+          max(epoch).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ===== JSON extraction from the props column =======================
+    "q33_json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("k"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -503,6 +546,78 @@ object SparkEntry {
         | CAST(floor(epoch(ts)/900)*900 - n.n*900 + 3600 AS BIGINT) AS we
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS n) n
         |GROUP BY 1, 3, 4 ORDER BY ws, product""".stripMargin,
+
+    "q31_corpus_curation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000 AS punct_ratio,
+        |    floor(len(list_filter(t, x -> list_contains(
+        |      ['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      / greatest(CAST(len(t) AS BIGINT), 1) * 10000)/10000 AS stop_ratio,
+        |    CASE WHEN cjk > 0 THEN 'zh'
+        |         WHEN len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x)))
+        |          AND len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x)))
+        |          AND len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x)))
+        |         THEN 'en'
+        |         WHEN len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x)))
+        |          AND len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x)))
+        |         THEN 'de'
+        |         WHEN len(list_filter(t, x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x)))
+        |           >= len(list_filter(t, x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x)))
+        |         THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM toks),
+        |filtered AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000 AS quality
+        |  FROM scored
+        |  WHERE n_tokens >= 20 AND punct_ratio <= 0.05 AND pred_lang = 'en')
+        |SELECT doc_id, n_tokens, quality FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM filtered)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value,
+        |    ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ep, value,
+        |    CASE WHEN lag(ep) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |         THEN 1 ELSE 0 END AS is_new,
+        |    ts
+        |  FROM e),
+        |sessioned AS (
+        |  SELECT user_id, ep, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, min(ep) AS session_start, max(ep) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessioned GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q33_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q28_multimodal_meta" ->
       """SELECT doc_id,
