@@ -142,6 +142,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Survivor selection from a near-dup pair list (doc_a < doc_b): drop
+    * every doc that appears as the larger id of any pair. This is the
+    * standard one-pass approximation of connected-component dedup —
+    * transitive chains collapse to their minimum id when pairs are
+    * transitively closed (LSH pairs largely are, since near-dup groups
+    * form cliques); a full iterative union-find is only warranted when
+    * chains without direct edges matter. One anti-join, no iteration. */
+  def survivors(docs: DataFrame, pairs: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("doc_b").as("_drop")).distinct(),
+        col(idCol) === col("_drop"), "left_anti")
+
   // ===== SimHash ===========================================================
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit

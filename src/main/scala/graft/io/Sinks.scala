@@ -38,4 +38,19 @@ object Sinks {
       .write.mode("overwrite")
       .option("header", "true")
       .csv(fileUri(out))
+
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * subsequent equi-join/aggregation on `bucketCol` between tables
+    * bucketed the same way runs with NO exchange — the co-located-join
+    * layout for fact tables that are joined repeatedly at 100 TB scale
+    * (bucket pruning applies to point predicates too). Requires a
+    * warehouse (managed table), hence saveAsTable. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

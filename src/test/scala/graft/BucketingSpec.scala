@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.io.Sinks
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joining two same-bucketed tables plans no shuffle exchange") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert(warehouse != null)
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    Sinks.bucketedTable(a, "bt_a", "k", 8)
+    Sinks.bucketedTable(b, "bt_b", "k", 8)
+    val joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+    // force a sort-merge path so the exchange question is real (a
+    // broadcast join needs no shuffle regardless of bucketing)
+    val smj = joined.hint("merge")
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(smj.count() === 1000)
+  }
+
+  test("survivors drops the larger id of each near-dup pair") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 4L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.survivors(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+}
