@@ -9,8 +9,17 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("joining two same-bucketed tables plans no shuffle exchange") {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    assert(warehouse != null)
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both for idempotency
+    Seq("bt_a", "bt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
     val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
     Sinks.bucketedTable(a, "bt_a", "k", 8)
