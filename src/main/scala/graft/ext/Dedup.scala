@@ -48,19 +48,21 @@ object Dedup {
     * measured 3× faster on the Jaccard self-join). */
   def shingleRows(docs: DataFrame, n: Int = 3,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  keepPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val parts = (0 until n).map {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    docs.select(col(idCol).as("id"),
+    val rows = docs.select(col(idCol).as("id"),
         posexplode(toks(textCol)).as(Seq("pos", "t")))
-      .select(col("id"),
+      .select(col("id"), col("pos"),
         when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("sh"))
       .filter(col("sh").isNotNull)
-      .dropDuplicates("id", "sh")
+    if (keepPos) rows
+    else rows.drop("pos").dropDuplicates("id", "sh")
   }
 
   // ===== exact dedup =======================================================
@@ -180,28 +182,33 @@ object Dedup {
   // ===== SimHash ===========================================================
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, final bit j is 1 iff the vote sum is ≥ 0. Expressed as a
-    * single SQL higher-order expression (bit ops via `>>`/`&`), map-side
-    * only. */
-  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("toks_", toks(textCol))
-      .withColumn("counters_", expr(
-        """aggregate(
-          |  toks_,
-          |  array_repeat(CAST(0 AS BIGINT), 64),
-          |  (acc, t) -> zip_with(acc,
-          |     transform(sequence(0, 63),
-          |       j -> IF(shiftright(xxhash64(t), j) & 1 = 1,
-          |               CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-          |     (a, v) -> a + v))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(counters_, sequence(0, 63),
-          |    (c, j) -> IF(c >= 0, shiftleft(CAST(1 AS BIGINT), j),
-          |                 CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin))
-      .drop("toks_", "counters_")
+    * votes ±1 (one vote per occurrence), final bit j is 1 iff the vote
+    * sum is ≥ 0.
+    *
+    * Computed as one hash-aggregate over exploded tokens with 64
+    * conditional sums (codegen'd, map-side combine — the nested
+    * higher-order formulation runs interpreted), then the 64 counters
+    * pack into the long with a static shift/or expression tree. Docs
+    * with zero tokens get the all-ones hash (every vote sum is 0 ≥ 0),
+    * restored via the left join. */
+  def withSimhash(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), explode(toks(textCol)).as("t"))
+      .withColumn("hv", xxhash64(col("t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1, 1L)
+        .otherwise(-1L)).as(s"c$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"c$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sig = tok.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id").as(idCol), packed.as("simhash"))
+    docs.join(sig, Seq(idCol), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(-1L)))
+  }
 
   /** Near-dup pairs with Hamming distance ≤ `maxDist` (< 4) between
     * SimHashes. Pigeonhole banding: split the 64-bit hash into 4
@@ -212,7 +219,7 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
-    val sigs = withSimhash(docs, textCol)
+    val sigs = withSimhash(docs, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash"))
     val chunked = sigs.select(
       col("id"), col("simhash"),

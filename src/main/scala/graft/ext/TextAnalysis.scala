@@ -92,32 +92,43 @@ object TextAnalysis {
     * word n-gram shingles, slide a window of `w` hashes, keep each
     * window's min, dedupe. Emits the sketch size and an order-insensitive
     * XOR combination of the selected hashes. Map-side only. */
+  /** Winnowing as a relational plan (shingle rows → sliding-frame min →
+    * distinct → aggregate): every stage is codegen'd — the array-HOF
+    * formulation runs interpreted and costs O(len·w) boxed calls per
+    * doc. Documents with at least one token but fewer than w shingle
+    * windows contribute their global-min hash (window frames shorter
+    * than w at the tail are excluded by the `idx` bound; a doc with
+    * fewer than w shingles keeps exactly its idx=1 frame, which then
+    * covers all its hashes). Docs with no shingles (< n tokens) yield
+    * no fingerprints and are restored by the left join with n=0. */
   def withWinnow(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id",
                  n: Int = 3, w: Int = 4): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hashes = Dedup.shingleHashes(toks, n)
-    // Bind the hash array as a lambda variable (single-element transform)
-    // so it is evaluated ONCE per row. Splicing the `hashes` Column tree
-    // directly into the window expression re-evaluates the full
-    // tokenize→shingle→hash chain for every window index — O(len²)
-    // interpreted work per document (measured 380 s vs 0.3 s at sf0.1).
-    val winSet = flatten(transform(array(hashes), hs =>
-      array_distinct(
-        when(size(hs) >= w,
-          transform(sequence(lit(0), size(hs) - w),
-            i => array_min(slice(hs, i + 1, lit(w)))))
-          .otherwise(when(size(hs) > 0, array(array_min(hs)))
-            .otherwise(array().cast("array<bigint>"))))))
-    // One more binding for the distinct window set: size + xor both read
-    // it, which would otherwise re-run the whole chain per consumer.
-    val packed = element_at(
-      transform(array(winSet), ws => struct(
-        size(ws).cast("long").as("n"),
-        aggregate(ws, lit(0L), (a, x) => a.bitwiseXOR(x)).as("x"))), 1)
-    df.withColumn("_w", packed)
-      .withColumn("n_fingerprints", col("_w.n"))
-      .withColumn("winnow_xor", col("_w.x"))
-      .drop("_w")
+    import org.apache.spark.sql.expressions.Window
+    // distinct shingles in first-occurrence order, hashed
+    val firstOcc = Dedup.shingleRows(df, n, idCol, textCol, keepPos = true)
+      .groupBy(col("id"), col("sh"))
+      .agg(min(col("pos")).as("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val seq0 = firstOcc
+      .withColumn("idx", row_number().over(byDoc))
+      .withColumn("h", xxhash64(col("sh")))
+    // sliding frame of w hashes; tail frames shorter than w are excluded
+    // except when the doc has fewer than w shingles in total (then the
+    // idx=1 frame covers them all — matching slice-based semantics)
+    val frame = byDoc.rowsBetween(Window.currentRow, w - 1)
+    val mins = seq0
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("winmin", min(col("h")).over(frame))
+      .filter(col("idx") <= greatest(col("m") - w + 1, lit(1)))
+      .select(col("id"), col("winmin")).distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        expr("bit_xor(winmin)").as("winnow_xor"))
+      .withColumnRenamed("id", idCol)
+    df.join(mins, Seq(idCol), "left")
+      .withColumn("n_fingerprints", coalesce(col("n_fingerprints"), lit(0L)))
+      .withColumn("winnow_xor", coalesce(col("winnow_xor"), lit(0L)))
   }
 
   /** Corpus-level token frequency top-k. One shuffle on the token key with
