@@ -83,53 +83,38 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** `bits`-bit signed-random-projection signature (SQL higher-order
-    * form — bit packing needs column-valued shift amounts). Hyperplane
-    * weight (i, d) is ±1 derived from xxhash64(i*4096+d) —
-    * deterministic, no RNG, no broadcast of plane matrices; the whole
-    * signature is one map-side expression. Vectors with equal signatures
-    * collide with probability increasing in cosine similarity. */
-  private def srpSignatureExpr(vecExpr: String, bits: Int): String =
-    s"""aggregate(
-       |  zip_with(
-       |    transform(sequence(0, ${bits - 1}), i ->
-       |      aggregate(
-       |        zip_with(
-       |          transform($vecExpr, x -> CAST(x AS DOUBLE)),
-       |          transform(sequence(0, size($vecExpr) - 1),
-       |            d -> CAST(pmod(xxhash64(i*4096 + d), 2) * 2 - 1 AS DOUBLE)),
-       |          (x, p) -> x * p),
-       |        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)),
-       |    sequence(0, ${bits - 1}),
-       |    (s, i) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), i),
-       |                 CAST(0 AS BIGINT))),
-       |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin
-
-  def withSrpSignature(emb: DataFrame, bits: Int = 16,
-                       vecCol: String = "embedding"): DataFrame =
-    emb.withColumn("srp_sig", expr(srpSignatureExpr(vecCol, bits)))
-
-  /** Per-row (table, signature) pairs for `tables` independent SRP hash
-    * tables of `bits` bits each (table t uses hyperplanes offset by
-    * t*bits, so tables are independent). */
-  private def tableSigExpr(vecExpr: String, bits: Int, tables: Int): String =
-    s"""transform(sequence(0, ${tables - 1}), t ->
-       |  struct(t AS tbl,
-       |    aggregate(
-       |      zip_with(
-       |        transform(sequence(0, ${bits - 1}), i ->
-       |          aggregate(
-       |            zip_with(
-       |              transform($vecExpr, x -> CAST(x AS DOUBLE)),
-       |              transform(sequence(0, size($vecExpr) - 1),
-       |                d -> CAST(pmod(xxhash64((t*$bits + i)*4096 + d), 2) * 2 - 1
-       |                          AS DOUBLE)),
-       |              (x, p) -> x * p),
-       |            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)),
-       |        sequence(0, ${bits - 1}),
-       |        (s, i) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), i),
-       |                     CAST(0 AS BIGINT))),
-       |      CAST(0 AS BIGINT), (a, x) -> a | x) AS sig))""".stripMargin
+  /** (id, table, signature) rows for `tables` independent SRP hash
+    * tables of `bits` bits each. Hyperplane weight for plane p = t*bits+i
+    * at dimension d is ±1 derived from xxhash64(p*4096 + d) —
+    * deterministic, no RNG state, no plane matrices to broadcast.
+    * Computed as one hash-aggregate over posexploded dimensions with
+    * tables×bits conditional sums (codegen'd, map-side combine), then
+    * static shift/or packing — the higher-order per-row formulation runs
+    * interpreted. Vectors with equal signatures collide with probability
+    * increasing in cosine similarity. */
+  def srpSignatures(emb: DataFrame, bits: Int, tables: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(bits <= 63, "signature must fit a long")
+    val dims = emb.select(col(idCol).as("id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+    val sums = for (t <- 0 until tables; i <- 0 until bits) yield {
+      val plane = (t * bits + i).toLong * 4096L
+      val w = (pmod(xxhash64(lit(plane) + col("d")), lit(2)) * 2 - 1)
+        .cast("double")
+      sum(col("x") * w).as(s"s_${t}_$i")
+    }
+    val packed = (0 until tables).map { t =>
+      val sig = (0 until bits).map { i =>
+        when(col(s"s_${t}_$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    dims.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), explode(array(packed: _*)).as("ts"))
+      .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+  }
 
   /** Approximate top-k via multi-table SRP LSH: `tables` independent
     * signature tables; candidates are the union of corpus vectors
@@ -148,10 +133,10 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def sigs(df: DataFrame, id: String, v: String, n: String) = df
-      .select(col(idCol).as(id), asDouble(col(vecCol)).as(v),
-        explode(expr(tableSigExpr(vecCol, bits, tables))).as("ts"))
-      .select(col(id), col(v), norm(col(v)).as(n),
-        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      .select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      .withColumn(n, norm(col(v)))
+      .join(srpSignatures(df, bits, tables, idCol, vecCol)
+        .withColumnRenamed("id", id), Seq(id))
     val c = sigs(corpus, "cid", "cv", "cn")
     val q = sigs(queries, "qid", "qv", "qn")
     val cand = c.join(broadcast(q), Seq("tbl", "sig"))
