@@ -179,6 +179,15 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as("_drop")).distinct(),
         col(idCol) === col("_drop"), "left_anti")
 
+  /** One-call fuzzy dedup: MinHash-LSH near-dup pairs at `threshold`,
+    * then keep the min-id survivor of each clique. The full-corpus
+    * curation entry point — everything inside is bucket-bounded. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.5,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    survivors(docs, minhashPairs(docs, threshold, idCol = idCol,
+      textCol = textCol), idCol)
+
   // ===== SimHash ===========================================================
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit

@@ -1,0 +1,57 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.ext.Dedup
+import graft.gen.Retail
+import graft.jobs.BatchPipeline
+
+class JobsSpec extends SparkSpec {
+
+  test("BatchPipeline.run: CSVs in → partitioned parquet + KPI CSV out") {
+    val in = java.nio.file.Files.createTempDirectory("bp_in").toString
+    val pq = java.nio.file.Files.createTempDirectory("bp_pq").toString + "/daily"
+    val csv = java.nio.file.Files.createTempDirectory("bp_csv").toString
+    Retail.writeCsvDays(spark, in, LocalDate.of(2025, 2, 1), 3, 24)
+
+    assert(BatchPipeline.run(spark, in, pq, csv, waitTimeoutSec = 10))
+
+    val daily = spark.read.parquet(pq)
+    assert(daily.columns.toSet === Set("order_date", "product", "total_amount"))
+    assert(daily.count() > 0)
+    // hive-partitioned by order_date → 3 date dirs
+    val dateDirs = new java.io.File(pq).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("order_date="))
+    assert(dateDirs.length === 3)
+    // KPI CSV exists with a single data row
+    val kpis = spark.read.option("header", "true")
+      .csv(s"$csv/kpis")
+    assert(kpis.count() === 1)
+    assert(kpis.columns.toSeq ===
+      Seq("grand_total", "distinct_products", "rows"))
+  }
+
+  test("BatchPipeline.run returns true and writes nothing on empty input") {
+    val in = java.nio.file.Files.createTempDirectory("bp_empty").toString
+    // a header-only csv: present (poll passes) but zero rows
+    val w = new java.io.PrintWriter(s"$in/retail_x.csv")
+    w.println("order_id,order_date,product,quantity,unit_price,amount")
+    w.close()
+    val pq = java.nio.file.Files.createTempDirectory("bp_pq2").toString + "/daily"
+    val csv = java.nio.file.Files.createTempDirectory("bp_csv2").toString
+    assert(BatchPipeline.run(spark, in, pq, csv, waitTimeoutSec = 5))
+    assert(!new java.io.File(pq).exists())
+  }
+
+  test("dedupCorpus removes the near-dup partners, keeps min ids") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val kept = Dedup.dedupCorpus(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty)
+    assert(kept.size === 500 - dropped.size)
+    assert(dropped.forall(d => !kept.contains(d)))
+  }
+}
