@@ -210,6 +210,12 @@ object SparkEntry {
         bits = 4, tables = 8)
     }),
 
+    "q34_ann_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // ===== extension tier: text analysis ================================
     "q23_text_quality" -> ((s, d) =>
       T.withQuality(documents(s, d))

@@ -116,6 +116,70 @@ object Similarity {
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
   }
 
+  /** IVF (inverted-file) index: `nCentroids` seed centroids picked
+    * deterministically (smallest ids — at corpus scale swap in a k-means
+    * sample; the index structure is identical), every vector assigned to
+    * its nearest centroid by cosine. Returns (id, v, nrm, centroid_id).
+    * One broadcast of the centroid set + one window rank — no iteration. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val centroids = e.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val denom = col("nrm") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("cv")) / denom)
+    val w = Window.partitionBy(col("id")).orderBy(col("_sim").desc, col("c_id"))
+    e.join(broadcast(centroids), lit(true))
+      .withColumn("_sim", sim)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("c_id").as("centroid_id"))
+  }
+
+  /** IVF approximate top-k: rank centroids per query, probe the
+    * `nProbe` nearest centroid buckets, exact cosine re-rank inside the
+    * probed buckets only. The candidate join is an equi-join on
+    * centroid_id (bucket-bounded shuffle); recall is tuned by nProbe ×
+    * nCentroids. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    val centroids = corpus
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(col("c_id")).limit(nCentroids)
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    // rank centroids per query, keep nProbe
+    val cdenom = col("qn") * col("cn")
+    val csim = when(cdenom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / cdenom)
+    val cw = Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("c_id"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("_csim", csim)
+      .withColumn("_crk", row_number().over(cw))
+      .filter(col("_crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("c_id").as("centroid_id"))
+    // candidates = vectors in probed buckets; exact re-rank
+    val denom = col("qn") * col("nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("v")) / denom)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cid"), round(sim, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k via multi-table SRP LSH: `tables` independent
     * signature tables; candidates are the union of corpus vectors
     * sharing the query's bucket in ANY table (standard L-table LSH —

@@ -81,6 +81,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"ann recall $recall too low")
   }
 
+  test("ivfTopK buckets cover the corpus and recall beats random probing") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = Similarity.ivfAssign(emb, 16)
+    assert(assigned.count() === 500)
+    assert(assigned.select("centroid_id").distinct().count() <= 16)
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 4/16 buckets scans ~25% of the corpus; recall must beat that
+    assert(recall >= 0.3, s"ivf recall $recall too low")
+  }
+
   test("text quality: punct and stopword ratios behave") {
     val df = Seq((1L, "the cat, the hat!!! sat;")).toDF("doc_id", "text")
     val r = TextAnalysis.withQuality(df).select(
