@@ -180,6 +180,29 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-blocked near-dup pairs: the 100 TB form of `nearDupPairs` —
+    * pairs are only checked inside a centroid bucket, so the join is an
+    * equi-join on centroid_id instead of an O(n²) cross product. Misses
+    * pairs straddling bucket boundaries (recall measured against the
+    * exact variant in tests); raise nCentroids for selectivity, or run
+    * with multiple seed offsets and union for recall. */
+  def nearDupPairsBlocked(emb: DataFrame, threshold: Double,
+                          nCentroids: Int = 16,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids, idCol, vecCol)
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(sim, 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Approximate top-k via multi-table SRP LSH: `tables` independent
     * signature tables; candidates are the union of corpus vectors
     * sharing the query's bucket in ANY table (standard L-table LSH —

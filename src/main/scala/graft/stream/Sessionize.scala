@@ -1,0 +1,102 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization with `flatMapGroupsWithState`: the
+  * custom-state counterpart of the batch gap-sessionizer (SparkEntry
+  * q32). Events are grouped by user; a session closes when the
+  * event-time gap exceeds `gapSeconds` (next event starts a new one) or
+  * when the group sees no data past the processing-time timeout.
+  *
+  * State per user is one running session (bounded); closed sessions are
+  * emitted downstream — the update pattern the reference never needed
+  * but any session-analytics pipeline does (SURVEY.md §2.6 notes the
+  * gap).
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long,
+                           session_value: Double)
+
+  /** Pure session-fold logic, shared by the streaming operator and unit
+    * tests: feed sorted event epochs through the running state, emitting
+    * closed sessions. */
+  def fold(events: Seq[(Long, Double)], st: Option[SessionState],
+           gapSeconds: Long): (Seq[SessionState], Option[SessionState]) = {
+    var closed = List.empty[SessionState]
+    var cur = st
+    events.sortBy(_._1).foreach { case (ep, v) =>
+      cur = cur match {
+        case Some(s) if ep - s.end <= gapSeconds =>
+          Some(s.copy(end = ep, n = s.n + 1, total = s.total + v))
+        case Some(s) =>
+          closed ::= s
+          Some(SessionState(ep, ep, 1, v))
+        case None =>
+          Some(SessionState(ep, ep, 1, v))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  /** Streaming sessionization. Input must have user_id/ts/value columns
+    * (cleansed event stream); output is the closed-session table.
+    *
+    * `idleTimeout = Some("30 minutes")` additionally flushes a user's
+    * open session when no data arrives for that long (processing time).
+    * Beware: a registered processing-time timeout makes the engine run
+    * micro-batches continuously to fire it — deterministic tests (and
+    * any processAllAvailable-driven harness) must use the default
+    * NoTimeout, where sessions close only via the event-time gap. */
+  def sessions(events: DataFrame, gapSeconds: Long = 1800,
+               idleTimeout: Option[String] = None): Dataset[Session] = {
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[Session]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val kEnc = Encoders.scalaLong
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[Event]
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(uid, s.start, s.end, s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val evs = it.map(e =>
+              (e.ts.toInstant.getEpochSecond, e.value)).toSeq
+            val (closed, open) = fold(evs, state.getOption, gapSeconds)
+            open.foreach { s =>
+              state.update(s)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            closed.iterator.map(s =>
+              Session(uid, s.start, s.end, s.n, s.total))
+          }
+      }
+  }
+
+  /** Streaming exact dedup bounded by watermark: drops events whose key
+    * reappears within the watermark horizon — Structured Streaming's
+    * `dropDuplicatesWithinWatermark`, state auto-expired. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

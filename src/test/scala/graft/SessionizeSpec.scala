@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.stream.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fold closes sessions on gap and keeps the running one open") {
+    val (closed, open) = Sessionize.fold(
+      Seq((100L, 1.0), (200L, 2.0), (5000L, 3.0)), None, gapSeconds = 1800)
+    assert(closed === Seq(Sessionize.SessionState(100, 200, 2, 3.0)))
+    assert(open === Some(Sessionize.SessionState(5000, 5000, 1, 3.0)))
+  }
+
+  test("streaming flatMapGroupsWithState emits closed sessions") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val name = s"sessions_${System.nanoTime()}"
+    val q = Sessionize.sessions(df, gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(Seq(
+        (1L, ts("2025-01-01 10:00:00"), 1.0),
+        (1L, ts("2025-01-01 10:10:00"), 2.0)))
+      q.processAllAvailable()
+      // the big gap closes the first session for user 1
+      input.addData(Seq((1L, ts("2025-01-01 14:00:00"), 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+      .select("user_id", "n_events", "session_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 3.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-sent events in-stream") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = Sessionize.dedupWithinWatermark(df, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(Seq(
+        (10L, ts("2025-01-01 10:00:00"), 1.0),
+        (10L, ts("2025-01-01 10:00:05"), 1.0), // duplicate key
+        (11L, ts("2025-01-01 10:01:00"), 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(name).count() === 2)
+  }
+
+  test("nearDupPairsBlocked finds in-bucket pairs at a fraction of the scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.nearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.nearDupPairsBlocked(emb, 0.4, nCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    assert(exact.isEmpty || blocked.nonEmpty)
+  }
+}
