@@ -216,6 +216,15 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
     }),
 
+    // ===== multimodal frame sampling ===================================
+    "q35_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.assets(documents(s, d)))
+        .select(col("doc_id"), col("frame_no"),
+          length(col("frame_bytes")).as("frame_len"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     // ===== extension tier: text analysis ================================
     "q23_text_quality" -> ((s, d) =>
       T.withQuality(documents(s, d))
@@ -624,6 +633,21 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // documents are pure ASCII (verified octet_length == length), so the
+    // byte-level frame slice equals DuckDB's char-level substring.
+    "q35_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         greatest((length(text) - 32) / 4.0, 1.0) AS step
+        |  FROM documents)
+        |SELECT doc_id, n.n AS frame_no,
+        |  CAST(length(substring(text, CAST(floor(n.n * step + 1) AS INT), 32))
+        |       AS INT) AS frame_len,
+        |  md5(substring(text, CAST(floor(n.n * step + 1) AS INT), 32))
+        |    AS frame_md5
+        |FROM f CROSS JOIN (SELECT unnest([0,1,2,3]) AS n) n
+        |ORDER BY doc_id, frame_no""".stripMargin,
 
     "q28_multimodal_meta" ->
       """SELECT doc_id,
