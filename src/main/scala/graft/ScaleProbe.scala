@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+import graft.ops.Aggregations
+
+/** Dev utility: stress the scale-path operators on replicated fixtures
+  * (documents ×REP with perturbed text, events ×REP with shifted time)
+  * to catch memory/codegen/shuffle pathologies the 500-row fixtures
+  * can't. `runMain graft.ScaleProbe [sfDir] [docReps] [eventReps]`.
+  * Prints one timing line per probe; not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docReps = args.lift(1).map(_.toInt).getOrElse(200)
+    val eventReps = args.lift(2).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(docReps).toDF("rep"))
+      .select(
+        (col("doc_id") * docReps + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(docReps).toDF("rep"))
+      .select(
+        (col("vec_id") * docReps + col("rep")).as("vec_id"),
+        col("embedding"))
+    val events = Tables.events(spark, sfDir)
+      .crossJoin(spark.range(eventReps).toDF("rep"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        expr("timestampadd(HOUR, CAST(rep AS INT), ts)").as("ts"))
+
+    timed(s"minhash_signatures x$docReps") {
+      Dedup.minhashSignatures(docs).count()
+    }
+    // the replicated corpus is adversarially duplicate-heavy (every doc
+    // has docReps-1 near-identical copies) — exercise the degenerate-
+    // bucket guards the way a real pipeline would after exact dedup
+    timed(s"minhash_pairs x$docReps") {
+      Dedup.minhashPairs(docs, 0.5, maxBucketSize = 1000).count()
+    }
+    timed(s"simhash_pairs x$docReps") {
+      Dedup.simhashPairs(docs, 3, maxBucketSize = 1000).count()
+    }
+    timed(s"ann_ivf x$docReps") {
+      Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") < 10), 5, 64, 4).count()
+    }
+    timed(s"sliding_revenue x$eventReps") {
+      Aggregations.slidingRevenue(events.select(
+        col("ts").as("order_ts"), col("event_type").as("product"),
+        col("value").as("line_amount"))).count()
+    }
+    spark.stop()
+  }
+}

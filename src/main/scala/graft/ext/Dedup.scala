@@ -141,26 +141,43 @@ object Dedup {
     * size, not corpus size. AQE handles residual bucket skew. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5,
                    k: Int = 64, bands: Int = 16,
+                   maxBucketSize: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     val sigs = minhashSignatures(docs, k, idCol, textCol)
     val banded = sigs.select(
-      col("id"), col("mh"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("mh"), b * r + 1, lit(r))).as("bh"))))
         .as("bb"))
-      .select(col("id"), col("mh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
-      .join(banded.as("b"), Seq("band", "bh"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Optional degenerate-bucket guard: a bucket of m near-identical docs
+    // yields m²/2 candidates; above the cap that is better handled by
+    // exact dedup first. Skipping is explicit opt-in via maxBucketSize.
+    val bounded = if (maxBucketSize == Int.MaxValue) banded else {
+      val sizes = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+      banded.join(sizes.select(col("band"), col("bh")), Seq("band", "bh"))
+    }
+    // Candidates carry ONLY id pairs — carrying both k-long signatures
+    // through the bucket join multiplies its shuffle/memory footprint by
+    // ~2k×8 bytes per pair and OOMs on duplicate-heavy corpora (found by
+    // ScaleProbe at 1M docs); the signature re-joins below are spillable
+    // sort-merge joins keyed on id.
+    val cand = bounded.as("a")
+      .join(bounded.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("a.mh").as("mh_a"),
-              col("b.id").as("doc_b"), col("b.mh").as("mh_b"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val withSigs = cand
+      .join(sigs.select(col("id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(sigs.select(col("id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
     val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
       (x, y) => x === y), b => b)) / lit(k.toDouble)
-    cand
+    withSigs
       .withColumn("est_jaccard", TextAnalysis.trunc4(est))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
@@ -225,18 +242,28 @@ object Dedup {
     * so candidates come from equi-joins on (chunk index, chunk value)
     * and only candidates pay the bit_count verification. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
     val sigs = withSimhash(docs, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash"))
-    val chunked = sigs.select(
+    val chunked0 = sigs.select(
       col("id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3),
           |  k -> struct(k AS k, shiftright(simhash, 16*k) & 65535 AS chunk))"""
           .stripMargin)).as("c"))
       .select(col("id"), col("simhash"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+    // same degenerate-bucket guard as minhashPairs: m near-identical docs
+    // in one chunk bucket yield m²/2 candidates — run exact dedup first
+    // and cap the bucket fan-out on duplicate-heavy corpora
+    val chunked = if (maxBucketSize == Int.MaxValue) chunked0 else {
+      val sizes = chunked0.groupBy(col("k"), col("chunk"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+      chunked0.join(sizes.select(col("k"), col("chunk")), Seq("k", "chunk"))
+    }
     chunked.as("a").join(chunked.as("b"), Seq("k", "chunk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
