@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => T}
+import graft.ext.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -215,6 +215,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nCentroids = 16, nProbe = 4)
     }),
+
+    // ===== single-pass column profiling ================================
+    "q36_profile_lineitem" -> ((s, d) =>
+      Profiling.profile(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // ===== multimodal frame sampling ===================================
     "q35_frames" -> ((s, d) => {
@@ -633,6 +638,19 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_profile_lineitem" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | floor(CAST(min($c) AS DOUBLE)*10000)/10000 AS min_value,
+           | floor(CAST(max($c) AS DOUBLE)*10000)/10000 AS max_value,
+           | floor(avg(CAST($c AS DOUBLE))*10000)/10000 AS mean_value
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // documents are pure ASCII (verified octet_length == length), so the
     // byte-level frame slice equals DuckDB's char-level substring.
