@@ -89,6 +89,15 @@ object StreamingRevenue {
   def pipeline(events: DataFrame): DataFrame =
     aggregate(transformOrders(events))
 
+  /** Stream-static enrichment: join the (streaming) cleansed events with
+    * a static dimension table, broadcast so every micro-batch probes an
+    * in-memory map instead of shuffling the stream. Spark re-plans the
+    * static side per batch, so slowly-refreshed dims (a re-read parquet)
+    * pick up updates between batches. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** S8/T3-T5: append-mode parquet sink with checkpointing and a
     * processing-time trigger. Caller invokes `.start()`. */
   def sink(aggregated: DataFrame, outPath: String, checkpointPath: String,

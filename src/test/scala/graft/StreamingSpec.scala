@@ -66,4 +66,29 @@ class StreamingSpec extends SparkSpec {
   test("kafka availability check reports absence in this offline env") {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
+
+  test("stream-static dim enrichment joins each micro-batch via broadcast") {
+    val input = MemoryStream[String](spark)
+    val events = StreamingRevenue.decodeJson(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val dim = Seq(("A", "beverages"), ("B", "bakery"))
+      .toDF("dim_product", "category")
+    val enriched = StreamingRevenue.enrichWithDim(
+      StreamingRevenue.transformOrders(events), dim, "product", "dim_product")
+    val name = s"enrich_${System.nanoTime()}"
+    val q = enriched
+      .select(col("product"), col("category"), col("line_amount"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(Seq(
+        ev("2025-01-01 10:00:00", "A", "5.00"),
+        ev("2025-01-01 10:01:00", "C", "1.00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("A") === "beverages")
+    assert(out("C") === null) // left join keeps unmatched stream rows
+  }
 }
