@@ -43,6 +43,30 @@ class JobsSpec extends SparkSpec {
     assert(!new java.io.File(pq).exists())
   }
 
+  test("S11 latestCsv picks the newest file by mtime") {
+    val dir = java.nio.file.Files.createTempDirectory("latest").toString
+    def write(name: String, rows: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f)
+      w.println("a,b"); rows.foreach(w.println); w.close()
+      f.setLastModified(mtime)
+    }
+    write("old.csv", Seq("1,x"), 1700000000000L)
+    write("new.csv", Seq("2,y"), 1800000000000L)
+    val got = graft.io.Sources.latestCsv(spark, dir)
+    assert(got.isDefined)
+    assert(got.get.collect().map(_.getString(0)).toSeq === Seq("2"))
+    assert(graft.io.Sources.latestCsv(spark,
+      java.nio.file.Files.createTempDirectory("none").toString).isEmpty)
+  }
+
+  test("Retail.asRawDf yields the string-typed ingest shape") {
+    val txns = Retail.dayRows(LocalDate.of(2025, 4, 1), 5, 3L)
+    val df = Retail.asRawDf(spark, txns)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() === 5)
+  }
+
   test("dedupCorpus removes the near-dup partners, keeps min ids") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.minhashPairs(docs, 0.5)
