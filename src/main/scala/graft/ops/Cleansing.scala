@@ -29,7 +29,7 @@ object Cleansing {
 
   /** P1: lowercase + trim every column name. */
   def normalizeColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase.trim): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase.trim): _*)
 
   /** First column (by normalized name) present in `df` out of `candidates`.
     * Driver-side schema introspection only — no data pass. */

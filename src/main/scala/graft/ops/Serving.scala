@@ -63,6 +63,20 @@ object Serving {
       countDistinct(col(windowStartCol), col(windowEndCol)).as("windows"),
       max(col(tsCol)).as("latest"))
 
+  /** A9 approximate variant: HyperLogLog++ distincts via
+    * approx_count_distinct — constant memory per group regardless of
+    * cardinality, the right summary shape at 100 TB (exact countDistinct
+    * needs a full dedup shuffle). rsd defaults to Spark's 5%. */
+  def summaryApprox(df: DataFrame, keyCol: String, windowStartCol: String,
+                    windowEndCol: String, tsCol: String,
+                    rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(keyCol), rsd).as("products"),
+      approx_count_distinct(
+        concat_ws(":", col(windowStartCol), col(windowEndCol)), rsd)
+        .as("windows"),
+      max(col(tsCol)).as("latest"))
+
   /** O2: multi-key mixed-direction sort + head-k (dashboard/app.py:43).
     * Catalyst plans `TakeOrderedAndProject` — per-partition top-k then a
     * single k-row merge on the driver, never a full global sort. */

@@ -27,7 +27,7 @@ object SkewJoin {
     // the whole row's hash, not rand(), so retries/speculative tasks
     // produce identical output.
     val salted = big.withColumn("_salt",
-      pmod(hash(struct(big.columns.map(col): _*)), lit(salt)))
+      pmod(hash(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     // dim side: replicate once per salt value.
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))

@@ -61,6 +61,21 @@ class AggServingSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 5.0, 1L), (1L, 3.0, 2L)))
   }
 
+  test("A9-approx summary lands within HLL tolerance of exact") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ws", col("ts").cast("long"))
+      .withColumn("we", col("ws") + 900)
+    val exact = Serving.summary(e, "event_type", "ws", "we", "ts")
+      .collect().head
+    val approx = Serving.summaryApprox(e, "event_type", "ws", "we", "ts")
+      .collect().head
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)) <=
+      math.max(1, exact.getLong(0) / 10))
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)) <=
+      math.max(1, exact.getLong(1) / 10))
+    assert(approx.getTimestamp(2) === exact.getTimestamp(2))
+  }
+
   test("O2 sample sorts multi-key mixed-direction and limits") {
     val df = Seq((1, "b"), (2, "a"), (2, "b"), (1, "a")).toDF("k", "s")
     val got = Serving.sample(df, 3)(("k", false), ("s", true))

@@ -30,15 +30,20 @@ class ExtSpec extends SparkSpec {
     assert(got.find(p => p._1 == 1L && p._2 == 4L).get._3 === 1.0)
   }
 
-  test("minhash LSH recalls the exact jaccard pairs on the fixture corpus") {
+  test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(real, 0.5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val approx = Dedup.minhashPairs(real, 0.5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(exact.nonEmpty)
-    val recall = (exact & approx).size.toDouble / exact.size
+    val recall = (exact.keySet & approx.keySet).size.toDouble / exact.size
     assert(recall >= 0.9, s"minhash recall $recall too low")
+    // the 64-component estimate should track true jaccard (std ≈ 1/8)
+    (exact.keySet & approx.keySet).foreach { p =>
+      assert(math.abs(exact(p) - approx(p)) <= 0.25,
+        s"pair $p: exact=${exact(p)} est=${approx(p)}")
+    }
   }
 
   test("simhash distance 0 for identical docs; finds near-dups in fixture corpus") {
