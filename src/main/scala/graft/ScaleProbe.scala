@@ -70,6 +70,23 @@ object ScaleProbe {
         col("ts").as("order_ts"), col("event_type").as("product"),
         col("value").as("line_amount"))).count()
     }
+
+    // relational core at replicated-lineitem scale
+    val li = Tables.lineitem(spark, sfDir)
+      .crossJoin(spark.range(eventReps).toDF("rep"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    timed(s"pricing_summary x$eventReps") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2), round(sum(rev), 2),
+          count(lit(1))).count()
+    }
+    timed(s"topk_join x$eventReps") {
+      li.join(broadcast(Tables.part(spark, sfDir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("p_name")).limit(10).count()
+    }
     spark.stop()
   }
 }

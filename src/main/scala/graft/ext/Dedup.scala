@@ -32,10 +32,6 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
 
-  /** xxhash64 of each shingle (distinct), for sketching. */
-  def shingleHashes(toks: Column, n: Int = 3): Column =
-    transform(shingles(toks, n), s => xxhash64(s))
-
   private def toks(textCol: String): Column =
     TextAnalysis.tokens(col(textCol))
 
