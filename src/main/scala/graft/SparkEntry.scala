@@ -216,6 +216,31 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
     }),
 
+    // ===== as-of join: latest prior signup per purchase ================
+    "q37_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts",
+          payload = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          unix_timestamp(col("asof_ts")).as("signup_epoch"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ===== exact interpolated percentiles per group ====================
+    "q38_percentiles" -> ((s, d) => {
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          T.trunc4(expr("percentile(value, 0.5)")).as("p50"),
+          T.trunc4(expr("percentile(value, 0.9)")).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ===== single-pass column profiling ================================
     "q36_profile_lineitem" -> ((s, d) =>
       Profiling.profile(lineitem(s, d),
@@ -637,6 +662,24 @@ object SparkEntry {
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, ts AS s_ts, value AS s_value
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch, p.value,
+        |  CAST(floor(epoch(s_ts)) AS BIGINT) AS signup_epoch,
+        |  s_value AS asof_value
+        |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.s_ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q38_percentiles" ->
+      """SELECT event_type,
+        | floor(quantile_cont(value, 0.5)*10000)/10000 AS p50,
+        | floor(quantile_cont(value, 0.9)*10000)/10000 AS p90,
+        | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_profile_lineitem" -> {
