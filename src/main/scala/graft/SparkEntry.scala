@@ -241,6 +241,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ===== pivot: daily revenue matrix by event type ===================
+    "q39_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("order_date"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("order_date"))
+    }),
+
+    // ===== rollup: revenue with subtotals + grand total ================
+    "q40_rollup" -> ((s, d) => {
+      events(s, d)
+        .rollup(to_date(col("ts")).as("order_date"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("revenue"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("order_date"), col("event_type"))
+    }),
+
     // ===== single-pass column profiling ================================
     "q36_profile_lineitem" -> ((s, d) =>
       Profiling.profile(lineitem(s, d),
@@ -681,6 +700,24 @@ object SparkEntry {
         | floor(quantile_cont(value, 0.9)*10000)/10000 AS p90,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q39_pivot" ->
+      """SELECT CAST(ts AS DATE) AS order_date,
+        | round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        | round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        | round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        | round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        | round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q40_rollup" ->
+      """SELECT CAST(ts AS DATE) AS order_date, event_type,
+        | round(sum(value), 2) AS revenue,
+        | CAST(grouping(CAST(ts AS DATE)) * 2 + grouping(event_type) AS BIGINT)
+        |   AS gid
+        |FROM events GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+        |ORDER BY gid, order_date NULLS FIRST, event_type NULLS FIRST"""
+        .stripMargin,
 
     "q36_profile_lineitem" -> {
       def one(c: String) =
