@@ -260,6 +260,29 @@ object SparkEntry {
         .orderBy(col("gid"), col("order_date"), col("event_type"))
     }),
 
+    // ===== set operations ==============================================
+    "q41_setops" -> ((s, d) => {
+      val e = events(s, d)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id")).distinct()
+      users("purchase").except(users("error"))
+        .unionAll(users("signup").intersect(users("click"))
+          .withColumn("user_id", col("user_id") + 1000000))
+        .orderBy(col("user_id"))
+    }),
+
+    // ===== semi / anti joins ===========================================
+    "q42_semi_anti" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(o.filter(col("o_totalprice") > 400000)
+            .withColumnRenamed("o_custkey", "big_custkey"),
+          col("c_custkey") === col("big_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ===== single-pass column profiling ================================
     "q36_profile_lineitem" -> ((s, d) =>
       Profiling.profile(lineitem(s, d),
@@ -718,6 +741,27 @@ object SparkEntry {
         |FROM events GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
         |ORDER BY gid, order_date NULLS FIRST, event_type NULLS FIRST"""
         .stripMargin,
+
+    "q41_setops" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |    EXCEPT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |  UNION ALL
+        |  SELECT user_id + 1000000 FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+        |ORDER BY user_id""".stripMargin,
+
+    "q42_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q36_profile_lineitem" -> {
       def one(c: String) =
