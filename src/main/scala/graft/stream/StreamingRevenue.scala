@@ -51,6 +51,18 @@ object StreamingRevenue {
       true
     } catch { case _: ClassNotFoundException => false }
 
+  /** File-based event source: stream JSON event files from a directory
+    * against the fixed permissive schema — the connector-free deployment
+    * path (and the standard landing-zone pattern: producers drop files,
+    * the query discovers them incrementally via file listing + the
+    * checkpoint's seen-files log). */
+  def fileJsonSource(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(EventSchema.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** S5: decode a Kafka-shaped frame (binary `value` column) into the
     * flat 12-string-column event frame. */
   def decodeJson(raw: DataFrame): DataFrame =
@@ -108,4 +120,17 @@ object StreamingRevenue {
       .option("path", outPath)
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerInterval))
+
+  /** Incremental-batch variant: process everything available, then stop
+    * (Trigger.AvailableNow) — the scheduled-job deployment mode: each
+    * run drains the backlog with streaming exactly-once semantics and
+    * exits, no long-running cluster needed. */
+  def sinkAvailableNow(aggregated: DataFrame, outPath: String,
+                       checkpointPath: String): DataStreamWriter[Row] =
+    aggregated.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
 }

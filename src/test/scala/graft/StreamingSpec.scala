@@ -67,6 +67,30 @@ class StreamingSpec extends SparkSpec {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
 
+  test("file JSON source + AvailableNow trigger drains the backlog and stops") {
+    val dir = java.nio.file.Files.createTempDirectory("evdir").toString
+    val out = java.nio.file.Files.createTempDirectory("evout").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name")
+      lines.foreach(w.println); w.close()
+    }
+    writeFile("b1.json", Seq(
+      ev("2025-01-01 10:05:00", "A", "10.00"),
+      ev("2025-01-01 13:00:00", "B", "1.00")))
+    val agg = StreamingRevenue.pipeline(
+      StreamingRevenue.fileJsonSource(spark, dir))
+    val q = StreamingRevenue.sinkAvailableNow(agg, out, ckpt).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive) // AvailableNow stops after draining
+    // A's 4 windows closed by B's 13:00 event advancing the watermark
+    val rows = spark.read.parquet(out)
+      .select("product", "revenue").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.count(_._1 == "A") === 4)
+    assert(rows.filter(_._1 == "A").forall(_._2 === 10.0))
+  }
+
   test("stream-static dim enrichment joins each micro-batch via broadcast") {
     val input = MemoryStream[String](spark)
     val events = StreamingRevenue.decodeJson(
