@@ -71,6 +71,14 @@ object ScaleProbe {
         col("value").as("line_amount"))).count()
     }
 
+    timed(s"asof_join x$eventReps") {
+      val purchases = events.filter(col("event_type") === "purchase")
+      val signups = events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("value")).count()
+    }
+
     // relational core at replicated-lineitem scale
     val li = Tables.lineitem(spark, sfDir)
       .crossJoin(spark.range(eventReps).toDF("rep"))
