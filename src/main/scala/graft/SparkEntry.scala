@@ -187,7 +187,8 @@ object SparkEntry {
     "q16_dedup_exact" -> ((s, d) => Dedup.exactDups(documents(s, d))),
 
     "q17_ngram_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(documents(s, d), threshold = 0.5)),
+      Dedup.jaccardPairs(documents(s, d), threshold = 0.5,
+        maxPostings = 1000)),
 
     "q18_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
@@ -359,7 +360,10 @@ object SparkEntry {
       val filtered = scored
         .filter(col("n_tokens") >= 20 &&
           col("punct_ratio") <= 0.05 && col("pred_lang") === "en")
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      // partition the dedup window by md5(text), not text: identical
+      // grouping (md5 collisions are no concern for dedup keying), but
+      // the shuffle moves 16-byte keys instead of whole document bodies
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       filtered.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -512,9 +516,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
@@ -675,7 +681,7 @@ object SparkEntry {
         |  FROM scored
         |  WHERE n_tokens >= 20 AND punct_ratio <= 0.05 AND pred_lang = 'en')
         |SELECT doc_id, n_tokens, quality FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM filtered)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 

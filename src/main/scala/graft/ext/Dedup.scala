@@ -79,14 +79,29 @@ object Dedup {
     * index: explode distinct shingles, self-join on the shingle, count
     * intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
     *
-    * Exact but worst-case quadratic (a shingle shared by k docs yields
-    * k² join rows) — this is the correctness oracle for the sketch-based
-    * variants; at 100 TB use `minhashPairs`, which bounds the blowup by
-    * band-bucket size. */
+    * Exact but worst-case quadratic: a shingle shared by k docs yields
+    * k² join rows, so one boilerplate shingle in a 100 TB corpus melts a
+    * reducer. `maxPostings` bounds that fan-out by removing shingles
+    * whose posting list exceeds the cap from the shingle universe —
+    * Jaccard is then computed over the filtered universe (consistent on
+    * both the intersection AND the set sizes). Hot shingles are
+    * stopword-like boilerplate carrying ~no similarity signal, so the
+    * capped measure is the one you actually want at scale; with the
+    * default (no cap) the measure is exact. At 100 TB prefer
+    * `minhashPairs`, which bounds the blowup by band-bucket size.
+    *
+    * The shingle rows are localCheckpoint'd: three consumers (sizes +
+    * both join sides) would otherwise re-run the explode+window. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxPostings: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, 3, idCol, textCol)
+    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint()
+    val sh = if (maxPostings == Int.MaxValue) sh0 else {
+      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
+        .filter(col("_psz") <= maxPostings)
+      sh0.join(cold.select(col("sh")), Seq("sh"))
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))
@@ -142,7 +157,10 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k, idCol, textCol)
+    // materialize once: banding + the two per-side signature re-joins are
+    // three consumers, and the shingle explode + k-way min aggregate is
+    // the expensive stage (measured ~2× on the registered q18)
+    val sigs = minhashSignatures(docs, k, idCol, textCol).localCheckpoint()
     val banded = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -242,8 +260,12 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
+    // materialize once: the chunk self-join references the signature
+    // aggregate on both sides and Spark re-executes it per side otherwise
+    // (exchange reuse does not fire across the join aliases)
     val sigs = withSimhash(docs, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash"))
+      .localCheckpoint()
     val chunked0 = sigs.select(
       col("id"), col("simhash"),
       explode(expr(

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DoubleType
   *  - P5  missing-timestamp epoch default    (streaming_sales_aggregator.py:222-223)
   *  - P7  numeric casts via try_cast         (pipeline_batch.py:184,189-191)
   *  - P8  derived amount                     (pipeline_batch.py:179-194)
-  *  - P9  null-to-zero + round(2)            (pipeline_batch.py:196-198)
+  *  - P9  null-to-zero + round(2), STREAM ONLY (streaming_sales_aggregator.py:255-261;
+ *        the batch path instead drops null amounts, pipeline_batch.py:196-198)
   *  - P10 blank-product repair → UNKNOWN     (pipeline_batch.py:199-202)
   *  - P11-P13 invalid-row filters            (pipeline_batch.py:173-177,197)
   *
@@ -103,8 +104,13 @@ object Cleansing {
         df.withColumn("order_ts", to_timestamp(lit("1970-01-01 00:00:00")))
     }
 
-  /** P7 + P8 + P9 (batch): `amount` = provided amount, else quantity×price,
-    * else 0.0; bad numerics → null via try_cast; null → 0.0; round(2). */
+  /** P7 + P8 (batch): `amount` = provided amount, else quantity×price,
+    * else literal 0.0 when no amount-bearing column exists at all; bad
+    * numerics → null via try_cast and STAY null (pipeline_batch.py:196
+    * filters `amount.isNotNull` before rounding — unparseable amounts
+    * drop the row; null→0.0 belongs only to the streaming path, P9).
+    * round(2) of null is null, so rounding here commutes with the
+    * downstream filter. */
   def withAmount(df: DataFrame): DataFrame = {
     val qty = resolveFirst(df, Seq("quantity"))
     val price = resolveFirst(df, PriceCandidates)
@@ -117,15 +123,20 @@ object Cleansing {
           case _ => lit(0.0)
         }
     }
-    df.withColumn("amount", round(coalesce(base, lit(0.0)), 2))
+    df.withColumn("amount", round(base, 2))
   }
 
-  /** P8 streaming variant: prefer total_price, else quantity×unit_price
-    * (streaming_sales_aggregator.py:244-253); plain cast not try_cast. */
+  /** P8 + P9 streaming variant: prefer total_price, else
+    * quantity×unit_price, null → 0.0
+    * (streaming_sales_aggregator.py:244-261). The reference's plain
+    * `.cast(double)` runs under Spark 3.5's non-ANSI default, where a
+    * malformed numeric yields null; Spark 4 defaults ANSI ON and the
+    * same cast would throw CAST_INVALID_INPUT and kill the streaming
+    * query, so `try_cast` is the semantic-preserving translation. */
   def withLineAmount(df: DataFrame): DataFrame = {
-    val tp = resolveFirst(df, Seq("total_price")).map(col(_).cast(DoubleType))
-    val q  = resolveFirst(df, Seq("quantity")).map(col(_).cast(DoubleType))
-    val up = resolveFirst(df, Seq("unit_price")).map(col(_).cast(DoubleType))
+    val tp = resolveFirst(df, Seq("total_price")).map(col(_).try_cast("double"))
+    val q  = resolveFirst(df, Seq("quantity")).map(col(_).try_cast("double"))
+    val up = resolveFirst(df, Seq("unit_price")).map(col(_).try_cast("double"))
     val derived: Column = (q, up) match {
       case (Some(qc), Some(pc)) => qc * pc
       case _                    => lit(null).cast(DoubleType)

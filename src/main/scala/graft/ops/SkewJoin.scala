@@ -37,12 +37,21 @@ object SkewJoin {
       .drop("_salt")
   }
 
-  /** Two-stage (partial → final) aggregation with an explicit salt — for
-    * aggregates without map-side combine (e.g. exact countDistinct over
-    * a hot group key). `aggs` must be decomposable (sum/count/min/max). */
+  /** Two-stage (partial → final) salted sum: stage 1 aggregates on
+    * (group, salt) so a hot group spreads over `salt` reducers, stage 2
+    * folds the partials. The salt comes from a per-row id, NOT the
+    * value column — a hot group whose value is constant (the common
+    * skew shape) would map every row to one salt and spread nothing,
+    * and even a whole-row hash collapses when the hot rows are exact
+    * duplicates. Sum is commutative/associative, so the result is
+    * identical under ANY row→salt assignment (retries included).
+    * Sum-only: extend by decomposing (count → sum of partial counts,
+    * avg → sum/count pair) — non-decomposable aggregates (exact
+    * countDistinct) need a different strategy (two-level
+    * distinct-then-count). */
   def saltedGroupSum(df: DataFrame, groupCol: String, valueCol: String,
                      salt: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salt)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salt)))
       .groupBy(col(groupCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(groupCol))

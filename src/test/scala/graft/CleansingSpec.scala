@@ -52,16 +52,36 @@ class CleansingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("UNKNOWN"))
   }
 
-  test("P7-P9 amount: provided, derived qty*price, garbage→0, missing→0") {
+  test("P7-P8 amount: provided, derived qty*price, garbage→null, missing cols→0") {
     val provided = strDf(Seq("amount"), Seq(Seq("12.345"), Seq("junk"), Seq(null)))
     assert(Cleansing.withAmount(provided).select("amount")
-      .collect().map(_.getDouble(0)).toSeq === Seq(12.35, 0.0, 0.0))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq === Seq(Some(12.35), None, None))
     val derived = strDf(Seq("quantity", "price"), Seq(Seq("3", "10.10")))
     assert(Cleansing.withAmount(derived).select("amount")
       .collect().map(_.getDouble(0)).toSeq === Seq(30.3))
     val none = strDf(Seq("other"), Seq(Seq("x")))
     assert(Cleansing.withAmount(none).select("amount")
       .collect().map(_.getDouble(0)).toSeq === Seq(0.0))
+  }
+
+  test("cleanseBatch drops unparseable-amount rows (reference batch semantics)") {
+    val df = strDf(Seq("order_date", "product", "amount"), Seq(
+      Seq("2025-01-15", "A", "10.00"),
+      Seq("2025-01-15", "B", "not-a-number"),
+      Seq("2025-01-15", "C", null)))
+    val out = Cleansing.cleanseBatch(df)
+    assert(out.select("product").collect().map(_.getString(0)).toSeq === Seq("A"))
+  }
+
+  test("P9 cleanseStream maps malformed numerics to 0.0 instead of throwing (ANSI)") {
+    val df = strDf(Seq("event_time", "product", "total_price"), Seq(
+      Seq("2025-01-15T10:30:00", "A", "7.77"),
+      Seq("2025-01-15T10:31:00", "B", "garbage"),
+      Seq("2025-01-15T10:32:00", "C", null)))
+    val out = Cleansing.cleanseStream(df).select("product", "line_amount")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out === Map("A" -> 7.77, "B" -> 0.0, "C" -> 0.0))
   }
 
   test("cleanseBatch drops unparseable dates and keeps observable schema") {

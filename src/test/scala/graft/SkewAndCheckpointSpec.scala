@@ -32,6 +32,18 @@ class SkewAndCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("saltedGroupSum spreads a constant-valued hot group across salts") {
+    // the degenerate skew shape: one group, every row identical
+    val hot = (1 to 4096).map(_ => (7, 1.0)).toDF("g", "v")
+    val spread = hot
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(8)))
+      .select("_salt").distinct().count()
+    assert(spread === 8) // every stage-1 reducer gets a share of the hot group
+    val total = SkewJoin.saltedGroupSum(hot, "g", "v", 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(total(7) - 4096.0) < 1e-6)
+  }
+
   test("T4: streaming query restarts from checkpoint without duplicating output") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("out").toString + "/agg"
