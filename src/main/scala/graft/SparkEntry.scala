@@ -197,8 +197,11 @@ object SparkEntry {
       Dedup.simhashPairs(documents(s, d), maxDist = 3)),
 
     // ===== extension tier: similarity search ============================
+    // the IVF-blocked plan (equi-join on centroid buckets) — the exact
+    // O(n²) `nearDupPairs` stays available as the small-n test yardstick
     "q20_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(embeddings(s, d), threshold = 0.4)),
+      Similarity.nearDupPairsBlocked(embeddings(s, d), threshold = 0.4,
+        nCentroids = 16)),
 
     "q21_ann_brute" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -390,6 +393,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ===== exact connected components over a chain-heavy dup graph =====
+    "q43_components" -> ((s, d) => {
+      val pairs = Dedup.coShinglePairs(documents(s, d), minShared = 2,
+        maxPostings = 1000)
+      Dedup.components(pairs).orderBy(col("doc_id"))
+    }),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -534,14 +544,29 @@ object SparkEntry {
         |WHERE CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // replicates the deterministic IVF blocking: centroids are the 16
+    // smallest vec_ids, assignment is top-2 cosine (rounded to 6 dp,
+    // c_id tie-break) — identical to Similarity.ivfAssign(nAssign = 2);
+    // DISTINCT collapses pairs surfacing in both shared buckets
     "q20_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2)
+        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |FROM assigned a JOIN assigned b
+        |  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
@@ -625,6 +650,44 @@ object SparkEntry {
         |    ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // full winnowing replica: distinct shingles in first-occurrence
+    // order, md5-prefix 60-bit hash (matches TextAnalysis.md5Hash60),
+    // sliding min over w=4 frames, tail frames excluded except when the
+    // doc has < w shingles (then the idx=1 frame survives the bound)
+    "q26_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |firstocc AS (
+        |  SELECT doc_id, s, min(pos) AS pos FROM sh0 GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+        |    CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM firstocc),
+        |mins AS (
+        |  SELECT doc_id, idx, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |  FROM seq),
+        |keep AS (
+        |  SELECT DISTINCT doc_id, winmin FROM mins
+        |  WHERE idx <= greatest(m - 3, 1)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_fingerprints,
+        |         bit_xor(winmin) AS winnow_xor
+        |  FROM keep GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_fingerprints, 0) AS n_fingerprints,
+        |  coalesce(winnow_xor, 0) AS winnow_xor
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q27_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -706,6 +769,32 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM sessioned GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // recursive reachability: min reachable id == component min label,
+    // replicating Dedup.components' fixpoint over the same edge set
+    "q43_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
+        |SELECT id AS doc_id, min(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

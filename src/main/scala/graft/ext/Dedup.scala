@@ -210,6 +210,86 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as("_drop")).distinct(),
         col(idCol) === col("_drop"), "left_anti")
 
+  /** Pairs of docs sharing at least `minShared` distinct 3-gram
+    * shingles — a deliberately weak link relation whose transitive
+    * closure forms long chains (A shares boilerplate with B, B with C,
+    * no A–C pair), used to exercise exact `components`. Same inverted-
+    * index shape as `jaccardPairs`, same `maxPostings` hot-shingle
+    * guard. */
+  def coShinglePairs(docs: DataFrame, minShared: Long = 2,
+                     maxPostings: Int = Int.MaxValue,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint()
+    val sh = if (maxPostings == Int.MaxValue) sh0 else {
+      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
+        .filter(col("_psz") <= maxPostings)
+      sh0.join(cold.select(col("sh")), Seq("sh"))
+    }
+    sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact connected components of a near-dup pair graph (doc_a <
+    * doc_b): every node labelled with the minimum id reachable from it.
+    * Iterative min-label propagation to a fixpoint — each round every
+    * node takes the min of its own label and its neighbours' labels, so
+    * indirect chains (A–B, B–C with no A–C edge) collapse correctly
+    * where the one-pass `survivors` approximation would keep C.
+    *
+    * Scale: each round is a neighbor-min step (equi-join + aggregate on
+    * node ids) followed by a pointer-jumping step (labels re-labelled
+    * through their own targets, `comp := label(comp)`), so the reach
+    * distance doubles per round and convergence is O(log diameter) —
+    * a handful of rounds even for adversarial chain graphs. Labels are
+    * localCheckpoint'd per round: without it the plan doubles each
+    * iteration. Returns (doc_id, component). */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("id").as("u"), col("comp").as("ncomp")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val stepped = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+      // pointer jump: follow the label one hop (comp := comp's own label)
+      val next = stepped.as("x")
+        .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+          col("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.drop("prev")
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Exact survivor selection: keep only each component's minimum id.
+    * Unlike `survivors`, indirect chains collapse fully. */
+  def survivorsExact(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val drop = components(pairs)
+      .filter(col("component") < col("doc_id"))
+      .select(col("doc_id").as("_drop"))
+    docs.join(drop, col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** One-call fuzzy dedup: MinHash-LSH near-dup pairs at `threshold`,
     * then keep the min-id survivor of each clique. The full-corpus
     * curation entry point — everything inside is bucket-bounded. */

@@ -120,8 +120,15 @@ object Similarity {
     * deterministically (smallest ids — at corpus scale swap in a k-means
     * sample; the index structure is identical), every vector assigned to
     * its nearest centroid by cosine. Returns (id, v, nrm, centroid_id).
-    * One broadcast of the centroid set + one window rank — no iteration. */
-  def ivfAssign(emb: DataFrame, nCentroids: Int,
+    * One broadcast of the centroid set + one window rank — no iteration.
+    * The assignment similarity is rounded to 6 dp before ranking (same
+    * convention as `bruteTopK`) so the argmax — and therefore every
+    * bucket — is reproducible bit-for-bit by another engine.
+    * `nAssign` > 1 indexes every vector into its top-n centroid buckets
+    * (multi-assignment — the index-side analogue of query-side nProbe):
+    * near-dup pairs straddling a single-bucket boundary are then caught
+    * whenever any of their buckets overlap, at n× index size. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int, nAssign: Int = 1,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -134,9 +141,9 @@ object Similarity {
       .otherwise(dot(col("v"), col("cv")) / denom)
     val w = Window.partitionBy(col("id")).orderBy(col("_sim").desc, col("c_id"))
     e.join(broadcast(centroids), lit(true))
-      .withColumn("_sim", sim)
+      .withColumn("_sim", round(sim, 6))
       .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
+      .filter(col("_rk") <= nAssign)
       .select(col("id"), col("v"), col("nrm"), col("c_id").as("centroid_id"))
   }
 
@@ -150,7 +157,7 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
     val centroids = corpus
       .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -182,15 +189,22 @@ object Similarity {
 
   /** IVF-blocked near-dup pairs: the 100 TB form of `nearDupPairs` —
     * pairs are only checked inside a centroid bucket, so the join is an
-    * equi-join on centroid_id instead of an O(n²) cross product. Misses
-    * pairs straddling bucket boundaries (recall measured against the
-    * exact variant in tests); raise nCentroids for selectivity, or run
-    * with multiple seed offsets and union for recall. */
+    * equi-join on centroid_id instead of an O(n²) cross product. Pairs
+    * straddling bucket boundaries are recovered by `nAssign`-way
+    * multi-assignment (a pair is caught when ANY of their buckets
+    * overlap); remaining recall loss is measured against the exact
+    * variant in tests. Tune nCentroids for bucket selectivity and
+    * nAssign for recall. The same pair can surface in up to nAssign
+    * shared buckets — deduped on the id pair (cos_sim is deterministic
+    * per pair, so which copy survives is irrelevant). */
   def nearDupPairsBlocked(emb: DataFrame, threshold: Double,
-                          nCentroids: Int = 16,
+                          nCentroids: Int = 16, nAssign: Int = 2,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(emb, nCentroids, idCol, vecCol)
+    // materialize the assignment once — both pair-join sides read it, and
+    // lineage truncation keeps the centroid broadcast out of the join plan
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint()
     val denom = col("a.nrm") * col("b.nrm")
     val sim = when(denom === 0.0, 0.0)
       .otherwise(dot(col("a.v"), col("b.v")) / denom)
@@ -199,6 +213,7 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
         round(sim, 4).as("cos_sim"))
+      .dropDuplicates("vec_a", "vec_b")
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

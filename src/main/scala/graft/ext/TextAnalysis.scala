@@ -37,6 +37,14 @@ object TextAnalysis {
   private def hits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedLit(stops), t)))
 
+  /** 60-bit integer hash from the md5 hex prefix. Used where a
+    * cross-engine oracle must replicate the hash exactly: every engine
+    * has md5, while xxhash64 is Spark-specific. DuckDB equivalent:
+    * `CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)`. 15 hex chars
+    * = 60 bits, always positive, no sign-extension ambiguity. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Truncate to 4 decimals via floor-scaling. For *discrete* rationals
     * (k/n ratios) this is deterministic across engines, unlike round():
     * k/2^m values sit exactly on round-half boundaries (e.g. 1/32 =
@@ -112,7 +120,7 @@ object TextAnalysis {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val seq0 = firstOcc
       .withColumn("idx", row_number().over(byDoc))
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", md5Hash60(col("sh"))) // oracle-replicable hash
     // sliding frame of w hashes; tail frames shorter than w are excluded
     // except when the doc has fewer than w shingles in total (then the
     // idx=1 frame covers them all — matching slice-based semantics)

@@ -101,6 +101,50 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf recall $recall too low")
   }
 
+  test("components collapses an A-B-C chain with no A-C edge; survivorsExact keeps A") {
+    val chainDocs = Seq(
+      (1L, "doc a"), (2L, "doc b"), (3L, "doc c"), (4L, "unrelated"),
+      (10L, "x"), (11L, "y"))
+      .toDF("doc_id", "text")
+    // edges: 1-2, 2-3 (chain, no 1-3), 10-11 (separate pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val kept = Dedup.survivorsExact(chainDocs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // C (doc 3) reaches A only through B — it is dropped, A survives
+    assert(kept === Set(1L, 4L, 10L))
+    // a longer chain needing two propagation rounds
+    val long = Seq((4L, 5L), (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val longComps = Dedup.components(long).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(longComps === Map(4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
+  }
+
+  test("nearDupPairsBlocked: subset of exact pairs, decent recall, equi-join plan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.nearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedDf = Similarity.nearDupPairsBlocked(emb, 0.4, nCentroids = 16)
+    val blocked = blockedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((blocked -- exact).isEmpty, "blocked found a pair the exact scan missed")
+    val recall = (exact & blocked).size.toDouble / exact.size
+    assert(recall >= 0.5, s"blocked recall $recall too low")
+    // the whole point: pair generation must be an equi-join on the
+    // centroid bucket, never a nested-loop pair scan (the checkpointed
+    // assignment keeps even the 16-row centroid broadcast out of it)
+    val plan = blockedDf.queryExecution.executedPlan.toString
+    val equiJoins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).size
+    assert(equiJoins >= 1, s"no equi-join in blocked plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in pair plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("text quality: punct and stopword ratios behave") {
     val df = Seq((1L, "the cat, the hat!!! sat;")).toDF("doc_id", "text")
     val r = TextAnalysis.withQuality(df).select(

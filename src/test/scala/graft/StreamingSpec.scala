@@ -63,6 +63,28 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("unit_price") === null)
   }
 
+  test("T5: ProcessingTime trigger commits micro-batches on the interval clock") {
+    val input = MemoryStream[String](spark)
+    val events = StreamingRevenue.decodeJson(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val agg = StreamingRevenue.pipeline(events)
+    val out = java.nio.file.Files.createTempDirectory("pt_out").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("pt_ckpt").toString
+    // the production sink: ProcessingTime trigger (here 50 ms so the test
+    // doesn't sleep through the reference's 30 s default) + checkpoint
+    val q = StreamingRevenue.sink(agg, out, ckpt, "50 milliseconds").start()
+    try {
+      input.addData(Seq(ev("2025-01-01 10:05:00", "A", "10.00")))
+      q.processAllAvailable()
+      // advance event time so A's windows close and rows commit
+      input.addData(Seq(ev("2025-01-01 13:00:00", "B", "1.00")))
+      q.processAllAvailable()
+      assert(q.recentProgress.nonEmpty, "no micro-batch committed")
+      assert(q.recentProgress.map(_.numInputRows).sum >= 2)
+    } finally q.stop()
+    assert(spark.read.parquet(out).count() === 4) // A's 4 sliding windows
+  }
+
   test("kafka availability check reports absence in this offline env") {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
