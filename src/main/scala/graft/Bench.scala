@@ -50,7 +50,13 @@ object Bench {
     try materialize("q1_pricing_summary")
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev aid: SPARK_GRAFT_ONLY=q19_simhash_pairs,q18_minhash_pairs
+    // restricts the run (the driver never sets it — full run by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try {
         materialize(name)

@@ -316,12 +316,13 @@ object Dedup {
     val tok = docs
       .select(col(idCol).as("id"), explode(toks(textCol)).as("t"))
       .withColumn("hv", xxhash64(col("t")))
+    // per-bit ONES counts instead of ±1 vote sums: plain AND+shift+sum
+    // (no conditional per bit), with vote_sum_j >= 0 ⟺ 2·ones_j >= n
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1, 1L)
-        .otherwise(-1L)).as(s"c$j")
-    }
+      sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"c$j")
+    } :+ count(lit(1)).as("_n")
     val packed = (0 until 64).map { j =>
-      when(col(s"c$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(col(s"c$j") * 2 >= col("_n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val sig = tok.groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
@@ -346,12 +347,13 @@ object Dedup {
     val sigs = withSimhash(docs, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash"))
       .localCheckpoint()
-    val chunked0 = sigs.select(
-      col("id"), col("simhash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-          |  k -> struct(k AS k, shiftright(simhash, 16*k) & 65535 AS chunk))"""
-          .stripMargin)).as("c"))
+    // static 4-element struct array: codegen'd, unlike the equivalent
+    // transform(sequence(...)) HOF which would run interpreted per row
+    val chunks = array((0 until 4).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(65535L)).as("chunk"))
+    }: _*)
+    val chunked0 = sigs.select(col("id"), col("simhash"), explode(chunks).as("c"))
       .select(col("id"), col("simhash"), col("c.k").as("k"), col("c.chunk").as("chunk"))
     // same degenerate-bucket guard as minhashPairs: m near-identical docs
     // in one chunk bucket yield m²/2 candidates — run exact dedup first
