@@ -61,6 +61,18 @@ object ScaleProbe {
     timed(s"simhash_pairs x$docReps") {
       Dedup.simhashPairs(docs, 3, maxBucketSize = 1000).count()
     }
+    // exact jaccard on the replicated corpus is degenerate BY DESIGN
+    // (every shingle is shared by all docReps copies, so every posting
+    // list is >= docReps): the maxPostings guard must neutralize the
+    // quadratic fan-out and let the probe complete
+    timed(s"jaccard_capped x$docReps") {
+      Dedup.jaccardPairs(docs, 0.5, maxPostings = 150).count()
+    }
+    // the full exact-survivor dedup flow: LSH candidates -> connected
+    // components -> min-id survivors
+    timed(s"cc_dedup x$docReps") {
+      Dedup.dedupCorpusExact(docs, 0.5, maxBucketSize = 300).count()
+    }
     timed(s"ann_ivf x$docReps") {
       Similarity.ivfTopK(emb,
         emb.filter(col("vec_id") < 10), 5, 64, 4).count()

@@ -650,6 +650,37 @@ object SparkEntry {
         |    ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // full simhash replica (possible because the sketch hashes tokens
+    // with the cross-engine md5Hash60): per-token hash, 60 per-bit ones
+    // counts, majority pack, 16-bit chunk banding, bit_count verify
+    "q19_simhash_pairs" -> {
+      val votes = (0 until 60).map(j => s"sum((hv >> $j) & 1) AS c$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN 2*c$j >= n THEN ${1L << j} ELSE 0 END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+         |  FROM toks),
+         |votes AS (SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY 1),
+         |sig AS (SELECT doc_id, $bits AS simhash FROM votes),
+         |chunked AS (
+         |  SELECT doc_id, simhash, u.k, (simhash >> (16 * u.k)) & 65535 AS chunk
+         |  FROM sig, UNNEST([0, 1, 2, 3]) AS u(k)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM chunked a JOIN chunked b USING (k, chunk)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // full winnowing replica: distinct shingles in first-occurrence
     // order, md5-prefix 60-bit hash (matches TextAnalysis.md5Hash60),
     // sliding min over w=4 frames, tail frames excluded except when the
@@ -885,6 +916,63 @@ object SparkEntry {
         |    AS frame_md5
         |FROM f CROSS JOIN (SELECT unnest([0,1,2,3]) AS n) n
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // replicates ivfTopK: same smallest-id centroids and 6dp-rounded
+    // cosine ranking as q20's oracle, rk=1 assignment, top-4 probes per
+    // query, exact re-rank inside probed buckets only
+    "q34_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qv, c_id FROM (
+        |    SELECT q.qid, q.qv, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+        |                      c.c_id) AS crk
+        |    FROM q CROSS JOIN c)
+        |  WHERE crk <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS cid,
+        |         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the feature path's byte stats are replicable because documents are
+    // pure ASCII (octet_length == length, verified for q35): byte value
+    // == ascii(char), and the integer byte sum is exact in double on
+    // both engines
+    "q29_multimodal_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS b
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n,
+        |         CAST(sum(b) AS DOUBLE) / count(*) AS mean
+        |  FROM chars GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bytes,
+        |  floor(coalesce(agg.mean, 0.0) * 10000) / 10000 AS byte_mean_t
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q28_multimodal_meta" ->
       """SELECT doc_id,

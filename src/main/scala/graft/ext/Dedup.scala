@@ -96,7 +96,8 @@ object Dedup {
                    maxPostings: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint()
+    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint(
+      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {
       val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
         .filter(col("_psz") <= maxPostings)
@@ -160,7 +161,8 @@ object Dedup {
     // materialize once: banding + the two per-side signature re-joins are
     // three consumers, and the shingle explode + k-way min aggregate is
     // the expensive stage (measured ~2× on the registered q18)
-    val sigs = minhashSignatures(docs, k, idCol, textCol).localCheckpoint()
+    val sigs = minhashSignatures(docs, k, idCol, textCol).localCheckpoint(
+      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val banded = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -220,7 +222,8 @@ object Dedup {
                      maxPostings: Int = Int.MaxValue,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint()
+    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint(
+      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {
       val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
         .filter(col("_psz") <= maxPostings)
@@ -249,13 +252,20 @@ object Dedup {
     * localCheckpoint'd per round: without it the plan doubles each
     * iteration. Returns (doc_id, component). */
   def components(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // DISK_ONLY for the edge set: a dup-heavy corpus yields 10⁸+ pairs
+    // and the default deserialized MEMORY_AND_DISK blocks OOM'd the 1M-doc
+    // probe; edges are scanned once per round, so disk reads are cheap
+    // relative to the join. Labels are small (one row per node) and stay
+    // in memory, serialized. Stale per-round label blocks become
+    // unreachable on reassignment and the ContextCleaner reclaims them.
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
     while (changed > 0) {
       val neigh = edges
@@ -273,7 +283,8 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
           col("prev"))
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.drop("prev")
     }
@@ -299,29 +310,49 @@ object Dedup {
     survivors(docs, minhashPairs(docs, threshold, idCol = idCol,
       textCol = textCol), idCol)
 
+  /** One-call exact-survivor fuzzy dedup: LSH candidate pairs, exact
+    * connected components, keep each component's minimum id — chained
+    * near-dups (A≈B≈C with no direct A-C candidate) collapse to one
+    * survivor, which `dedupCorpus`'s one-pass approximation cannot
+    * guarantee. `maxBucketSize` should be set on duplicate-heavy
+    * corpora (see `minhashPairs`). */
+  def dedupCorpusExact(docs: DataFrame, threshold: Double = 0.5,
+                       maxBucketSize: Int = Int.MaxValue,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    survivorsExact(docs, minhashPairs(docs, threshold,
+      maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol), idCol)
+
   // ===== SimHash ===========================================================
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1 (one vote per occurrence), final bit j is 1 iff the vote
-    * sum is ≥ 0.
+  /** 60-bit SimHash over whitespace tokens: per-token md5-prefix hash
+    * (`TextAnalysis.md5Hash60` — cross-engine computable, so the DuckDB
+    * oracle can replicate the whole sketch; bits 60-63 of the packed
+    * long are structurally 0), each bit votes ±1 (one vote per
+    * occurrence), final bit j is 1 iff the vote sum is ≥ 0. The hash is
+    * pluggable: the md5-prefix default trades ~25% signature throughput
+    * for oracle replicability — pass `xxhash64(_)` when sketching a
+    * real 100 TB corpus (hashes only need to agree within one run).
     *
-    * Computed as one hash-aggregate over exploded tokens with 64
-    * conditional sums (codegen'd, map-side combine — the nested
-    * higher-order formulation runs interpreted), then the 64 counters
+    * Computed as one hash-aggregate over exploded tokens with 60
+    * shift+and bit sums (codegen'd, map-side combine — the nested
+    * higher-order formulation runs interpreted), then the counters
     * pack into the long with a static shift/or expression tree. Docs
-    * with zero tokens get the all-ones hash (every vote sum is 0 ≥ 0),
-    * restored via the left join. */
+    * with zero tokens get the all-(effective-)ones hash (every vote sum
+    * is 0 ≥ 0), restored via the left join. */
   def withSimhash(docs: DataFrame, textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  hash: Column => Column = TextAnalysis.md5Hash60): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), explode(toks(textCol)).as("t"))
-      .withColumn("hv", xxhash64(col("t")))
+      .withColumn("hv", hash(col("t")))
     // per-bit ONES counts instead of ±1 vote sums: plain AND+shift+sum
-    // (no conditional per bit), with vote_sum_j >= 0 ⟺ 2·ones_j >= n
-    val votes = (0 until 64).map { j =>
+    // (no conditional per bit), with vote_sum_j >= 0 ⟺ 2·ones_j >= n.
+    // Only 60 effective hash bits (md5Hash60): bits 60-63 stay 0.
+    val votes = (0 until 60).map { j =>
       sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"c$j")
     } :+ count(lit(1)).as("_n")
-    val packed = (0 until 64).map { j =>
+    val packed = (0 until 60).map { j =>
       when(col(s"c$j") * 2 >= col("_n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val sig = tok.groupBy(col("id"))
@@ -346,7 +377,8 @@ object Dedup {
     // (exchange reuse does not fire across the join aliases)
     val sigs = withSimhash(docs, textCol, idCol)
       .select(col(idCol).as("id"), col("simhash"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // static 4-element struct array: codegen'd, unlike the equivalent
     // transform(sequence(...)) HOF which would run interpreted per row
     val chunks = array((0 until 4).map { k =>

@@ -169,8 +169,10 @@ object Similarity {
     val csim = when(cdenom === 0.0, 0.0)
       .otherwise(dot(col("qv"), col("cv")) / cdenom)
     val cw = Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("c_id"))
+    // 6 dp rounding before ranking, like ivfAssign: probe choice must be
+    // reproducible bit-for-bit by the cross-engine oracle
     val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("_csim", csim)
+      .withColumn("_csim", round(csim, 6))
       .withColumn("_crk", row_number().over(cw))
       .filter(col("_crk") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("c_id").as("centroid_id"))
