@@ -400,6 +400,24 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== deterministic hash split (train/val/test) ===================
+    "q44_hash_split" -> ((s, d) => {
+      T.withHashSplit(documents(s, d))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // ===== distributed sequential token packing ========================
+    "q45_pack_sequences" -> ((s, d) => {
+      T.packSequences(documents(s, d), budget = 512, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -826,6 +844,38 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q44_hash_split" ->
+      """WITH s AS (
+        |  SELECT text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 100 AS pct
+        |  FROM documents)
+        |SELECT CASE WHEN pct < 80 THEN 'train'
+        |            WHEN pct < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  sum(length(text)) AS n_chars
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q45_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 512) AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  sum(n_tokens) AS pack_tokens
+        |FROM packed GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
 
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

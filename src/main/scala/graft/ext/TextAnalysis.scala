@@ -139,6 +139,44 @@ object TextAnalysis {
       .withColumn("winnow_xor", coalesce(col("winnow_xor"), lit(0L)))
   }
 
+  /** Deterministic train/val/test corpus split by hashed id — the
+    * reproducible alternative to rand(): stable across re-runs,
+    * retries, partitionings and engines (md5-based, so the oracle
+    * replicates it exactly). Rows land in `split` ∈
+    * {train, val, test} with trainPct/valPct/rest percent weights.
+    * Map-side only — no shuffle, no RNG state. */
+  def withHashSplit(df: DataFrame, idCol: String = "doc_id",
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    val pct = pmod(md5Hash60(col(idCol).cast("string")), lit(100L))
+    df.withColumn("split",
+      when(pct < trainPct, "train")
+        .when(pct < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Distributed sequential token packing (pretraining batch prep):
+    * docs are sharded by hashed id — packing is embarrassingly parallel
+    * per shard, which is what keeps this viable at corpus scale (a
+    * single global ordered cumsum would serialize on one task) — and
+    * within a shard docs in id order accumulate into `budget`-token
+    * packs: pack index = floor(preceding-tokens / budget), so a doc
+    * straddling a boundary joins the pack where its tokens started.
+    * Returns the input plus (shard, n_tokens, pack_id). */
+  def packSequences(df: DataFrame, budget: Int = 2048, shards: Int = 32,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        pmod(md5Hash60(col(idCol).cast("string")), lit(shards.toLong)))
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
+
   /** Corpus-level token frequency top-k. One shuffle on the token key with
     * map-side partial aggregation; top-k is TakeOrderedAndProject. */
   def topTokens(df: DataFrame, textCol: String = "text", k: Int = 20): DataFrame =

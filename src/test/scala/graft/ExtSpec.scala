@@ -145,6 +145,42 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("hash split is deterministic and near the 80/10/10 weights") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = TextAnalysis.withHashSplit(real)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total === real.count())
+    assert(counts("train").toDouble / total > 0.7)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // deterministic: a rerun assigns identical splits
+    val again = TextAnalysis.withHashSplit(real)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("packSequences fills packs to the budget with bounded overshoot") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 512
+    val packs = TextAnalysis.packSequences(real, budget, shards = 8)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tok"), max(col("n_tokens")).as("mx"))
+      .collect()
+    assert(packs.nonEmpty)
+    // a pack exceeds the budget by at most its own largest document
+    // (the straddling doc joins the pack where its tokens started)
+    packs.foreach { r =>
+      assert(r.getLong(2) <= budget + r.getLong(3),
+        s"pack ${r.get(0)}/${r.get(1)} too large: ${r.getLong(2)}")
+    }
+    // every doc lands in exactly one pack
+    assert(packs.map(_.getLong(2)).sum ===
+      TextAnalysis.packSequences(real, budget, shards = 8)
+        .agg(sum(col("n_tokens"))).collect().head.getLong(0))
+  }
+
   test("text quality: punct and stopword ratios behave") {
     val df = Seq((1L, "the cat, the hat!!! sat;")).toDF("doc_id", "text")
     val r = TextAnalysis.withQuality(df).select(
