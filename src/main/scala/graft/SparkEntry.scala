@@ -400,6 +400,12 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== int8 embedding quantization: reconstruction error ==========
+    // audits the same math as Similarity.quantizeInt8 via the codegen
+    // explode+window formulation (the HOF form is a test-tier yardstick)
+    "q46_quantize" -> ((s, d) =>
+      Similarity.quantizationErrorStats(embeddings(s, d))),
+
     // ===== deterministic hash split (train/val/test) ===================
     "q44_hash_split" -> ((s, d) => {
       T.withHashSplit(documents(s, d))
@@ -844,6 +850,29 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q46_quantize" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scaled AS (
+        |  SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        |  FROM e),
+        |coded AS (
+        |  SELECT v, s,
+        |    CASE WHEN s = 0.0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x ->
+        |           greatest(-127.0, least(127.0, floor(x / s + 0.5))) * s)
+        |    END AS deq
+        |  FROM scaled),
+        |errs AS (
+        |  SELECT list_max(list_transform(list_zip(v, deq),
+        |    p -> abs(p[1] - p[2]))) AS max_err
+        |  FROM coded)
+        |SELECT count(*) AS n_vecs,
+        |  floor(avg(max_err) * 10000) / 10000 AS avg_max_err,
+        |  floor(max(max_err) * 10000) / 10000 AS worst_err
+        |FROM errs""".stripMargin,
 
     "q44_hash_split" ->
       """WITH s AS (

