@@ -400,6 +400,20 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== stream-static enrichment, batch-parity form =================
+    "q47_enrich" -> ((s, d) => {
+      val dim = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      graft.stream.StreamingRevenue
+        .enrichWithDim(events(s, d), dim, "user_id", "c_custkey")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // ===== int8 embedding quantization: reconstruction error ==========
     // audits the same math as Similarity.quantizeInt8 via the codegen
     // explode+window formulation (the HOF form is a test-tier yardstick)
@@ -850,6 +864,15 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q47_enrich" ->
+      """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS revenue
+        |FROM events e
+        |LEFT JOIN (
+        |  SELECT c_custkey, n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey) d
+        |  ON e.user_id = d.c_custkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
 
     "q46_quantize" ->
       """WITH e AS (

@@ -165,12 +165,18 @@ object Cleansing {
       .filter(col("amount").isNotNull)
   }
 
-  /** Full streaming-shape cleanse: P2 → P4/P5 → P6 → P8/P9 → P12. */
+  /** Full streaming-shape cleanse: P2 → P4/P5 → P6 → P8/P9 → P12.
+    * Dropped-row accounting mirrors the batch path's `observe` (the
+    * reference logs the drop count, streaming_sales_aggregator.py:241);
+    * observed metrics surface per micro-batch via the streaming
+    * listener, with no extra pass. */
   def cleanseStream(df: DataFrame): DataFrame = df
     .transform(normalizeColumnNames)
     .transform(withProduct(_))
     .transform(withOrderTs(_))
     .withColumn("order_date", to_date(col("order_ts")))
     .transform(withLineAmount)
+    .observe("cleansing_stream",
+      count(when(col("order_ts").isNull, 1)).as("invalid_ts"))
     .filter(col("order_ts").isNotNull)
 }
