@@ -400,6 +400,24 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== TPC-H Q3-shaped shipping priority (filter pushdown demo) ====
+    // both date filters and the segment equality reach the parquet scans
+    // as PushedFilters; join order is left to Catalyst/AQE
+    "q48_ship_priority" -> ((s, d) => {
+      val cutoff = lit("1998-06-30").cast("timestamp")
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("order_epoch"),
+          col("o_orderpriority"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ===== stream-static enrichment, batch-parity form =================
     "q47_enrich" -> ((s, d) => {
       val dim = customer(s, d)
@@ -864,6 +882,20 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q48_ship_priority" ->
+      """SELECT l_orderkey,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+        | o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q47_enrich" ->
       """SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS revenue

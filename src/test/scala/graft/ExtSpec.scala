@@ -145,6 +145,23 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("components invariants on the real co-shingle graph") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.coShinglePairs(real, minShared = 2)
+    val label = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // every edge's endpoints share a component
+    edges.foreach { case (a, b) =>
+      assert(label(a) === label(b), s"edge ($a,$b) split across components")
+    }
+    // each component is labelled by its minimum member id
+    label.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c mislabelled")
+    }
+  }
+
   test("int8 quantization: small reconstruction error, top-k mostly preserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(emb)
