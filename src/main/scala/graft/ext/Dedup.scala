@@ -91,13 +91,24 @@ object Dedup {
     * `minhashPairs`, which bounds the blowup by band-bucket size.
     *
     * The shingle rows are localCheckpoint'd: three consumers (sizes +
-    * both join sides) would otherwise re-run the explode+window. */
+    * both join sides) would otherwise re-run the explode+window.
+    *
+    * The inverted-index key is xxhash64(shingle), not the shingle
+    * string: every downstream shuffle (dedup, postings count,
+    * self-join) then moves 8-byte keys instead of ~40-byte n-gram
+    * text. Set equality is preserved modulo 64-bit collisions
+    * (probability ≈ n²/2⁶⁵ over distinct shingles — negligible at any
+    * feasible corpus size, and standard practice for inverted-index
+    * dedup). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxPostings: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint(
-      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sh0 = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
+      .dropDuplicates("id", "sh")
+      .localCheckpoint(
+        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {
       val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
         .filter(col("_psz") <= maxPostings)
@@ -122,8 +133,11 @@ object Dedup {
   // ===== MinHash + LSH =====================================================
 
   /** k-component MinHash signature: component i is
-    * min over shingles of xxhash64(shingle, i) — the seed column makes
-    * xxhash64 a cheap hash family.
+    * min over shingles of xxhash64(h(shingle), i) — the seed column
+    * makes xxhash64 a cheap hash family, and it runs over the 8-byte
+    * shingle hash rather than the string, so each shingle is
+    * string-hashed once, not k times (and the distinct-shingle shuffle
+    * moves 8-byte keys).
     *
     * Computed as one hash-aggregate over exploded shingles with k
     * partial `min`s: xxhash64 and min are codegen'd (the nested
@@ -135,8 +149,9 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 64,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, 3, idCol, textCol)
-      .withColumnRenamed("sh", "s")
+    val sh = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+      .select(col("id"), xxhash64(col("sh")).as("s"))
+      .dropDuplicates("id", "s")
     val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -222,8 +237,12 @@ object Dedup {
                      maxPostings: Int = Int.MaxValue,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRows(docs, 3, idCol, textCol).localCheckpoint(
-      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // hashed inverted-index key, as in jaccardPairs
+    val sh0 = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
+      .dropDuplicates("id", "sh")
+      .localCheckpoint(
+        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {
       val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
         .filter(col("_psz") <= maxPostings)
