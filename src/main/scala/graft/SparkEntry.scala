@@ -193,8 +193,11 @@ object SparkEntry {
     "q18_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
 
+    // md5Hash60 (not the xxhash64 default) so the DuckDB oracle can
+    // replicate the whole sketch bit-for-bit
     "q19_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(documents(s, d), maxDist = 3)),
+      Dedup.simhashPairs(documents(s, d), maxDist = 3,
+        hash = T.md5Hash60)),
 
     // ===== extension tier: similarity search ============================
     // the IVF-blocked plan (equi-join on centroid buckets) — the exact

@@ -344,14 +344,14 @@ object Dedup {
 
   // ===== SimHash ===========================================================
 
-  /** 60-bit SimHash over whitespace tokens: per-token md5-prefix hash
-    * (`TextAnalysis.md5Hash60` — cross-engine computable, so the DuckDB
-    * oracle can replicate the whole sketch; bits 60-63 of the packed
-    * long are structurally 0), each bit votes ±1 (one vote per
+  /** 60-bit SimHash over whitespace tokens: per-token hash (low 60
+    * bits of the packed long; bits 60-63 stay 0), each bit votes ±1 (one vote per
     * occurrence), final bit j is 1 iff the vote sum is ≥ 0. The hash is
-    * pluggable: the md5-prefix default trades ~25% signature throughput
-    * for oracle replicability — pass `xxhash64(_)` when sketching a
-    * real 100 TB corpus (hashes only need to agree within one run).
+    * pluggable and defaults to xxhash64 — at corpus scale a hash only
+    * needs to agree within one run, and the md5-prefix alternative
+    * (`TextAnalysis.md5Hash60`, used by the oracle-checked q19) costs
+    * ~2× signature throughput (measured at 1M docs). Only the low 60
+    * hash bits vote, so both hashes produce 60-effective-bit sketches.
     *
     * Computed as one hash-aggregate over exploded tokens with 60
     * shift+and bit sums (codegen'd, map-side combine — the nested
@@ -361,13 +361,14 @@ object Dedup {
     * is 0 ≥ 0), restored via the left join. */
   def withSimhash(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
-                  hash: Column => Column = TextAnalysis.md5Hash60): DataFrame = {
+                  hash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), explode(toks(textCol)).as("t"))
       .withColumn("hv", hash(col("t")))
     // per-bit ONES counts instead of ±1 vote sums: plain AND+shift+sum
     // (no conditional per bit), with vote_sum_j >= 0 ⟺ 2·ones_j >= n.
-    // Only 60 effective hash bits (md5Hash60): bits 60-63 stay 0.
+    // Only the low 60 hash bits vote (md5Hash60 has no more; for other
+    // hashes the 4 dropped bits are immaterial to the sketch).
     val votes = (0 until 60).map { j =>
       sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"c$j")
     } :+ count(lit(1)).as("_n")
@@ -389,12 +390,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    maxBucketSize: Int = Int.MaxValue,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
     // materialize once: the chunk self-join references the signature
     // aggregate on both sides and Spark re-executes it per side otherwise
     // (exchange reuse does not fire across the join aliases)
-    val sigs = withSimhash(docs, textCol, idCol)
+    val sigs = withSimhash(docs, textCol, idCol, hash)
       .select(col(idCol).as("id"), col("simhash"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)

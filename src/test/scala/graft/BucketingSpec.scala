@@ -34,6 +34,26 @@ class BucketingSpec extends SparkSpec {
     assert(smj.count() === 1000)
   }
 
+  test("date-partitioned sink enables partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("part_out").toString + "/daily"
+    val df = Seq(
+      ("2025-01-15", "A", 10.0), ("2025-01-16", "B", 20.0),
+      ("2025-01-17", "C", 30.0))
+      .toDF("order_date", "product", "amount")
+      .withColumn("order_date", to_date(col("order_date")))
+    Sinks.partitionedParquet(df, out)
+    val read = spark.read.parquet(out)
+      .filter(col("order_date") === "2025-01-16")
+    val scan = read.queryExecution.executedPlan.toString
+    // the date predicate must prune partition directories at the scan,
+    // not filter rows after reading all of them
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("order_date"),
+      s"no partition pruning in:\n$scan")
+    assert(read.collect().map(_.getAs[String]("product")).toSeq === Seq("B"))
+  }
+
   test("survivors drops the larger id of each near-dup pair") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"))
       .toDF("doc_id", "text")

@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import graft.ext.Dedup
 import graft.gen.Retail
-import graft.jobs.BatchPipeline
+import graft.jobs.{BatchPipeline, StreamingJob}
 
 class JobsSpec extends SparkSpec {
 
@@ -65,6 +65,14 @@ class JobsSpec extends SparkSpec {
     val df = Retail.asRawDf(spark, txns)
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
     assert(df.count() === 5)
+  }
+
+  test("StreamingJob file mode builds a streaming event source with the full schema") {
+    val dir = java.nio.file.Files.createTempDirectory("sj_events").toString
+    val src = StreamingJob.source(spark,
+      Map("STREAM_SOURCE" -> "file", "EVENTS_DIR" -> dir))
+    assert(src.isStreaming)
+    assert(src.columns.toSeq === graft.stream.EventSchema.fields)
   }
 
   test("dedupCorpus removes the near-dup partners, keeps min ids") {

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 4) // A's 4 sliding windows
   }
 
+  test("corrupt JSON events survive the stream: decode to null, cleanse drops them") {
+    val input = MemoryStream[String](spark)
+    val events = StreamingRevenue.decodeJson(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val agg = StreamingRevenue.pipeline(events)
+    val name = s"corrupt_out_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(Seq(
+        ev("2025-01-01 10:05:00", "A", "10.00"),
+        "{not json at all",
+        """{"event_time":"garbage-ts","product":"B","total_price":"1"}""",
+        ""))
+      q.processAllAvailable()
+      // close A's windows; the query must still be alive to process this
+      input.addData(Seq(ev("2025-01-01 13:00:00", "C", "2.00")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+    } finally q.stop()
+    val products = spark.table(name).select("product")
+      .collect().map(_.getString(0)).toSet
+    assert(products === Set("A")) // corrupt + unparseable-ts rows dropped
+  }
+
   test("kafka availability check reports absence in this offline env") {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
