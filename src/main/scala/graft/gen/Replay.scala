@@ -36,6 +36,7 @@ object Replay {
           sleepMillis: Long => Unit = Thread.sleep): Long = {
     require(!config.loop || config.maxEvents < Long.MaxValue,
       "looping replay needs a finite maxEvents bound")
+    if (rows.isEmpty) return 0L // a looping replay of nothing must not spin
     val rnd = new scala.util.Random(config.seed)
     val delayMs =
       if (config.ratePerSecond > 0) (1000.0 / config.ratePerSecond).toLong

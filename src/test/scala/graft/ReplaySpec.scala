@@ -44,6 +44,13 @@ class ReplaySpec extends SparkSpec {
     assert(out.toSeq === out2.toSeq)
   }
 
+  test("replaying an empty row set terminates immediately, even when looping") {
+    val n = Replay.run(IndexedSeq.empty,
+      Replay.Config(ratePerSecond = 0, loop = true, maxEvents = 10),
+      _ => fail("nothing to send"), _ => ())
+    assert(n === 0L)
+  }
+
   test("file landing sink feeds the streaming file source end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("replay_land").toString
     val sink = new Replay.FileSink(dir, batchSize = 10)
