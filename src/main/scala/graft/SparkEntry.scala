@@ -190,8 +190,12 @@ object SparkEntry {
       Dedup.jaccardPairs(documents(s, d), threshold = 0.5,
         maxPostings = 1000)),
 
+    // OracleHash (md5-prefix family) so the DuckDB oracle can replicate
+    // signatures, banding, and the estimate — FastHash is the scale
+    // default for library users
     "q18_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(documents(s, d), threshold = 0.5)),
+      Dedup.minhashPairs(documents(s, d), threshold = 0.5,
+        scheme = Dedup.OracleHash)),
 
     // md5Hash60 (not the xxhash64 default) so the DuckDB oracle can
     // replicate the whole sketch bit-for-bit
@@ -211,10 +215,12 @@ object SparkEntry {
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // OracleHash hyperplanes so the DuckDB oracle replicates the SRP
+    // signatures; FastHash (xxhash64) is the scale default
     "q22_ann_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        bits = 4, tables = 8)
+        bits = 4, tables = 8, scheme = Dedup.OracleHash)
     }),
 
     "q34_ann_ivf" -> ((s, d) => {
@@ -645,6 +651,52 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // full SRP-LSH replica (q22 runs the md5-prefix OracleHash planes):
+    // ±1 hyperplane weights from md5(plane*4096+dim), 6dp-rounded
+    // projections signed into 8 4-bit table signatures, bucket-join
+    // candidates, exact cosine re-rank
+    "q22_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT vec_id, u.i - 1 AS d, v[u.i] AS x
+        |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |planes AS (
+        |  SELECT p.p, dd.d,
+        |    CASE WHEN CAST(('0x' || substring(
+        |           md5(CAST(p.p * 4096 + dd.d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM UNNEST(range(0, 32)) AS p(p),
+        |       (SELECT DISTINCT d FROM dims) dd),
+        |sums AS (
+        |  SELECT dims.vec_id, pl.p, round(sum(dims.x * pl.w), 6) AS s
+        |  FROM dims JOIN planes pl ON pl.d = dims.d
+        |  GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, (p // 4) AS tbl,
+        |         sum(CASE WHEN s >= 0 THEN (1 << (p % 4)) ELSE 0 END) AS sig
+        |  FROM sums GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS cid
+        |  FROM sigs qs JOIN sigs cs
+        |    ON cs.tbl = qs.tbl AND cs.sig = qs.sig
+        |  WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id),
+        |scored AS (
+        |  SELECT cand.qid, cand.cid,
+        |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM cand
+        |  JOIN q ON q.qid = cand.qid
+        |  JOIN e c ON c.vec_id = cand.cid)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q23_text_quality" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -708,6 +760,51 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
         |    ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full MinHash-LSH replica (possible because q18 runs the
+    // OracleHash scheme): distinct md5-prefix shingle keys -> 64
+    // Carter-Wegman seeded mins (constants generated from the same
+    // Dedup.cwConsts both engines share) -> 16 banded bucket keys ->
+    // candidate pairs -> estimated jaccard = matching components / 64
+    "q18_minhash_pairs" -> {
+      val P = Dedup.MersenneP
+      val mins = (0 until 64).map { i =>
+        val (a, b) = Dedup.cwConsts(i)
+        s"min(((s % $P) * $a + $b) % $P)"
+      }.mkString(",\n        ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |shs AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |keys AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS s
+        |  FROM shs),
+        |sig AS (
+        |  SELECT doc_id, [$mins] AS mh
+        |  FROM keys GROUP BY 1),
+        |banded AS (""".stripMargin + "\n" +
+      """|  SELECT doc_id, u.b,
+        |         CAST(('0x' || substring(md5(array_to_string(
+        |           mh[u.b*4+1 : u.b*4+4], ',')), 1, 15)) AS BIGINT) AS bh
+        |  FROM sig, UNNEST(range(0, 16)) AS u(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM banded a JOIN banded b2
+        |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    floor(len(list_filter(list_zip(sa.mh, sb.mh),
+        |      p -> p[1] = p[2])) / 64.0 * 10000) / 10000 AS est_jaccard
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.doc_a
+        |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // full simhash replica (possible because the sketch hashes tokens
     // with the cross-engine md5Hash60): per-token hash, 60 per-bit ones

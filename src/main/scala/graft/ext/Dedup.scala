@@ -21,6 +21,64 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash scheme for the sketch operators. `Fast` (xxhash64) is the
+    * scale default — a sketch hash only needs to agree within one run.
+    * `Oracle` (md5-prefix, `TextAnalysis.md5Hash60`) is ~2× slower on
+    * signatures but replicable by any engine with md5, which is what
+    * lets the driver's DuckDB oracle verify entire sketch pipelines
+    * bit-for-bit (q18/q19). */
+  sealed trait HashScheme {
+    /** 60-64-bit key of a string. */
+    def one(c: Column): Column
+    /** member `i` of a hash family over an already-hashed key. */
+    def seeded(c: Column, i: Int): Column
+    /** bucket key of an array-of-longs LSH band. */
+    def band(sliceCol: Column): Column
+  }
+  case object FastHash extends HashScheme {
+    def one(c: Column): Column = xxhash64(c)
+    def seeded(c: Column, i: Int): Column = xxhash64(c, lit(i))
+    def band(sliceCol: Column): Column = xxhash64(sliceCol)
+  }
+  case object OracleHash extends HashScheme {
+    def one(c: Column): Column = TextAnalysis.md5Hash60(c)
+    // Carter-Wegman family over the (non-negative) md5 key:
+    // ((c mod P) * Aᵢ + Bᵢ) mod P — pure integer arithmetic, so it runs
+    // codegen'd at xxhash speed AND any engine replicates it with
+    // BIGINT math (an md5-per-seed family measured 6× slower on q18).
+    // Products stay < 2⁶² (P = 2³¹−1), no overflow in strict engines.
+    def seeded(c: Column, i: Int): Column = {
+      val (a, b) = cwConsts(i)
+      ((c % MersenneP) * a + b) % MersenneP
+    }
+    // string-join the band (md5 has no native array input); 16 bands
+    // per doc keeps this off the hot path
+    def band(sliceCol: Column): Column =
+      TextAnalysis.md5Hash60(
+        array_join(transform(sliceCol, _.cast("string")), ","))
+  }
+
+  /** 2³¹−1, the Mersenne prime bounding the Carter-Wegman family. */
+  val MersenneP = 2147483647L
+
+  /** Driver-side mirror of the oracle's md5-prefix hash
+    * (`TextAnalysis.md5Hash60` as a plain function): first 15 hex chars
+    * of md5 as a long. Used to derive plan-time constants that the
+    * generated oracle SQL embeds identically. */
+  def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** (Aᵢ, Bᵢ) for Carter-Wegman family member i — md5-derived so the
+    * constants carry no magic, Aᵢ ∈ [1, P−1], Bᵢ ∈ [0, P−1]. The
+    * oracle-SQL generator calls this too, so both engines share the
+    * exact constants. */
+  def cwConsts(i: Int): (Long, Long) =
+    (md5Long(s"a|$i") % (MersenneP - 1) + 1, md5Long(s"b|$i") % MersenneP)
+
   // ===== shared shingling ==================================================
 
   /** Distinct word n-gram shingles of a token array (empty when fewer
@@ -148,11 +206,12 @@ object Dedup {
     * recomputes the signature. Docs with zero shingles drop out. */
   def minhashSignatures(docs: DataFrame, k: Int = 64,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        scheme: HashScheme = FastHash): DataFrame = {
     val sh = shingleRows(docs, 3, idCol, textCol, keepPos = true)
-      .select(col("id"), xxhash64(col("sh")).as("s"))
+      .select(col("id"), scheme.one(col("sh")).as("s"))
       .dropDuplicates("id", "s")
-    val mins = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val mins = (0 until k).map(i => min(scheme.seeded(col("s"), i)).as(s"m$i"))
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
@@ -170,19 +229,22 @@ object Dedup {
                    k: Int = 64, bands: Int = 16,
                    maxBucketSize: Int = Int.MaxValue,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   scheme: HashScheme = FastHash): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     val r = k / bands
     // materialize once: banding + the two per-side signature re-joins are
     // three consumers, and the shingle explode + k-way min aggregate is
     // the expensive stage (measured ~2× on the registered q18)
-    val sigs = minhashSignatures(docs, k, idCol, textCol).localCheckpoint(
-      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sigs = minhashSignatures(docs, k, idCol, textCol, scheme)
+      .localCheckpoint(
+        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        scheme.band(slice(col("mh"), b * r + 1, r)).as("bh"))
+    }
     val banded = sigs.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("mh"), b * r + 1, lit(r))).as("bh"))))
-        .as("bb"))
+      col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // Optional degenerate-bucket guard: a bucket of m near-identical docs
     // yields m²/2 candidates; above the cap that is better handled by

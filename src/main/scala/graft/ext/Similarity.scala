@@ -148,15 +148,32 @@ object Similarity {
     * increasing in cosine similarity. */
   def srpSignatures(emb: DataFrame, bits: Int, tables: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    scheme: Dedup.HashScheme = Dedup.FastHash,
+                    nDims: Int = 64): DataFrame = {
     require(bits <= 63, "signature must fit a long")
+    require(nDims <= 4096, "plane stride supports up to 4096 dims")
     val dims = emb.select(col(idCol).as("id"),
       posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
     val sums = for (t <- 0 until tables; i <- 0 until bits) yield {
       val plane = (t * bits + i).toLong * 4096L
-      val w = (pmod(xxhash64(lit(plane) + col("d")), lit(2)) * 2 - 1)
-        .cast("double")
-      sum(col("x") * w).as(s"s_${t}_$i")
+      // hyperplane sign from the hash of the "plane+dim" index. Under
+      // OracleHash the ±1 weights are computed driver-side with the
+      // same md5 the oracle SQL uses and shipped as a literal array
+      // (a per-row md5 expression measured 2.5× slower on q22); the
+      // projection is rounded to 6 dp before the sign test so the
+      // signature is reproducible across engines' float-sum orders.
+      val w: Column = scheme match {
+        case Dedup.OracleHash =>
+          val ws = (0 until nDims).map { d =>
+            if (Dedup.md5Long((plane + d).toString) % 2 == 1) 1.0 else -1.0
+          }
+          element_at(typedLit(ws), col("d") + 1)
+        case _ =>
+          (pmod(scheme.one((lit(plane) + col("d")).cast("string")),
+            lit(2)) * 2 - 1).cast("double")
+      }
+      round(sum(col("x") * w), 6).as(s"s_${t}_$i")
     }
     val packed = (0 until tables).map { t =>
       val sig = (0 until bits).map { i =>
@@ -288,12 +305,13 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 4, tables: Int = 8,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              scheme: Dedup.HashScheme = Dedup.FastHash): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def sigs(df: DataFrame, id: String, v: String, n: String) = df
       .select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
       .withColumn(n, norm(col(v)))
-      .join(srpSignatures(df, bits, tables, idCol, vecCol)
+      .join(srpSignatures(df, bits, tables, idCol, vecCol, scheme)
         .withColumnRenamed("id", id), Seq(id))
     val c = sigs(corpus, "cid", "cv", "cn")
     val q = sigs(queries, "qid", "qv", "qn")
