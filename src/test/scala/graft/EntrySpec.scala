@@ -20,4 +20,24 @@ class EntrySpec extends SparkSpec {
       assert(fn(spark, dir).count() > 0, s"$name returned no rows")
     }
   }
+
+  // q21 broadcasts the tiny query set against the corpus (the exact
+  // brute-force baseline is a nested loop by definition) and q34
+  // broadcasts its 16-row centroid set — every other plan must be free
+  // of nested-loop joins, and nothing may plan a cartesian product
+  private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf")
+
+  test("no query plans a cartesian product; nested-loop joins only where intended") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !allowedNestedLoop(name)
+      if (cartesian || nlj)
+        Some(s"$name${if (cartesian) " [cartesian]" else ""}" +
+          s"${if (nlj) " [nested-loop]" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"plan-quality offenders: $offenders")
+  }
 }
