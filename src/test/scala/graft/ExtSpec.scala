@@ -145,6 +145,40 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("quantizeInt8 zero-vector edge: scale 0, zero codes, zero dequantization") {
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(3.0f, -4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(z)
+      .select(col("vec_id"), col("q_scale"),
+        Similarity.dequantize(col("q_codes"), col("q_scale")).as("deq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(q(1L)._1 === 0.0 && q(1L)._2.forall(_ === 0.0))
+    assert(math.abs(q(2L)._1 - 4.0 / 127) < 1e-12)
+    assert(math.abs(q(2L)._2.head - 3.0) <= 4.0 / 254 + 1e-9)
+  }
+
+  test("packSequences conserves tokens and docs across budgets") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val totalDocs = real.count()
+    val totalTokens = TextAnalysis.packSequences(real, 512, 8)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    Seq(64, 4096).foreach { budget =>
+      val packed = TextAnalysis.packSequences(real, budget, shards = 4)
+      assert(packed.count() === totalDocs, s"budget $budget lost docs")
+      assert(packed.agg(sum(col("n_tokens"))).collect().head.getLong(0)
+        === totalTokens, s"budget $budget lost tokens")
+    }
+  }
+
+  test("hash split labels are invariant under repartitioning") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.withHashSplit(df).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels(real) === labels(real.repartition(7)))
+  }
+
   test("components invariants on the real co-shingle graph") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.coShinglePairs(real, minShared = 2)
