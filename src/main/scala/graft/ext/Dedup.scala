@@ -340,12 +340,25 @@ object Dedup {
     // relative to the join. Labels are small (one row per node) and stay
     // in memory, serialized. Stale per-round label blocks become
     // unreachable on reassignment and the ContextCleaner reclaims them.
+    // Both edge directions come from ONE pass over the pair plan
+    // (explode of a 2-struct array) — a unionAll of pairs with its swap
+    // re-executes the pair plan per branch (exchange reuse dedups the
+    // shuffle write, not the post-shuffle join+aggregate). Small at
+    // sf0.1 where checkpointed signatures dominate; at probe scale the
+    // post-shuffle candidate join IS the dominant cost, so halving it
+    // matters there.
     val edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed each node's label with min(self, direct neighbours) — the
+    // same single aggregate that enumerates the node set (every node
+    // appears as v in the bidirectional edge list), so round one of the
+    // propagation is free and chains of length ≤ 1 converge immediately.
+    var labels = edges.groupBy(col("v").as("id"))
+      .agg(least(min(col("u")), col("v")).as("comp"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
     while (changed > 0) {
