@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Profiling, Similarity, TextAnalysis => T}
+import graft.ext.{Curation, Dedup, Multimodal, Profiling, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -474,7 +474,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("k"))
     }),
+
+    // ===== benchmark decontamination (eval-set leakage scan) ===========
+    // docs with doc_id % 31 == 0 stand in for the held-out benchmark;
+    // the rest is the training corpus. FastHash: the oracle joins on
+    // raw shingle strings, so the hash is internal transport only.
+    "q49_decontaminate" -> ((s, d) => {
+      val all = documents(s, d)
+      Curation.contamination(
+          all.filter(col("doc_id") % 31 =!= 0),
+          all.filter(col("doc_id") % 31 === 0), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ===== C4-style corpus-frequency boilerplate strip =================
+    "q50_boilerplate" -> ((s, d) =>
+      Curation.stripBoilerplate(documents(s, d), width = 8, maxDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // ===== deterministic domain-mixture sampling (3:2:1 over sources) ==
+    // OracleHash so DuckDB replicates the exact integer keep predicate
+    "q51_domain_mix" -> ((s, d) =>
+      Curation.mixSample(documents(s, d), mixWeights,
+          hash = Dedup.OracleHash)
+        .orderBy(col("doc_id"))),
   )
+
+  /** q51's target mixture: curated-looking sources weighted 3, mid 2,
+    * long tail 1 — one entry per source value in the documents table. */
+  private val mixWeights: Map[String, Int] =
+    (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1215,5 +1245,69 @@ object SparkEntry {
         |  CAST(64 + (doc_id * 40503) % 151 AS INT) AS height,
         |  CAST(1 + doc_id % 3 AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle joins on raw 5-gram strings where Spark joins on their
+    // xxhash64 — identical results absent 64-bit collisions
+    "q49_decontaminate" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i))
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM csh JOIN bsh USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q50_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS cidx,
+        |         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |hot AS (
+        |  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM chunks)
+        |  GROUP BY chunk HAVING count(*) > 2),
+        |marked AS (
+        |  SELECT c.doc_id, c.cidx, c.chunk, h.chunk IS NOT NULL AS is_hot
+        |  FROM chunks c LEFT JOIN hot h USING (chunk))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk END,
+        |                      ' ' ORDER BY cidx), '') AS clean_text,
+        |  count(CASE WHEN is_hot THEN 1 END) AS n_dropped
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // weights VALUES generated from the same mixWeights map the Spark
+    // query uses; the keep predicate is pure BIGINT arithmetic on the
+    // shared md5-prefix hash, so the row set matches bit-for-bit
+    "q51_domain_mix" -> {
+      val values = mixWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s',$w)" }.mkString(", ")
+      s"""WITH wt(source, w) AS (VALUES $values),
+         |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |nw AS (SELECT n.source, n.n, wt.w FROM n JOIN wt USING (source)),
+         |k AS (SELECT min(n // w) AS k FROM nw)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN nw USING (source) CROSS JOIN k
+         |WHERE (CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 1000000) * n < w * k * 1000000
+         |ORDER BY d.doc_id""".stripMargin
+    },
   )
 }

@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines beyond
+  * dedup (the natural next tier after `Dedup`/`TextAnalysis`):
+  *
+  *  - benchmark decontamination: drop training documents that share
+  *    word n-grams with an eval/benchmark set (test-set leakage);
+  *  - corpus-frequency boilerplate removal (C4-style): strip text
+  *    segments that recur across more than `maxDocs` documents;
+  *  - deterministic domain-mixture sampling: downsample sources to a
+  *    target ratio with an integer-exact hash predicate.
+  *
+  * All three are shaped for the 100 TB path: per-row map-side feature
+  * extraction, shuffles keyed only on fixed-width hashes or ids, and
+  * the SMALL derived frame (benchmark shingle set, hot-chunk set,
+  * per-source rate table) broadcast back over the corpus — the corpus
+  * itself never moves for a lookup.
+  */
+object Curation {
+
+  // ===== benchmark decontamination =========================================
+
+  /** Per-document contamination counts: for each corpus document, the
+    * number of distinct word `n`-grams it shares with ANY benchmark
+    * document. The standard eval-set decontamination primitive: a
+    * training doc that reproduces a benchmark n-gram (n≈5-13 words)
+    * likely leaks eval data and must be dropped before training.
+    * Returns (idCol, n_contaminated) for contaminated docs only.
+    *
+    * Scale: benchmark suites are tiny (MBs) against a training corpus
+    * (TBs), so the distinct benchmark shingle-hash set is broadcast and
+    * the corpus side is a single map-side shingle pass probing it — the
+    * only corpus shuffle is the per-doc count aggregate over the (rare)
+    * hits. Shingles are built with the higher-order `Dedup.shingles`
+    * (per-row, already distinct), NOT `shingleRows`, whose lead()-window
+    * form would shuffle the whole corpus by id just to assemble
+    * n-grams; hashes, never strings, cross the wire. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    hash: Dedup.HashScheme = Dedup.FastHash,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def hashedShingles(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+      .select(col("id"), hash.one(col("sh")).as("hsh"))
+    val bench = hashedShingles(benchmark).select(col("hsh")).distinct()
+    hashedShingles(corpus)
+      .join(broadcast(bench), Seq("hsh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Decontaminated corpus: every document sharing at least `minHits`
+    * distinct n-grams with the benchmark is dropped (left_anti on the
+    * contaminated-id set, which is small, so AQE broadcasts it). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    minHits: Int = 1,
+                    hash: Dedup.HashScheme = Dedup.FastHash,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val dirty = contamination(corpus, benchmark, n, hash, idCol, textCol)
+      .filter(col("n_contaminated") >= minHits)
+      .select(col(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  // ===== corpus-frequency boilerplate removal ==============================
+
+  /** Ordered non-overlapping `width`-token chunks of each document:
+    * (id, cidx, chunk). The segmentation unit for boilerplate removal —
+    * a real web corpus segments on lines (C4 proper); the fixture
+    * corpus has no line structure, so fixed-width token windows stand
+    * in, and the downstream frequency/strip machinery is identical
+    * either way. Pure map-side (higher-order array build + one
+    * posexplode); zero-token documents yield no chunks. */
+  def chunkRows(docs: DataFrame, width: Int = 8,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val t = TextAnalysis.tokens(col(textCol))
+    val nChunks = floor((size(t) - 1) / lit(width)).cast("int") // = ceil(n/w)-1
+    docs.select(col(idCol).as("id"),
+      posexplode(
+        when(size(t) > 0,
+          transform(sequence(lit(0), nChunks),
+            i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("cidx", "chunk")))
+  }
+
+  /** C4-style boilerplate strip: rebuild each document without the
+    * chunks that occur in more than `maxDocs` DISTINCT documents
+    * (navigation headers, license footers, cookie banners — segments
+    * whose corpus frequency marks them as template, not content).
+    * Returns (idCol, clean_text, n_dropped); a document whose every
+    * chunk is boilerplate survives with empty text, zero-token
+    * documents are omitted (they have nothing to strip or keep).
+    *
+    * Scale: chunk frequency aggregates on the 8-byte chunk hash with a
+    * map-side distinct partial; the hot set (boilerplate is rare by
+    * definition) broadcasts back, so the corpus-side pass is map-only;
+    * the single corpus shuffle is the per-doc reassembly keyed on id.
+    * Reassembly order is carried by `cidx` inside the aggregated
+    * structs (array_sort), never by assumed row order. */
+  def stripBoilerplate(docs: DataFrame, width: Int = 8, maxDocs: Int = 2,
+                       hash: Dedup.HashScheme = Dedup.FastHash,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val chunks = chunkRows(docs, width, idCol, textCol)
+      .withColumn("hch", hash.one(col("chunk")))
+    val hot = chunks.select(col("id"), col("hch")).distinct()
+      .groupBy(col("hch")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("hch"), lit(1).as("_hot"))
+    chunks.join(broadcast(hot), Seq("hch"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_hot").isNull, struct(col("cidx"), col("chunk"))))),
+            e => e.getField("chunk")),
+          " ").as("clean_text"),
+        count(when(col("_hot").isNotNull, lit(1))).as("n_dropped"))
+  }
+
+  // ===== deterministic domain-mixture sampling =============================
+
+  /** Downsample a multi-source corpus to a target mixture ratio with a
+    * DETERMINISTIC, integer-exact hash predicate — the "data mixing"
+    * step of a training pipeline (e.g. weight curated sources 3:2:1
+    * over crawl). `weights` gives the target ratio per source value;
+    * sources absent from the map are dropped.
+    *
+    * Semantics: with n_s docs observed in source s and ratio weight
+    * w_s, the feasible scale is K = min_s floor(n_s / w_s); a document
+    * is kept iff  hash(id) mod 10⁶  ·  n_s  <  w_s · K · 10⁶, i.e.
+    * with probability w_s·K/n_s — yielding ≈ K·w_s docs per source,
+    * the largest subsample at exactly the target ratio. Every quantity
+    * is BIGINT arithmetic (no float thresholds), so any engine with the
+    * same hash reproduces the exact row set, and re-runs are stable
+    * (retry-safe sampling). Products stay < 10⁶·n_s, no overflow.
+    *
+    * Scale: per-source counts and the scale constant are two tiny
+    * aggregates broadcast back; the corpus-side decision is one
+    * map-side hash-compare — no corpus shuffle at all. */
+  def mixSample(docs: DataFrame, weights: Map[String, Int],
+                hash: Dedup.HashScheme = Dedup.FastHash,
+                idCol: String = "doc_id",
+                srcCol: String = "source"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.toSeq.toDF(srcCol, "w")
+    // K via a single-partition window over the per-source frame (one
+    // row per source — bounded), so the corpus count aggregate runs
+    // once; a separate agg + crossJoin would scan the corpus twice
+    val rates = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), Seq(srcCol))
+      .withColumn("k",
+        min(expr("n div w")).over(Window.partitionBy(lit(1))))
+    docs.join(broadcast(rates), Seq(srcCol))
+      .filter(
+        pmod(hash.one(concat(lit("mix:"), col(idCol).cast("string"))),
+          lit(1000000L)) * col("n") < col("w") * col("k") * lit(1000000L))
+      .select(col(idCol), col(srcCol))
+  }
+}

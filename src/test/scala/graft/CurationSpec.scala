@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ===== decontamination ====================================================
+
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 5-grams
+    (2L, "totally unrelated words about columnar shuffle planning here"),
+    (3L, "alpha beta gamma delta epsilon completely different tail words"))
+    .toDF("doc_id", "text")
+  private lazy val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta"))
+    .toDF("doc_id", "text")
+
+  test("contamination counts distinct shared n-grams per corpus doc") {
+    val got = Curation.contamination(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench has two 5-grams: a..e and b..zeta; doc1 contains both,
+    // doc3 only the first, doc2 none
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate drops leaking docs and keeps the rest intact") {
+    val kept = Curation.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+    // at minHits 2 the single-shingle overlap of doc3 survives
+    val lenient = Curation.decontaminate(corpus, bench, n = 5, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lenient === Set(2L, 3L))
+  }
+
+  // ===== boilerplate strip ==================================================
+
+  // width-2 chunks; "cookie banner" opens every doc (boilerplate at
+  // maxDocs=2), the tails are unique content
+  private lazy val bp = Seq(
+    (1L, "cookie banner alpha beta"),
+    (2L, "cookie banner gamma delta"),
+    (3L, "cookie banner epsilon zeta"),
+    (4L, "cookie banner"), // all-boilerplate doc
+    (5L, "standalone unique content words"))
+    .toDF("doc_id", "text")
+
+  test("stripBoilerplate removes corpus-frequent chunks, preserves order") {
+    val got = Curation.stripBoilerplate(bp, width = 2, maxDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, "alpha beta", 1L),
+      (2L, "gamma delta", 1L),
+      (3L, "epsilon zeta", 1L),
+      (4L, "", 1L), // survives, empty
+      (5L, "standalone unique content words", 0L)))
+  }
+
+  test("chunkRows emits ordered non-overlapping windows incl. ragged tail") {
+    val got = Curation.chunkRows(
+        Seq((7L, "a b c d e")).toDF("doc_id", "text"), width = 2)
+      .orderBy("cidx").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got === Seq((0, "a b"), (1, "c d"), (2, "e")))
+  }
+
+  // ===== domain-mixture sampling ============================================
+
+  test("mixSample hits the target ratio envelope, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
+    val sampled = Curation.mixSample(docs, w, hash = Dedup.OracleHash)
+    val bySrc = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sf0.01: 25 docs per source -> K = min(25/3, 25/2, 25/1) = 8;
+    // expected ~24/16/8 kept per source band (binomial around the rate)
+    val n = 25L
+    w.foreach { case (s, wi) =>
+      val kept = bySrc.getOrElse(s, 0L)
+      assert(kept <= n, s"$s over-sampled")
+      // rate = 8*w/25; allow a wide binomial envelope but reject
+      // degenerate all-or-nothing behaviour for fractional rates
+      if (wi < 3) assert(kept < n, s"$s not downsampled (rate ${8.0 * wi / 25})")
+      assert(kept > 0, s"$s emptied")
+    }
+    // weighted sources keep more than tail sources on aggregate
+    val heavy = (0 until 5).map(i => bySrc.getOrElse(s"src$i", 0L)).sum
+    val tail = (10 until 20).map(i => bySrc.getOrElse(s"src$i", 0L)).sum / 2
+    assert(heavy > tail, "3-weighted band should out-keep the 1-weighted band")
+    // deterministic: a second run yields the identical row set
+    val again = Curation.mixSample(docs, w, hash = Dedup.OracleHash)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === sampled.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixSample drops sources absent from the weight map") {
+    val docs = Seq((1L, "a", "keep"), (2L, "b", "drop"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.mixSample(docs, Map("keep" -> 1))
+      .select("source").as[String].collect().toSet
+    assert(!got.contains("drop"))
+  }
+}
