@@ -498,6 +498,11 @@ object SparkEntry {
       Curation.mixSample(documents(s, d), mixWeights,
           hash = Dedup.OracleHash)
         .orderBy(col("doc_id"))),
+
+    // ===== Gopher-style repetition metrics (template/spam signal) ======
+    "q52_repetition" -> ((s, d) =>
+      T.repetitionStats(documents(s, d), n = 2)
+        .orderBy(col("doc_id"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1309,5 +1314,33 @@ object SparkEntry {
          |        AS BIGINT) % 1000000) * n < w * k * 1000000
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // relational formulation of the per-row sorted-array fold: identical
+    // totals/distincts/max-frequency, engine-appropriate algorithm each
+    "q52_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+        |  FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_distinct, 0) AS n_distinct,
+        |  coalesce(top_count, 0) AS top_count,
+        |  CASE WHEN coalesce(n_grams, 0) > 0 THEN
+        |    floor((n_grams - n_distinct) / CAST(n_grams AS DOUBLE) * 10000) / 10000
+        |  ELSE 0.0 END AS dup_frac,
+        |  CASE WHEN coalesce(n_grams, 0) > 0 THEN
+        |    floor(top_count / CAST(n_grams AS DOUBLE) * 10000) / 10000
+        |  ELSE 0.0 END AS top_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -185,4 +185,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Gopher/RefinedWeb-style repetition metrics per document: total and
+    * distinct word `n`-gram counts, the count of the single most
+    * frequent n-gram, and the derived duplicate-n-gram fraction
+    * `(total-distinct)/total` and top-gram mass `top/total` (both
+    * trunc4'd) — the standard signals for dropping template/spam pages
+    * whose text is internally repetitive.
+    *
+    * Entirely per-row map-side work, deliberately NOT the relational
+    * formulation: a groupBy(doc, gram) would shuffle every n-gram of
+    * the corpus just to compute per-doc mode counts. Instead the gram
+    * array is sorted per row and a single `aggregate` fold counts the
+    * longest equal-run (= max frequency) and the number of runs
+    * (= distinct count). Documents with fewer than `n` tokens report
+    * zero counts and 0.0 fractions. */
+  def repetitionStats(df: DataFrame, n: Int = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= n,
+        sort_array(transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // fold state: (prev gram, current run, max run, distinct runs);
+    // grams are non-empty strings, so "" is a safe initial sentinel
+    val folded = aggregate(
+      grams,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("maxrun"), lit(0L).as("nd")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("maxrun"), run).as("maxrun"),
+          (acc.getField("nd") +
+            when(x === acc.getField("prev"), 0L).otherwise(1L)).as("nd"))
+      })
+    df.select(col(idCol), col(textCol))
+      .withColumn("_f", folded)
+      // arithmetic, so the sorted gram array is built exactly once
+      .withColumn("n_grams",
+        greatest(size(t) - n + 1, lit(0)).cast("long"))
+      .withColumn("n_distinct", col("_f").getField("nd"))
+      .withColumn("top_count", col("_f").getField("maxrun"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          trunc4((col("n_grams") - col("n_distinct")) / col("n_grams")))
+          .otherwise(0.0))
+      .withColumn("top_frac",
+        when(col("n_grams") > 0,
+          trunc4(col("top_count") / col("n_grams"))).otherwise(0.0))
+      .drop("_f", textCol)
+  }
 }

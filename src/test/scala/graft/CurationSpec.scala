@@ -98,6 +98,26 @@ class CurationSpec extends SparkSpec {
     assert(again === sampled.select("doc_id").as[Long].collect().toSet)
   }
 
+  // ===== repetition metrics =================================================
+
+  test("repetitionStats counts duplicate and top bigrams per doc") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam"),      // grams: 3x "spam spam"
+      (2L, "all words fully distinct"), // 3 grams, 3 distinct
+      (3L, "a b a b a b"),              // 5 grams: 3x "a b", 2x "b a"
+      (4L, "solo"))                     // too short: zero grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(1L) === ((3L, 1L, 3L, 0.6666, 1.0)))
+    assert(got(2L) === ((3L, 3L, 1L, 0.0, 0.3333)))
+    assert(got(3L) === ((5L, 2L, 3L, 0.6, 0.6)))
+    assert(got(4L) === ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("mixSample drops sources absent from the weight map") {
     val docs = Seq((1L, "a", "keep"), (2L, "b", "drop"))
       .toDF("doc_id", "text", "source")
