@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -19,6 +19,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
   }
 }
 
@@ -28,15 +29,34 @@ object GraftExtensions {
     DotProduct(children.head, children(1))
   }
 
+  private def buildShingles(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "word_shingles(text, n) takes a string and an integer literal")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_shingles width must be an integer literal, got $other")
+    }
+    WordShingles(children.head, n)
+  }
+
   private[graft] val dotProductDescriptor = (
     new FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (children: Seq[Expression]) => build(children))
 
+  private[graft] val wordShinglesDescriptor = (
+    new FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => buildShingles(children))
+
   /** Runtime registration on an already-built session (withExtensions
     * only binds at session construction; getOrCreate() on an existing
     * session silently ignores it). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", buildShingles, "scala_udf")
+  }
 }

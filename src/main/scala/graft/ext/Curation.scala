@@ -34,17 +34,18 @@ object Curation {
     * (TBs), so the distinct benchmark shingle-hash set is broadcast and
     * the corpus side is a single map-side shingle pass probing it — the
     * only corpus shuffle is the per-doc count aggregate over the (rare)
-    * hits. Shingles are built with the higher-order `Dedup.shingles`
-    * (per-row, already distinct), NOT `shingleRows`, whose lead()-window
-    * form would shuffle the whole corpus by id just to assemble
-    * n-grams; hashes, never strings, cross the wire. */
+    * hits. Shingles are built with the codegen'd `word_shingles`
+    * kernel (per-row, already distinct), NOT `shingleRows`, whose
+    * lead()-window form would shuffle the whole corpus by id just to
+    * assemble n-grams; hashes, never strings, cross the wire. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                     hash: Dedup.HashScheme = Dedup.FastHash,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     def hashedShingles(df: DataFrame) = df
       .select(col(idCol).as("id"),
-        explode(Dedup.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+        explode(graft.functions.TextFunctions.word_shingles(
+          col(textCol), n)).as("sh"))
       .select(col("id"), hash.one(col("sh")).as("hsh"))
     val bench = hashedShingles(benchmark).select(col("hsh")).distinct()
     hashedShingles(corpus)

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd word-shingling: distinct (first-occurrence order) word
+  * n-grams of a string in one pass. The higher-order-function
+  * formulation (`transform(sequence(...), i => array_join(slice(...)))`
+  * + `array_distinct`) builds the same result interpreted — one boxed
+  * lambda call per gram plus an O(n·width) slice copy each, and it
+  * forces the row out of WholeStageCodegen. This expression stays in
+  * the codegen pipeline and calls one tight JIT-compiled kernel per
+  * row (tokenize, slide a window, dedup via an insertion-ordered set).
+  *
+  * Shingling feeds every n-gram operator on the corpus hot path
+  * (decontamination probes, Jaccard/MinHash pipelines), where per-row
+  * cost multiplies by 10⁹ documents — kernel-versus-interpreted is the
+  * difference that shows at 100 TB.
+  *
+  * Token definition matches `TextAnalysis.tokens` (split on `\s+`,
+  * drop empties): the whitespace class below is exactly Java regex
+  * `\s`, so results are interchangeable with the HOF path and with
+  * `string_split_regex(text, '\s+')` oracles.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  // the companion's static forwarder keeps the kernel reachable from
+  // generated Java; the row never leaves WholeStageCodegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  // Java regex \s — NOT Character.isWhitespace, which adds Unicode
+  // space classes and would diverge from the `\s+`-split oracles
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One-pass kernel: tokenize, slide an `n` window, first-occurrence
+    * dedup. Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object TextFunctions {
+  /** Column API for the codegen'd shingler: distinct word n-grams of a
+    * string column, first-occurrence order. */
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}

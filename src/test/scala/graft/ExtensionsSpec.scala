@@ -13,4 +13,39 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(v === 11.0)
   }
+
+  test("word_shingles is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(v === Seq("a b c", "b c d"))
+  }
+
+  test("word_shingles kernel: dedup order, ragged input, whitespace runs") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.word_shingles
+    import spark.implicits._
+    val got = Seq(
+      "a b a b a b",        // dedup keeps first occurrence order
+      "  spaced \t out  ",  // mixed whitespace, leading/trailing
+      "solo",               // fewer tokens than n
+      "")                   // empty
+      .toDF("t").select(word_shingles(col("t"), 2)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b", "b a"))
+    assert(got(1) === Seq("spaced out"))
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq.empty)
+  }
+
+  test("word_shingles matches the interpreted HOF formulation on real docs") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Dedup, TextAnalysis}
+    import graft.functions.TextFunctions.word_shingles
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatches = docs.select(
+        word_shingles(col("text"), 3).as("k"),
+        Dedup.shingles(TextAnalysis.tokens(col("text")), 3).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(mismatches === 0)
+  }
 }
