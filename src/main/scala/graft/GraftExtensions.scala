@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DotProduct, GramStats, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.gramStatsDescriptor)
   }
 }
 
@@ -29,15 +30,22 @@ object GraftExtensions {
     DotProduct(children.head, children(1))
   }
 
+  private def literalWidth(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn width must be an integer literal, got $other")
+  }
+
   private def buildShingles(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "word_shingles(text, n) takes a string and an integer literal")
-    val n = children(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"word_shingles width must be an integer literal, got $other")
-    }
-    WordShingles(children.head, n)
+    WordShingles(children.head, literalWidth("word_shingles", children(1)))
+  }
+
+  private def buildGramStats(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "gram_stats(text, n) takes a string and an integer literal")
+    GramStats(children.head, literalWidth("gram_stats", children(1)))
   }
 
   private[graft] val dotProductDescriptor = (
@@ -50,6 +58,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => buildShingles(children))
 
+  private[graft] val gramStatsDescriptor = (
+    new FunctionIdentifier("gram_stats"),
+    new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
+    (children: Seq[Expression]) => buildGramStats(children))
+
   /** Runtime registration on an already-built session (withExtensions
     * only binds at session construction; getOrCreate() on an existing
     * session silently ignores it). */
@@ -58,5 +71,7 @@ object GraftExtensions {
       "dot_product", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", buildShingles, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_stats", buildGramStats, "scala_udf")
   }
 }

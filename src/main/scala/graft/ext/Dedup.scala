@@ -93,13 +93,11 @@ object Dedup {
   private def toks(textCol: String): Column =
     TextAnalysis.tokens(col(textCol))
 
-  /** Exploded (id, shingle) rows — the codegen-friendly form of
-    * `shingles` for join/aggregate consumers: posexplode the token
-    * array once, then build each n-gram with `lead()` window functions
-    * (split/posexplode/lead/concat_ws are all codegen'd, vs the
-    * interpreted higher-order array build, and the window's exchange is
-    * reused when the plan references these rows multiple times —
-    * measured 3× faster on the Jaccard self-join). */
+  /** Exploded (id, pos, shingle) rows built with `lead()` window
+    * functions — the form for consumers that need shingle POSITIONS
+    * (winnowing). Costs one corpus exchange (the window partitions by
+    * id); position-free consumers use `shingleRowsFast`, which builds
+    * shingles map-side with the codegen kernel and shuffles nothing. */
   def shingleRows(docs: DataFrame, n: Int = 3,
                   idCol: String = "doc_id",
                   textCol: String = "text",
@@ -118,6 +116,19 @@ object Dedup {
     if (keepPos) rows
     else rows.drop("pos").dropDuplicates("id", "sh")
   }
+
+  /** Distinct (id, sh) shingle rows via the codegen `word_shingles`
+    * kernel: one JIT-compiled pass per row + explode, distinct per doc
+    * by construction — no window exchange shuffling the corpus by id,
+    * no dropDuplicates shuffle. The preferred form for every consumer
+    * that doesn't need shingle positions (winnowing keeps the window
+    * path). */
+  def shingleRowsFast(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.word_shingles(col(textCol), n))
+        .as("sh"))
 
   // ===== exact dedup =======================================================
 
@@ -149,7 +160,7 @@ object Dedup {
     * `minhashPairs`, which bounds the blowup by band-bucket size.
     *
     * The shingle rows are localCheckpoint'd: three consumers (sizes +
-    * both join sides) would otherwise re-run the explode+window.
+    * both join sides) would otherwise re-run the shingle build.
     *
     * The inverted-index key is xxhash64(shingle), not the shingle
     * string: every downstream shuffle (dedup, postings count,
@@ -162,9 +173,8 @@ object Dedup {
                    maxPostings: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+    val sh0 = shingleRowsFast(docs, 3, idCol, textCol)
       .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .dropDuplicates("id", "sh")
       .localCheckpoint(
         true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {
@@ -208,9 +218,8 @@ object Dedup {
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         scheme: HashScheme = FastHash): DataFrame = {
-    val sh = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+    val sh = shingleRowsFast(docs, 3, idCol, textCol)
       .select(col("id"), scheme.one(col("sh")).as("s"))
-      .dropDuplicates("id", "s")
     val mins = (0 until k).map(i => min(scheme.seeded(col("s"), i)).as(s"m$i"))
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -300,9 +309,8 @@ object Dedup {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     // hashed inverted-index key, as in jaccardPairs
-    val sh0 = shingleRows(docs, 3, idCol, textCol, keepPos = true)
+    val sh0 = shingleRowsFast(docs, 3, idCol, textCol)
       .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .dropDuplicates("id", "sh")
       .localCheckpoint(
         true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sh = if (maxPostings == Int.MaxValue) sh0 else {

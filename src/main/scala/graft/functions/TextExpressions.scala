@@ -58,7 +58,7 @@ object WordShingles {
 
   // Java regex \s — NOT Character.isWhitespace, which adds Unicode
   // space classes and would diverge from the `\s+`-split oracles
-  private def isWs(c: Char): Boolean =
+  private[functions] def isWhitespace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** One-pass kernel: tokenize, slide an `n` window, first-occurrence
@@ -69,9 +69,9 @@ object WordShingles {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && isWs(s.charAt(i))) i += 1
+      while (i < len && isWhitespace(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !isWs(s.charAt(i))) i += 1
+      while (i < len && !isWhitespace(s.charAt(i))) i += 1
       if (i > start) toks.add(s.substring(start, i))
     }
     val m = toks.size - n + 1
@@ -98,9 +98,92 @@ object WordShingles {
   }
 }
 
+/** Codegen'd repetition statistics: total, distinct, and max-frequency
+  * counts of the word n-grams of a string, in one pass. The pure-SQL
+  * alternative (sort the gram array per row, fold with `aggregate` to
+  * count runs) sorts and walks the array interpreted — measured ~7 s at
+  * sf0.1 where this kernel's open-addressed counting pass is the usual
+  * kernel-vs-interpreted order faster. Returns
+  * struct(n_grams, n_distinct, top_count), all BIGINT; fewer than `n`
+  * tokens yields (0, 0, 0). */
+case class GramStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "gram width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_stats expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = GramStats.schema
+
+  override def nullSafeEval(input: Any): Any =
+    GramStats.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramStats.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
+object GramStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+
+  /** One-pass kernel: tokenize, count each sliding n-gram in a hash
+    * map, track the max. No sort, no per-gram lambda. */
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && WordShingles.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !WordShingles.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Int](m * 2)
+    val sb = new java.lang.StringBuilder()
+    var top = 0
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > top) top = c
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, counts.size.toLong, top.toLong))
+  }
+}
+
 object TextFunctions {
   /** Column API for the codegen'd shingler: distinct word n-grams of a
     * string column, first-occurrence order. */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Column API for the codegen'd repetition counter:
+    * struct(n_grams, n_distinct, top_count) of the word n-grams. */
+  def gram_stats(text: Column, n: Int): Column =
+    ColumnBridge.column(GramStats(ColumnBridge.expression(text), n))
 }

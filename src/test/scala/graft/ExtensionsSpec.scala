@@ -21,6 +21,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(v === Seq("a b c", "b c d"))
   }
 
+  test("gram_stats is callable from SQL and counts totals/distinct/top") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT gram_stats('a b a b a b', 2) AS s")
+      .selectExpr("s.n_grams", "s.n_distinct", "s.top_count")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 2L, 3L)))
+  }
+
   test("word_shingles kernel: dedup order, ragged input, whitespace runs") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFunctions.word_shingles
