@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.ops.Aggregations
 
 /** Dev utility: stress the scale-path operators on replicated fixtures
@@ -11,12 +11,14 @@ import graft.ops.Aggregations
   * to catch memory/codegen/shuffle pathologies the 500-row fixtures
   * can't. `runMain graft.ScaleProbe [sfDir] [docReps] [eventReps]`.
   * Prints one timing line per probe; not part of the driver contract.
+  * An optional 4th arg runs only probes whose name contains it.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docReps = args.lift(1).map(_.toInt).getOrElse(200)
     val eventReps = args.lift(2).map(_.toInt).getOrElse(100)
+    val only = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,11 +29,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    def timed(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
 
     val docs = Tables.documents(spark, sfDir)
       .crossJoin(spark.range(docReps).toDF("rep"))
@@ -76,6 +79,27 @@ object ScaleProbe {
     timed(s"ann_ivf x$docReps") {
       Similarity.ivfTopK(emb,
         emb.filter(col("vec_id") < 10), 5, 64, 4).count()
+    }
+    // curation tier at 1M docs: the replicated corpus makes every base
+    // shingle/chunk corpus-frequent, so these exercise the broadcast
+    // probe sets and the reassembly shuffle at adversarial density
+    timed(s"curation_decontam x$docReps") {
+      Curation.contamination(
+        docs.filter(col("doc_id") % 9973 =!= 0),
+        docs.filter(col("doc_id") % 9973 === 0)).count()
+    }
+    timed(s"curation_boilerplate x$docReps") {
+      Curation.stripBoilerplate(docs, width = 8, maxDocs = 2).count()
+    }
+    timed(s"curation_mix x$docReps") {
+      Curation.mixSample(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+        (0 until 20).map(i =>
+          s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap).count()
+    }
+    timed(s"curation_repetition x$docReps") {
+      TextAnalysis.repetitionStats(docs).count()
     }
     timed(s"sliding_revenue x$eventReps") {
       Aggregations.slidingRevenue(events.select(
