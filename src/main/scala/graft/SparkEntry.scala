@@ -503,6 +503,14 @@ object SparkEntry {
     "q52_repetition" -> ((s, d) =>
       T.repetitionStats(documents(s, d), n = 2)
         .orderBy(col("doc_id"))),
+
+    // ===== spherical k-means centroid training (IVF index build) =======
+    // centroids exploded to (c_id, dim, val) rows so the oracle compare
+    // is scalar; val is already 6-dp-rounded by the trajectory contract
+    "q53_kmeans" -> ((s, d) =>
+      Similarity.kmeansCentroids(embeddings(s, d), k = 8, iters = 2)
+        .select(col("c_id"), posexplode(col("cv")).as(Seq("dim", "val")))
+        .orderBy(col("c_id"), col("dim"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1297,6 +1305,60 @@ object SparkEntry {
         |                      ' ' ORDER BY cidx), '') AS clean_text,
         |  count(CASE WHEN is_hot THEN 1 END) AS n_dropped
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // two unrolled Lloyd iterations; assignment argmax replicated with a
+    // row_number window over the 6-dp-rounded cosine (dot/norm computed
+    // on double lists, left-to-right like the Spark fold), centroid
+    // means as round(sum/count, 6) per dimension, empty clusters keep
+    // their previous centroid via the NOT IN branch
+    "q53_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
+        |s1 AS (
+        |  SELECT en.id, en.v, c.c_id,
+        |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(en.v, c.cv) /
+        |        (en.nrm * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM en CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT id, v, c_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m1 GROUP BY c_id
+        |  UNION ALL
+        |  SELECT c_id, cv FROM c0
+        |  WHERE c_id NOT IN (SELECT c_id FROM m1)),
+        |s2 AS (
+        |  SELECT en.id, en.v, c.c_id,
+        |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(en.v, c.cv) /
+        |        (en.nrm * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM en CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT id, v, c_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s2)
+        |  WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  FROM a2, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m2 GROUP BY c_id
+        |  UNION ALL
+        |  SELECT c_id, cv FROM c1
+        |  WHERE c_id NOT IN (SELECT c_id FROM m2))
+        |SELECT c_id, CAST(i - 1 AS INT) AS dim, cv[i] AS val
+        |FROM c2, UNNEST(range(1, 65)) AS u(i)
+        |ORDER BY c_id, dim""".stripMargin,
 
     // weights VALUES generated from the same mixWeights map the Spark
     // query uses; the keep predicate is pure BIGINT arithmetic on the

@@ -330,4 +330,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Deterministic spherical k-means (Lloyd's iterations) — how the IVF
+    * centroids of `ivfAssign` get TRAINED rather than seeded. Seeds are
+    * the `k` smallest-id vectors (no RNG state); each iteration assigns
+    * every vector to its max-cosine centroid (similarity rounded to
+    * 6 dp before the argmax, ties to the smallest centroid id — the
+    * library-wide reproducibility convention) and recomputes each
+    * centroid as the element-wise mean of its members, rounded to 6 dp
+    * so another engine replays the exact trajectory. Clusters that lose
+    * all members keep their previous centroid. Returns (c_id, cv).
+    *
+    * Scale: centroids are broadcast (k rows) — the corpus never
+    * shuffles for assignment; the mean update aggregates through the
+    * `VectorMean` typed Aggregator, whose partial buffers (one
+    * sum-vector per cluster per partition) are the only shuffled bytes.
+    * The input projection is localCheckpoint'd once since every
+    * iteration rescans it; per-iteration centroid frames are
+    * checkpointed to cut the growing lineage. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    var cents = e.orderBy(col("id")).limit(k)
+      .select(col("id").as("c_id"), col("v").as("cv"))
+    (0 until iters).foreach { _ =>
+      val withNorm = cents.withColumn("cn", norm(col("cv")))
+      val denom = col("nrm") * col("cn")
+      val sim = when(denom === 0.0, 0.0)
+        .otherwise(dot(col("v"), col("cv")) / denom)
+      // argmax via max_by, not a window rank: the k-way candidate
+      // blowup from the broadcast join collapses in the map-side
+      // partial aggregate, so only one (id, best) row per vector
+      // reaches the exchange — a window would shuffle all n×k rows
+      val assigned = e.join(broadcast(withNorm), lit(true))
+        .withColumn("_sim", round(sim, 6))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("c_id"), col("v")),
+          struct(col("_sim"), (-col("c_id")).as("_nc"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
+      val means = assigned.groupBy(col("c_id"))
+        .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
+        .select(col("c_id"), transform(col("mv"), x => round(x, 6)).as("mv"))
+      cents = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    cents
+  }
 }

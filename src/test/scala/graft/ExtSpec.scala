@@ -317,4 +317,45 @@ class ExtSpec extends SparkSpec {
     assert(frames.length === 4)
     assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
   }
+
+  test("kmeans converges to planted cluster means") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1.1f, -0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)),
+      (12L, Array(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    // both seeds (ids 1, 2) start inside cluster A; two Lloyd rounds
+    // must still separate A from B and land on the group means
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(cents(1L), Seq(1.0, 0.0)))
+    assert(close(cents(2L), Seq(0.0, 1.0)))
+  }
+
+  test("kmeans keeps the previous centroid for emptied clusters") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // seed 2 duplicates seed 1: ties resolve to the smaller c_id, so
+    // cluster 2 empties and must keep its seed vector verbatim
+    val cents = Similarity.kmeansCentroids(vecs, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet === Set(1L, 2L, 3L))
+    assert(cents(2L) === Seq(1.0, 0.0))
+  }
+
+  test("vector_mean aggregates element-wise with map-side partials") {
+    import graft.functions.VectorAggregates.vector_mean
+    val df = Seq((1, Array(1.0, 2.0)), (1, Array(3.0, 4.0)),
+      (2, Array(5.0, 6.0)))
+      .toDF("g", "v").repartition(3) // force partial buffers to merge
+    val got = df.groupBy($"g").agg(vector_mean($"v").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1) === Seq(2.0, 3.0))
+    assert(got(2) === Seq(5.0, 6.0))
+  }
 }
