@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, GramStats, WordShingles}
+import graft.functions.{DotProduct, GramStats, WordGrams, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.wordGramsDescriptor)
     ext.injectFunction(GraftExtensions.gramStatsDescriptor)
   }
 }
@@ -42,6 +43,12 @@ object GraftExtensions {
     WordShingles(children.head, literalWidth("word_shingles", children(1)))
   }
 
+  private def buildGrams(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "word_grams(text, n) takes a string and an integer literal")
+    WordGrams(children.head, literalWidth("word_grams", children(1)))
+  }
+
   private def buildGramStats(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "gram_stats(text, n) takes a string and an integer literal")
@@ -58,6 +65,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => buildShingles(children))
 
+  private[graft] val wordGramsDescriptor = (
+    new FunctionIdentifier("word_grams"),
+    new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+    (children: Seq[Expression]) => buildGrams(children))
+
   private[graft] val gramStatsDescriptor = (
     new FunctionIdentifier("gram_stats"),
     new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
@@ -71,6 +83,8 @@ object GraftExtensions {
       "dot_product", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", buildShingles, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_grams", buildGrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_stats", buildGramStats, "scala_udf")
   }

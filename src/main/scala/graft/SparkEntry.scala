@@ -511,6 +511,31 @@ object SparkEntry {
       Similarity.kmeansCentroids(embeddings(s, d), k = 8, iters = 2)
         .select(col("c_id"), posexplode(col("cv")).as(Seq("dim", "val")))
         .orderBy(col("c_id"), col("dim"))),
+
+    // ===== tf-idf top-3 keywords per document ==========================
+    "q54_tfidf" -> ((s, d) =>
+      T.tfIdfTopK(documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // ===== unigram-LM quality score (CCNet perplexity-filter analog) ===
+    "q55_lm_score" -> ((s, d) =>
+      T.lmScore(documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    // ===== bounded-memory heavy hitters: MG sketch + exact recount =====
+    // capacity 2048 > the sf bigram domain, so the result is exact here
+    // (and stays exact at scale while top-5 counts clear N/capacity)
+    "q56_heavy_grams" -> ((s, d) =>
+      T.heavyGrams(documents(s, d), n = 2, k = 5, capacity = 2048)
+        .orderBy(col("source"), col("rk"))),
+
+    // ===== per-type 3-sigma outlier events (quality-monitor tier) ======
+    "q57_outliers" -> ((s, d) =>
+      A.outliers(events(s, d), "event_type", "value", z = 3.0)
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
+          col("mu"), col("sigma"))
+        .orderBy(col("event_id"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1404,5 +1429,86 @@ object SparkEntry {
         |  ELSE 0.0 END AS top_frac
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // tfidf rounded to 6 dp BEFORE the rank on both engines, ties by
+    // token — the rank itself is then deterministic cross-engine
+    "q54_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t[i] AS token, count(*) AS tf
+        |  FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN nn),
+        |rked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, token, tfidf
+        |FROM rked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // token bits quantized once to BIGINT micro-bits, per-doc average
+    // as integer floor-division — all-integer after the quantization
+    // point, bit-identical cross-engine (q51 convention)
+    "q55_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t[i] AS token, count(*) AS tf
+        |  FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        |bits AS (
+        |  SELECT token,
+        |         CAST(round(-log2(CAST(c AS DOUBLE) / total) * 1000000)
+        |              AS BIGINT) AS ub
+        |  FROM freq CROSS JOIN tot)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf.tf * bits.ub) // sum(tf.tf) AS BIGINT) AS avg_microbits
+        |FROM tf JOIN bits USING (token)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    // the oracle is the plain exact formulation; the Spark plan reaches
+    // the same rows via the MG-candidates + recount pass (exact while
+    // the k-th frequency clears N/capacity — trivially so at these sfs)
+    "q56_heavy_grams" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] AS gram
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |cnt AS (SELECT source, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        |rked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, gram) AS rk
+        |  FROM cnt)
+        |SELECT source, CAST(rk AS INT) AS rk, gram, n
+        |FROM rked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // the flag predicate compares engine-native unrounded stats on both
+    // sides; only values within float-ulp of the 3-sigma boundary could
+    // diverge (measure-zero on continuous data)
+    "q57_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, e.value,
+        |       round(s.mu, 6) AS mu, round(s.sigma, 6) AS sigma
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -186,6 +186,110 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document term frequencies: one (id, token, tf) row per distinct
+    * token per document — the shared contraction for every
+    * frequency-weighted text op (tf-idf, LM scoring). One shuffle on
+    * (id, token) with map-side partial counts; the result is at most
+    * |vocab| rows per document, far smaller than the token stream, so
+    * downstream aggregations re-shuffle the contraction, never the
+    * corpus. */
+  def termFrequencies(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k tf-idf keywords per document: tfidf = tf · ln(N/df), rounded
+    * to 6 dp before ranking (rank ties broken by token) so the score —
+    * and therefore the rank — is reproducible cross-engine. The document
+    * frequency table is vocabulary-sized and broadcast; N arrives as a
+    * 1-row broadcast cross join, not a driver-side collect. The tf
+    * contraction is localCheckpoint'd because both the df table and the
+    * scored rows read it — otherwise Spark would re-run the corpus
+    * explode+count once per consumer. */
+  def tfIdfTopK(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(df, idCol, textCol).localCheckpoint()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("rk"), col("token"), col("tfidf"))
+  }
+
+  /** CCNet-style unigram language-model quality score: per-token
+    * information content b(t) = -log2(count(t)/total) from the corpus's
+    * own unigram distribution, per-document average bits-per-token as
+    * the fluency signal (high = token mix unlike the corpus — the
+    * cheap stand-in for the KenLM perplexity filter; the wiring —
+    * corpus LM → broadcast → per-doc score — is identical with a real
+    * LM table). Token bits are quantized ONCE to BIGINT micro-bits
+    * (round(b·10⁶)) and the per-doc average is integer floor-division —
+    * all-integer arithmetic after the single quantization point, so the
+    * result is bit-identical cross-engine (the q51 integer-exact
+    * convention; a float weighted average re-rounded at 6 dp diverges
+    * on boundary values). The LM table is vocabulary-sized and
+    * broadcast; the per-doc aggregate shuffles only the tf
+    * contraction. */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol).localCheckpoint()
+    val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val tot = freq.agg(sum(col("c")).as("total"))
+    val bits = freq.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(-log2(col("c") / col("total")) * 1e6).cast("long").as("ub"))
+    tf.join(broadcast(bits), "token")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * ub) div sum(tf)").as("avg_microbits"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_microbits"))
+  }
+
+  /** Two-pass exact heavy hitters over an unbounded gram domain:
+    * pass 1 builds a capacity-bounded Misra-Gries summary per group
+    * (shuffles ≤ capacity counters per group per partition, never the
+    * gram stream), pass 2 recounts ONLY the surviving candidates
+    * exactly (broadcast semi join — the gram stream is filtered
+    * map-side and the recount shuffle carries candidate grams only)
+    * and ranks top-k. Exactness guarantee: MG retains every gram with
+    * frequency > N_group/capacity, so the result is the exact top-k
+    * whenever the k-th frequency clears that floor — the caller sizes
+    * `capacity` to the tail they care about. The naive alternative
+    * (groupBy over all grams) shuffles the entire n-gram stream of the
+    * corpus; this shuffles two bounded sets. */
+  def heavyGrams(df: DataFrame, n: Int = 2, k: Int = 5,
+                 capacity: Int = 2048,
+                 groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grams = df.select(col(groupCol).as("grp"),
+      explode(graft.functions.TextFunctions.word_grams(col(textCol), n))
+        .as("gram"))
+    val cand = grams.groupBy(col("grp"))
+      .agg(graft.functions.SketchAggregates.mg_summary(capacity)(col("gram"))
+        .as("summary"))
+      .select(col("grp"), explode(map_keys(col("summary"))).as("gram"))
+    val exact = grams
+      .join(broadcast(cand), Seq("grp", "gram"), "left_semi")
+      .groupBy(col("grp"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("gram"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("grp").as(groupCol), col("rk"), col("gram"), col("n"))
+  }
+
   /** Gopher/RefinedWeb-style repetition metrics per document: total and
     * distinct word `n`-gram counts, the count of the single most
     * frequent n-gram, and the derived duplicate-n-gram fraction

@@ -98,6 +98,70 @@ object WordShingles {
   }
 }
 
+/** Codegen'd word n-gram enumeration WITHOUT dedup: every sliding
+  * n-gram of the string, in order, duplicates preserved. The counting
+  * counterpart to [[WordShingles]] (which dedups for set-semantics
+  * consumers like Jaccard/MinHash): frequency-oriented consumers —
+  * heavy-hitter sketches, n-gram language models — need the
+  * multiplicities, so dedup here would be a correctness bug, not an
+  * optimization. Same tokenizer, same codegen discipline. */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "gram width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_grams expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  /** One-pass kernel: tokenize, emit every sliding n-gram. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && WordShingles.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !WordShingles.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Codegen'd repetition statistics: total, distinct, and max-frequency
   * counts of the word n-grams of a string, in one pass. The pure-SQL
   * alternative (sort the gram array per row, fold with `aggregate` to
@@ -181,6 +245,11 @@ object TextFunctions {
     * string column, first-occurrence order. */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Column API for the codegen'd non-dedup gram enumerator: every
+    * sliding word n-gram of a string column, multiplicities kept. */
+  def word_grams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n))
 
   /** Column API for the codegen'd repetition counter:
     * struct(n_grams, n_distinct, top_count) of the word n-grams. */

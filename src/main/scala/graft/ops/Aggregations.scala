@@ -53,4 +53,28 @@ object Aggregations {
   /** Revenue expression used across the TPC-H-shaped queries. */
   def revenue(price: Column, discount: Column): Column =
     price * (lit(1) - discount)
+
+  /** Per-group z-score outlier detection: rows whose value lies more
+    * than `z` sample standard deviations from their group's mean. The
+    * group statistics are ONE hash aggregate (group count is bounded by
+    * the key domain, not the data) broadcast back onto the stream — the
+    * row side is never shuffled, so the op stays map-side per input
+    * partition at any scale. The window-function formulation
+    * (avg/stddev OVER (PARTITION BY grp)) computes the same thing but
+    * shuffles every row by group key and stalls on skewed groups —
+    * wrong shape for a 100 TB event stream. Emitted mu/sigma are
+    * 6-dp-rounded for cross-engine stability; the filter compares
+    * unrounded engine-native stats, deterministic except for values
+    * within float-ulp of the z·sigma boundary (measure-zero for
+    * continuous data). */
+  def outliers(df: DataFrame, groupCol: String, valueCol: String,
+               z: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("mu"),
+        stddev_samp(col(valueCol)).as("sigma"))
+    df.join(broadcast(stats), groupCol)
+      .filter(abs(col(valueCol) - col("mu")) > lit(z) * col("sigma"))
+      .withColumn("mu", round(col("mu"), 6))
+      .withColumn("sigma", round(col("sigma"), 6))
+  }
 }

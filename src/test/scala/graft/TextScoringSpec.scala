@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+import graft.functions.{MisraGries, SketchAggregates}
+import graft.ops.Aggregations
+
+/** tf-idf / LM scoring / Misra-Gries heavy hitters / outlier detection. */
+class TextScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Misra-Gries aggregator ---------------------------------------------
+
+  test("MG summary is exact when capacity covers the key domain") {
+    val mg = new MisraGries(8)
+    val m = "a a b a c b a".split(" ").foldLeft(mg.zero)(mg.reduce)
+    assert(m === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("MG retains heavy keys past eviction and undercounts by <= N/capacity") {
+    val mg = new MisraGries(3)
+    // 30 x "hot" interleaved with 20 distinct one-off keys: N=50, cap=3
+    val stream = (0 until 20).flatMap(i => Seq("hot", s"cold$i")) ++
+      Seq.fill(10)("hot")
+    val m = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(m.contains("hot"), "frequency 30 > N/cap must survive")
+    assert(m("hot") <= 30 && m("hot") >= 30 - 50 / 3)
+  }
+
+  test("MG merge keeps pointwise sums under capacity, caps above it") {
+    val mg = new MisraGries(2)
+    val merged = mg.merge(Map("a" -> 10L, "b" -> 3L), Map("a" -> 5L, "c" -> 4L))
+    // sums: a=15 b=3 c=4; cut = 3rd largest (3) subtracted, zeros dropped
+    assert(merged === Map("a" -> 12L, "c" -> 1L))
+    assert(mg.merge(Map("a" -> 1L), Map("b" -> 1L)) ===
+      Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("mg_summary udaf over a partitioned stream matches exact counts") {
+    val words = Seq.fill(40)("x") ++ (0 until 10).map(i => s"w$i")
+    val df = words.toDF("w").repartition(4)
+    val summary = df.agg(SketchAggregates.mg_summary(64)(col("w")))
+      .as[Map[String, Long]].head()
+    assert(summary("x") === 40L)
+    assert(summary.size === 11)
+  }
+
+  // --- heavyGrams two-pass exact top-k ------------------------------------
+
+  test("heavyGrams matches the exact relational top-k on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.heavyGrams(docs, n = 2, k = 3, capacity = 2048)
+      .orderBy(col("source"), col("rk"))
+    // exact reference: full groupBy over all bigrams
+    val grams = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.word_grams(col("text"), 2))
+        .as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("gram"))
+    val want = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("gram"), col("n"))
+      .orderBy(col("source"), col("rk"))
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
+  // --- tf-idf --------------------------------------------------------------
+
+  test("tfIdfTopK ranks the distinctive token first") {
+    val docs = Seq(
+      (1L, "shared shared rare"),
+      (2L, "shared shared shared"),
+      (3L, "shared other other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, k = 2)
+      .orderBy(col("doc_id"), col("rk"))
+      .collect()
+    // "rare" appears in 1/3 docs -> idf ln(3); "shared" in 3/3 -> idf 0
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.head.getString(2) === "rare")
+    assert(doc1.head.getDouble(3) === math.round(math.log(3.0) * 1e6) / 1e6)
+    // every tfidf for "shared" is exactly 0
+    assert(out.filter(_.getString(2) == "shared").forall(_.getDouble(3) == 0.0))
+    // k bound respected, ranks contiguous from 1
+    assert(out.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)
+    })
+  }
+
+  // --- unigram LM scoring ---------------------------------------------------
+
+  test("lmScore: rare-token documents carry more bits per token") {
+    val docs = Seq(
+      (1L, "common common common common common common common rare"),
+      (2L, "common common common common common common common common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).orderBy(col("doc_id")).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(8L, 8L))
+    val Seq(withRare, allCommon) = out.map(_.getLong(2)).toSeq
+    assert(withRare > allCommon)
+    // all-common doc: -log2(15/16) per token
+    val expect = (math.round(-math.log(15.0 / 16.0) / math.log(2.0) * 1e6))
+    assert(allCommon === expect)
+  }
+
+  // --- outliers -------------------------------------------------------------
+
+  test("outliers flags far points per group and skips constant groups") {
+    val rows = (1 to 20).map(i => ("a", i.toDouble % 2 + 10.0)) :+
+      (("a", 1000.0)) :++ (1 to 10).map(_ => ("c", 5.0))
+    val df = rows.toDF("grp", "v")
+    val out = Aggregations.outliers(df, "grp", "v", z = 3.0).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("v") === 1000.0)
+    // constant group: sigma = 0, |v - mu| = 0, never flagged
+    assert(!out.exists(_.getAs[String]("grp") == "c"))
+  }
+}
