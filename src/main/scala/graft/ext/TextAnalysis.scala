@@ -34,8 +34,18 @@ object TextAnalysis {
   val StopFr = Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "pas", "vous")
   val StopEs = Seq("el", "los", "y", "en", "un", "es", "por", "con", "para", "como")
 
-  private def hits(toks: Column, stops: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedLit(stops), t)))
+  /** Stopword hits via the codegen `token_set_hits` kernel: one JIT
+    * pass + O(1) hash probe per token, vs the interpreted
+    * `size(filter(toks, array_contains(...)))` HOF chain this replaced
+    * (boxed lambda per token × linear list scan — the text tier's
+    * hottest scalar loop, q23/q24's dominant cost at sf0.1). */
+  private def hits(t: Column, stops: Seq[String]): Column =
+    graft.functions.TextFunctions.token_set_hits(t, stops)
+
+  /** Codegen'd token count (word 1-grams, multiplicity kept): same
+    * result as `size(tokens(c))` without the interpreted filter HOF. */
+  def tokenCount(c: Column): Column =
+    size(graft.functions.TextFunctions.word_grams(c, 1))
 
   /** 60-bit integer hash from the md5 hex prefix. Used where a
     * cross-engine oracle must replicate the hash exactly: every engine
@@ -56,21 +66,19 @@ object TextAnalysis {
     * stopword ratio, and a composite [0,1] quality score. */
   def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("toks", tokens(lower(t)))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    df.withColumn("n_tokens", tokenCount(t).cast("long"))
       .withColumn("n_chars_obs", length(t).cast("long"))
       .withColumn("punct_count",
         regexp_count(t, lit("[.,!?;:]")).cast("long"))
       .withColumn("punct_ratio",
         trunc4(col("punct_count") / greatest(col("n_chars_obs"), lit(1L))))
       .withColumn("stop_ratio",
-        trunc4(hits(col("toks"), StopEn) / greatest(col("n_tokens"), lit(1L))))
+        trunc4(hits(lower(t), StopEn) / greatest(col("n_tokens"), lit(1L))))
       .withColumn("quality",
         trunc4(
           least(col("n_tokens") / lit(100.0), lit(1.0)) *
             (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) *
             (lit(0.25) + lit(0.75) * least(col("stop_ratio") * 4, lit(1.0)))))
-      .drop("toks")
   }
 
   /** Language ID: CJK characters force `zh`; otherwise the language with
@@ -78,10 +86,10 @@ object TextAnalysis {
     * The fixed tie order is part of the contract (oracle replicates it). */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(lower(t))
+    val lt = lower(t)
     val cjk = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]"))
     val (en, de, fr, es) =
-      (hits(toks, StopEn), hits(toks, StopDe), hits(toks, StopFr), hits(toks, StopEs))
+      (hits(lt, StopEn), hits(lt, StopDe), hits(lt, StopFr), hits(lt, StopEs))
     df.withColumn("pred_lang",
       when(cjk > 0, "zh")
         .when(en >= de && en >= fr && en >= es, "en")
@@ -172,7 +180,7 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard",
         pmod(md5Hash60(col(idCol).cast("string")), lit(shards.toLong)))
-      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
       .withColumn("pack_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }

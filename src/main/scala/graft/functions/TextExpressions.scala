@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd word-shingling: distinct (first-occurrence order) word
@@ -162,6 +162,66 @@ object WordGrams {
   }
 }
 
+/** Codegen'd token-membership counter: how many whitespace tokens of
+  * the input are members of a fixed word set. Replaces the
+  * `size(filter(toks, t => array_contains(lit(words), t)))` HOF chain
+  * — which runs interpreted, boxes every token, and linear-scans the
+  * word list per token — with one JIT pass and an O(1) hash probe per
+  * token. Quality scoring and language ID call this once per stopword
+  * list per row, on every document of the corpus: it is the text
+  * tier's hottest scalar loop. The word set rides along as a codegen
+  * reference object (`ctx.addReferenceObj`), not inlined source, so
+  * arbitrarily large lexica compile to the same kernel. */
+case class TokenSetHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.nonEmpty, "word set must not be empty")
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_set_hits expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSetHits.compute(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet,
+      classOf[java.util.HashSet[String]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenSetHits.compute($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetHits =
+    copy(child = newChild)
+}
+
+object TokenSetHits {
+  /** One-pass kernel: walk tokens, O(1) set probe each. */
+  def compute(text: UTF8String, words: java.util.HashSet[String]): Int = {
+    val s = text.toString
+    var hits = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && WordShingles.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !WordShingles.isWhitespace(s.charAt(i))) i += 1
+      if (i > start && words.contains(s.substring(start, i))) hits += 1
+    }
+    hits
+  }
+}
+
 /** Codegen'd repetition statistics: total, distinct, and max-frequency
   * counts of the word n-grams of a string, in one pass. The pure-SQL
   * alternative (sort the gram array per row, fold with `aggregate` to
@@ -255,4 +315,9 @@ object TextFunctions {
     * struct(n_grams, n_distinct, top_count) of the word n-grams. */
   def gram_stats(text: Column, n: Int): Column =
     ColumnBridge.column(GramStats(ColumnBridge.expression(text), n))
+
+  /** Column API for the codegen'd token-membership counter: number of
+    * whitespace tokens of `text` that are members of `words`. */
+  def token_set_hits(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetHits(ColumnBridge.expression(text), words))
 }

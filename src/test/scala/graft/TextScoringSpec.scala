@@ -47,6 +47,27 @@ class TextScoringSpec extends SparkSpec {
     assert(summary.size === 11)
   }
 
+  // --- token_set_hits kernel ----------------------------------------------
+
+  test("token_set_hits matches the interpreted HOF formulation on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val stops = TextAnalysis.StopEn
+    val diff = docs.select(
+        graft.functions.TextFunctions
+          .token_set_hits(lower(col("text")), stops).as("kernel"),
+        size(filter(TextAnalysis.tokens(lower(col("text"))),
+          t => array_contains(typedLit(stops), t))).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.isEmpty)
+    // edges: empty string, whitespace runs, no hits, repeated hits
+    val rows = Seq("", "   ", "zzz yyy", "the the THE the", "\tthe\nof ")
+      .toDF("t")
+      .select(graft.functions.TextFunctions
+        .token_set_hits(col("t"), stops).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows === Seq(0, 0, 0, 3, 2))
+  }
+
   // --- heavyGrams two-pass exact top-k ------------------------------------
 
   test("heavyGrams matches the exact relational top-k on real docs") {
