@@ -536,6 +536,23 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_epoch"), col("value"),
           col("mu"), col("sigma"))
         .orderBy(col("event_id"))),
+
+    // ===== product quantization codes (IVF-PQ index tier) ==============
+    "q58_pq" -> ((s, d) =>
+      Similarity.pqEncode(embeddings(s, d), m = 8, dsub = 8, k = 8,
+          iters = 1)
+        .orderBy(col("vec_id"), col("sub"))),
+
+    // ===== per-label embedding centroids (VectorMean aggregator) =======
+    "q59_label_centroids" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
+        .select(col("label"),
+          posexplode(transform(col("mv"), x => round(x, 6)))
+            .as(Seq("dim", "val")))
+        .orderBy(col("label"), col("dim"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1496,6 +1513,65 @@ object SparkEntry {
         |  FROM cnt)
         |SELECT source, CAST(rk AS INT) AS rk, gram, n
         |FROM rked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // one unrolled PQ Lloyd iteration per subspace, all subspaces in
+    // one SQL (sub is a data dimension); L2 via dot products, 6-dp
+    // round before the argmin, ties to smallest code — the q53
+    // trajectory conventions
+    "q58_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*8+1):(s*8+8)] AS sv
+        |  FROM e, UNNEST(range(0, 8)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 8),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 9)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub))
+        |SELECT id AS vec_id, CAST(sub AS INT) AS sub, c_id AS code FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // element-wise mean per dimension, 6-dp round — the relational
+    // UNNEST formulation of the VectorMean partial-buffer aggregate
+    "q59_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |       round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS val
+        |FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     // the flag predicate compares engine-native unrounded stats on both
     // sides; only values within float-ulp of the 3-sigma boundary could

@@ -382,4 +382,67 @@ object Similarity {
     }
     cents
   }
+
+  /** Product quantization (IVF-PQ codebook tier): split each vector into
+    * `m` contiguous `dsub`-dim subvectors, train an independent L2
+    * k-means codebook of `k` codes per subspace, and emit each vector's
+    * code per subspace — the standard 64-dim-float → m-byte compression
+    * behind billion-scale ANN indexes (Jégou et al., TPAMI 2011).
+    *
+    * Determinism mirrors `kmeansCentroids`: seeds are the subvectors of
+    * the `k` smallest-id vectors (codes ARE those seed ids), L2
+    * distances expand to dot products (codegen `DotProduct`, no
+    * interpreted zip) and round at 6 dp before the argmin (ties to the
+    * smallest code), means round at 6 dp per dimension, emptied codes
+    * keep their previous centroid — so an oracle replays the exact
+    * trajectory.
+    *
+    * Scale: codebooks are m·k rows broadcast everywhere; the corpus
+    * never shuffles for assignment — the only exchanges are the
+    * VectorMean partial buffers (m·k per partition) during training.
+    * The subvector frame is localCheckpoint'd once: training and the
+    * final encode rescan it, not the source column. The argmin
+    * collapses map-side via min_by, so no n·m·k row window shuffle. */
+  def pqEncode(emb: DataFrame, m: Int = 8, dsub: Int = 8, k: Int = 8,
+               iters: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
+      "m, dsub, k must be positive and iters non-negative")
+    val subs = emb
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val seeds = emb.select(col(idCol).as("id"))
+      .orderBy(col("id")).limit(k)
+    var cents = subs.join(broadcast(seeds), "id")
+      .select(col("sub"), col("id").as("c_id"), col("sv").as("cv"))
+    def dist2 = round(
+      dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+        dot(col("cv"), col("cv")), 6)
+    def assign(cb: DataFrame) =
+      subs.join(broadcast(cb), "sub")
+        .withColumn("_d", dist2)
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("c_id"), col("sv")),
+          struct(col("_d"), col("c_id"))).as("best"))
+    (0 until iters).foreach { _ =>
+      val means = assign(cents)
+        .select(col("sub"), col("best.c_id").as("c_id"),
+          col("best.sv").as("sv"))
+        .groupBy(col("sub"), col("c_id"))
+        .agg(graft.functions.VectorAggregates.vector_mean(col("sv")).as("mv"))
+        .select(col("sub"), col("c_id"),
+          transform(col("mv"), x => round(x, 6)).as("mv"))
+      cents = cents.join(means, Seq("sub", "c_id"), "left")
+        .select(col("sub"), col("c_id"),
+          coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    assign(cents)
+      .select(col("id").as(idCol), col("sub"), col("best.c_id").as("code"))
+  }
 }

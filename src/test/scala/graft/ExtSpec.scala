@@ -335,6 +335,34 @@ class ExtSpec extends SparkSpec {
     assert(close(cents(2L), Seq(0.0, 1.0)))
   }
 
+  test("pqEncode groups planted subspace clusters and is deterministic") {
+    // 4-dim vectors, m=2 subspaces of 2 dims; in subspace 0 ids {1,2,10}
+    // share a pattern vs {11}; in subspace 1 the split flips — codes
+    // must disagree across subspaces, proving independent codebooks
+    val vecs = Seq(
+      (1L,  Array(1.0f, 0.0f, 5.0f, 5.0f)),
+      (2L,  Array(0.9f, 0.1f, 5.1f, 4.9f)),
+      (10L, Array(1.1f, 0.0f, 0.0f, 9.0f)),
+      (11L, Array(9.0f, 9.0f, 0.1f, 9.1f)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vecs, m = 2, dsub = 2, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size === 8)
+    // seeds are ids 1 and 2 -> codes come from {1, 2}
+    assert(codes.values.toSet.subsetOf(Set(1L, 2L)))
+    // subspace 0: 1, 2, 10 cluster together, 11 is far away
+    assert(codes((1L, 0)) === codes((2L, 0)))
+    assert(codes((10L, 0)) === codes((1L, 0)))
+    assert(codes((11L, 0)) !== codes((1L, 0)))
+    // subspace 1: 1, 2 together; 10, 11 together on the other code
+    assert(codes((1L, 1)) === codes((2L, 1)))
+    assert(codes((10L, 1)) === codes((11L, 1)))
+    assert(codes((10L, 1)) !== codes((1L, 1)))
+    val again = Similarity.pqEncode(vecs, m = 2, dsub = 2, k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again === codes)
+  }
+
   test("kmeans keeps the previous centroid for emptied clusters") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
