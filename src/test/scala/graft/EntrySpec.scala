@@ -23,20 +23,46 @@ class EntrySpec extends SparkSpec {
 
   // q21 broadcasts the tiny query set against the corpus (the exact
   // brute-force baseline is a nested loop by definition) and q34
-  // broadcasts its 16-row centroid set — every other plan must be free
-  // of nested-loop joins, and nothing may plan a cartesian product
+  // broadcasts its 16-row centroid set — every other plan may contain
+  // a non-equi/condition-less join ONLY when one side is provably a
+  // single row (a global aggregate: maxRows == 1), i.e. the idiomatic
+  // crossJoin(broadcast(scalar)) used to attach corpus-level constants
+  // (q54's N, q55's token total). Anything else — a cartesian product
+  // or a nested loop over two unbounded sides — is a scale-killer.
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+
+    // EqualNullSafe too: Catalyst rewrites EXCEPT/INTERSECT to joins on <=>
+    def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
+      c.collect {
+        case e: EqualTo => e: BinaryComparison
+        case e: EqualNullSafe => e: BinaryComparison
+      }.exists { e =>
+        val (lr, rr) = (e.left.references, e.right.references)
+        (lr.subsetOf(j.left.outputSet) && rr.subsetOf(j.right.outputSet)) ||
+          (lr.subsetOf(j.right.outputSet) && rr.subsetOf(j.left.outputSet))
+      }
+    }
+
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val cartesian = plan.contains("CartesianProduct")
-      val nlj = plan.contains("BroadcastNestedLoopJoin") &&
-        !allowedNestedLoop(name)
-      if (cartesian || nlj)
-        Some(s"$name${if (cartesian) " [cartesian]" else ""}" +
-          s"${if (nlj) " [nested-loop]" else ""}")
-      else None
+      if (allowedNestedLoop(name)) None
+      else {
+        val qe = fn(spark, dir).queryExecution
+        val unboundedNonEqui = qe.optimizedPlan.collect {
+          case j: Join if !hasEquiKey(j) &&
+            !j.left.maxRows.exists(_ <= 1) &&
+            !j.right.maxRows.exists(_ <= 1) => j
+        }
+        val cartesian =
+          qe.executedPlan.toString.contains("CartesianProduct")
+        if (cartesian || unboundedNonEqui.nonEmpty)
+          Some(s"$name${if (cartesian) " [cartesian]" else ""}" +
+            s"${if (unboundedNonEqui.nonEmpty) " [unbounded-nested-loop]" else ""}")
+        else None
+      }
     }
     assert(offenders.isEmpty, s"plan-quality offenders: $offenders")
   }
