@@ -553,6 +553,27 @@ object SparkEntry {
           posexplode(transform(col("mv"), x => round(x, 6)))
             .as(Seq("dim", "val")))
         .orderBy(col("label"), col("dim"))),
+
+    // ===== corpus-level first-occurrence line dedup (C4 tier) ==========
+    // FastHash: the segment hash is election transport only — the
+    // oracle elects on raw chunk strings (same identity convention as
+    // q50's hot-chunk set)
+    "q60_line_dedup" -> ((s, d) =>
+      Curation.dedupLines(documents(s, d), width = 8)
+        .orderBy(col("doc_id"))),
+
+    // ===== bloom-filter decontamination (fixed-size benchmark set) =====
+    // OracleHash end-to-end: the filter BITS must agree across engines,
+    // so both the element hash and the k seeded positions replicate in
+    // DuckDB — false positives and all. Same benchmark split as q49.
+    "q61_bloom_decontam" -> ((s, d) => {
+      val all = documents(s, d)
+      Curation.bloomContamination(
+          all.filter(col("doc_id") % 31 =!= 0),
+          all.filter(col("doc_id") % 31 === 0),
+          n = 5, mBits = 1 << 16, k = 4, hash = Dedup.OracleHash)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1586,5 +1607,78 @@ object SparkEntry {
         |FROM events e JOIN stats s USING (event_type)
         |WHERE abs(e.value - s.mu) > 3.0 * s.sigma
         |ORDER BY event_id""".stripMargin,
+
+    // first-occurrence election replicated as a row_number window over
+    // raw chunk strings ordered by (doc_id, cidx) — rn = 1 iff the
+    // Spark side's min-struct winner; chunk arithmetic copied from q50
+    "q60_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS cidx,
+        |         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |marked AS (
+        |  SELECT doc_id, cidx, chunk,
+        |         row_number() OVER (
+        |           PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+        |                      ' ' ORDER BY cidx), '') AS clean_text,
+        |  count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // full bloom replica: the 2¹⁶-bit filter is built from the same
+    // md5-prefix element hashes and Carter-Wegman positions (constants
+    // generated from the shared Dedup.cwConsts), packed 64 bits per
+    // word with bit_or — so membership, INCLUDING any false positives,
+    // matches the Spark filter bit-for-bit
+    "q61_bloom_decontam" -> {
+      val P = Dedup.MersenneP
+      def positions(h: String) = (0 until 4).map { i =>
+        val (a, b) = Dedup.cwConsts(i)
+        s"((($h % $P) * $a + $b) % $P) % 65536"
+      }.mkString("[", ", ", "]")
+      val hOfS = "CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)"
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+         |bt AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |bk AS (SELECT DISTINCT $hOfS AS h FROM bsh),
+         |bpos AS (SELECT unnest(${positions("h")}) AS pos FROM bk),
+         |bloom AS (
+         |  SELECT pos // 63 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |ct AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM corpus),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |probe AS (
+         |  SELECT doc_id, $hOfS AS h,
+         |         unnest(${positions(hOfS)}) AS pos
+         |  FROM csh),
+         |hits AS (
+         |  SELECT p.doc_id, p.h
+         |  FROM probe p JOIN bloom b ON b.word = p.pos // 63
+         |  WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)))
+         |        = (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))
+         |  GROUP BY p.doc_id, p.h HAVING count(*) = 4)
+         |SELECT doc_id, count(*) AS n_flagged
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }

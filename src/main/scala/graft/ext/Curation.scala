@@ -68,6 +68,84 @@ object Curation {
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter words for the benchmark's distinct shingle-hash set:
+    * (word, bits) rows packing an `mBits`-bit filter 63 bits per row,
+    * with `k` positions per element drawn from the seeded hash family
+    * `(hash.seeded(h, i) mod mBits)`. The whole filter is mBits/8 bytes
+    * (8 KiB at the 2¹⁶ default) regardless of benchmark size — the
+    * representation to reach for when the eval suite's raw shingle set
+    * outgrows what `contamination` can broadcast as strings: bits
+    * broadcast at a fixed size where strings grow with the suite. */
+  def bloomFilterWords(benchmark: DataFrame, n: Int = 5,
+                       mBits: Int = 1 << 16, k: Int = 4,
+                       hash: Dedup.HashScheme = Dedup.FastHash,
+                       textCol: String = "text"): DataFrame = {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      "mBits must be a power of two >= 64")
+    require(k >= 1, "k must be positive")
+    val keys = benchmark
+      .select(explode(graft.functions.TextFunctions.word_shingles(
+        col(textCol), n)).as("sh"))
+      .select(hash.one(col("sh")).as("h")).distinct()
+    val positions = keys.select(
+      explode(array((0 until k).map(i =>
+        pmod(hash.seeded(col("h"), i), lit(mBits.toLong))): _*)).as("pos"))
+    // 63 bits per word, not 64: DuckDB's << is overflow-checked, so a
+    // mask in the sign bit would make the oracle replica unexpressible
+    positions
+      .select(expr("pos div 63").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 63) as int))")
+          .as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Bloom-probed contamination: like `contamination`, but the corpus
+    * probes the fixed-size bloom filter of the benchmark shingle set
+    * instead of joining its raw hashes — (idCol, n_flagged) for
+    * documents with at least one maybe-contaminated shingle. One-sided
+    * error: never misses a truly shared shingle (no false negatives), may
+    * flag extras at the filter's false-positive rate (~(fill)^k) — the
+    * cheap first pass whose survivors a second exact pass (or human)
+    * confirms.
+    *
+    * Scale: the probe is `k` broadcast hash joins against the tiny
+    * (word, bits) frame plus a map-side all-bits-set conjunction, so
+    * non-matching corpus rows die before any exchange; the only corpus
+    * shuffle is the per-doc count over the (rare) flagged shingles.
+    * The filter build costs one aggregate over the (small) benchmark —
+    * localCheckpoint'd so the k probe joins reuse one execution. */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 5, mBits: Int = 1 << 16, k: Int = 4,
+                         hash: Dedup.HashScheme = Dedup.FastHash,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val words = bloomFilterWords(benchmark, n, mBits, k, hash, textCol)
+      .localCheckpoint()
+    val probes = corpus
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.word_shingles(
+          col(textCol), n)).as("sh"))
+      .select(col("id"), hash.one(col("sh")).as("h"))
+    val joined = (0 until k).foldLeft(probes) { (df, i) =>
+      df.withColumn(s"pos_$i",
+          pmod(hash.seeded(col("h"), i), lit(mBits.toLong)))
+        .withColumn(s"word_$i", expr(s"pos_$i div 63"))
+        .withColumn(s"mask_$i",
+          expr(s"shiftleft(cast(1 as bigint), cast(pmod(pos_$i, 63) as int))"))
+        .join(broadcast(words
+          .withColumnRenamed("word", s"word_$i")
+          .withColumnRenamed("bits", s"bits_$i")), Seq(s"word_$i"), "left")
+    }
+    val allSet = (0 until k)
+      .map(i => col(s"bits_$i").isNotNull &&
+        col(s"bits_$i").bitwiseAND(col(s"mask_$i")) === col(s"mask_$i"))
+      .reduce(_ && _)
+    joined.filter(allSet)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   // ===== corpus-frequency boilerplate removal ==============================
 
   /** Ordered non-overlapping `width`-token chunks of each document:
@@ -126,6 +204,51 @@ object Curation {
             e => e.getField("chunk")),
           " ").as("clean_text"),
         count(when(col("_hot").isNotNull, lit(1))).as("n_dropped"))
+  }
+
+  /** Corpus-level line dedup (C4/RefinedWeb-style): every repeated text
+    * segment keeps exactly its FIRST occurrence — ordered by (doc id,
+    * position) — and is stripped everywhere else, then documents are
+    * rebuilt in segment order. Returns (idCol, clean_text, n_dropped);
+    * a document whose every segment occurred earlier elsewhere survives
+    * with empty text, zero-token documents are omitted. Segments are
+    * `chunkRows` fixed-width token windows (see there: a real web
+    * corpus splits on newlines; the fixture has none, and the dedup
+    * machinery is identical either way).
+    *
+    * Unlike document-level `Dedup.exactDups` this fires on PARTIAL
+    * overlap — two documents sharing one boilerplate paragraph keep one
+    * copy between them — which is why C4 runs it in addition to
+    * document dedup.
+    *
+    * Scale: two shuffles, both on bounded keys — first-occurrence
+    * election partitions by the 8-byte segment hash (the window state
+    * per key is one min; hot segments skew a key but carry only their
+    * own occurrences), reassembly partitions by doc id with order
+    * restored from `cidx` inside the aggregated structs, never assumed
+    * from row order. */
+  def dedupLines(docs: DataFrame, width: Int = 8,
+                 hash: Dedup.HashScheme = Dedup.FastHash,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkRows(docs, width, idCol, textCol)
+      .withColumn("hch", hash.one(col("chunk")))
+    val first = min(struct(col("id"), col("cidx")))
+      .over(Window.partitionBy(col("hch")))
+    chunks
+      .withColumn("is_first",
+        col("id") === first.getField("id") &&
+          col("cidx") === first.getField("cidx"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_first"), struct(col("cidx"), col("chunk"))))),
+            e => e.getField("chunk")),
+          " ").as("clean_text"),
+        count(when(!col("is_first"), lit(1))).as("n_dropped"))
   }
 
   // ===== deterministic domain-mixture sampling =============================

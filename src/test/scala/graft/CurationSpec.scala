@@ -125,4 +125,66 @@ class CurationSpec extends SparkSpec {
       .select("source").as[String].collect().toSet
     assert(!got.contains("drop"))
   }
+
+  // ===== line dedup =========================================================
+
+  test("dedupLines keeps only the first occurrence of a repeated segment") {
+    // width-2 segments: "cookie banner" recurs in docs 1-3, and doc 3
+    // additionally repeats doc 1's "alpha beta" tail
+    val docs = Seq(
+      (1L, "cookie banner alpha beta"),
+      (2L, "cookie banner gamma delta"),
+      (3L, "cookie banner alpha beta"),   // fully seen before
+      (4L, "fresh words only here"))
+      .toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs, width = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, "cookie banner alpha beta", 0L), // first occurrence of both
+      (2L, "gamma delta", 1L),
+      (3L, "", 2L),                         // survives, empty
+      (4L, "fresh words only here", 0L)))
+  }
+
+  test("dedupLines differs from document dedup: partial overlap fires") {
+    val docs = Seq(
+      (1L, "shared header unique one"),
+      (2L, "shared header unique two"))
+      .toDF("doc_id", "text")
+    // exact doc dedup keeps both (texts differ) — line dedup strips
+    // the shared header from the second
+    assert(Dedup.exactDups(docs).filter(col("n_copies") > 1).count() === 0)
+    val got = Curation.dedupLines(docs, width = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "shared header unique one")
+    assert(got(2L) === "unique two")
+  }
+
+  // ===== bloom decontamination ==============================================
+
+  test("bloom filter words pack k positions per distinct benchmark shingle") {
+    val words = Curation.bloomFilterWords(bench, n = 5, mBits = 1 << 10, k = 3)
+      .collect()
+    // bench has 2 distinct 5-grams -> at most 6 set bits across words
+    val setBits = words.map(r => java.lang.Long.bitCount(r.getLong(1))).sum
+    assert(setBits >= 3 && setBits <= 6)
+    assert(words.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1 << 10) / 64))
+  }
+
+  test("bloomContamination has no false negatives vs exact contamination") {
+    val exact = Curation.contamination(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Curation.bloomContamination(corpus, bench, n = 5,
+        mBits = 1 << 16, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exactly-contaminated doc is flagged with at least as many hits
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n,
+        s"doc $id: exact=$n bloom=${bloom.get(id)}")
+    }
+    // at this fill rate (~10 set bits / 2^16) false positives are
+    // essentially impossible: the clean doc must stay clean
+    assert(!bloom.contains(2L))
+  }
 }
