@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming sessionization with `flatMapGroupsWithState`: the
   * custom-state counterpart of the batch gap-sessionizer (SparkEntry
@@ -89,6 +90,56 @@ object Sessionize {
               Session(uid, s.start, s.end, s.n, s.total))
           }
       }
+  }
+
+  /** The same gap-sessionizer on Spark 4's `transformWithState` API —
+    * the successor to `flatMapGroupsWithState` for arbitrary streaming
+    * state: typed named state handles (`ValueState`/`ListState`/
+    * `MapState`) instead of one opaque blob, per-state TTL, timers
+    * decoupled from data arrival, and schema-evolvable state. The
+    * session fold itself is the shared `fold` — only the state plumbing
+    * differs.
+    *
+    * Runtime requirement: transformWithState runs ONLY on the RocksDB
+    * state store (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the provider any
+    * large-state production deployment should already be on, since it
+    * spills state off-heap instead of holding it in executor memory. */
+  final class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val evs = rows.map(e => (e.ts.toInstant.getEpochSecond, e.value)).toSeq
+      val prev = if (session.exists()) Some(session.get()) else None
+      val (closed, open) = fold(evs, prev, gapSeconds)
+      open match {
+        case Some(s) => session.update(s)
+        case None    => session.clear()
+      }
+      closed.iterator.map(s => Session(uid, s.start, s.end, s.n, s.total))
+    }
+  }
+
+  /** Streaming sessionization via `transformWithState` — same input and
+    * output contract as `sessions`. */
+  def sessionsTws(events: DataFrame, gapSeconds: Long = 1800): Dataset[Session] = {
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[Session]
+    implicit val kEnc = Encoders.scalaLong
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming exact dedup bounded by watermark: drops events whose key

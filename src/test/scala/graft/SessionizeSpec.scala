@@ -39,6 +39,42 @@ class SessionizeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 3.0)))
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState semantics") {
+    // transformWithState runs only on the RocksDB state store
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      val df = input.toDF().toDF("user_id", "ts", "value")
+      val name = s"sessions_tws_${System.nanoTime()}"
+      val q = Sessionize.sessionsTws(df, gapSeconds = 1800)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        def ts(s: String) = java.sql.Timestamp.valueOf(s)
+        input.addData(Seq(
+          (1L, ts("2025-01-01 10:00:00"), 1.0),
+          (1L, ts("2025-01-01 10:10:00"), 2.0),
+          (2L, ts("2025-01-01 10:00:00"), 7.0)))
+        q.processAllAvailable()
+        // the big gap closes user 1's session; user 2 stays open
+        input.addData(Seq((1L, ts("2025-01-01 14:00:00"), 5.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(name)
+        .select("user_id", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, 2L, 3.0)))
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes re-sent events in-stream") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val df = input.toDF().toDF("event_id", "ts", "value")
