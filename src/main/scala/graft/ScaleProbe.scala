@@ -101,6 +101,19 @@ object ScaleProbe {
     timed(s"curation_repetition x$docReps") {
       TextAnalysis.repetitionStats(docs).count()
     }
+    // line dedup at adversarial density: every chunk recurs ~docReps
+    // times, so nearly the whole corpus is stripped — worst case for
+    // the first-occurrence election window on the chunk hash
+    timed(s"curation_line_dedup x$docReps") {
+      Curation.dedupLines(docs, width = 8).count()
+    }
+    // bloom probe at saturation: the replicated benchmark split still
+    // builds a fixed 2^16-bit filter; probes are k broadcast joins
+    timed(s"curation_bloom x$docReps") {
+      Curation.bloomContamination(
+        docs.filter(col("doc_id") % 9973 =!= 0),
+        docs.filter(col("doc_id") % 9973 === 0)).count()
+    }
     timed(s"sliding_revenue x$eventReps") {
       Aggregations.slidingRevenue(events.select(
         col("ts").as("order_ts"), col("event_type").as("product"),

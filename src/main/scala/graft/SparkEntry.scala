@@ -574,6 +574,23 @@ object SparkEntry {
           n = 5, mBits = 1 << 16, k = 4, hash = Dedup.OracleHash)
         .orderBy(col("doc_id"))
     }),
+
+    // ===== VARIANT semi-structured path (Spark 4) ======================
+    // parse_json once into the binary VARIANT encoding, then typed
+    // variant_get extractions — the scale path when several fields are
+    // read per document: one parse instead of one string re-parse per
+    // get_json_object (q33 is the single-field string-path counterpart)
+    "q62_variant_json" -> ((s, d) =>
+      events(s, d)
+        .select(parse_json(col("props")).as("v"), col("value"))
+        .select(
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+          max(length(col("k_str"))).as("max_len"))
+        .orderBy(col("k"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1170,6 +1187,14 @@ object SparkEntry {
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the VARIANT representation is engine-internal; its observable
+    // typed extractions are plain JSON reads to the oracle
+    "q62_variant_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n, round(sum(value), 2) AS total,
+        | max(length(json_extract_string(props, '$.k'))) AS max_len
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q37_asof_join" ->
