@@ -591,6 +591,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
           max(length(col("k_str"))).as("max_len"))
         .orderBy(col("k"))),
+
+    // ===== embedding-space label outliers (mislabel/noise triage) ======
+    "q63_embed_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(embeddings(s, d), k = 5)
+        .orderBy(col("label"), col("rk"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1188,6 +1193,31 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // centroid rounded 6-dp per dim BEFORE similarity, sims rounded
+    // 6-dp BEFORE the rank (q53's determinism conventions); dot/norm
+    // fold left-to-right on double lists on both engines
+    "q63_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  FROM e, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+        |c AS (SELECT label, list(mval ORDER BY dim) AS cv FROM m GROUP BY label),
+        |s AS (
+        |  SELECT e.id, e.label,
+        |    round(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+        |                    * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM e JOIN c USING (label))
+        |SELECT label, rk, id AS vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY label ORDER BY sim, id) AS rk FROM s)
+        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
 
     // the VARIANT representation is engine-internal; its observable
     // typed extractions are plain JSON reads to the oracle

@@ -445,4 +445,38 @@ object Similarity {
     assign(cents)
       .select(col("id").as(idCol), col("sub"), col("best.c_id").as("code"))
   }
+
+  /** Per-label embedding outliers: the `k` vectors per label FURTHEST
+    * (lowest cosine) from their own label's centroid — the
+    * embedding-space quality filter of a labeled training set (CLIP-
+    * score-style filtering, mislabel triage): vectors atypical of their
+    * class are review/drop candidates.
+    *
+    * Determinism: the centroid is 6-dp-rounded per dimension before
+    * any similarity (the k-means trajectory convention), similarities
+    * 6-dp-rounded before ranking, ties by id.
+    *
+    * Scale: one hash aggregate builds the label-count centroid table
+    * (partial sum-vector buffers are all that shuffles), broadcast
+    * back; per-vector similarity is one map-side codegen dot product;
+    * the ranking window shuffles (label, id, sim) rows only — column
+    * pruning drops the vectors before the exchange. */
+  def centroidOutliers(emb: DataFrame, k: Int = 5,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(labelCol).as("label"), col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val cents = e.groupBy(col("label"))
+      .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
+      .select(col("label"), transform(col("mv"), x => round(x, 6)).as("cv"))
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("id"),
+        round(cosine(col("v"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("label")).orderBy(col("sim"), col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("id").as(idCol), col("sim"))
+  }
 }

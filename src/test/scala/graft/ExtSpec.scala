@@ -386,4 +386,22 @@ class ExtSpec extends SparkSpec {
     assert(got(1) === Seq(2.0, 3.0))
     assert(got(2) === Seq(5.0, 6.0))
   }
+
+  test("centroidOutliers ranks the atypical vector first in its label") {
+    // label 0 clusters along x with one y-axis outlier; label 1 has no
+    // outlier — its furthest member is just the least-typical cluster
+    // point, ranked deterministically
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.0f, 0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 0), // the mislabeled point
+      (5L, Array(0.0f, 2.0f), 1),
+      (6L, Array(0.1f, 1.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb, k = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(0) === 4L)
+    assert(Set(5L, 6L).contains(got(1)))
+  }
 }
