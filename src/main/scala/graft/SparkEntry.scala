@@ -596,6 +596,27 @@ object SparkEntry {
     "q63_embed_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(embeddings(s, d), k = 5)
         .orderBy(col("label"), col("rk"))),
+
+    // ===== the full curation recipe as ONE declarative plan ============
+    // quality ∧ lang filter → exact dedup → benchmark decontamination →
+    // deterministic domain mix: each stage is the already-verified
+    // operator, composed — Catalyst fuses the whole chain (the filters
+    // and scoring stay in one codegen stage over one corpus scan; the
+    // only shuffles are the dedup window and the per-source counts)
+    "q64_curation_pipeline" -> ((s, d) => {
+      val all = documents(s, d)
+      val corpus = all.filter(col("doc_id") % 31 =!= 0)
+      val bench = all.filter(col("doc_id") % 31 === 0)
+      val scored = T.withLangId(T.withQuality(corpus))
+        .filter(col("n_tokens") >= 20 &&
+          col("punct_ratio") <= 0.05 && col("pred_lang") === "en")
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val clean = Curation.decontaminate(deduped, bench, n = 5)
+      Curation.mixSample(clean, mixWeights, hash = Dedup.OracleHash)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1193,6 +1214,73 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the end-to-end pipeline oracle is the composition of the
+    // already-verified stage oracles: q31's scoring/filter/dedup CTEs
+    // (over the training split), q49's shingle anti-join, q51's
+    // integer-exact mix predicate
+    "q64_curation_pipeline" -> {
+      val values = mixWeights.toSeq.sorted
+        .map { case (src, wgt) => s"('$src',$wgt)" }.mkString(", ")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+         |toks AS (
+         |  SELECT doc_id, text, source,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t,
+         |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+         |  FROM corpus),
+         |scored AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000 AS punct_ratio,
+         |    CASE WHEN cjk > 0 THEN 'zh'
+         |         WHEN len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+         |           >= len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x)))
+         |          AND len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+         |           >= len(list_filter(t, x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x)))
+         |          AND len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+         |           >= len(list_filter(t, x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x)))
+         |         THEN 'en' ELSE 'other' END AS pred_lang
+         |  FROM toks),
+         |filtered AS (
+         |  SELECT doc_id, text, source FROM scored
+         |  WHERE n_tokens >= 20 AND punct_ratio <= 0.05 AND pred_lang = 'en'),
+         |dd AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM filtered)
+         |  WHERE rn = 1),
+         |bt AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |ct AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM dd),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |dirty AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+         |clean AS (
+         |  SELECT * FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |wt(source, w) AS (VALUES $values),
+         |n AS (SELECT source, count(*) AS n FROM clean GROUP BY 1),
+         |nw AS (SELECT n.source, n.n, wt.w FROM n JOIN wt USING (source)),
+         |k AS (SELECT min(n // w) AS k FROM nw)
+         |SELECT c.doc_id, c.source
+         |FROM clean c JOIN nw USING (source) CROSS JOIN k
+         |WHERE (CAST('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 1000000) * n < w * k * 1000000
+         |ORDER BY c.doc_id""".stripMargin
+    },
 
     // centroid rounded 6-dp per dim BEFORE similarity, sims rounded
     // 6-dp BEFORE the rank (q53's determinism conventions); dot/norm
