@@ -187,4 +187,21 @@ class CurationSpec extends SparkSpec {
     // essentially impossible: the clean doc must stay clean
     assert(!bloom.contains(2L))
   }
+
+  test("bloomContamination with an empty benchmark flags nothing") {
+    val empty = corpus.filter(col("doc_id") < 0)
+    assert(Curation.bloomContamination(corpus, empty).count() === 0)
+  }
+
+  test("dedupLines omits zero-token docs and keeps sub-width tails") {
+    val docs = Seq(
+      (1L, "   "),             // zero tokens -> omitted
+      (2L, "tail"),            // single sub-width chunk survives
+      (3L, "tail"))            // duplicate of doc 2's only chunk
+      .toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs, width = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq((2L, "tail", 0L), (3L, "", 1L)))
+  }
 }
