@@ -142,6 +142,71 @@ object Sessionize {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Event-time-timer variant: a user's OPEN session is flushed as soon
+    * as the WATERMARK passes its gap deadline — no later event from that
+    * user required (the `SessionProcessor` above only closes a session
+    * when its user shows up again; an abandoned session would sit in
+    * state forever). Each batch re-arms one timer per open session at
+    * `end + gap`; `handleExpiredTimer` emits and clears. This is the
+    * semantics `flatMapGroupsWithState` could only approximate with
+    * processing-time timeouts — event-time timers make the flush
+    * deterministic and replayable. */
+  final class SessionProcessorWithFlush(gapSeconds: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val evs = rows.map(e => (e.ts.toInstant.getEpochSecond, e.value)).toSeq
+      val prev = if (session.exists()) Some(session.get()) else None
+      // deadline timers from earlier batches are stale once new events
+      // extend the session — re-arm at the new deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val (closed, open) = fold(evs, prev, gapSeconds)
+      open match {
+        case Some(s) =>
+          session.update(s)
+          getHandle.registerTimer((s.end + gapSeconds) * 1000L)
+        case None => session.clear()
+      }
+      closed.iterator.map(s => Session(uid, s.start, s.end, s.n, s.total))
+    }
+
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val out = if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator.single(Session(uid, s.start, s.end, s.n, s.total))
+      } else Iterator.empty
+      out
+    }
+  }
+
+  /** Streaming sessionization with watermark-driven idle flush. The
+    * caller's `ts` column drives both the watermark and the session
+    * arithmetic; `delay` is the lateness bound (must be a Spark
+    * interval string). */
+  def sessionsTwsWithFlush(events: DataFrame, gapSeconds: Long = 1800,
+                           delay: String = "10 seconds"): Dataset[Session] = {
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[Session]
+    implicit val kEnc = Encoders.scalaLong
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorWithFlush(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup bounded by watermark: drops events whose key
     * reappears within the watermark horizon — Structured Streaming's
     * `dropDuplicatesWithinWatermark`, state auto-expired. */

@@ -75,6 +75,43 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("event-time timer flushes an idle session once the watermark passes") {
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      val df = input.toDF().toDF("user_id", "ts", "value")
+      val name = s"sessions_flush_${System.nanoTime()}"
+      val q = Sessionize.sessionsTwsWithFlush(df, gapSeconds = 1800,
+          delay = "10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        def ts(s: String) = java.sql.Timestamp.valueOf(s)
+        input.addData(Seq((1L, ts("2025-01-01 10:00:00"), 1.0)))
+        q.processAllAvailable()
+        // watermark lags a batch: this one moves it to ~14:59:50...
+        input.addData(Seq((2L, ts("2025-01-01 15:00:00"), 7.0)))
+        q.processAllAvailable()
+        // ...and this batch evaluates timers against it, flushing user
+        // 1's abandoned session with NO further user-1 event
+        input.addData(Seq((2L, ts("2025-01-01 15:00:01"), 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table(name)
+        .select("user_id", "n_events", "session_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, 1L, 1.0)))
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes re-sent events in-stream") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val df = input.toDF().toDF("event_id", "ts", "value")
