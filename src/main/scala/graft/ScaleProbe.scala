@@ -114,22 +114,14 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 9973 =!= 0),
         docs.filter(col("doc_id") % 9973 === 0)).count()
     }
-    // the q64 composition end-to-end (dedup window + decontam anti-join
-    // + mix) — one plan over the 1M-doc corpus
+    // the q64 composition end-to-end, via the SAME Curation.pipeline
+    // the registered query runs — one plan over the 1M-doc corpus
     timed(s"curation_pipeline x$docReps") {
-      import org.apache.spark.sql.expressions.Window
-      val corpus = docs.filter(col("doc_id") % 9973 =!= 0)
-      val bench = docs.filter(col("doc_id") % 9973 === 0)
-      val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(corpus))
-        .filter(col("n_tokens") >= 20 && col("punct_ratio") <= 0.05)
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = scored
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      val clean = Curation.decontaminate(deduped, bench)
-      Curation.mixSample(
-        clean.withColumn("source",
-          concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+      val src = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      Curation.pipeline(
+        src.filter(col("doc_id") % 9973 =!= 0),
+        src.filter(col("doc_id") % 9973 === 0),
         (0 until 20).map(i =>
           s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap).count()
     }

@@ -605,16 +605,10 @@ object SparkEntry {
     // only shuffles are the dedup window and the per-source counts)
     "q64_curation_pipeline" -> ((s, d) => {
       val all = documents(s, d)
-      val corpus = all.filter(col("doc_id") % 31 =!= 0)
-      val bench = all.filter(col("doc_id") % 31 === 0)
-      val scored = T.withLangId(T.withQuality(corpus))
-        .filter(col("n_tokens") >= 20 &&
-          col("punct_ratio") <= 0.05 && col("pred_lang") === "en")
-      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      val deduped = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      val clean = Curation.decontaminate(deduped, bench, n = 5)
-      Curation.mixSample(clean, mixWeights, hash = Dedup.OracleHash)
+      Curation.pipeline(
+          all.filter(col("doc_id") % 31 =!= 0),
+          all.filter(col("doc_id") % 31 === 0),
+          mixWeights, mixHash = Dedup.OracleHash)
         .orderBy(col("doc_id"))
     }),
   )

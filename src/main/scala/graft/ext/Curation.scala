@@ -251,6 +251,39 @@ object Curation {
         count(when(!col("is_first"), lit(1))).as("n_dropped"))
   }
 
+  /** The full curation recipe as one declarative plan: quality + optional
+    * language filter → exact text dedup (md5-keyed first-occurrence
+    * window) → benchmark decontamination → deterministic domain-mixture
+    * sampling. One definition shared by the registered query (q64) and
+    * the scale probe so the two cannot drift. Returns (idCol, srcCol)
+    * of the surviving mixture.
+    *
+    * Scale: the scoring/filters fuse into one codegen stage over one
+    * corpus scan; the shuffles are the 16-byte-keyed dedup window, the
+    * contamination count, and the per-source counts. */
+  def pipeline(corpus: DataFrame, bench: DataFrame,
+               weights: Map[String, Int],
+               mixHash: Dedup.HashScheme = Dedup.FastHash,
+               lang: Option[String] = Some("en"),
+               minTokens: Int = 20, maxPunct: Double = 0.05,
+               idCol: String = "doc_id", textCol: String = "text",
+               srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.withLangId(
+        TextAnalysis.withQuality(corpus, textCol), textCol)
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+    val filtered = lang.fold(scored)(l => scored.filter(col("pred_lang") === l))
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val deduped = filtered.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // decontamination's hash is transport-only (any injective hash
+    // yields the same survivor set) — FastHash; the MIX hash is
+    // semantic (it selects the kept rows), so only it is exposed
+    val clean = decontaminate(deduped, bench, n = 5,
+      idCol = idCol, textCol = textCol)
+    mixSample(clean, weights, mixHash, idCol, srcCol)
+  }
+
   // ===== deterministic domain-mixture sampling =============================
 
   /** Downsample a multi-source corpus to a target mixture ratio with a

@@ -28,7 +28,11 @@ object Sessionize {
 
   /** Pure session-fold logic, shared by the streaming operator and unit
     * tests: feed sorted event epochs through the running state, emitting
-    * closed sessions. */
+    * closed sessions. Bounds merge with min/max, not assignment: a LATE
+    * event admitted within the watermark delay arrives in a later batch
+    * with an epoch at or before the running session's end — assigning
+    * `end = ep` would regress the session backward (end < start,
+    * spurious gap splits, premature timer flushes). */
   def fold(events: Seq[(Long, Double)], st: Option[SessionState],
            gapSeconds: Long): (Seq[SessionState], Option[SessionState]) = {
     var closed = List.empty[SessionState]
@@ -36,7 +40,8 @@ object Sessionize {
     events.sortBy(_._1).foreach { case (ep, v) =>
       cur = cur match {
         case Some(s) if ep - s.end <= gapSeconds =>
-          Some(s.copy(end = ep, n = s.n + 1, total = s.total + v))
+          Some(s.copy(start = math.min(s.start, ep),
+            end = math.max(s.end, ep), n = s.n + 1, total = s.total + v))
         case Some(s) =>
           closed ::= s
           Some(SessionState(ep, ep, 1, v))
@@ -45,6 +50,16 @@ object Sessionize {
       }
     }
     (closed.reverse, cur)
+  }
+
+  /** The shared user_id/ts/value projection into the typed event view. */
+  private def typedEvents(events: DataFrame): Dataset[Event] = {
+    implicit val eEnc = Encoders.product[Event]
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[Event]
   }
 
   /** Streaming sessionization. Input must have user_id/ts/value columns
@@ -58,15 +73,10 @@ object Sessionize {
     * NoTimeout, where sessions close only via the event-time gap. */
   def sessions(events: DataFrame, gapSeconds: Long = 1800,
                idleTimeout: Option[String] = None): Dataset[Session] = {
-    implicit val eEnc = Encoders.product[Event]
     implicit val sEnc = Encoders.product[Session]
     implicit val stEnc = Encoders.product[SessionState]
     implicit val kEnc = Encoders.scalaLong
-    val typed = events
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        col("value").cast("double").as("value"))
-      .as[Event]
+    val typed = typedEvents(events)
     val timeoutConf = if (idleTimeout.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_.user_id)
@@ -105,9 +115,9 @@ object Sessionize {
     * `...state.RocksDBStateStoreProvider`) — the provider any
     * large-state production deployment should already be on, since it
     * spills state off-heap instead of holding it in executor memory. */
-  final class SessionProcessor(gapSeconds: Long)
+  class SessionProcessor(gapSeconds: Long)
       extends StatefulProcessor[Long, Event, Session] {
-    @transient private var session: ValueState[SessionState] = _
+    @transient protected var session: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       session = getHandle.getValueState[SessionState]("session",
@@ -129,14 +139,9 @@ object Sessionize {
   /** Streaming sessionization via `transformWithState` — same input and
     * output contract as `sessions`. */
   def sessionsTws(events: DataFrame, gapSeconds: Long = 1800): Dataset[Session] = {
-    implicit val eEnc = Encoders.product[Event]
     implicit val sEnc = Encoders.product[Session]
     implicit val kEnc = Encoders.scalaLong
-    events
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        col("value").cast("double").as("value"))
-      .as[Event]
+    typedEvents(events)
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapSeconds),
         TimeMode.None(), OutputMode.Append())
@@ -152,28 +157,19 @@ object Sessionize {
     * processing-time timeouts — event-time timers make the flush
     * deterministic and replayable. */
   final class SessionProcessorWithFlush(gapSeconds: Long)
-      extends StatefulProcessor[Long, Event, Session] {
-    @transient private var session: ValueState[SessionState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+      extends SessionProcessor(gapSeconds) {
 
     override def handleInputRows(uid: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[Session] = {
-      val evs = rows.map(e => (e.ts.toInstant.getEpochSecond, e.value)).toSeq
-      val prev = if (session.exists()) Some(session.get()) else None
       // deadline timers from earlier batches are stale once new events
       // extend the session — re-arm at the new deadline
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      val (closed, open) = fold(evs, prev, gapSeconds)
-      open match {
-        case Some(s) =>
-          session.update(s)
-          getHandle.registerTimer((s.end + gapSeconds) * 1000L)
-        case None => session.clear()
-      }
-      closed.iterator.map(s => Session(uid, s.start, s.end, s.n, s.total))
+      // the base fold/state plumbing is strict (List-backed iterator),
+      // so state reflects this batch once it returns
+      val out = super.handleInputRows(uid, rows, tv)
+      if (session.exists())
+        getHandle.registerTimer((session.get().end + gapSeconds) * 1000L)
+      out
     }
 
     override def handleExpiredTimer(uid: Long, tv: TimerValues,
@@ -193,15 +189,10 @@ object Sessionize {
     * interval string). */
   def sessionsTwsWithFlush(events: DataFrame, gapSeconds: Long = 1800,
                            delay: String = "10 seconds"): Dataset[Session] = {
-    implicit val eEnc = Encoders.product[Event]
     implicit val sEnc = Encoders.product[Session]
     implicit val kEnc = Encoders.scalaLong
-    events
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        col("value").cast("double").as("value"))
+    typedEvents(events)
       .withWatermark("ts", delay)
-      .as[Event]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessorWithFlush(gapSeconds),
         TimeMode.EventTime(), OutputMode.Append())

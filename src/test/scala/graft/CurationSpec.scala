@@ -169,7 +169,8 @@ class CurationSpec extends SparkSpec {
     // bench has 2 distinct 5-grams -> at most 6 set bits across words
     val setBits = words.map(r => java.lang.Long.bitCount(r.getLong(1))).sum
     assert(setBits >= 3 && setBits <= 6)
-    assert(words.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1 << 10) / 64))
+    // words pack 63 bits each, so the last valid index is (mBits-1)/63
+    assert(words.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= ((1 << 10) - 1) / 63))
   }
 
   test("bloomContamination has no false negatives vs exact contamination") {

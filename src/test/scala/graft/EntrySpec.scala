@@ -32,37 +32,46 @@ class EntrySpec extends SparkSpec {
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
-    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.Join
 
-    // EqualNullSafe too: Catalyst rewrites EXCEPT/INTERSECT to joins on <=>
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+
+    // a usable equi key is a TOP-LEVEL conjunct equating columns OF
+    // BOTH SIDES (an equality under an OR, or against a constant, does
+    // not make the join hashable); EqualNullSafe counts because
+    // Catalyst rewrites EXCEPT/INTERSECT to joins on <=>
     def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
-      c.collect {
-        case e: EqualTo => e: BinaryComparison
-        case e: EqualNullSafe => e: BinaryComparison
-      }.exists { e =>
-        val (lr, rr) = (e.left.references, e.right.references)
-        (lr.subsetOf(j.left.outputSet) && rr.subsetOf(j.right.outputSet)) ||
-          (lr.subsetOf(j.right.outputSet) && rr.subsetOf(j.left.outputSet))
+      conjuncts(c).exists {
+        case e @ (_: EqualTo | _: EqualNullSafe) =>
+          val cmp = e.asInstanceOf[BinaryComparison]
+          val (lr, rr) = (cmp.left.references, cmp.right.references)
+          lr.nonEmpty && rr.nonEmpty &&
+            ((lr.subsetOf(j.left.outputSet) && rr.subsetOf(j.right.outputSet)) ||
+              (lr.subsetOf(j.right.outputSet) && rr.subsetOf(j.left.outputSet)))
+        case _ => false
       }
     }
 
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      if (allowedNestedLoop(name)) None
-      else {
-        val qe = fn(spark, dir).queryExecution
-        val unboundedNonEqui = qe.optimizedPlan.collect {
+      val qe = fn(spark, dir).queryExecution
+      // nobody gets a cartesian product, the allowlist included
+      val cartesian =
+        qe.executedPlan.toString.contains("CartesianProduct")
+      val unboundedNonEqui =
+        if (allowedNestedLoop(name)) Nil
+        else qe.optimizedPlan.collect {
           case j: Join if !hasEquiKey(j) &&
             !j.left.maxRows.exists(_ <= 1) &&
             !j.right.maxRows.exists(_ <= 1) => j
         }
-        val cartesian =
-          qe.executedPlan.toString.contains("CartesianProduct")
-        if (cartesian || unboundedNonEqui.nonEmpty)
-          Some(s"$name${if (cartesian) " [cartesian]" else ""}" +
-            s"${if (unboundedNonEqui.nonEmpty) " [unbounded-nested-loop]" else ""}")
-        else None
-      }
+      if (cartesian || unboundedNonEqui.nonEmpty)
+        Some(s"$name${if (cartesian) " [cartesian]" else ""}" +
+          s"${if (unboundedNonEqui.nonEmpty) " [unbounded-nested-loop]" else ""}")
+      else None
     }
     assert(offenders.isEmpty, s"plan-quality offenders: $offenders")
   }

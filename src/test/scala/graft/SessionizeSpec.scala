@@ -16,6 +16,20 @@ class SessionizeSpec extends SparkSpec {
     assert(open === Some(Sessionize.SessionState(5000, 5000, 1, 3.0)))
   }
 
+  test("fold never regresses session bounds on late (out-of-order) events") {
+    // a later batch delivers an event older than the running session's
+    // end (admitted within the watermark delay): bounds must widen via
+    // min/max, never move backward
+    val st = Some(Sessionize.SessionState(1000, 2000, 2, 5.0))
+    val (closed, open) = Sessionize.fold(
+      Seq((1500L, 1.0)), st, gapSeconds = 1800)
+    assert(closed.isEmpty)
+    assert(open === Some(Sessionize.SessionState(1000, 2000, 3, 6.0)))
+    // a late event slightly BEFORE the session start widens start too
+    val (c2, o2) = Sessionize.fold(Seq((900L, 1.0)), st, gapSeconds = 1800)
+    assert(c2.isEmpty && o2 === Some(Sessionize.SessionState(900, 2000, 3, 6.0)))
+  }
+
   test("streaming flatMapGroupsWithState emits closed sessions") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val df = input.toDF().toDF("user_id", "ts", "value")
