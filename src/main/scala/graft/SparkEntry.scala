@@ -611,6 +611,18 @@ object SparkEntry {
           mixWeights, mixHash = Dedup.OracleHash)
         .orderBy(col("doc_id"))
     }),
+
+    // ===== incremental dedup against a fingerprint store ===============
+    // even doc_ids stand in for the accumulated history, odd ones for
+    // the arriving batch — history contributes only 16-byte hashes
+    "q65_incremental_dedup" -> ((s, d) => {
+      val all = documents(s, d)
+      Dedup.dedupAgainstStore(
+          all.filter(col("doc_id") % 2 === 1),
+          Dedup.fingerprints(all.filter(col("doc_id") % 2 === 0)))
+        .select(col("doc_id"), col("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1275,6 +1287,22 @@ object SparkEntry {
          |        AS BIGINT) % 1000000) * n < w * k * 1000000
          |ORDER BY c.doc_id""".stripMargin
     },
+
+    "q65_incremental_dedup" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS text_hash
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS text_hash
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |firsts AS (
+        |  SELECT doc_id, text_hash FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY text_hash ORDER BY doc_id) AS rn FROM batch)
+        |  WHERE rn = 1)
+        |SELECT doc_id, text_hash FROM firsts
+        |WHERE text_hash NOT IN (SELECT text_hash FROM seen)
+        |ORDER BY doc_id""".stripMargin,
 
     // centroid rounded 6-dp per dim BEFORE similarity, sims rounded
     // 6-dp BEFORE the rank (q53's determinism conventions); dot/norm

@@ -142,6 +142,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** The (text_hash) fingerprint view of a batch — what a persistent
+    * dedup store accumulates, one distinct 16-byte key per text ever
+    * seen, never the text itself. */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash")).distinct()
+
+  /** Incremental exact dedup for CONTINUOUS ingestion: drop from a new
+    * batch every document whose text was seen in ANY earlier batch
+    * (`seen`, the persistent fingerprint store — possibly empty) or
+    * earlier in this batch (first occurrence by min id wins). Returns
+    * the surviving rows with their `text_hash` attached; the caller
+    * appends `fingerprints(survivors)` to the store for the next batch.
+    *
+    * Scale: the in-batch election shuffles on the 16-byte hash; the
+    * store probe is an anti join whose both sides carry only hashes
+    * and ids — the accumulated corpus's TEXT is never re-read, which
+    * is the point: deduping batch N+1 against 100 TB of history costs
+    * a join against the (much smaller) hash store, not a re-scan. */
+  def dedupAgainstStore(batch: DataFrame, seen: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = batch.withColumn("text_hash", md5(col(textCol)))
+    val w = Window.partitionBy(col("text_hash")).orderBy(col(idCol))
+    withH.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(seen.select(col("text_hash")), Seq("text_hash"), "left_anti")
+  }
+
   // ===== exact n-gram Jaccard ==============================================
 
   /** All pairs with word-3-gram Jaccard ≥ `threshold`, via an inverted

@@ -387,6 +387,23 @@ class ExtSpec extends SparkSpec {
     assert(got(2) === Seq(5.0, 6.0))
   }
 
+  test("dedupAgainstStore: two-batch flow drops history dups and in-batch dups") {
+    import graft.ext.Dedup
+    val batch1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val empty = Dedup.fingerprints(batch1.limit(0))
+    val s1 = Dedup.dedupAgainstStore(batch1, empty)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the store accumulates batch 1's survivors; batch 2 re-sends
+    // "beta" (historical dup), repeats "gamma" (in-batch dup), and
+    // brings one genuinely new text
+    val store = Dedup.fingerprints(s1)
+    val batch2 = Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.dedupAgainstStore(batch2, store)
+    assert(s2.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+  }
+
   test("centroidOutliers ranks the atypical vector first in its label") {
     // label 0 clusters along x with one y-axis outlier; label 1 has no
     // outlier — its furthest member is just the least-typical cluster
