@@ -114,6 +114,14 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 9973 =!= 0),
         docs.filter(col("doc_id") % 9973 === 0)).count()
     }
+    // continuous-ingestion dedup: half the corpus plays the accumulated
+    // fingerprint store, the other half the arriving batch — the anti
+    // join moves only 16-byte hashes + ids
+    timed(s"incremental_dedup x$docReps") {
+      Dedup.dedupAgainstStore(
+        docs.filter(col("doc_id") % 2 === 1),
+        Dedup.fingerprints(docs.filter(col("doc_id") % 2 === 0))).count()
+    }
     // the q64 composition end-to-end, via the SAME Curation.pipeline
     // the registered query runs — one plan over the 1M-doc corpus
     timed(s"curation_pipeline x$docReps") {
