@@ -126,6 +126,42 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("MapState running counters accumulate across micro-batches per entry") {
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val df = input.toDF().toDF("user_id", "ts", "event_type")
+      val name = s"counts_${System.nanoTime()}"
+      val q = graft.stream.RunningCounts.typeCounts(df)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        def ts(s: String) = java.sql.Timestamp.valueOf(s)
+        input.addData(Seq(
+          (1L, ts("2025-01-01 10:00:00"), "click"),
+          (1L, ts("2025-01-01 10:00:01"), "click"),
+          (1L, ts("2025-01-01 10:00:02"), "view")))
+        q.processAllAvailable()
+        // second batch touches only "click" — its counter continues
+        // from stored state, "view" is untouched
+        input.addData(Seq((1L, ts("2025-01-01 10:01:00"), "click")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val latest = spark.table(name)
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+        .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      assert(latest === Map("click" -> 3L, "view" -> 1L))
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes re-sent events in-stream") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val df = input.toDF().toDF("event_id", "ts", "value")
