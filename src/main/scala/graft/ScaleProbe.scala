@@ -123,7 +123,11 @@ object ScaleProbe {
         Dedup.fingerprints(docs.filter(col("doc_id") % 2 === 0))).count()
     }
     // the q64 composition end-to-end, via the SAME Curation.pipeline
-    // the registered query runs — one plan over the 1M-doc corpus
+    // the registered query runs — one plan over the 1M-doc corpus.
+    // Mix-hash substitution: the probe keeps the FastHash library
+    // default where q64 passes OracleHash (md5-prefix, ~2× costlier,
+    // needed only for cross-engine verification) — this times the plan
+    // a production corpus would run, not the oracle-parity variant.
     timed(s"curation_pipeline x$docReps") {
       val src = docs.withColumn("source",
         concat(lit("src"), pmod(col("doc_id"), lit(20))))

@@ -465,6 +465,18 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    // ===== PII / secret scrub ==========================================
+    // the corpus carries no real PII, so deterministic synthetic
+    // positives (derived from doc_id with engine-portable functions)
+    // are planted first — the oracle replants them bit-identically and
+    // verifies counts AND the redacted text via its md5
+    "q67_pii_scrub" -> ((s, d) => {
+      Curation.scrubPii(Curation.injectSyntheticPii(documents(s, d)))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_keys"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1194,7 +1206,7 @@ object SparkEntry {
         |            WHEN pct < 90 THEN 'val'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs,
-        |  sum(length(text)) AS n_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q45_pack_sequences" ->
@@ -1213,8 +1225,35 @@ object SparkEntry {
         |      / 512) AS BIGINT) AS pack_id
         |  FROM t)
         |SELECT shard, pack_id, count(*) AS n_docs,
-        |  sum(n_tokens) AS pack_tokens
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM packed GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+
+    "q67_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' key sk_live_'
+        |         || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+        |       ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\bsk_live_[0-9a-f]{16}\b')) AS BIGINT) AS n_keys,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\bsk_live_[0-9a-f]{16}\b', '<KEY>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+        |FROM inj ORDER BY doc_id""".stripMargin,
 
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

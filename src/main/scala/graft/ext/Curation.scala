@@ -120,8 +120,13 @@ object Curation {
                          hash: Dedup.HashScheme = Dedup.FastHash,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    // NOTE: localCheckpoint is EAGER — building this plan (even without
+    // executing the query, e.g. a plan-quality sweep) runs the filter-
+    // build job. Accepted repo pattern (q18's signatures do the same);
+    // the storage level matches every other checkpointed operator.
     val words = bloomFilterWords(benchmark, n, mBits, k, hash, textCol)
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val probes = corpus
       .select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.word_shingles(
@@ -222,11 +227,16 @@ object Curation {
     * document dedup.
     *
     * Scale: two shuffles, both on bounded keys — first-occurrence
-    * election partitions by the 8-byte segment hash (the window state
-    * per key is one min; hot segments skew a key but carry only their
-    * own occurrences), reassembly partitions by doc id with order
-    * restored from `cidx` inside the aggregated structs, never assumed
-    * from row order. */
+    * election partitions by (8-byte segment hash, chunk): the hash
+    * alone would be SEMANTIC here (a collision would silently delete a
+    * non-duplicate chunk's text and diverge from the raw-string
+    * oracle), so the raw chunk rides along as a tie-breaker key and a
+    * collision only degrades to an extra window partition — the rows
+    * already carry the chunk for reassembly, so the wider key ships no
+    * extra bytes. The window state per key is one min; hot segments
+    * skew a key but carry only their own occurrences. Reassembly
+    * partitions by doc id with order restored from `cidx` inside the
+    * aggregated structs, never assumed from row order. */
   def dedupLines(docs: DataFrame, width: Int = 8,
                  hash: Dedup.HashScheme = Dedup.FastHash,
                  idCol: String = "doc_id",
@@ -235,7 +245,7 @@ object Curation {
     val chunks = chunkRows(docs, width, idCol, textCol)
       .withColumn("hch", hash.one(col("chunk")))
     val first = min(struct(col("id"), col("cidx")))
-      .over(Window.partitionBy(col("hch")))
+      .over(Window.partitionBy(col("hch"), col("chunk")))
     chunks
       .withColumn("is_first",
         col("id") === first.getField("id") &&
@@ -325,5 +335,66 @@ object Curation {
         pmod(hash.one(concat(lit("mix:"), col(idCol).cast("string"))),
           lit(1000000L)) * col("n") < col("w") * col("k") * lit(1000000L))
       .select(col(idCol), col(srcCol))
+  }
+
+  // ===== PII / secret scrubbing ===========================================
+
+  /** Patterns deliberately restricted to the regex subset where Java
+    * (Spark) and RE2-style (DuckDB) engines agree: character classes,
+    * bounded/unbounded greedy repetition, word boundaries — no
+    * lookaround, no backrefs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val KeyPattern = "\\bsk_live_[0-9a-f]{16}\\b"
+
+  /** PII / secret scrub: redact emails, phone numbers, and secret keys
+    * from a text column, appending per-document match counts and the
+    * redacted `clean_text` (placeholders `<EMAIL>`/`<PHONE>`/`<KEY>`).
+    * The standard pre-training compliance pass (emails/phones are the
+    * canonical PII classes; `sk_live_…` stands in for leaked API-key
+    * shapes).
+    *
+    * Scale: entirely map-side — regexp_count/regexp_replace are codegen
+    * string expressions, no shuffle, no UDF; at 100 TB this fuses into
+    * whatever scan feeds it. Counts are taken on the ORIGINAL text per
+    * pattern (emails are redacted before phones/keys, but the patterns
+    * cannot overlap: a phone needs `ddd-ddd-dddd` digits-with-dashes,
+    * a key its `sk_live_` prefix — neither survives inside a match of
+    * another class). */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)).cast("long"))
+      .withColumn("n_keys", regexp_count(t, lit(KeyPattern)).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            KeyPattern, "<KEY>"),
+          PhonePattern, "<PHONE>"))
+  }
+
+  /** Deterministic synthetic-PII injection — the FIXTURE side of the
+    * scrub test/oracle: the corpus tables carry no real PII, so a
+    * non-vacuous scrub check needs planted positives. Every value is
+    * derived from the doc id with engine-portable string functions
+    * (concat/lpad/md5), so the DuckDB oracle replants bit-identical
+    * PII and the scrub's work is verifiable end-to-end. Docs get an
+    * email when id % 7 = 0, a phone when id % 11 = 0, a key when
+    * id % 13 = 0 (overlapping ids get several). Map-side only. */
+  def injectSyntheticPii(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val ids = id.cast("string")
+    val email = concat(lit(" contact user"), ids, lit("@example.com"))
+    val phone = concat(lit(" call 555-"),
+      lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+    val key = concat(lit(" key sk_live_"), substring(md5(ids), 1, 16))
+    docs.withColumn(textCol, concat(col(textCol),
+      when(pmod(id, lit(7)) === 0, email).otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0, phone).otherwise(lit("")),
+      when(pmod(id, lit(13)) === 0, key).otherwise(lit(""))))
   }
 }

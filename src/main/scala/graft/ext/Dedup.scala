@@ -363,13 +363,24 @@ object Dedup {
     * where the one-pass `survivors` approximation would keep C.
     *
     * Scale: each round is a neighbor-min step (equi-join + aggregate on
-    * node ids) followed by a pointer-jumping step (labels re-labelled
-    * through their own targets, `comp := label(comp)`), so the reach
-    * distance doubles per round and convergence is O(log diameter) —
-    * a handful of rounds even for adversarial chain graphs. Labels are
-    * localCheckpoint'd per round: without it the plan doubles each
-    * iteration. Returns (doc_id, component). */
-  def components(pairs: DataFrame): DataFrame = {
+    * node ids) followed by TWO pointer-jumping steps (labels
+    * re-labelled through the freshest label map each time,
+    * `comp := label(comp)`), so the reach distance roughly octuples per
+    * round (2r+1, then ×2 per jump) and convergence is O(log diameter)
+    * with a ~⅓ smaller round count than a single jump — and each
+    * round's sync-barrier convergence count is the per-round fixed cost
+    * worth amortizing. The jump joins are label-sized (one narrow row
+    * per node), dwarfed by the edge join. Labels are localCheckpoint'd
+    * per step: the jump is a self-join on the just-computed map, which
+    * would otherwise re-execute the edge join per branch. Returns
+    * (doc_id, component). */
+  def components(pairs: DataFrame): DataFrame =
+    componentsWithRounds(pairs)._1
+
+  /** `components` plus the number of propagation rounds it ran —
+    * exposed so tests can pin the convergence speedup of the
+    * double-jump (a chain graph must collapse in O(log₈ d) rounds). */
+  def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     // DISK_ONLY for the edge set: a dup-heavy corpus yields 10⁸+ pairs
     // and the default deserialized MEMORY_AND_DISK blocks OOM'd the 1M-doc
@@ -397,7 +408,20 @@ object Dedup {
     var labels = edges.groupBy(col("v").as("id"))
       .agg(least(min(col("u")), col("v")).as("comp"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // pointer jump: follow the label one hop through the map's OWN
+    // freshest labels (comp := m's label of comp). Any such re-label
+    // keeps the invariant (labels only decrease, stay in-component,
+    // never pass the component min), so extra jumps are free accuracy.
+    def jump(m: DataFrame): DataFrame = m
+      .join(m.select(col("id").as("comp"), col("comp").as("_jump")),
+        Seq("comp"), "left")
+      .select(col("id"),
+        least(col("comp"), coalesce(col("_jump"), col("comp"))).as("comp"),
+        col("prev"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val neigh = edges
         .join(labels.select(col("id").as("u"), col("comp").as("ncomp")), Seq("u"))
@@ -407,19 +431,14 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-      // pointer jump: follow the label one hop (comp := comp's own label)
-      val next = stepped.as("x")
-        .join(labels.select(col("id").as("comp"), col("comp").as("jump")),
-          Seq("comp"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
-          col("prev"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val next = jump(jump(stepped))
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.drop("prev")
+      rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    (labels.select(col("id").as("doc_id"), col("comp").as("component")), rounds)
   }
 
   /** Exact survivor selection: keep only each component's minimum id.

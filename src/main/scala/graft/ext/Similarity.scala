@@ -191,18 +191,24 @@ object Similarity {
     * deterministically (smallest ids — at corpus scale swap in a k-means
     * sample; the index structure is identical), every vector assigned to
     * its nearest centroid by cosine. Returns (id, v, nrm, centroid_id).
-    * One broadcast of the centroid set + one window rank — no iteration.
-    * The assignment similarity is rounded to 6 dp before ranking (same
-    * convention as `bruteTopK`) so the argmax — and therefore every
-    * bucket — is reproducible bit-for-bit by another engine.
-    * `nAssign` > 1 indexes every vector into its top-n centroid buckets
-    * (multi-assignment — the index-side analogue of query-side nProbe):
-    * near-dup pairs straddling a single-bucket boundary are then caught
-    * whenever any of their buckets overlap, at n× index size. */
+    * One broadcast of the centroid set + one hash aggregate — no
+    * iteration. The assignment similarity is rounded to 6 dp before the
+    * argmax (same convention as `bruteTopK`) so the argmax — and
+    * therefore every bucket — is reproducible bit-for-bit by another
+    * engine. `nAssign` > 1 indexes every vector into its top-n centroid
+    * buckets (multi-assignment — the index-side analogue of query-side
+    * nProbe): near-dup pairs straddling a single-bucket boundary are
+    * then caught whenever any of their buckets overlap, at n× index
+    * size.
+    *
+    * Scale: the nCentroids-way candidate blowup from the broadcast join
+    * collapses in the MAP-SIDE partial aggregate (max_by argmax for
+    * nAssign=1; a bounded sorted k-struct array for nAssign>1), so the
+    * exchange carries one row per vector — never the n×k blowup a
+    * ranking window would shuffle (the `kmeansCentroids` pattern). */
   def ivfAssign(emb: DataFrame, nCentroids: Int, nAssign: Int = 1,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val centroids = e.orderBy(col("id")).limit(nCentroids)
@@ -210,12 +216,28 @@ object Similarity {
     val denom = col("nrm") * col("cn")
     val sim = when(denom === 0.0, 0.0)
       .otherwise(dot(col("v"), col("cv")) / denom)
-    val w = Window.partitionBy(col("id")).orderBy(col("_sim").desc, col("c_id"))
-    e.join(broadcast(centroids), lit(true))
+    val joined = e.join(broadcast(centroids), lit(true))
       .withColumn("_sim", round(sim, 6))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= nAssign)
-      .select(col("id"), col("v"), col("nrm"), col("c_id").as("centroid_id"))
+    if (nAssign == 1) {
+      // ties on _sim break to the smallest c_id, like the old window rank
+      joined.groupBy(col("id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          max_by(col("c_id"),
+            struct(col("_sim"), (-col("c_id")).as("_nc"))).as("centroid_id"))
+        .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
+    } else {
+      // bounded top-n: collect the ≤ nCentroids candidates per vector,
+      // sort (sim desc, c_id asc) via the (-sim, c_id) struct order,
+      // keep nAssign — the buffer is k pairs of (double, long), merged
+      // map-side, so the exchange still carries one row per vector
+      val top = slice(array_sort(collect_list(
+        struct((-col("_sim")).as("_ns"), col("c_id")))), 1, nAssign)
+      joined.groupBy(col("id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          top.as("_top"))
+        .select(col("id"), col("v"), col("nrm"),
+          explode(col("_top.c_id")).as("centroid_id"))
+    }
   }
 
   /** IVF approximate top-k: rank centroids per query, probe the

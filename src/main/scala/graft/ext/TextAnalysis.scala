@@ -108,10 +108,15 @@ object TextAnalysis {
     * word n-gram shingles, slide a window of `w` hashes, keep each
     * window's min, dedupe. Emits the sketch size and an order-insensitive
     * XOR combination of the selected hashes. Map-side only. */
-  /** Winnowing as a relational plan (shingle rows → sliding-frame min →
-    * distinct → aggregate): every stage is codegen'd — the array-HOF
-    * formulation runs interpreted and costs O(len·w) boxed calls per
-    * doc. Documents with at least one token but fewer than w shingle
+  /** Winnowing as a relational plan (codegen shingle kernel → sliding-
+    * frame min → distinct → aggregate). Positions come for free from
+    * `posexplode(word_shingles(...))`: the kernel emits distinct
+    * shingles in first-occurrence order, so the array index IS the
+    * first-occurrence rank — no lead() chain, no (id, sh) re-aggregate,
+    * no row_number pass; the per-doc count `m` is `size()` of the same
+    * array before explosion. The one exchange left is the id-keyed
+    * shuffle for the sliding min over narrow (id, m, idx, h) rows.
+    * Documents with at least one token but fewer than w shingle
     * windows contribute their global-min hash (window frames shorter
     * than w at the tail are excluded by the `idx` bound; a doc with
     * fewer than w shingles keeps exactly its idx=1 frame, which then
@@ -121,20 +126,19 @@ object TextAnalysis {
                  idCol: String = "doc_id",
                  n: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // distinct shingles in first-occurrence order, hashed
-    val firstOcc = Dedup.shingleRows(df, n, idCol, textCol, keepPos = true)
-      .groupBy(col("id"), col("sh"))
-      .agg(min(col("pos")).as("pos"))
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val seq0 = firstOcc
-      .withColumn("idx", row_number().over(byDoc))
-      .withColumn("h", md5Hash60(col("sh"))) // oracle-replicable hash
+    val seq0 = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.word_shingles(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("m"),
+        posexplode(col("shs")).as(Seq("idx0", "sh")))
+      .select(col("id"), col("m"), (col("idx0") + 1).as("idx"),
+        md5Hash60(col("sh")).as("h")) // oracle-replicable hash
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("idx"))
     // sliding frame of w hashes; tail frames shorter than w are excluded
     // except when the doc has fewer than w shingles in total (then the
     // idx=1 frame covers them all — matching slice-based semantics)
     val frame = byDoc.rowsBetween(Window.currentRow, w - 1)
     val mins = seq0
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("id"))))
       .withColumn("winmin", min(col("h")).over(frame))
       .filter(col("idx") <= greatest(col("m") - w + 1, lit(1)))
       .select(col("id"), col("winmin")).distinct()

@@ -32,7 +32,17 @@ object Sessionize {
     * event admitted within the watermark delay arrives in a later batch
     * with an epoch at or before the running session's end — assigning
     * `end = ep` would regress the session backward (end < start,
-    * spurious gap splits, premature timer flushes). */
+    * spurious gap splits, premature timer flushes).
+    *
+    * Merge bound: ANY event at or before the running end is absorbed
+    * into the session regardless of its distance from `start` — the
+    * guard is on the gap past `end` only. A late event more than
+    * `gapSeconds` before `start` (which strict batch re-sessionization
+    * would place in its own earlier session) therefore widens the
+    * running session instead; the watermark delay bounds how late such
+    * an event can be, so the divergence from batch semantics is capped
+    * at the watermark and only affects sessions still open when the
+    * straggler lands. */
   def fold(events: Seq[(Long, Double)], st: Option[SessionState],
            gapSeconds: Long): (Seq[SessionState], Option[SessionState]) = {
     var closed = List.empty[SessionState]

@@ -30,15 +30,25 @@ object StreamingRevenue {
   val SlideDuration = "15 minutes"
   val DefaultTrigger = "30 seconds"
 
+  /** The exact option set `kafkaSource` hands the connector — factored
+    * out so the offline contract test can pin the config (the only part
+    * of the Kafka path that can be verified without the connector jar;
+    * `kafkaSource` itself fails fast at provider lookup, which the same
+    * test asserts). */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+                         startingOffsets: String = "latest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false")
+
   /** S4: Kafka source plan (requires the Kafka connector on the
     * classpath at runtime — absent in this offline environment). */
   def kafkaSource(spark: SparkSession, bootstrapServers: String,
                   topic: String, startingOffsets: String = "latest"): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
+      .options(kafkaSourceOptions(bootstrapServers, topic, startingOffsets))
       .load()
 
   /** T8: fail fast if the Kafka source provider is not on the classpath

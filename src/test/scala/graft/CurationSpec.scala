@@ -36,6 +36,41 @@ class CurationSpec extends SparkSpec {
     assert(lenient === Set(2L, 3L))
   }
 
+  // ===== PII / secret scrub =================================================
+
+  test("scrubPii counts and redacts emails, phones, and keys") {
+    val dirty = Seq(
+      (1L, "mail me at a.user+x@foo-bar.example.org or b@c.io thanks"),
+      (2L, "call 555-123-4567 and key sk_live_0123456789abcdef done"),
+      (3L, "clean text, number 12-34 is not a phone, a@b not an email"))
+      .toDF("doc_id", "text")
+    val got = Curation.scrubPii(dirty).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_keys")), r.getAs[String]("clean_text"))).toMap
+    assert(got(1L)._1 === ((2L, 0L, 0L)))
+    assert(got(1L)._2 === "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(got(2L)._1 === ((0L, 1L, 1L)))
+    assert(got(2L)._2 === "call <PHONE> and key <KEY> done")
+    assert(got(3L)._1 === ((0L, 0L, 0L)))
+    assert(got(3L)._2 === "clean text, number 12-34 is not a phone, a@b not an email")
+  }
+
+  test("injectSyntheticPii plants scrubbable positives on the modulo grid") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val scrubbed = Curation.scrubPii(Curation.injectSyntheticPii(docs))
+    val sums = scrubbed.agg(sum("n_emails"), sum("n_phones"), sum("n_keys"))
+      .collect().head
+    // 1..100: 14 multiples of 7, 9 of 11, 7 of 13
+    assert(sums.getLong(0) === 14L)
+    assert(sums.getLong(1) === 9L)
+    assert(sums.getLong(2) === 7L)
+    // every planted value is redacted — no synthetic PII survives
+    val leaked = scrubbed.filter(col("clean_text").rlike(
+      "@example\\.com|555-\\d{3}-\\d{4}|sk_live_")).count()
+    assert(leaked === 0L)
+  }
+
   // ===== boilerplate strip ==================================================
 
   // width-2 chunks; "cookie banner" opens every doc (boilerplate at

@@ -91,6 +91,20 @@ class ExtSpec extends SparkSpec {
     val assigned = Similarity.ivfAssign(emb, 16)
     assert(assigned.count() === 500)
     assert(assigned.select("centroid_id").distinct().count() <= 16)
+    // the argmax must collapse map-side (max_by / bounded top-n agg):
+    // a ranking window here would shuffle the n×k broadcast blowup
+    // with vectors attached — the self-inflicted 16×-wide exchange
+    for (n <- Seq(1, 2)) {
+      val plan = Similarity.ivfAssign(emb, 16, n)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"ivfAssign(nAssign=$n) ranks via a window over the n×k blowup:\n$plan")
+    }
+    // multi-assignment still lands each vector in nAssign buckets
+    val multi = Similarity.ivfAssign(emb, 16, 2)
+    assert(multi.count() === 1000)
+    assert(multi.groupBy("id").count()
+      .filter(col("count") =!= 2).count() === 0)
     val q = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteTopK(emb, q, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -120,6 +134,19 @@ class ExtSpec extends SparkSpec {
     val longComps = Dedup.components(long).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(longComps === Map(4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
+  }
+
+  test("componentsWithRounds: double jump collapses a 200-chain fast") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labelled, rounds) = Dedup.componentsWithRounds(chain)
+    val comps = labelled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 200 && comps.values.toSet === Set(1L))
+    // label-travel distance grows d → 4(d+1) per round (neighbor-min
+    // +1, then ×2 per fresh-map jump): 1, 8, 36, 148, 596 — 4 rounds to
+    // cover 199 hops + 1 confirming round. The previous loop's single
+    // jump through the START-of-round map grew d → 2d+1, needing
+    // 7 + 1 rounds on this chain.
+    assert(rounds <= 5, s"200-chain took $rounds rounds")
   }
 
   test("nearDupPairsBlocked: subset of exact pairs, decent recall, equi-join plan") {

@@ -114,6 +114,43 @@ class StreamingSpec extends SparkSpec {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
 
+  test("kafka source contract: options pinned, fail-fast without the jar, " +
+       "wire shape feeds the pipeline") {
+    // the exact option set the connector would receive
+    val opts = StreamingRevenue.kafkaSourceOptions("broker:9092", "sales")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "sales",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false"))
+    assert(StreamingRevenue
+      .kafkaSourceOptions("b", "t", startingOffsets = "earliest")("startingOffsets")
+      === "earliest")
+    // without the connector jar the source must fail at plan time
+    // (provider lookup), not silently at runtime
+    val err = intercept[Exception] {
+      StreamingRevenue.kafkaSource(spark, "broker:9092", "sales")
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"),
+      s"unexpected failure mode: ${err.getMessage}")
+    // a Kafka-wire-shaped frame (binary key/value + topic metadata, the
+    // connector's fixed output schema) must flow through decodeJson →
+    // cleanse → aggregate: proves the downstream plan binds to the
+    // connector's schema even though the connector itself can't load
+    val wire = Seq((
+      Array[Byte](),
+      ev("2024-01-01 10:00:00", "A", "7.00").getBytes("UTF-8"),
+      "sales", 0, 0L, new java.sql.Timestamp(0L), 0))
+      .toDF("key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType")
+    val out = StreamingRevenue.aggregate(
+      StreamingRevenue.transformOrders(StreamingRevenue.decodeJson(wire)))
+    assert(out.columns.toSeq ===
+      Seq("product", "revenue", "window_start", "window_end"))
+    val rows = out.collect()
+    assert(rows.length >= 1 && rows.forall(_.getString(0) == "A"))
+  }
+
   test("file JSON source + AvailableNow trigger drains the backlog and stops") {
     val dir = java.nio.file.Files.createTempDirectory("evdir").toString
     val out = java.nio.file.Files.createTempDirectory("evout").toString + "/agg"
