@@ -107,6 +107,19 @@ object ScaleProbe {
     timed(s"curation_line_dedup x$docReps") {
       Curation.dedupLines(docs, width = 8).count()
     }
+    // the width ladder at the same adversarial density: the 128-token
+    // pass strips most replicas as whole-doc chunks, so the narrower
+    // passes see an already-shrunk corpus. The aggregate CONSUMES
+    // clean_text (length sum): a bare count() after the pass-restoring
+    // left join lets Catalyst prune every election/reassembly stage and
+    // count the input instead — measured 3 s of nothing
+    timed(s"curation_multiwidth_dedup x$docReps") {
+      Curation.dedupLinesMultiWidth(docs)
+        .select(length(col("clean_text")).as("len"), col("n_dropped"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("chars"),
+          sum(col("n_dropped")).as("dropped"))
+        .collect().head.getLong(0)
+    }
     // bloom probe at saturation: the replicated benchmark split still
     // builds a fixed 2^16-bit filter; probes are k broadcast joins
     timed(s"curation_bloom x$docReps") {

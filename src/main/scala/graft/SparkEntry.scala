@@ -574,6 +574,14 @@ object SparkEntry {
       Curation.dedupLines(documents(s, d), width = 8)
         .orderBy(col("doc_id"))),
 
+    // ===== multi-width substring dedup (coarse-to-fine ladder) =========
+    // RefinedWeb-style variable-length-ish dedup without a suffix
+    // automaton: 128-token blocks first, then 32, then 8, each pass
+    // re-segmenting the previous pass's survivors
+    "q66_multiwidth_dedup" -> ((s, d) =>
+      Curation.dedupLinesMultiWidth(documents(s, d), widths = Seq(128, 32, 8))
+        .orderBy(col("doc_id"))),
+
     // ===== bloom-filter decontamination (fixed-size benchmark set) =====
     // OracleHash end-to-end: the filter BITS must agree across engines,
     // so both the element hash and the k seeded positions replicate in
@@ -1835,6 +1843,46 @@ object SparkEntry {
         |                      ' ' ORDER BY cidx), '') AS clean_text,
         |  count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q60 election pattern chained once per chunk width; each pass
+    // re-tokenizes the previous pass's rebuilt text, and docs emptied by
+    // a pass are restored by the keep_N left join (they have no chunks)
+    "q66_multiwidth_dedup" -> {
+      val widths = Seq(128, 32, 8)
+      val passes = widths.zipWithIndex.map { case (w, p) =>
+        val in = if (p == 0) "base" else s"keep_${p - 1}"
+        s"""toks_$p AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+           |  FROM $in),
+           |chunks_$p AS (
+           |  SELECT doc_id, ci AS cidx,
+           |         array_to_string(t[(ci*$w+1):(ci*$w+$w)], ' ') AS chunk
+           |  FROM toks_$p,
+           |       UNNEST(range(0, CAST(ceil(len(t)/$w.0) AS BIGINT))) AS u(ci)
+           |  WHERE len(t) > 0),
+           |marked_$p AS (
+           |  SELECT doc_id, cidx, chunk,
+           |         row_number() OVER (
+           |           PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+           |  FROM chunks_$p),
+           |pass_$p AS (
+           |  SELECT doc_id,
+           |    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+           |                        ' ' ORDER BY cidx), '') AS text,
+           |    count(CASE WHEN rn > 1 THEN 1 END) AS nd
+           |  FROM marked_$p GROUP BY doc_id),
+           |keep_$p AS (
+           |  SELECT r.doc_id, coalesce(p.text, '') AS text,
+           |         r.nd + coalesce(p.nd, 0) AS nd
+           |  FROM $in r LEFT JOIN pass_$p p USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, CAST(0 AS BIGINT) AS nd FROM documents),
+         |$passes
+         |SELECT doc_id, text AS clean_text, nd AS n_dropped
+         |FROM keep_${widths.size - 1} ORDER BY doc_id""".stripMargin
+    },
 
     // full bloom replica: the 2¹⁶-bit filter is built from the same
     // md5-prefix element hashes and Carter-Wegman positions (constants

@@ -261,6 +261,45 @@ object Curation {
         count(when(!col("is_first"), lit(1))).as("n_dropped"))
   }
 
+  /** Multi-width substring dedup (RefinedWeb-style middle ground): run
+    * the `dedupLines` first-occurrence election at several chunk widths,
+    * COARSE TO FINE — a repeated 128-token block is stripped as a few
+    * wide chunks by the first pass (where single-width 8-token dedup
+    * would need 16 independent elections and would miss any remainder
+    * shorter than 8), then progressively narrower passes catch the
+    * shorter repeats that survive re-segmentation. True variable-length
+    * substring dedup needs a suffix-automaton sweep that does not
+    * distribute; width-laddered passes keep every step inside the
+    * bounded-key election machinery. Returns (idCol, clean_text,
+    * n_dropped) with n_dropped summed across passes (chunks of mixed
+    * widths). A document emptied by an early pass survives later passes
+    * with empty text (restored by the per-pass left join, since
+    * `dedupLines` omits zero-token inputs).
+    *
+    * Scale: per pass, the two bounded-key shuffles of `dedupLines`
+    * (election on (hash, chunk), reassembly on id) — widths.length
+    * passes total; each pass shrinks the corpus it hands the next. */
+  def dedupLinesMultiWidth(docs: DataFrame,
+                           widths: Seq[Int] = Seq(128, 32, 8),
+                           hash: Dedup.HashScheme = Dedup.FastHash,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(widths.nonEmpty, "need at least one chunk width")
+    val init = docs.select(col(idCol), col(textCol).as("_txt"))
+      .withColumn("n_dropped", lit(0L))
+    widths.foldLeft(init) { (cur, w) =>
+      val passed = dedupLines(
+          cur.select(col(idCol), col("_txt").as(textCol)), w, hash,
+          idCol, textCol)
+        .select(col(idCol), col("clean_text"), col("n_dropped").as("_nd"))
+      cur.select(col(idCol), col("n_dropped"))
+        .join(passed, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("clean_text"), lit("")).as("_txt"),
+          (col("n_dropped") + coalesce(col("_nd"), lit(0L))).as("n_dropped"))
+    }.select(col(idCol), col("_txt").as("clean_text"), col("n_dropped"))
+  }
+
   /** The full curation recipe as one declarative plan: quality + optional
     * language filter → exact text dedup (md5-keyed first-occurrence
     * window) → benchmark decontamination → deterministic domain-mixture

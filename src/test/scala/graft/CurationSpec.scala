@@ -36,6 +36,26 @@ class CurationSpec extends SparkSpec {
     assert(lenient === Set(2L, 3L))
   }
 
+  // ===== multi-width substring dedup ========================================
+
+  test("dedupLinesMultiWidth: coarse pass strips blocks, fine pass the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // first occurrence of everything
+      (2L, "a b c d x y"),       // wide chunk dup + unique tail
+      (3L, "a b c d e f g h"),   // full duplicate of doc 1
+      (4L, "x y w z"))           // narrow dup of doc 2's tail (after pass 1)
+      .toDF("doc_id", "text")
+    val got = Curation.dedupLinesMultiWidth(docs, widths = Seq(4, 2))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // pass 1 (w=4): doc2 loses "a b c d", doc3 loses both chunks (empty)
+    // pass 2 (w=2): doc4 loses "x y" to doc2's earlier occurrence
+    assert(got(1L) === (("a b c d e f g h", 0L)))
+    assert(got(2L) === (("x y", 1L)))
+    assert(got(3L) === (("", 2L)))   // emptied doc survives later passes
+    assert(got(4L) === (("w z", 1L)))
+  }
+
   // ===== PII / secret scrub =================================================
 
   test("scrubPii counts and redacts emails, phones, and keys") {
