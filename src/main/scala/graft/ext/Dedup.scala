@@ -173,12 +173,55 @@ object Dedup {
 
   // ===== exact n-gram Jaccard ==============================================
 
+  /** Capped posting lists of the word-3-gram inverted index: one row
+    * per distinct shingle hash with the sorted id array of the docs
+    * containing it, hot shingles (postings > maxPostings) dropped.
+    * ONE shuffle, keyed on the 8-byte xxhash64 of the shingle (moves
+    * 8-byte keys instead of ~40-byte n-gram text; set equality modulo
+    * 64-bit collisions, probability ≈ n²/2⁶⁵ — negligible at any
+    * feasible corpus size and standard practice). The collect_list
+    * buffer per key is bounded by the cap wherever a cap is set.
+    * `checkpoint` is set by callers with MULTIPLE consumers of the
+    * frame (jaccardPairs feeds sizes AND pairs from it — re-running
+    * the shingle build + aggregate per consumer would double the
+    * dominant stage); single-consumer callers skip the materialization
+    * round-trip. */
+  private def postingLists(docs: DataFrame, maxPostings: Int,
+                           idCol: String, textCol: String,
+                           checkpoint: Boolean): DataFrame = {
+    val sh = shingleRowsFast(docs, 3, idCol, textCol)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
+    val posts = sh.groupBy(col("sh"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxPostings == Int.MaxValue) posts
+      else posts.filter(size(col("ids")) <= maxPostings)
+    if (checkpoint) capped.localCheckpoint(
+      true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else capped
+  }
+
+  /** Ordered co-occurrence pairs from posting lists: every (a, b),
+    * a < b, sharing a shingle, with the count of shared shingles. The
+    * pair fan-out is generated MAP-SIDE from each sorted id array
+    * (posexplode + per-row slice — no self-join, no second shuffle of
+    * the shingle rows); the one exchange left is the (a, b) count
+    * aggregate, and per-shingle fan-out is bounded by the postings cap
+    * (cap² pairs worst case per key). */
+  private def postingPairs(posts: DataFrame): DataFrame =
+    posts.filter(size(col("ids")) >= 2)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** All pairs with word-3-gram Jaccard ≥ `threshold`, via an inverted
-    * index: explode distinct shingles, self-join on the shingle, count
+    * index: posting lists per shingle, map-side pair explosion, count
     * intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
     *
     * Exact but worst-case quadratic: a shingle shared by k docs yields
-    * k² join rows, so one boilerplate shingle in a 100 TB corpus melts a
+    * k² pairs, so one boilerplate shingle in a 100 TB corpus melts a
     * reducer. `maxPostings` bounds that fan-out by removing shingles
     * whose posting list exceeds the cap from the shingle universe —
     * Jaccard is then computed over the filtered universe (consistent on
@@ -186,36 +229,18 @@ object Dedup {
     * stopword-like boilerplate carrying ~no similarity signal, so the
     * capped measure is the one you actually want at scale; with the
     * default (no cap) the measure is exact. At 100 TB prefer
-    * `minhashPairs`, which bounds the blowup by band-bucket size.
-    *
-    * The shingle rows are localCheckpoint'd: three consumers (sizes +
-    * both join sides) would otherwise re-run the shingle build.
-    *
-    * The inverted-index key is xxhash64(shingle), not the shingle
-    * string: every downstream shuffle (dedup, postings count,
-    * self-join) then moves 8-byte keys instead of ~40-byte n-gram
-    * text. Set equality is preserved modulo 64-bit collisions
-    * (probability ≈ n²/2⁶⁵ over distinct shingles — negligible at any
-    * feasible corpus size, and standard practice for inverted-index
-    * dedup). */
+    * `minhashPairs`, which bounds the blowup by band-bucket size. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxPostings: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val sh0 = shingleRowsFast(docs, 3, idCol, textCol)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .localCheckpoint(
-        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sh = if (maxPostings == Int.MaxValue) sh0 else {
-      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
-        .filter(col("_psz") <= maxPostings)
-      sh0.join(cold.select(col("sh")), Seq("sh"))
-    }
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("cnt"))
+    val posts = postingLists(docs, maxPostings, idCol, textCol,
+      checkpoint = true)
+    // per-doc set sizes over the SAME capped universe (singleton
+    // postings included — only hot shingles are excluded)
+    val sizes = posts.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = postingPairs(posts)
     val j = col("cnt").cast("double") /
       (col("na") + col("nb") - col("cnt"))
     inter
@@ -336,24 +361,11 @@ object Dedup {
   def coShinglePairs(docs: DataFrame, minShared: Long = 2,
                      maxPostings: Int = Int.MaxValue,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    // hashed inverted-index key, as in jaccardPairs
-    val sh0 = shingleRowsFast(docs, 3, idCol, textCol)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
-      .localCheckpoint(
-        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sh = if (maxPostings == Int.MaxValue) sh0 else {
-      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
-        .filter(col("_psz") <= maxPostings)
-      sh0.join(cold.select(col("sh")), Seq("sh"))
-    }
-    sh.as("a").join(sh.as("b"), Seq("sh"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+                     textCol: String = "text"): DataFrame =
+    postingPairs(postingLists(docs, maxPostings, idCol, textCol,
+        checkpoint = false))
+      .filter(col("cnt") >= minShared)
       .select(col("doc_a"), col("doc_b"))
-  }
 
   /** Exact connected components of a near-dup pair graph (doc_a <
     * doc_b): every node labelled with the minimum id reachable from it.
@@ -364,15 +376,16 @@ object Dedup {
     *
     * Scale: each round is a neighbor-min step (equi-join + aggregate on
     * node ids) followed by TWO pointer-jumping steps (labels
-    * re-labelled through the freshest label map each time,
-    * `comp := label(comp)`), so the reach distance roughly octuples per
-    * round (2r+1, then ×2 per jump) and convergence is O(log diameter)
-    * with a ~⅓ smaller round count than a single jump — and each
-    * round's sync-barrier convergence count is the per-round fixed cost
-    * worth amortizing. The jump joins are label-sized (one narrow row
-    * per node), dwarfed by the edge join. Labels are localCheckpoint'd
-    * per step: the jump is a self-join on the just-computed map, which
-    * would otherwise re-execute the edge join per branch. Returns
+    * re-labelled through the stepped map, `comp := label(comp)`), so
+    * the label-travel distance grows d → 3(d+1) per round and
+    * convergence is O(log diameter) with a smaller round count than a
+    * single jump. Per-round driver round-trips are the fixed cost that
+    * dominates small graphs, so each round runs exactly TWO actions:
+    * the stepped checkpoint (the jumps self-join its map — without the
+    * materialization each branch would re-execute the edge join), and
+    * the next-labels checkpoint whose plan both jumps fuse into, with
+    * the convergence count read from an observe() metric on that same
+    * action instead of a separate count job. Returns
     * (doc_id, component). */
   def components(pairs: DataFrame): DataFrame =
     componentsWithRounds(pairs)._1
@@ -408,18 +421,6 @@ object Dedup {
     var labels = edges.groupBy(col("v").as("id"))
       .agg(least(min(col("u")), col("v")).as("comp"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    // pointer jump: follow the label one hop through the map's OWN
-    // freshest labels (comp := m's label of comp). Any such re-label
-    // keeps the invariant (labels only decrease, stay in-component,
-    // never pass the component min), so extra jumps are free accuracy.
-    def jump(m: DataFrame): DataFrame = m
-      .join(m.select(col("id").as("comp"), col("comp").as("_jump")),
-        Seq("comp"), "left")
-      .select(col("id"),
-        least(col("comp"), coalesce(col("_jump"), col("comp"))).as("comp"),
-        col("prev"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -433,8 +434,28 @@ object Dedup {
           col("comp").as("prev"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // pointer jumps: follow the label one hop through the stepped
+      // map (comp := stepped's label of comp). Any such re-label keeps
+      // the invariant (labels only decrease, stay in-component, never
+      // pass the component min), so extra jumps are free accuracy;
+      // both jumps reference the SAME checkpointed map, so the fused
+      // plan re-reads a label-sized cache, never the edge join
+      val map = stepped.select(col("id").as("comp"), col("comp").as("_jump"))
+      def jump(m: DataFrame): DataFrame = m
+        .join(map, Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_jump"), col("comp"))).as("comp"),
+          col("prev"))
+      val obs = org.apache.spark.sql.Observation()
       val next = jump(jump(stepped))
-      changed = next.filter(col("comp") < col("prev")).count()
+        .observe(obs, sum(when(col("comp") < col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // the observe metric rides the checkpoint action — no count job;
+      // null on an empty label frame (no pairs) means converged
+      changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.drop("prev")
       rounds += 1
     }

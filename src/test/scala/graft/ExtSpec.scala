@@ -141,11 +141,11 @@ class ExtSpec extends SparkSpec {
     val (labelled, rounds) = Dedup.componentsWithRounds(chain)
     val comps = labelled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size === 200 && comps.values.toSet === Set(1L))
-    // label-travel distance grows d → 4(d+1) per round (neighbor-min
-    // +1, then ×2 per fresh-map jump): 1, 8, 36, 148, 596 — 4 rounds to
-    // cover 199 hops + 1 confirming round. The previous loop's single
-    // jump through the START-of-round map grew d → 2d+1, needing
-    // 7 + 1 rounds on this chain.
+    // label-travel distance grows d → 3(d+1) per round (neighbor-min
+    // +1, then +d per jump through the stepped map): 1, 6, 21, 66, 201
+    // — 4 rounds to cover 199 hops + 1 confirming round. The previous
+    // loop's single jump through the START-of-round map grew d → 2d+1,
+    // needing 7 + 1 rounds on this chain.
     assert(rounds <= 5, s"200-chain took $rounds rounds")
   }
 
