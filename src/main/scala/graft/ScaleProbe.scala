@@ -36,6 +36,21 @@ object ScaleProbe {
         println(f"[scale] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
 
+    // Probe results are CONSUMED via a checksum over every output
+    // column, never a bare count(): Catalyst prunes unreferenced
+    // aggregate expressions (and whole row-preserving join branches)
+    // under count(*), so counting times only a fragment of the
+    // operator — measured 2× low on the reassembly-heavy probes and
+    // 25× low on the multi-pass dedup. The per-row xxhash64 is noise
+    // next to the operators under test.
+    // bit_xor, not sum: summing ~10⁶ uniform 64-bit hashes overflows
+    // Long under ANSI arithmetic
+    def consume(df: org.apache.spark.sql.DataFrame): Long = {
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+        .collect().head.getLong(0)
+    }
+
     val docs = Tables.documents(spark, sfDir)
       .crossJoin(spark.range(docReps).toDF("rep"))
       .select(
@@ -53,87 +68,80 @@ object ScaleProbe {
         expr("timestampadd(HOUR, CAST(rep AS INT), ts)").as("ts"))
 
     timed(s"minhash_signatures x$docReps") {
-      Dedup.minhashSignatures(docs).count()
+      consume(Dedup.minhashSignatures(docs))
     }
     // the replicated corpus is adversarially duplicate-heavy (every doc
     // has docReps-1 near-identical copies) — exercise the degenerate-
     // bucket guards the way a real pipeline would after exact dedup
     timed(s"minhash_pairs x$docReps") {
-      Dedup.minhashPairs(docs, 0.5, maxBucketSize = 1000).count()
+      consume(Dedup.minhashPairs(docs, 0.5, maxBucketSize = 1000))
     }
     timed(s"simhash_pairs x$docReps") {
-      Dedup.simhashPairs(docs, 3, maxBucketSize = 1000).count()
+      consume(Dedup.simhashPairs(docs, 3, maxBucketSize = 1000))
     }
     // exact jaccard on the replicated corpus is degenerate BY DESIGN
     // (every shingle is shared by all docReps copies, so every posting
     // list is >= docReps): the maxPostings guard must neutralize the
     // quadratic fan-out and let the probe complete
     timed(s"jaccard_capped x$docReps") {
-      Dedup.jaccardPairs(docs, 0.5, maxPostings = 150).count()
+      consume(Dedup.jaccardPairs(docs, 0.5, maxPostings = 150))
     }
     // the full exact-survivor dedup flow: LSH candidates -> connected
     // components -> min-id survivors
     timed(s"cc_dedup x$docReps") {
-      Dedup.dedupCorpusExact(docs, 0.5, maxBucketSize = 300).count()
+      consume(Dedup.dedupCorpusExact(docs, 0.5, maxBucketSize = 300))
     }
     timed(s"ann_ivf x$docReps") {
-      Similarity.ivfTopK(emb,
-        emb.filter(col("vec_id") < 10), 5, 64, 4).count()
+      consume(Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") < 10), 5, 64, 4))
     }
     // curation tier at 1M docs: the replicated corpus makes every base
     // shingle/chunk corpus-frequent, so these exercise the broadcast
     // probe sets and the reassembly shuffle at adversarial density
     timed(s"curation_decontam x$docReps") {
-      Curation.contamination(
+      consume(Curation.contamination(
         docs.filter(col("doc_id") % 9973 =!= 0),
-        docs.filter(col("doc_id") % 9973 === 0)).count()
+        docs.filter(col("doc_id") % 9973 === 0)))
     }
     timed(s"curation_boilerplate x$docReps") {
-      Curation.stripBoilerplate(docs, width = 8, maxDocs = 2).count()
+      consume(Curation.stripBoilerplate(docs, width = 8, maxDocs = 2))
     }
     timed(s"curation_mix x$docReps") {
-      Curation.mixSample(
+      consume(Curation.mixSample(
         docs.withColumn("source",
           concat(lit("src"), pmod(col("doc_id"), lit(20)))),
         (0 until 20).map(i =>
-          s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap).count()
+          s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap))
     }
     timed(s"curation_repetition x$docReps") {
-      TextAnalysis.repetitionStats(docs).count()
+      consume(TextAnalysis.repetitionStats(docs))
     }
     // line dedup at adversarial density: every chunk recurs ~docReps
     // times, so nearly the whole corpus is stripped — worst case for
     // the first-occurrence election window on the chunk hash
     timed(s"curation_line_dedup x$docReps") {
-      Curation.dedupLines(docs, width = 8).count()
+      consume(Curation.dedupLines(docs, width = 8))
     }
     // the width ladder at the same adversarial density: the 128-token
     // pass strips most replicas as whole-doc chunks, so the narrower
-    // passes see an already-shrunk corpus. The aggregate CONSUMES
-    // clean_text (length sum): a bare count() after the pass-restoring
-    // left join lets Catalyst prune every election/reassembly stage and
-    // count the input instead — measured 3 s of nothing
+    // passes see an already-shrunk corpus
     timed(s"curation_multiwidth_dedup x$docReps") {
-      Curation.dedupLinesMultiWidth(docs)
-        .select(length(col("clean_text")).as("len"), col("n_dropped"))
-        .agg(count(lit(1)).as("n"), sum(col("len")).as("chars"),
-          sum(col("n_dropped")).as("dropped"))
-        .collect().head.getLong(0)
+      consume(Curation.dedupLinesMultiWidth(docs))
     }
     // bloom probe at saturation: the replicated benchmark split still
     // builds a fixed 2^16-bit filter; probes are k broadcast joins
     timed(s"curation_bloom x$docReps") {
-      Curation.bloomContamination(
+      consume(Curation.bloomContamination(
         docs.filter(col("doc_id") % 9973 =!= 0),
-        docs.filter(col("doc_id") % 9973 === 0)).count()
+        docs.filter(col("doc_id") % 9973 === 0)))
     }
     // continuous-ingestion dedup: half the corpus plays the accumulated
     // fingerprint store, the other half the arriving batch — the anti
     // join moves only 16-byte hashes + ids
     timed(s"incremental_dedup x$docReps") {
-      Dedup.dedupAgainstStore(
+      consume(Dedup.dedupAgainstStore(
         docs.filter(col("doc_id") % 2 === 1),
-        Dedup.fingerprints(docs.filter(col("doc_id") % 2 === 0))).count()
+        Dedup.fingerprints(docs.filter(col("doc_id") % 2 === 0))))
     }
     // the q64 composition end-to-end, via the SAME Curation.pipeline
     // the registered query runs — one plan over the 1M-doc corpus.
@@ -144,24 +152,24 @@ object ScaleProbe {
     timed(s"curation_pipeline x$docReps") {
       val src = docs.withColumn("source",
         concat(lit("src"), pmod(col("doc_id"), lit(20))))
-      Curation.pipeline(
+      consume(Curation.pipeline(
         src.filter(col("doc_id") % 9973 =!= 0),
         src.filter(col("doc_id") % 9973 === 0),
         (0 until 20).map(i =>
-          s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap).count()
+          s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap))
     }
     timed(s"sliding_revenue x$eventReps") {
-      Aggregations.slidingRevenue(events.select(
+      consume(Aggregations.slidingRevenue(events.select(
         col("ts").as("order_ts"), col("event_type").as("product"),
-        col("value").as("line_amount"))).count()
+        col("value").as("line_amount"))))
     }
 
     timed(s"asof_join x$eventReps") {
       val purchases = events.filter(col("event_type") === "purchase")
       val signups = events.filter(col("event_type") === "signup")
         .select(col("user_id"), col("ts"), col("value"))
-      graft.ops.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts",
-        Seq("value")).count()
+      consume(graft.ops.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("value")))
     }
 
     // relational core at replicated-lineitem scale
@@ -169,16 +177,16 @@ object ScaleProbe {
       .crossJoin(spark.range(eventReps).toDF("rep"))
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     timed(s"pricing_summary x$eventReps") {
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2), round(sum(rev), 2),
-          count(lit(1))).count()
+      consume(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sq"),
+          round(sum(rev), 2).as("sr"), count(lit(1)).as("n")))
     }
     timed(s"topk_join x$eventReps") {
-      li.join(broadcast(Tables.part(spark, sfDir)),
+      consume(li.join(broadcast(Tables.part(spark, sfDir)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_name"))
         .agg(round(sum(rev), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("p_name")).limit(10).count()
+        .orderBy(col("revenue").desc, col("p_name")).limit(10))
     }
     spark.stop()
   }

@@ -477,6 +477,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ===== URL / domain analysis (C4-style blocklist stage) ============
+    // synthetic deterministic URLs planted first (the fixture has none);
+    // registrable-domain roll-up + blocklist flag per domain
+    "q68_domain_stats" -> ((s, d) => {
+      Curation.domainStats(
+          Curation.injectSyntheticUrls(documents(s, d)),
+          // picked so each actually occurs on the id modulo grid (the
+          // tld index shares parity with the site number via the id)
+          blocklist = Seq("site13.org", "site27.io", "site42.com"))
+        .orderBy(col("domain"))
+    }),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1262,6 +1274,31 @@ object SparkEntry {
         |    '\bsk_live_[0-9a-f]{16}\b', '<KEY>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    "q68_domain_stats" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' from http://'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END
+        |      || '.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |      || list_extract(['com','org','net','io'],
+        |                      CAST(doc_id % 4 AS INT) + 1)
+        |      || '/page' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+        |  FROM inj),
+        |d AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS p
+        |  FROM h WHERE host <> ''),
+        |dd AS (SELECT doc_id, host, p[-2] || '.' || p[-1] AS domain FROM d)
+        |SELECT domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts,
+        |  CAST(CASE WHEN domain IN ('site13.org', 'site27.io', 'site42.com')
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
+        |FROM dd GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

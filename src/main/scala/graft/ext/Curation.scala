@@ -414,6 +414,64 @@ object Curation {
           PhonePattern, "<PHONE>"))
   }
 
+  // ===== URL / domain analysis ============================================
+
+  /** First-URL host extraction + registrable-domain roll-up columns —
+    * the parsing half of C4-style domain filtering (blocklists and
+    * per-domain quotas are applied to the registrable domain, not the
+    * full host). Adds `url_host` (empty string when the text has no
+    * URL) and `domain` (last two host labels; null when no URL).
+    * Map-side only: one codegen regexp per row plus a split. */
+  def withDomain(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val host = regexp_extract(col(textCol),
+      "https?://([A-Za-z0-9.-]+)", 1)
+    val parts = split(col("url_host"), "\\.")
+    docs.withColumn("url_host", host)
+      .withColumn("domain",
+        when(col("url_host") === "", lit(null).cast("string"))
+          .otherwise(concat(element_at(parts, -2), lit("."),
+            element_at(parts, -1))))
+  }
+
+  /** Per-domain corpus stats with a blocklist flag: (domain, n_docs,
+    * n_hosts, is_blocked) for every registrable domain in the corpus —
+    * the aggregation behind both blocklist filtering and per-domain
+    * contribution caps (a domain supplying an outsized share of a web
+    * corpus is boilerplate or SEO spam). Docs without a URL are
+    * excluded. One hash aggregate on the domain key (distinct-host
+    * partials are bounded by hosts-per-domain); the blocklist is a
+    * literal IN — at a real blocklist's size, swap in a broadcast
+    * join. */
+  def domainStats(docs: DataFrame, blocklist: Seq[String],
+                  textCol: String = "text"): DataFrame =
+    withDomain(docs, textCol)
+      .filter(col("url_host") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_host")).as("n_hosts"))
+      .withColumn("is_blocked",
+        (if (blocklist.isEmpty) lit(false)
+         else col("domain").isin(blocklist: _*)).cast("long"))
+
+  /** Deterministic synthetic-URL injection — the FIXTURE side of the
+    * domain analysis (the corpus tables carry no URLs): docs with
+    * id % 3 = 0 get ` from http://{www|cdn}.site{id%50}.{tld}/page{id}`
+    * appended, every part derived from the id with engine-portable
+    * functions so the DuckDB oracle replants identical URLs. */
+  def injectSyntheticUrls(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val sub = when(pmod(id, lit(2)) === 0, "www").otherwise("cdn")
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net"), lit("io")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    val url = concat(lit(" from http://"), sub, lit(".site"),
+      pmod(id, lit(50)).cast("string"), lit("."), tld,
+      lit("/page"), id.cast("string"))
+    docs.withColumn(textCol, concat(col(textCol),
+      when(pmod(id, lit(3)) === 0, url).otherwise(lit(""))))
+  }
+
   /** Deterministic synthetic-PII injection — the FIXTURE side of the
     * scrub test/oracle: the corpus tables carry no real PII, so a
     * non-vacuous scrub check needs planted positives. Every value is

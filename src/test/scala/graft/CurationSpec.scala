@@ -56,6 +56,39 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) === (("w z", 1L)))
   }
 
+  // ===== URL / domain analysis ==============================================
+
+  test("withDomain extracts the first host and its registrable domain") {
+    val docs = Seq(
+      (1L, "see https://www.example.com/x and http://other.io/y"),
+      (2L, "plain text, no links"),
+      (3L, "deep http://a.b.c.site.org/path link"))
+      .toDF("doc_id", "text")
+    val got = Curation.withDomain(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("url_host"), r.getAs[String]("domain")))).toMap
+    assert(got(1L) === (("www.example.com", "example.com"))) // first URL wins
+    assert(got(2L) === (("", null)))
+    assert(got(3L) === (("a.b.c.site.org", "site.org"))) // last two labels
+  }
+
+  test("domainStats aggregates hosts per domain and flags the blocklist") {
+    val docs = Seq(
+      (1L, "x http://www.foo.com/a"),
+      (2L, "y http://cdn.foo.com/b"),
+      (3L, "z http://www.foo.com/c"),
+      (4L, "w http://bad.evil.net/d"),
+      (5L, "no url"))
+      .toDF("doc_id", "text")
+    val got = Curation.domainStats(docs, Seq("evil.net")).collect()
+      .map(r => r.getAs[String]("domain") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_hosts"),
+          r.getAs[Long]("is_blocked")))).toMap
+    assert(got === Map(
+      "foo.com" -> ((3L, 2L, 0L)),
+      "evil.net" -> ((1L, 1L, 1L))))
+  }
+
   // ===== PII / secret scrub =================================================
 
   test("scrubPii counts and redacts emails, phones, and keys") {
