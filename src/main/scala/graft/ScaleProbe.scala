@@ -46,7 +46,7 @@ object ScaleProbe {
     // bit_xor, not sum: summing ~10⁶ uniform 64-bit hashes overflows
     // Long under ANSI arithmetic
     def consume(df: org.apache.spark.sql.DataFrame): Long = {
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
         .collect().head.getLong(0)
     }

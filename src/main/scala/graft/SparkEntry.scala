@@ -477,6 +477,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ===== approximate quantiles (GK sketch — the scale path) ==========
+    // q38 is the exact-percentile yardstick; this is the single-pass
+    // bounded-memory form you run at 100 TB. One sketch per group for
+    // the price quantiles (array form), rank error ≤ n/accuracy — with
+    // accuracy 10⁶ >> n the sketch is EXACT and Spark's returned data
+    // element coincides with DuckDB quantile_disc, so the oracle is a
+    // full hash check, not rows-only
+    "q69_approx_quantiles" -> ((s, d) => {
+      val pq = expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 1000000)")
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(pq.as("pq"),
+          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("qty_median"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("pq"), 1).as("price_p25"),
+          element_at(col("pq"), 2).as("price_p50"),
+          element_at(col("pq"), 3).as("price_p75"),
+          element_at(col("pq"), 4).as("price_p99"),
+          col("qty_median"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ===== URL / domain analysis (C4-style blocklist stage) ============
     // synthetic deterministic URLs planted first (the fixture has none);
     // registrable-domain roll-up + blocklist flag per domain
@@ -1274,6 +1298,16 @@ object SparkEntry {
         |    '\bsk_live_[0-9a-f]{16}\b', '<KEY>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    "q69_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.25) AS price_p25,
+        |  quantile_disc(l_extendedprice, 0.5)  AS price_p50,
+        |  quantile_disc(l_extendedprice, 0.75) AS price_p75,
+        |  quantile_disc(l_extendedprice, 0.99) AS price_p99,
+        |  quantile_disc(l_quantity, 0.5) AS qty_median,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q68_domain_stats" ->
       """WITH inj AS (

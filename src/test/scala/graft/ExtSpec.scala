@@ -136,6 +136,21 @@ class ExtSpec extends SparkSpec {
     assert(longComps === Map(4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L))
   }
 
+  test("approx_percentile at accuracy >> n returns an exact data element") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val apx = li.agg(expr(
+        "approx_percentile(l_extendedprice, 0.5, 1000000)").as("apx"))
+      .collect().head.getDouble(0)
+    // GK rank error ≤ n/accuracy < 1 here: the result must be an actual
+    // column value whose rank is the median (the q69 oracle contract —
+    // DuckDB quantile_disc picks the same element)
+    val n = li.count()
+    assert(li.filter(col("l_extendedprice") === apx).count() > 0)
+    val below = li.filter(col("l_extendedprice") <= apx).count()
+    assert(math.abs(below.toDouble / n - 0.5) < 0.01,
+      s"median rank off: $below/$n")
+  }
+
   test("componentsWithRounds: double jump collapses a 200-chain fast") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labelled, rounds) = Dedup.componentsWithRounds(chain)
