@@ -278,16 +278,23 @@ object Curation {
     *
     * Scale: per pass, the two bounded-key shuffles of `dedupLines`
     * (election on (hash, chunk), reassembly on id) — widths.length
-    * passes total; each pass shrinks the corpus it hands the next. */
+    * passes total; each pass shrinks the corpus it hands the next.
+    * Each pass's input is localCheckpoint'd (eager — plan construction
+    * executes the earlier passes, the accepted q18/q61 pattern):
+    * the fold consumes it TWICE (the dedupLines input and the
+    * doc-restoring join-back), so without the barrier the plan would
+    * nest 2^passes copies of every earlier pass's election pipeline. */
   def dedupLinesMultiWidth(docs: DataFrame,
                            widths: Seq[Int] = Seq(128, 32, 8),
                            hash: Dedup.HashScheme = Dedup.FastHash,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(widths.nonEmpty, "need at least one chunk width")
     val init = docs.select(col(idCol), col(textCol).as("_txt"))
       .withColumn("n_dropped", lit(0L))
-    widths.foldLeft(init) { (cur, w) =>
+    widths.foldLeft(init) { (cur0, w) =>
+      val cur = cur0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val passed = dedupLines(
           cur.select(col(idCol), col("_txt").as(textCol)), w, hash,
           idCol, textCol)
@@ -395,11 +402,15 @@ object Curation {
     *
     * Scale: entirely map-side — regexp_count/regexp_replace are codegen
     * string expressions, no shuffle, no UDF; at 100 TB this fuses into
-    * whatever scan feeds it. Counts are taken on the ORIGINAL text per
-    * pattern (emails are redacted before phones/keys, but the patterns
-    * cannot overlap: a phone needs `ddd-ddd-dddd` digits-with-dashes,
-    * a key its `sk_live_` prefix — neither survives inside a match of
-    * another class). */
+    * whatever scan feeds it. Counts are taken INDEPENDENTLY per pattern
+    * on the ORIGINAL text, while redaction applies email → key → phone
+    * in sequence — so a phone or key embedded in an email's local part
+    * (`555-123-4567@corp.com`: the email class admits digits and
+    * dashes) is counted in BOTH n_phones and n_emails but disappears
+    * inside the single `<EMAIL>` placeholder. Counts are per-pattern
+    * detection tallies, not placeholder tallies; every PII match is
+    * still removed from clean_text, which is the invariant that
+    * matters. */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
@@ -426,9 +437,14 @@ object Curation {
     val host = regexp_extract(col(textCol),
       "https?://([A-Za-z0-9.-]+)", 1)
     val parts = split(col("url_host"), "\\.")
+    // single-label hosts (http://localhost/...) have no registrable
+    // domain: guard the -2 index BEFORE element_at — under ANSI mode an
+    // out-of-range element_at throws rather than returning null — and
+    // yield null, matching the oracle's p[-2] → NULL propagation
     docs.withColumn("url_host", host)
       .withColumn("domain",
-        when(col("url_host") === "", lit(null).cast("string"))
+        when(col("url_host") === "" || size(parts) < 2,
+          lit(null).cast("string"))
           .otherwise(concat(element_at(parts, -2), lit("."),
             element_at(parts, -1))))
   }

@@ -179,8 +179,16 @@ object Dedup {
     * ONE shuffle, keyed on the 8-byte xxhash64 of the shingle (moves
     * 8-byte keys instead of ~40-byte n-gram text; set equality modulo
     * 64-bit collisions, probability ≈ n²/2⁶⁵ — negligible at any
-    * feasible corpus size and standard practice). The collect_list
-    * buffer per key is bounded by the cap wherever a cap is set.
+    * feasible corpus size and standard practice). When a cap is set,
+    * hot shingles are dropped by a count aggregate + join BEFORE the
+    * collect_list, so the list buffer per key is bounded by the cap BY
+    * CONSTRUCTION — filtering on size(ids) after the fact would first
+    * materialize a posting array as large as the hottest key (a
+    * corpus-universal boilerplate shingle shared by 10⁸ docs = a
+    * multi-GB aggregation row), which is exactly the blow-up the cap
+    * exists to prevent. The count partials are 8-byte map-side-combined
+    * rows, and the groupBy(sh) after the sh-keyed join reuses the
+    * join's hash partitioning — no third corpus exchange.
     * `checkpoint` is set by callers with MULTIPLE consumers of the
     * frame (jaccardPairs feeds sizes AND pairs from it — re-running
     * the shingle build + aggregate per consumer would double the
@@ -189,16 +197,22 @@ object Dedup {
   private def postingLists(docs: DataFrame, maxPostings: Int,
                            idCol: String, textCol: String,
                            checkpoint: Boolean): DataFrame = {
-    val sh = shingleRowsFast(docs, 3, idCol, textCol)
+    val sh1 = shingleRowsFast(docs, 3, idCol, textCol)
       .select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sh = if (maxPostings == Int.MaxValue) sh1 else {
+      // the guard makes sh a two-consumer frame (count + join sides):
+      // checkpoint so the shingle kernel + explode run once
+      val sh0 = sh1.localCheckpoint(
+        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
+        .filter(col("_psz") <= maxPostings)
+      sh0.join(cold.select(col("sh")), Seq("sh"))
+    }
     val posts = sh.groupBy(col("sh"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-    val capped =
-      if (maxPostings == Int.MaxValue) posts
-      else posts.filter(size(col("ids")) <= maxPostings)
-    if (checkpoint) capped.localCheckpoint(
+    if (checkpoint) posts.localCheckpoint(
       true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else capped
+    else posts
   }
 
   /** Ordered co-occurrence pairs from posting lists: every (a, b),

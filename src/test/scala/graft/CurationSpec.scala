@@ -62,7 +62,8 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (1L, "see https://www.example.com/x and http://other.io/y"),
       (2L, "plain text, no links"),
-      (3L, "deep http://a.b.c.site.org/path link"))
+      (3L, "deep http://a.b.c.site.org/path link"),
+      (4L, "dotless http://localhost/admin host"))
       .toDF("doc_id", "text")
     val got = Curation.withDomain(docs).collect()
       .map(r => r.getLong(0) ->
@@ -70,6 +71,9 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) === (("www.example.com", "example.com"))) // first URL wins
     assert(got(2L) === (("", null)))
     assert(got(3L) === (("a.b.c.site.org", "site.org"))) // last two labels
+    // single-label host: no registrable domain — must yield null, not
+    // an ANSI element_at out-of-range error
+    assert(got(4L) === (("localhost", null)))
   }
 
   test("domainStats aggregates hosts per domain and flags the blocklist") {
@@ -107,6 +111,17 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._2 === "call <PHONE> and key <KEY> done")
     assert(got(3L)._1 === ((0L, 0L, 0L)))
     assert(got(3L)._2 === "clean text, number 12-34 is not a phone, a@b not an email")
+  }
+
+  test("scrubPii overlap: a phone inside an email is counted twice, redacted once") {
+    // counts are per-pattern detections on the original text; the phone
+    // disappears inside the single <EMAIL> placeholder — documented
+    // semantics, and the whole match is still gone from clean_text
+    val d = Seq((1L, "reach 555-123-4567@corp.com today")).toDF("doc_id", "text")
+    val r = Curation.scrubPii(d).collect().head
+    assert(r.getAs[Long]("n_emails") === 1L)
+    assert(r.getAs[Long]("n_phones") === 1L)
+    assert(r.getAs[String]("clean_text") === "reach <EMAIL> today")
   }
 
   test("injectSyntheticPii plants scrubbable positives on the modulo grid") {
