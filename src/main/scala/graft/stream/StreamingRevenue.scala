@@ -131,6 +131,28 @@ object StreamingRevenue {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.ProcessingTime(triggerInterval))
 
+  /** foreachBatch sink with idempotent batch-directory writes — the
+    * production pattern when the target needs transactional or
+    * arbitrary-API writes (JDBC upserts, external stores) that the
+    * built-in file sink cannot express. Each micro-batch lands in a
+    * `batch_id=<id>` partition directory with mode=overwrite: a batch
+    * re-delivered after a failure between the write and the checkpoint
+    * commit OVERWRITES its own directory instead of appending
+    * duplicates, which is what makes retries idempotent (the
+    * foreachBatch contract: the batchId is stable across redeliveries).
+    * Readers get the union via partition discovery on outPath. Update
+    * mode: each batch carries only the (window, product) rows that
+    * changed, so directories stay small and late refinements land in
+    * later batch dirs. */
+  def sinkForeachBatchParquet(aggregated: DataFrame, outPath: String,
+                              checkpointPath: String): DataStreamWriter[Row] =
+    aggregated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointPath)
+
   /** Incremental-batch variant: process everything available, then stop
     * (Trigger.AvailableNow) — the scheduled-job deployment mode: each
     * run drains the backlog with streaming exactly-once semantics and

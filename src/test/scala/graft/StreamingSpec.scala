@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
 
+  test("foreachBatch sink writes idempotent batch_id directories") {
+    val input = MemoryStream[String](spark)
+    val events = StreamingRevenue.decodeJson(
+      input.toDF().select(col("value").cast("binary").as("value")))
+    val agg = StreamingRevenue.pipeline(events)
+    val out = java.nio.file.Files.createTempDirectory("fb_out").toString + "/agg"
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ckpt").toString
+    val q = StreamingRevenue.sinkForeachBatchParquet(agg, out, ckpt).start()
+    try {
+      input.addData(Seq(ev("2025-01-01 10:05:00", "A", "10.00")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("2025-01-01 13:00:00", "B", "1.00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // partition discovery reads the union of all batch directories;
+    // update mode emits A's refined windows as they arrive
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.contains("batch_id"))
+    val byProduct = rows.groupBy("product").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byProduct("A") === 4L) // 4 sliding windows
+    // per-batch dirs exist and a re-write of the same batch id would
+    // overwrite, not append (mode=overwrite per directory)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(dirs.size >= 1)
+  }
+
   test("kafka source contract: options pinned, fail-fast without the jar, " +
        "wire shape feeds the pipeline") {
     // the exact option set the connector would receive
