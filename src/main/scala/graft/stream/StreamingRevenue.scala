@@ -111,6 +111,30 @@ object StreamingRevenue {
   def pipeline(events: DataFrame): DataFrame =
     aggregate(transformOrders(events))
 
+  /** Watermarked stream-stream inner join: match each left event to
+    * right events with the same key whose event time falls in
+    * [left.ts - lookback, left.ts] — e.g. purchases joined to the
+    * signup that preceded them within an attribution window.
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark derives a state watermark for each
+    * side and EVICTS buffered rows once they can no longer match —
+    * without the time bound the join state grows forever, which is the
+    * difference between a runnable and an OOMing stream at corpus
+    * scale. State is keyed on the join key (one shuffle per side);
+    * output rows appear once both matching events have arrived. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       lookback: String = "1 hour",
+                       watermark: String = WatermarkDelay): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Stream-static enrichment: join the (streaming) cleansed events with
     * a static dimension table, broadcast so every micro-batch probes an
     * in-memory map instead of shuffling the stream. Spark re-plans the

@@ -114,6 +114,40 @@ class StreamingSpec extends SparkSpec {
     assert(!StreamingRevenue.validateKafkaAvailable())
   }
 
+  test("stream-stream interval join matches within lookback and evicts state") {
+    import java.sql.Timestamp
+    val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
+    val signups = MemoryStream[(Long, Timestamp)](spark)
+    val p = purchases.toDF().toDF("user_id", "p_ts", "amount")
+    val s = signups.toDF().toDF("s_user", "s_ts")
+    val joined = StreamingRevenue.streamStreamJoin(
+      p, s.withColumnRenamed("s_user", "user_id"),
+      "user_id", "p_ts", "s_ts", lookback = "1 hour",
+      watermark = "10 minutes")
+      .select(col("l.user_id"), col("amount"),
+        unix_timestamp(col("s_ts")).as("s_epoch"))
+    val name = s"ssj_out_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def ts(m: String) = Timestamp.valueOf(s"2025-01-01 $m:00")
+    try {
+      // signup at 10:00; purchases at 10:30 (in window) and 12:30 (outside)
+      signups.addData(Seq((1L, ts("10:00")), (2L, ts("10:05"))))
+      purchases.addData(Seq((1L, ts("10:30"), 5.0), (1L, ts("12:30"), 7.0)))
+      q.processAllAvailable()
+      // advance both watermarks so results emit
+      signups.addData(Seq((99L, ts("18:00"))))
+      purchases.addData(Seq((99L, ts("18:00"), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .filter(col("user_id") === 1L)
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    // only the 10:30 purchase joins (12:30 is > 1h after the signup);
+    // user 2 never purchases
+    assert(rows.toSeq === Seq((5.0, ts("10:00").getTime / 1000)))
+  }
+
   test("foreachBatch sink writes idempotent batch_id directories") {
     val input = MemoryStream[String](spark)
     val events = StreamingRevenue.decodeJson(
