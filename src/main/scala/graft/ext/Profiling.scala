@@ -26,6 +26,34 @@ object Profiling {
         t4(avg(col(c).cast("double"))).as(s"${c}__mean"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    unpivot(one, cols)
+  }
+
+  /** The 100 TB form of `profile`: HLL++ sketches
+    * (approx_count_distinct, `rsd` relative error) replace the exact
+    * distinct counts. Multiple EXACT countDistinct aggregates force
+    * Catalyst's Expand plan — every input row is replicated once per
+    * distinct column (+1), a 5× scan-equivalent for a 4-column profile
+    * — while the sketch variant stays a single plain hash aggregate
+    * with constant-size partial buffers. No DuckDB oracle (HLL
+    * implementations differ across engines); ProfilingSpec pins the
+    * estimates to the exact profile within tolerance. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.02): DataFrame = {
+    val t4 = TextAnalysis.trunc4 _
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__null"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__dist"),
+        t4(min(col(c)).cast("double")).as(s"${c}__min"),
+        t4(max(col(c)).cast("double")).as(s"${c}__max"),
+        t4(avg(col(c).cast("double"))).as(s"${c}__mean"))
+    }
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
     val pieces = cols.map { c =>
       struct(
         lit(c).as("column"),

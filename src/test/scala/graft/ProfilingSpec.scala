@@ -22,6 +22,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b").getLong(3) === 3L)
   }
 
+  test("profileApprox matches exact counts and estimates distincts within rsd") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_partkey")
+    val exact = Profiling.profile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val apx = Profiling.profileApprox(li, cols, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the plan must be a plain aggregate — no Expand row replication
+    val plan = Profiling.profileApprox(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile expanded rows:\n$plan")
+    assert(Profiling.profile(li, cols)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct profile should use Expand (sanity)")
+    cols.foreach { c =>
+      // n / n_null / min / max / mean are exact in both variants
+      assert(apx(c).getLong(1) === exact(c).getLong(1))
+      assert(apx(c).getLong(2) === exact(c).getLong(2))
+      assert(apx(c).getDouble(4) === exact(c).getDouble(4))
+      assert(apx(c).getDouble(5) === exact(c).getDouble(5))
+      assert(apx(c).getDouble(6) === exact(c).getDouble(6))
+      val (e, a) = (exact(c).getLong(3).toDouble, apx(c).getLong(3).toDouble)
+      assert(math.abs(a - e) / e <= 0.06, s"$c distinct est $a vs exact $e")
+    }
+  }
+
   test("fileUri leaves scheme-qualified paths alone and prefixes bare paths") {
     assert(Sinks.fileUri("hdfs://nn:8020/x") === "hdfs://nn:8020/x")
     assert(Sinks.fileUri("file:///x") === "file:///x")
