@@ -409,6 +409,20 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== dedup cluster-size histogram (curation report) ==============
+    // the distribution a dedup run reports: how many near-dup clusters
+    // of each size the corpus contains (size-1 "clusters" are nodes of
+    // the pair graph whose edges all lead elsewhere — isolated docs
+    // never enter the graph)
+    "q70_component_sizes" -> ((s, d) => {
+      val pairs = Dedup.coShinglePairs(documents(s, d), minShared = 2,
+        maxPostings = 1000)
+      Dedup.components(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // ===== TPC-H Q3-shaped shipping priority (filter pushdown demo) ====
     // both date filters and the segment equality reach the parquet scans
     // as PushedFilters; join order is left to Catalyst/AQE
@@ -1193,6 +1207,35 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q43's reachability CTE with a two-level roll-up on top
+    "q70_component_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (
+        |  SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |szs AS (
+        |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     "q48_ship_priority" ->
       """SELECT l_orderkey,
