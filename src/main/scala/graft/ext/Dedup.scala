@@ -180,15 +180,13 @@ object Dedup {
     * 8-byte keys instead of ~40-byte n-gram text; set equality modulo
     * 64-bit collisions, probability ≈ n²/2⁶⁵ — negligible at any
     * feasible corpus size and standard practice). When a cap is set,
-    * hot shingles are dropped by a count aggregate + join BEFORE the
-    * collect_list, so the list buffer per key is bounded by the cap BY
-    * CONSTRUCTION — filtering on size(ids) after the fact would first
-    * materialize a posting array as large as the hottest key (a
-    * corpus-universal boilerplate shingle shared by 10⁸ docs = a
-    * multi-GB aggregation row), which is exactly the blow-up the cap
-    * exists to prevent. The count partials are 8-byte map-side-combined
-    * rows, and the groupBy(sh) after the sh-keyed join reuses the
-    * join's hash partitioning — no third corpus exchange.
+    * the aggregation runs through the size-capped `capped_collect`
+    * Aggregator: the buffer per key is ≤ cap+1 longs BY CONSTRUCTION
+    * (map-side partials included) and hot shingles finish as NULL and
+    * are filtered — one corpus shuffle total, no count-aggregate +
+    * anti-join pre-pass, no materialization of a hot key's full
+    * posting array (which a collect_list + size() filter would build
+    * first — the exact blow-up the cap exists to prevent).
     * `checkpoint` is set by callers with MULTIPLE consumers of the
     * frame (jaccardPairs feeds sizes AND pairs from it — re-running
     * the shingle build + aggregate per consumer would double the
@@ -197,19 +195,17 @@ object Dedup {
   private def postingLists(docs: DataFrame, maxPostings: Int,
                            idCol: String, textCol: String,
                            checkpoint: Boolean): DataFrame = {
-    val sh1 = shingleRowsFast(docs, 3, idCol, textCol)
+    val sh = shingleRowsFast(docs, 3, idCol, textCol)
       .select(col("id"), xxhash64(col("sh")).as("sh"))
-    val sh = if (maxPostings == Int.MaxValue) sh1 else {
-      // the guard makes sh a two-consumer frame (count + join sides):
-      // checkpoint so the shingle kernel + explode run once
-      val sh0 = sh1.localCheckpoint(
-        true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val cold = sh0.groupBy(col("sh")).agg(count(lit(1)).as("_psz"))
-        .filter(col("_psz") <= maxPostings)
-      sh0.join(cold.select(col("sh")), Seq("sh"))
-    }
-    val posts = sh.groupBy(col("sh"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+    val posts =
+      if (maxPostings == Int.MaxValue)
+        sh.groupBy(col("sh"))
+          .agg(array_sort(collect_list(col("id"))).as("ids"))
+      else
+        sh.groupBy(col("sh"))
+          .agg(graft.functions.SketchAggregates
+            .capped_collect(maxPostings)(col("id")).as("ids"))
+          .filter(col("ids").isNotNull)
     if (checkpoint) posts.localCheckpoint(
       true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else posts

@@ -76,9 +76,73 @@ class MisraGries(capacity: Int)
     ExpressionEncoder[Map[String, Long]]()
 }
 
+/** Size-capped long collector: gathers a group's values into a sorted
+  * array, but STOPS accumulating one element past `cap` and finishes
+  * as SQL NULL for any group that exceeded it — the bounded-memory
+  * building block for inverted-index posting lists with a hot-key
+  * guard. The built-in alternative (collect_list then filter on
+  * size()) first materializes the hottest key's FULL list (a
+  * corpus-universal boilerplate shingle shared by 10⁸ docs = a
+  * multi-GB aggregation row) before dropping it; this buffer is
+  * ≤ cap+1 longs per group by construction, map-side partials
+  * included, and overloaded groups cost O(cap) memory and then absorb
+  * further input for free. A count-aggregate + anti-join guard gets
+  * the same bound but spends an extra corpus shuffle and a
+  * materialization of the shingle rows for the two consumers. */
+class CappedCollect(cap: Int)
+    extends Aggregator[Long, (Array[Long], Int), Array[Long]] {
+  require(cap > 0, "cap must be positive")
+  private val stop = cap + 1 // reaching one past the cap marks overflow
+
+  override def zero: (Array[Long], Int) = (Array.emptyLongArray, 0)
+
+  override def reduce(b: (Array[Long], Int), a: Long): (Array[Long], Int) =
+    if (b._2 >= stop) b
+    else {
+      val arr =
+        if (b._1.length == 0) new Array[Long](math.min(stop, 16))
+        else if (b._2 == b._1.length)
+          java.util.Arrays.copyOf(b._1, math.min(stop, b._1.length * 2))
+        else b._1
+      arr(b._2) = a
+      (arr, b._2 + 1)
+    }
+
+  override def merge(x: (Array[Long], Int),
+                     y: (Array[Long], Int)): (Array[Long], Int) =
+    if (x._2 >= stop || y._2 == 0) x
+    else if (x._2 == 0) y
+    else {
+      val n = math.min(stop, x._2 + y._2)
+      val out = java.util.Arrays.copyOf(x._1, n)
+      var i = x._2
+      var j = 0
+      while (i < n) { out(i) = y._1(j); i += 1; j += 1 }
+      (out, n)
+    }
+
+  override def finish(r: (Array[Long], Int)): Array[Long] =
+    if (r._2 >= stop) null
+    else {
+      val out = java.util.Arrays.copyOf(r._1, r._2)
+      java.util.Arrays.sort(out) // deterministic despite merge order
+      out
+    }
+
+  override def bufferEncoder: Encoder[(Array[Long], Int)] =
+    ExpressionEncoder[(Array[Long], Int)]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
 object SketchAggregates {
   /** Column-API form: `df.groupBy(g).agg(mg_summary(64)(col("key")))`
     * yields a `map<string,bigint>` of ≤ capacity lower-bound counts. */
   def mg_summary(capacity: Int): UserDefinedFunction =
     udaf(new MisraGries(capacity), ExpressionEncoder[String]())
+
+  /** Column-API form: sorted `array<bigint>` of the group's values, or
+    * NULL for groups larger than `cap` (filter with isNotNull). */
+  def capped_collect(cap: Int): UserDefinedFunction =
+    udaf(new CappedCollect(cap), ExpressionEncoder[Long]())
 }

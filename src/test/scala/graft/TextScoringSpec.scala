@@ -47,6 +47,24 @@ class TextScoringSpec extends SparkSpec {
     assert(summary.size === 11)
   }
 
+  test("capped_collect gathers sorted values and nulls out hot groups") {
+    val rows = ((1 to 5).map(i => ("cold", i.toLong)) ++
+      (1 to 9).map(i => ("hot", i.toLong))).toSeq
+    val df = rows.toDF("k", "v").repartition(4) // partial-merge path
+    val got = df.groupBy(col("k"))
+      .agg(SketchAggregates.capped_collect(8)(col("v")).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(got("cold") === Some(Seq(1L, 2L, 3L, 4L, 5L))) // sorted
+    assert(got("hot") === None) // 9 > cap 8 → NULL
+    // boundary: exactly cap values survive
+    val atCap = (1 to 8).map(i => ("k", i.toLong)).toDF("k", "v")
+      .repartition(3)
+      .groupBy(col("k"))
+      .agg(SketchAggregates.capped_collect(8)(col("v")).as("ids"))
+      .collect().head.getSeq[Long](1)
+    assert(atCap === (1L to 8L))
+  }
+
   // --- token_set_hits kernel ----------------------------------------------
 
   test("token_set_hits matches the interpreted HOF formulation on real docs") {
