@@ -202,7 +202,11 @@ object Dedup {
         sh.groupBy(col("sh"))
           .agg(array_sort(collect_list(col("id"))).as("ids"))
       else
-        sh.groupBy(col("sh"))
+        // null ids are dropped up front: collect_list (the uncapped
+        // branch) skips nulls, while the Aggregator's primitive Long
+        // encoder would crash on one — keep the branches equivalent
+        sh.filter(col("id").isNotNull)
+          .groupBy(col("sh"))
           .agg(graft.functions.SketchAggregates
             .capped_collect(maxPostings)(col("id")).as("ids"))
           .filter(col("ids").isNotNull)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the first step of any training-data
@@ -15,18 +15,8 @@ object Profiling {
     * column with n, n_null, n_distinct (exact), min/max/mean rounded
     * to 4 via floor-truncation (cross-engine stable for oracle use). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val t4 = TextAnalysis.trunc4 _
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"${c}__n"),
-        count(when(col(c).isNull, 1)).as(s"${c}__null"),
-        countDistinct(col(c)).as(s"${c}__dist"),
-        t4(min(col(c)).cast("double")).as(s"${c}__min"),
-        t4(max(col(c)).cast("double")).as(s"${c}__max"),
-        t4(avg(col(c).cast("double"))).as(s"${c}__mean"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    unpivot(one, cols)
+    val aggs = statAggs(cols, countDistinct(_))
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
   /** The 100 TB form of `profile`: HLL++ sketches
@@ -40,17 +30,24 @@ object Profiling {
     * estimates to the exact profile within tolerance. */
   def profileApprox(df: DataFrame, cols: Seq[String],
                     rsd: Double = 0.02): DataFrame = {
+    val aggs = statAggs(cols, c => approx_count_distinct(c, rsd))
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  /** The shared six-stat aggregate list; only the distinct-count
+    * strategy differs between the exact and approximate profiles. */
+  private def statAggs(cols: Seq[String],
+                       distinctAgg: Column => Column): Seq[Column] = {
     val t4 = TextAnalysis.trunc4 _
-    val aggs = cols.flatMap { c =>
+    cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__null"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__dist"),
+        distinctAgg(col(c)).as(s"${c}__dist"),
         t4(min(col(c)).cast("double")).as(s"${c}__min"),
         t4(max(col(c)).cast("double")).as(s"${c}__max"),
         t4(avg(col(c).cast("double"))).as(s"${c}__mean"))
     }
-    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {

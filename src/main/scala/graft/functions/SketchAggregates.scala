@@ -91,18 +91,26 @@ class MisraGries(capacity: Int)
   * materialization of the shingle rows for the two consumers. */
 class CappedCollect(cap: Int)
     extends Aggregator[Long, (Array[Long], Int), Array[Long]] {
-  require(cap > 0, "cap must be positive")
+  // cap+1 must not overflow Int: with cap = Int.MaxValue the overflow
+  // marker would wrap to Int.MinValue and EVERY group would finish
+  // NULL with no error. "No cap" callers use plain collect_list.
+  require(cap > 0 && cap < Int.MaxValue,
+    "cap must be positive and below Int.MaxValue (use collect_list for uncapped)")
   private val stop = cap + 1 // reaching one past the cap marks overflow
 
   override def zero: (Array[Long], Int) = (Array.emptyLongArray, 0)
 
+  // NOTE: the Long input encoder is primitive (non-nullable) — a null
+  // input row fails at deserialization before reduce can guard it;
+  // callers filter nulls first (collect_list parity: nulls skipped).
   override def reduce(b: (Array[Long], Int), a: Long): (Array[Long], Int) =
     if (b._2 >= stop) b
     else {
       val arr =
         if (b._1.length == 0) new Array[Long](math.min(stop, 16))
         else if (b._2 == b._1.length)
-          java.util.Arrays.copyOf(b._1, math.min(stop, b._1.length * 2))
+          java.util.Arrays.copyOf(b._1,
+            math.min(stop.toLong, b._1.length * 2L).toInt)
         else b._1
       arr(b._2) = a
       (arr, b._2 + 1)

@@ -173,9 +173,17 @@ object StreamingRevenue {
     aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        writeBatch(outPath)(batch, batchId)
       }
       .option("checkpointLocation", checkpointPath)
+
+  /** The per-batch writer behind `sinkForeachBatchParquet`, exposed so
+    * the idempotency contract is directly testable: writing the SAME
+    * batchId twice must leave one copy (mode=overwrite per batch
+    * directory), which is what makes checkpoint-redelivery safe. */
+  def writeBatch(outPath: String)(batch: org.apache.spark.sql.Dataset[Row],
+                                  batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
   /** Incremental-batch variant: process everything available, then stop
     * (Trigger.AvailableNow) — the scheduled-job deployment mode: each

@@ -126,6 +126,16 @@ class StreamingSpec extends SparkSpec {
       watermark = "10 minutes")
       .select(col("l.user_id"), col("amount"),
         unix_timestamp(col("s_ts")).as("s_epoch"))
+    // BOTH sides must carry event-time watermarks: with the interval
+    // condition they bound the join state (eviction); dropping them is
+    // legal for an append-mode inner join and produces the same rows
+    // here, so only this structural check catches the unbounded-state
+    // regression
+    val watermarkNodes = joined.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }
+    assert(watermarkNodes.size === 2,
+      s"expected watermarks on both join sides, got ${watermarkNodes.size}")
     val name = s"ssj_out_${System.nanoTime()}"
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
@@ -135,7 +145,9 @@ class StreamingSpec extends SparkSpec {
       signups.addData(Seq((1L, ts("10:00")), (2L, ts("10:05"))))
       purchases.addData(Seq((1L, ts("10:30"), 5.0), (1L, ts("12:30"), 7.0)))
       q.processAllAvailable()
-      // advance both watermarks so results emit
+      // later events move the watermark forward so buffered state from
+      // the first batch becomes evictable (inner-join rows themselves
+      // emit without waiting on the watermark)
       signups.addData(Seq((99L, ts("18:00"))))
       purchases.addData(Seq((99L, ts("18:00"), 0.0)))
       q.processAllAvailable()
@@ -169,11 +181,23 @@ class StreamingSpec extends SparkSpec {
     val byProduct = rows.groupBy("product").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byProduct("A") === 4L) // 4 sliding windows
-    // per-batch dirs exist and a re-write of the same batch id would
-    // overwrite, not append (mode=overwrite per directory)
     val dirs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
     assert(dirs.size >= 1)
+    // the idempotency contract itself: REDELIVER an already-written
+    // batch id through the same writer — the row count must not grow
+    // (mode=overwrite per batch directory; append would duplicate)
+    val firstId = dirs.head.stripPrefix("batch_id=").toLong
+    val orig = spark.read.parquet(s"$out/batch_id=$firstId")
+    // collect + re-create: overwriting a path that the plan also reads
+    // is rejected at analysis, and a real redelivery recomputes the
+    // batch from the source anyway
+    val redelivered = spark.createDataFrame(
+      spark.sparkContext.parallelize(orig.collect().toSeq), orig.schema)
+    val before = spark.read.parquet(out).count()
+    StreamingRevenue.writeBatch(out)(redelivered, firstId)
+    assert(spark.read.parquet(out).count() === before,
+      "redelivered batch duplicated rows instead of overwriting")
   }
 
   test("kafka source contract: options pinned, fail-fast without the jar, " +
