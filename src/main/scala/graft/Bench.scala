@@ -73,11 +73,23 @@ object Bench {
       s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
     // the stdout line has been truncated upstream before (BENCH_r02's
-    // JSON tail) — persist a copy so totals survive log truncation
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // JSON tail) — persist a copy so totals survive log truncation.
+    // Default is a mkstemp path (0600, collision-free), not a fixed
+    // shared /tmp name another user could pre-create or clobber; the
+    // copy is best-effort but only NonFatal failures are swallowed
+    // (an OOM/VM error must not be masked as a clean exit) and the
+    // outcome is reported on stderr either way.
+    try {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Files.createTempFile("graft-bench-", ".json"))
+      java.nio.file.Files.write(path,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[Bench] json copy: $path")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[Bench] json copy failed: $e")
+    }
     spark.stop()
   }
 }

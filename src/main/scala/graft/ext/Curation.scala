@@ -431,9 +431,21 @@ object Curation {
     * the parsing half of C4-style domain filtering (blocklists and
     * per-domain quotas are applied to the registrable domain, not the
     * full host). Adds `url_host` (empty string when the text has no
-    * URL) and `domain` (last two host labels; null when no URL).
+    * URL) and `domain` (null when no URL).
+    *
+    * LIMITATION: by default "registrable domain = last two host
+    * labels", which misclassifies hosts under multi-part public
+    * suffixes (example.co.uk → "co.uk"), merging unrelated sites into
+    * one domain — blocklists and per-domain quotas silently stop
+    * discriminating for those TLDs. On a real web corpus pass the
+    * relevant entries of the public suffix list via
+    * `multiPartSuffixes` (e.g. Seq("co.uk", "com.au")): a host whose
+    * last two labels match an entry keeps THREE labels
+    * (example.co.uk). The default Nil preserves the two-label rule the
+    * synthetic fixture and the q68 oracle encode.
     * Map-side only: one codegen regexp per row plus a split. */
-  def withDomain(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def withDomain(docs: DataFrame, textCol: String = "text",
+                 multiPartSuffixes: Seq[String] = Nil): DataFrame = {
     val host = regexp_extract(col(textCol),
       "https?://([A-Za-z0-9.-]+)", 1)
     val parts = split(col("url_host"), "\\.")
@@ -441,12 +453,20 @@ object Curation {
     // domain: guard the -2 index BEFORE element_at — under ANSI mode an
     // out-of-range element_at throws rather than returning null — and
     // yield null, matching the oracle's p[-2] → NULL propagation
+    val lastTwo = concat(element_at(parts, -2), lit("."),
+      element_at(parts, -1))
+    // CaseWhen evaluates a branch value only when its predicate holds,
+    // so element_at(parts, -3) is reached only with ≥3 labels (ANSI-safe)
+    val registrable =
+      if (multiPartSuffixes.isEmpty) lastTwo
+      else when(size(parts) >= 3 && lastTwo.isin(multiPartSuffixes: _*),
+        concat(element_at(parts, -3), lit("."), lastTwo))
+        .otherwise(lastTwo)
     docs.withColumn("url_host", host)
       .withColumn("domain",
         when(col("url_host") === "" || size(parts) < 2,
           lit(null).cast("string"))
-          .otherwise(concat(element_at(parts, -2), lit("."),
-            element_at(parts, -1))))
+          .otherwise(registrable))
   }
 
   /** Per-domain corpus stats with a blocklist flag: (domain, n_docs,
@@ -459,8 +479,9 @@ object Curation {
     * literal IN — at a real blocklist's size, swap in a broadcast
     * join. */
   def domainStats(docs: DataFrame, blocklist: Seq[String],
-                  textCol: String = "text"): DataFrame =
-    withDomain(docs, textCol)
+                  textCol: String = "text",
+                  multiPartSuffixes: Seq[String] = Nil): DataFrame =
+    withDomain(docs, textCol, multiPartSuffixes)
       .filter(col("url_host") =!= "")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),

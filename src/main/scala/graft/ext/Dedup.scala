@@ -466,14 +466,38 @@ object Dedup {
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      // the observe metric rides the checkpoint action — no count job;
-      // null on an empty label frame (no pairs) means converged
-      changed = Option(obs.get("changed"))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // the observe metric rides the checkpoint action — no count job.
+      // That it does relies on Dataset.checkpoint running via withAction
+      // (which posts QueryExecutionListener events) — a Spark internal,
+      // not a documented contract — so wait BOUNDED and fall back to an
+      // explicit count over the checkpointed frame: a Spark behavior
+      // change costs one extra cheap job instead of hanging forever.
+      // null metric (empty label frame — no pairs) means converged.
+      changed = awaitMetric(obs, "changed").getOrElse(
+        next.filter(col("comp") < col("prev")).count())
       labels = next.drop("prev")
       rounds += 1
     }
     (labels.select(col("id").as("doc_id"), col("comp").as("component")), rounds)
+  }
+
+  /** Bounded wait for an `Observation` metric: Some(value) once the
+    * backing action posts it (a null sum — empty frame — reads as 0),
+    * None if nothing arrives within the timeout. `Observation.get`
+    * blocks forever when no listener event fires, which turns a Spark
+    * internals change into a hang; this turns it into a fallback. */
+  private def awaitMetric(obs: org.apache.spark.sql.Observation,
+                          name: String,
+                          timeoutMs: Long = 30000L): Option[Long] = {
+    import org.apache.spark.sql.graft.ObservationBridge.peek
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var row = peek(obs)
+    while (row.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10L)
+      row = peek(obs)
+    }
+    if (row.isEmpty) None
+    else Some(Option(row(name)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
   /** Exact survivor selection: keep only each component's minimum id.

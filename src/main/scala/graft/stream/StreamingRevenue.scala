@@ -126,13 +126,18 @@ object StreamingRevenue {
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        key: String, leftTs: String, rightTs: String,
                        lookback: String = "1 hour",
-                       watermark: String = WatermarkDelay): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark).as("l")
-    val r = right.withWatermark(rightTs, watermark).as("r")
+                       leftWatermark: String = WatermarkDelay,
+                       rightWatermark: String = WatermarkDelay): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark).as("l")
+    val r = right.withWatermark(rightTs, rightWatermark).as("r")
+    // resolve key/ts columns against each side's own plan (l(key), not
+    // col(s"l.$key")) so names containing dots or other parse-sensitive
+    // characters bind correctly; per-side watermark delays let a slow
+    // dimension stream lag the fact stream without inflating both states
     l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs))
   }
 
   /** Stream-static enrichment: join the (streaming) cleansed events with

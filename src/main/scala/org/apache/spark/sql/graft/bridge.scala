@@ -14,3 +14,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to `Observation.getOrEmpty` (`private[sql]`): a NON-blocking
+  * metrics read (bounded 100 ms internal wait), unlike the public
+  * `get` which blocks forever when the backing action never posts
+  * listener events. Used to put a timeout + fallback around
+  * convergence metrics that ride checkpoint actions. */
+object ObservationBridge {
+  def peek(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty.toMap
+}

@@ -76,6 +76,29 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) === (("localhost", null)))
   }
 
+  test("withDomain keeps three labels under a multi-part public suffix") {
+    val docs = Seq(
+      (1L, "uk http://www.example.co.uk/x"),
+      (2L, "bare http://example.co.uk/y"),   // 3 labels, suffix match
+      (3L, "edge http://co.uk/z"),           // the suffix ITSELF as host
+      (4L, "au  http://shop.example.com.au/w"),
+      (5L, "us  http://www.example.com/v"))  // unaffected by the list
+      .toDF("doc_id", "text")
+    val suffixes = Seq("co.uk", "com.au")
+    val got = Curation.withDomain(docs, multiPartSuffixes = suffixes)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("domain")).toMap
+    assert(got(1L) === "example.co.uk")
+    assert(got(2L) === "example.co.uk")
+    assert(got(3L) === "co.uk")        // only 2 labels: no third to keep
+    assert(got(4L) === "example.com.au")
+    assert(got(5L) === "example.com")
+    // default (no list) keeps the documented two-label rule
+    val deflt = Curation.withDomain(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("domain")).toMap
+    assert(deflt(1L) === "co.uk")
+  }
+
   test("domainStats aggregates hosts per domain and flags the blocklist") {
     val docs = Seq(
       (1L, "x http://www.foo.com/a"),

@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpec {
     val joined = StreamingRevenue.streamStreamJoin(
       p, s.withColumnRenamed("s_user", "user_id"),
       "user_id", "p_ts", "s_ts", lookback = "1 hour",
-      watermark = "10 minutes")
+      leftWatermark = "10 minutes", rightWatermark = "10 minutes")
       .select(col("l.user_id"), col("amount"),
         unix_timestamp(col("s_ts")).as("s_epoch"))
     // BOTH sides must carry event-time watermarks: with the interval
