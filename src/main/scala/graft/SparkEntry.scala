@@ -423,6 +423,29 @@ object SparkEntry {
         .orderBy(col("cluster_size"))
     }),
 
+    // ===== behavioral analytics: ordered-step funnel ===================
+    // earliest qualifying transition per step, 24h horizon; counts are
+    // "reached at least step i" (see ops/Behavior.funnel)
+    "q71_funnel" -> ((s, d) =>
+      graft.ops.Behavior.funnel(events(s, d),
+        Seq("view", "click", "purchase"), horizonSec = 86400L)),
+
+    // ===== behavioral analytics: weekly cohort retention ===============
+    "q72_retention" -> ((s, d) =>
+      graft.ops.Behavior.retention(events(s, d))),
+
+    // ===== batch model inference: feature-hashed linear classifier ====
+    // map-side scoring, integer-exact margins (fastText-shaped; swap the
+    // hash for a broadcast weight table for a learned model)
+    "q73_linear_score" -> ((s, d) =>
+      T.hashedLinearScore(documents(s, d)).orderBy(col("doc_id"))),
+
+    // ===== distributed BPE tokenizer training (3 merges) ===============
+    // corpus shuffles once (word counts); each merge iteration runs on
+    // the vocabulary and elects via a broadcast 1-row argmax
+    "q74_bpe_merges" -> ((s, d) =>
+      T.bpeMerges(documents(s, d), iters = 3)),
+
     // ===== TPC-H Q3-shaped shipping priority (filter pushdown demo) ====
     // both date filters and the segment equality reach the parquet scans
     // as PushedFilters; join order is left to Catalyst/AQE
@@ -1236,6 +1259,109 @@ object SparkEntry {
         |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
         |SELECT cluster_size, count(*) AS n_clusters
         |FROM szs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // earliest-qualifying-transition funnel; chained joins replicate the
+    // Spark per-step min-aggregates, and "reached at least step i" is the
+    // count of users surviving to stage i (ts3 ⊆ ts2 ⊆ ts1 by chaining)
+    "q71_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |s1 AS (SELECT u, min(ep) AS ts1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(ep) AS ts2 FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE t = 'click' AND ep > ts1 AND ep <= ts1 + 86400
+        |       GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(ep) AS ts3 FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE t = 'purchase' AND ep > ts2 AND ep <= ts2 + 86400
+        |       GROUP BY e.u),
+        |counts AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, step_name, n_users,
+        |  round(n_users * 100.0 /
+        |    (SELECT n_users FROM counts WHERE step = 1), 2) AS pct_of_first
+        |FROM counts ORDER BY step""".stripMargin,
+
+    // weekly cohort retention over distinct user-days
+    "q72_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS dd
+        |  FROM events),
+        |fst AS (SELECT u, min(dd) AS cohort FROM ud GROUP BY u),
+        |weekly AS (
+        |  SELECT cohort AS cohort_day,
+        |    CAST(floor((dd - cohort) / 7) AS BIGINT) AS week_offset,
+        |    count(DISTINCT u) AS n_users
+        |  FROM ud JOIN fst USING (u) GROUP BY 1, 2)
+        |SELECT cohort_day, week_offset, n_users,
+        |  round(n_users * 100.0 /
+        |    max(CASE WHEN week_offset = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort_day), 2) AS pct_of_cohort
+        |FROM weekly ORDER BY cohort_day, week_offset""".stripMargin,
+
+    // feature-hashed linear margins: md5-prefix hash → symmetric integer
+    // milli-weights, exact BIGINT sum (list_sum types HUGEINT — cast)
+    "q73_linear_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(t, x ->
+        |      CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 1001
+        |        - 500)), 0) AS BIGINT) AS margin_milli
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, margin_milli,
+        |  CAST(CASE WHEN margin_milli > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS label
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // BPE merge trajectory, iterations unrolled programmatically (the
+    // q66 convention): each vN applies best-of-pairs(vN-1) via the same
+    // boundary-sentinel replace the Spark side uses
+    "q74_bpe_merges" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        s"""p$i AS (
+           |  SELECT arr[i] AS l, arr[i+1] AS r,
+           |    CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT wc, string_split(trim(syms), ' ') AS arr
+           |        FROM v${i - 1}),
+           |    UNNEST(range(1, len(arr))) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, cnt FROM p$i
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$i AS (
+           |  SELECT word, wc,
+           |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+           |      ' ' || b.l || b.r || ' ') AS syms
+           |  FROM v${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to iters).map { i =>
+        if (i == 1)
+          s"SELECT CAST(1 AS BIGINT) AS iter, l, r, l || r AS merged, cnt FROM b1"
+        else s"UNION ALL SELECT $i, l, r, l || r, cnt FROM b$i"
+      }.mkString("\n")
+      s"""WITH words AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+         |      AS syms
+         |  FROM (SELECT unnest(list_filter(
+         |          string_split_regex(lower(text), '\\s+'),
+         |          x -> x <> '')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |v0 AS (SELECT * FROM words),
+         |$steps
+         |SELECT * FROM (
+         |$unions) ORDER BY iter""".stripMargin
+    },
 
     "q48_ship_priority" ->
       """SELECT l_orderkey,

@@ -332,4 +332,114 @@ object TextAnalysis {
       .withColumn("top_frac",
         when(col("n_grams") > 0,
           trunc4(col("top_count") / col("n_grams"))).otherwise(0.0))
+
+  /** Feature-hashed linear classifier inference (fastText-style bag of
+    * hashed tokens): each token maps to a weight by hashing into
+    * `buckets` integer milli-weights, a document's margin is the token
+    * weight sum, and the predicted label is its sign. This is the batch
+    * model-inference shape — per-row map-side scoring against a weight
+    * function, no shuffle at all until a caller aggregates — with the
+    * feature-hashing trick standing in for a learned weight table (no
+    * OOV handling, O(1) memory; swap `md5Hash60 % buckets` for a
+    * broadcast-joined learned table and the plan is unchanged, see
+    * `lmScore` for that wiring).
+    *
+    * All-integer arithmetic (the q51/lmScore convention): weights are
+    * integer milli-units in [-(buckets-1)/2, (buckets-1)/2], the margin
+    * is their exact BIGINT sum — no float accumulation, no division —
+    * so any engine with md5 reproduces it bit-for-bit. Emits
+    * (id, n_tokens, margin_milli, label) with label = 1 when the margin
+    * is strictly positive. */
+  def hashedLinearScore(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        buckets: Int = 1001): DataFrame = {
+    require(buckets > 1 && buckets % 2 == 1,
+      "odd bucket count keeps the weight range symmetric around 0")
+    val toks = tokens(lower(col(textCol)))
+    val half = (buckets - 1) / 2
+    val weights = transform(toks,
+      t => md5Hash60(t) % buckets - half)
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(weights, lit(0L), (acc, x) => acc + x).as("margin_milli"))
+      .withColumn("label",
+        when(col("margin_milli") > 0, 1L).otherwise(0L))
+  }
+
+  // ===== BPE merge training ================================================
+
+  /** Word → spaced symbol string (" s p a r k "): the working
+    * representation for BPE merge application, with sentinel spaces so
+    * a merge pattern " l r " can only match at symbol boundaries. */
+  private def spacedChars(wordCol: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(wordCol, ""), c => c =!= lit("")), " "),
+      lit(" "))
+
+  /** Adjacent symbol pairs of a spaced symbol string, as (l, r) structs
+    * (empty below two symbols — guards sequence() from descending). */
+  private def adjacentPairs(symsCol: Column): Column = {
+    val arr = split(trim(symsCol), " ")
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => struct(element_at(arr, i).as("l"),
+          element_at(arr, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
+  /** Distributed BPE merge training: the hot loop of byte-pair-encoding
+    * tokenizer induction, run for `iters` merges over the corpus's word
+    * distribution. Each iteration counts adjacent symbol-pair
+    * frequencies (weighted by word frequency), elects the most frequent
+    * pair (ties: lexicographic, part of the contract), and applies the
+    * merge to every word. Returns one row per learned merge:
+    * (iter, left, right, merged, cnt).
+    *
+    * Scale shape: the ONLY corpus-sized operation is the initial word
+    * count (one shuffle, re-used via localCheckpoint); every iteration
+    * after that runs over the VOCABULARY (checkpointed per iteration so
+    * the plan stays linear in `iters`, the q66 lesson), and the elected
+    * pair joins back as a broadcast single row — the q8 leaderboard
+    * pattern, no driver-side collect. That matches how BPE training
+    * actually distributes: pair counting is the parallel part, the
+    * merge election is vocab-sized.
+    *
+    * Merge application uses non-overlapping left-to-right string
+    * replace of " l r " — back-to-back occurrences ("a b a b") leave
+    * the second pair unmerged within that iteration because the match
+    * consumes its trailing sentinel space. Deterministic, engine-
+    * portable (any replace() has these semantics), and self-correcting
+    * (the survivor is still a candidate next iteration); part of the
+    * operator's contract rather than a claim of textbook-BPE fidelity.
+    */
+  def bpeMerges(df: DataFrame, iters: Int = 3,
+                textCol: String = "text"): DataFrame = {
+    require(iters >= 1)
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"), spacedChars(col("word")).as("syms"))
+      .localCheckpoint()
+    var vocab = words
+    var merges = Seq.empty[DataFrame]
+    (1 to iters).foreach { it =>
+      val counts = vocab
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+      val best = counts
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint()
+      merges = merges :+ best.select(lit(it.toLong).as("iter"), col("l"),
+        col("r"), concat(col("l"), col("r")).as("merged"), col("cnt"))
+      vocab = vocab.crossJoin(broadcast(best.select(
+          col("l").as("_l"), col("r").as("_r"))))
+        .select(col("word"), col("wc"),
+          replace(col("syms"),
+            concat(lit(" "), col("_l"), lit(" "), col("_r"), lit(" ")),
+            concat(lit(" "), col("_l"), col("_r"), lit(" "))).as("syms"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ union _).orderBy(col("iter"))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product analytics over event streams: ordered-step
+  * funnels and cohort retention. The reference's event pipeline stops at
+  * sessionization and windowed revenue (services/streaming/
+  * streaming_sales_aggregator.py); these are the next two queries every
+  * event warehouse runs on the same table, expressed so each stage is
+  * one key-partitioned aggregate or join — no per-user state collection,
+  * no driver loops.
+  *
+  * Scale notes (100 TB events):
+  *  - every stage keys on the user column, so consecutive stages reuse
+  *    the same hash partitioning (Exchange reuse / AQE coalesces);
+  *  - step filters are pushed to the scan (event_type predicate), so a
+  *    3-step funnel reads 3/5ths of nothing it doesn't need;
+  *  - per-user state is O(steps) columns, never a collected event list —
+  *    a power user with 10^6 events costs the same row width as one
+  *    with 3.
+  */
+object Behavior {
+
+  /** Ordered-step funnel with a per-step completion horizon.
+    *
+    * A user completes step i+1 at the EARLIEST event of that step type
+    * that is strictly after their step-i completion and within
+    * `horizonSec` of it (the standard "earliest qualifying transition"
+    * semantics — greedy per step, deterministic, and computable with one
+    * min-aggregate per step instead of a per-user event scan).
+    *
+    * Returns one row per funnel step: (step, step_name, n_users,
+    * pct_of_first) with n_users = users whose journey reached AT LEAST
+    * that step, pct rounded to 2 dp (100.0 for the first step,
+    * null-safe when step 1 has no users).
+    *
+    * Physical shape: one filtered min-aggregate per step, chained by
+    * inner joins on the user key (all shuffles share the user hash
+    * partitioning), then a 3-row roll-up. Nothing is ever collected per
+    * user; timestamps are compared on floored epoch seconds so batch
+    * and oracle agree exactly.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], horizonSec: Long,
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val ep = floor(unix_timestamp(col(tsCol))).cast("long")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      ep.as("ep"))
+
+    // reached(i): (u, t_i) = earliest qualifying completion of step i
+    var reached = base.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ep")).as("ts"))
+    var perUser = reached.select(col("u"), col("ts").as("ts1"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val nxt = base.filter(col("t") === step)
+        .join(reached.select(col("u"), col("ts").as("prev")), Seq("u"))
+        .filter(col("ep") > col("prev") &&
+          col("ep") <= col("prev") + lit(horizonSec))
+        .groupBy(col("u")).agg(min(col("ep")).as("ts"))
+      reached = nxt
+      perUser = perUser.join(
+        nxt.select(col("u"), col("ts").as(s"ts${i + 1}")), Seq("u"), "left")
+    }
+
+    // deepest step reached per user → per-step counts → cumulative
+    // "reached at least" via a reverse running sum over `steps.size` rows
+    val deepest = perUser.select(col("u"),
+      steps.indices.drop(1).foldLeft(lit(1)) { (acc, i) =>
+        when(col(s"ts${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+      }.as("deepest"))
+    val counts = deepest.groupBy(col("deepest").as("step"))
+      .agg(count(lit(1)).as("n_exact"))
+    val session = events.sparkSession
+    import session.implicits._
+    val names = steps.zipWithIndex
+      .map { case (n, i) => (i + 1, n) }
+      .toDF("step", "step_name")
+    val w = Window.orderBy(col("step").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    broadcast(names).join(counts, Seq("step"), "left")
+      .withColumn("n_users",
+        sum(coalesce(col("n_exact"), lit(0L))).over(w))
+      .withColumn("pct_of_first",
+        round(col("n_users") * lit(100.0) /
+          first(col("n_users")).over(Window.orderBy(col("step"))
+            .rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select(col("step").cast("long").as("step"), col("step_name"),
+        col("n_users"), col("pct_of_first"))
+      .orderBy(col("step"))
+  }
+
+  /** Cohort retention: users bucketed by the epoch day of their FIRST
+    * event ("cohort"), then counted as retained in week `w` if they
+    * have any event in day range [cohort + 7w, cohort + 7(w+1)).
+    *
+    * Returns (cohort_day, week_offset, n_users, pct_of_cohort): one row
+    * per cohort × observed week offset (weeks with zero retained users
+    * simply don't appear — at corpus scale a dense grid is the join of
+    * this with a calendar frame, not a wider shuffle here). Week 0 is
+    * the cohort size by construction (every user is active on their
+    * first day), which makes pct_of_cohort self-normalizing without a
+    * second pass: a window max over the cohort partition recovers the
+    * week-0 count.
+    *
+    * Physical shape: distinct (user, day) first — collapsing each
+    * user-day to one row BEFORE the first-day aggregate and the
+    * self-join keeps every later exchange proportional to active
+    * user-days, not raw events (at 100 TB that's the difference between
+    * shuffling page views and shuffling DAU) — then a user-keyed join
+    * and one (cohort, week) aggregate.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long")
+    val userDays = events.select(col(userCol).as("u"), day.as("dd")).distinct()
+    val firstDay = userDays.groupBy(col("u")).agg(min(col("dd")).as("cohort"))
+    val weekly = userDays.join(firstDay, Seq("u"))
+      .withColumn("week_offset",
+        floor((col("dd") - col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort").as("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+    val cohortSize = Window.partitionBy(col("cohort_day"))
+    weekly
+      .withColumn("pct_of_cohort",
+        round(col("n_users") * lit(100.0) /
+          max(when(col("week_offset") === 0, col("n_users"))).over(cohortSize),
+          2))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+}

@@ -145,6 +145,48 @@ class TextScoringSpec extends SparkSpec {
     assert(allCommon === expect)
   }
 
+  // --- feature-hashed linear inference --------------------------------------
+
+  test("hashedLinearScore: integer margins, sign labels, hash determinism") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, ""), (4L, "ALPHA Beta GAMMA"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs).orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // identical text → identical margin; case-folding makes 4 match too
+    assert(out(1L) === out(2L) && out(1L) === out(4L))
+    // margin equals the directly-computed md5 milli-weight sum
+    val expect = Seq("alpha", "beta", "gamma")
+      .map(t => graft.ext.Dedup.md5Long(t) % 1001 - 500).sum
+    assert(out(1L)._2 === expect)
+    assert(out(1L)._3 === (if (expect > 0) 1L else 0L))
+    // empty doc: zero tokens, zero margin, label 0
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
+
+  // --- BPE merge training ---------------------------------------------------
+
+  test("bpeMerges learns the dominant pair first and respects ties") {
+    // "aa" appears in every word of a skewed distribution: 'a a' must be
+    // merge 1; after merging, 'aa'+'b' dominates ('aab' ×6)
+    val docs = Seq(
+      (1L, "aab aab aab"), (2L, "aab aab aab"),
+      (3L, "cd cd"), (4L, "aa"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got(0) === ((1L, "a", "a", "aa", 7L)))  // 6×aab + 1×aa
+    assert(got(1) === ((2L, "aa", "b", "aab", 6L)))
+    // deterministic lexicographic tie-break: equal-count pairs pick the
+    // smaller (l, r)
+    val tied = Seq((1L, "xy"), (2L, "ab")).toDF("doc_id", "text")
+    val first = TextAnalysis.bpeMerges(tied, iters = 1).collect().head
+    assert((first.getString(1), first.getString(2)) === (("a", "b")))
+  }
+
   // --- outliers -------------------------------------------------------------
 
   test("outliers flags far points per group and skips constant groups") {
