@@ -597,6 +597,13 @@ object SparkEntry {
         .select(col("c_id"), posexplode(col("cv")).as(Seq("dim", "val")))
         .orderBy(col("c_id"), col("dim"))),
 
+    // ===== SemDeDup: semantic dedup via trained-centroid blocking ======
+    // k-means clusters (the q53 trajectory) are the blocking scheme;
+    // within each cluster, lower-id neighbors above tau eliminate
+    "q75_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(embeddings(s, d), k = 8, iters = 2,
+        tau = 0.35).orderBy(col("vec_id"))),
+
     // ===== tf-idf top-3 keywords per document ==========================
     "q54_tfidf" -> ((s, d) =>
       T.tfIdfTopK(documents(s, d), k = 3)
@@ -1874,6 +1881,75 @@ object SparkEntry {
         |SELECT c_id, CAST(i - 1 AS INT) AS dim, cv[i] AS val
         |FROM c2, UNNEST(range(1, 65)) AS u(i)
         |ORDER BY c_id, dim""".stripMargin,
+
+    // q53's two-iteration trajectory (CTEs through c2), then a final
+    // assignment and the within-cluster lower-id elimination at tau
+    "q75_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
+        |s1 AS (
+        |  SELECT en.id, en.v, c.c_id,
+        |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(en.v, c.cv) /
+        |        (en.nrm * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM en CROSS JOIN c0 c),
+        |a1 AS (
+        |  SELECT id, v, c_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m1 GROUP BY c_id
+        |  UNION ALL
+        |  SELECT c_id, cv FROM c0
+        |  WHERE c_id NOT IN (SELECT c_id FROM m1)),
+        |s2 AS (
+        |  SELECT en.id, en.v, c.c_id,
+        |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(en.v, c.cv) /
+        |        (en.nrm * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM en CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT id, v, c_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s2)
+        |  WHERE rk = 1),
+        |m2 AS (
+        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  FROM a2, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m2 GROUP BY c_id
+        |  UNION ALL
+        |  SELECT c_id, cv FROM c1
+        |  WHERE c_id NOT IN (SELECT c_id FROM m2)),
+        |s3 AS (
+        |  SELECT en.id, en.v, en.nrm, c.c_id,
+        |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
+        |      THEN 0.0 ELSE list_dot_product(en.v, c.cv) /
+        |        (en.nrm * sqrt(list_dot_product(c.cv, c.cv))) END, 6) AS sim
+        |  FROM en CROSS JOIN c2 c),
+        |af AS (
+        |  SELECT id, v, nrm, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s3)
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.id AS id
+        |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.id < b.id
+        |  WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |    ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6)
+        |    >= 0.35)
+        |SELECT af.id AS vec_id, af.cluster,
+        |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM af LEFT JOIN dropped d USING (id)
+        |ORDER BY vec_id""".stripMargin,
 
     // weights VALUES generated from the same mixWeights map the Spark
     // query uses; the keep predicate is pure BIGINT arithmetic on the

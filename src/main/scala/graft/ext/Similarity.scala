@@ -405,6 +405,58 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): train
+    * spherical k-means centroids on the corpus embeddings, assign every
+    * vector to its max-cosine centroid, and WITHIN each cluster drop
+    * any vector that has a lower-id neighbor with cosine ≥ `tau` (the
+    * library's one-pass min-id survivor convention — `Dedup.survivors`
+    * for the text tier). Embedding near-dups that land in different
+    * clusters are intentionally not compared: the clustering IS the
+    * blocking scheme, which is what makes the op subquadratic.
+    *
+    * Returns one row per vector: (vec_id, cluster, kept ∈ {0,1}).
+    *
+    * Scale shape: training and assignment broadcast k centroids (the
+    * corpus never shuffles for them — see `kmeansCentroids`); the only
+    * wide operation is the within-cluster self-join, whose key is the
+    * cluster id, so its cost is Σ nᵢ² over cluster sizes — k sized to
+    * the corpus (n/k vectors per cluster) keeps it linear-ish, and a
+    * skewed mega-cluster is handled the same way `minhashPairs` caps
+    * hot buckets: raise k or pre-split on a secondary LSH key before
+    * this op, rather than paying n² inside one cluster. */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    tau: Double = 0.7,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters, idCol, vecCol)
+      .withColumn("cn", norm(col("cv")))
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val denom = col("nrm") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("cv")) / denom)
+    // map-side argmax over the broadcast k-way blowup (the
+    // kmeansCentroids pattern — one row per vector reaches the exchange)
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("_sim", round(sim, 6))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
+        struct(col("_sim"), (-col("c_id")).as("_nc"))).as("best"))
+      .select(col("id"), col("best.c_id").as("cluster"),
+        col("best.v").as("v"), col("best.nrm").as("nrm"))
+    val pd = col("a.nrm") * col("b.nrm")
+    val psim = when(pd === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / pd)
+    // a vector is dropped iff some LOWER-id cluster-mate sits above tau
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(psim, 6) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("_drop", lit(1L)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        when(col("_drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Product quantization (IVF-PQ codebook tier): split each vector into
     * `m` contiguous `dsub`-dim subvectors, train an independent L2
     * k-means codebook of `k` codes per subspace, and emit each vector's

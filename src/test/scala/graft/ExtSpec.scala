@@ -463,4 +463,24 @@ class ExtSpec extends SparkSpec {
     assert(got(0) === 4L)
     assert(Set(5L, 6L).contains(got(1)))
   }
+
+  test("semanticDedup drops only the higher id of an in-cluster near-dup") {
+    // two well-separated directions; vec 3 is a near-copy of vec 1 and
+    // must land in its cluster and lose to it; vec 2's cluster has no
+    // near-dups; vec 4 is moderately similar to 1 but below tau
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.999f, 0.01f, 0.0f)),
+      (4L, Array(0.8f, 0.0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, k = 2, iters = 1, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(3L)._2 === 0L)                  // near-dup of 1 → dropped
+    assert(got(1L)._2 === 1L)                  // the min id survives
+    assert(got(2L)._2 === 1L && got(4L)._2 === 1L)
+    assert(got(3L)._1 === got(1L)._1)          // same cluster as its dup
+    assert(got.size === 4)
+  }
 }
