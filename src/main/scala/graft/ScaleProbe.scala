@@ -164,6 +164,58 @@ object ScaleProbe {
         col("value").as("line_amount"))))
     }
 
+    // behavioral tier at replicated-event scale: the funnel chains
+    // user-keyed joins over checkpointed step frames; retention's wide
+    // work is proportional to distinct user-days, not raw events
+    timed(s"funnel x$eventReps") {
+      consume(graft.ops.Behavior.funnel(events,
+        Seq("view", "click", "purchase"), horizonSec = 86400L))
+    }
+    timed(s"retention x$eventReps") {
+      consume(graft.ops.Behavior.retention(events))
+    }
+    // inference tier: map-side scoring over the 1M-doc corpus
+    timed(s"linear_score x$docReps") {
+      consume(TextAnalysis.hashedLinearScore(docs))
+    }
+    // BPE training at corpus scale: the word count is the only
+    // corpus-sized stage; the replicated suffix tokens (" repN") blow
+    // the vocab up to ~docReps extra entries, the merge loop stays
+    // vocab-sized
+    timed(s"bpe_merges x$docReps") {
+      consume(TextAnalysis.bpeMerges(docs, iters = 3))
+    }
+    // semantic dedup: training + assignment broadcast k centroids; the
+    // within-cluster self-join is the measured risk. Reps are CAPPED
+    // (name carries the real multiplier): the replicated corpus has
+    // only 5k distinct directions, so clusters fill with exact copies
+    // and the in-cluster pair count grows quadratically in reps — the
+    // op's documented contract is "size k to the corpus / pre-split
+    // mega-clusters", which a 200× pure-duplicate blowup deliberately
+    // violates. 20× (100k vectors, k=256 → ~400/cluster) probes the
+    // real plan shape at adversarial-but-bounded density.
+    val semReps = math.min(docReps, 20)
+    val embSem = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(semReps).toDF("rep"))
+      .select((col("vec_id") * semReps + col("rep")).as("vec_id"),
+        col("embedding"))
+    timed(s"semantic_dedup x$semReps") {
+      consume(Similarity.semanticDedup(embSem, k = 256, iters = 1,
+        tau = 0.95))
+    }
+
+    // link-graph tier: ~2M synthetic edges over the 1M-doc id space;
+    // 3 integer-exact iterations (join on src + agg on dst per round)
+    timed(s"pagerank x$docReps") {
+      consume(graft.ext.LinkGraph.pageRank(
+        graft.ext.LinkGraph.syntheticEdges(docs), iters = 3))
+    }
+    // domain quota at 1M docs: the window sees only the linked third
+    timed(s"domain_quota x$docReps") {
+      consume(Curation.domainQuota(
+        Curation.injectSyntheticUrls(docs), k = 2))
+    }
+
     timed(s"asof_join x$eventReps") {
       val purchases = events.filter(col("event_type") === "purchase")
       val signups = events.filter(col("event_type") === "signup")

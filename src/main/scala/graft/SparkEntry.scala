@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Profiling, Similarity, TextAnalysis => T}
+import graft.ext.{Curation, Dedup, LinkGraph, Multimodal, Profiling, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -436,15 +436,34 @@ object SparkEntry {
 
     // ===== batch model inference: feature-hashed linear classifier ====
     // map-side scoring, integer-exact margins (fastText-shaped; swap the
-    // hash for a broadcast weight table for a learned model)
+    // hash for a broadcast weight table for a learned model). md5Hash60
+    // here for oracle parity; the library default is xxhash64 (6× faster
+    // at probe scale, same plan)
     "q73_linear_score" -> ((s, d) =>
-      T.hashedLinearScore(documents(s, d)).orderBy(col("doc_id"))),
+      T.hashedLinearScore(documents(s, d), hashFn = T.md5Hash60)
+        .orderBy(col("doc_id"))),
 
     // ===== distributed BPE tokenizer training (3 merges) ===============
     // corpus shuffles once (word counts); each merge iteration runs on
     // the vocabulary and elects via a broadcast 1-row argmax
     "q74_bpe_merges" -> ((s, d) =>
       T.bpeMerges(documents(s, d), iters = 3)),
+
+    // ===== integer-exact PageRank over a deterministic link graph =====
+    // micro-rank BIGINT arithmetic end-to-end: integer sums are
+    // associative, so the distributed aggregate is bit-reproducible
+    "q76_pagerank" -> ((s, d) =>
+      LinkGraph.pageRank(LinkGraph.syntheticEdges(documents(s, d)),
+        iters = 3).orderBy(col("node"))),
+
+    // ===== per-domain contribution quota (C4-style site cap) ==========
+    // k=1 so the cap actually binds on the fixture (67 of the 100
+    // planted domains carry 2 docs — the oracle checks real drops)
+    "q77_domain_quota" -> ((s, d) =>
+      Curation.domainQuota(Curation.injectSyntheticUrls(documents(s, d)),
+          k = 1)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))),
 
     // ===== TPC-H Q3-shaped shipping priority (filter pushdown demo) ====
     // both date filters and the segment equality reach the parquet scans
@@ -1369,6 +1388,84 @@ object SparkEntry {
          |SELECT * FROM (
          |$unions) ORDER BY iter""".stripMargin
     },
+
+    // integer micro-rank PageRank trajectory, iterations unrolled; all
+    // divisions are integer (//) and every edge/constant replays the
+    // Spark-side synthetic graph bit-for-bit
+    "q76_pagerank" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        s"""d$i AS (SELECT coalesce(sum(rank), 0) AS dang
+           |        FROM r${i - 1} WHERE deg IS NULL),
+           |c$i AS (
+           |  SELECT e.dst AS node, sum(r.rank // r.deg) AS inflow
+           |  FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  WHERE r.deg IS NOT NULL GROUP BY 1),
+           |r$i AS (
+           |  SELECT r.node, r.deg,
+           |    (1000000 - 850000) // cnt.n
+           |      + 850000 * (coalesce(c.inflow, 0) + d.dang // cnt.n)
+           |        // 1000000 AS rank
+           |  FROM r${i - 1} r LEFT JOIN c$i c USING (node), d$i d, cnt)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (
+         |  SELECT src, dst FROM (
+         |    SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst
+         |    FROM documents, nn WHERE doc_id % 97 <> 0
+         |    UNION ALL
+         |    SELECT doc_id, (doc_id * 17 + 3) % nn.n
+         |    FROM documents, nn WHERE doc_id % 97 <> 0)
+         |  WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node, deg, 1000000 // cnt.n AS rank
+         |  FROM nodes LEFT JOIN deg USING (node), cnt),
+         |$steps
+         |SELECT node, CAST(rank AS BIGINT) AS rank_micro
+         |FROM r$iters ORDER BY node""".stripMargin
+    },
+
+    // q68's URL planting + registrable domain, then the hash-rank
+    // quota election; URL-less docs bypass the window (kept, null
+    // domain) exactly as the Spark side splits them off map-side
+    "q77_domain_quota" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' from http://'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END
+        |      || '.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |      || list_extract(['com','org','net','io'],
+        |                      CAST(doc_id % 4 AS INT) + 1)
+        |      || '/page' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+        |  FROM inj),
+        |dom AS (
+        |  SELECT doc_id,
+        |    CASE WHEN host = '' OR len(string_split(host, '.')) < 2
+        |         THEN NULL
+        |         ELSE string_split(host, '.')[-2] || '.'
+        |           || string_split(host, '.')[-1] END AS domain
+        |  FROM h),
+        |linked AS (
+        |  SELECT doc_id, domain, row_number() OVER (
+        |    PARTITION BY domain ORDER BY
+        |      CAST(('0x' || substring(md5('quota:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM dom WHERE domain IS NOT NULL)
+        |SELECT doc_id, domain FROM linked WHERE rk <= 1
+        |UNION ALL
+        |SELECT doc_id, NULL AS domain FROM dom WHERE domain IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q48_ship_priority" ->
       """SELECT l_orderkey,

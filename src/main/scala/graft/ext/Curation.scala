@@ -490,6 +490,35 @@ object Curation {
         (if (blocklist.isEmpty) lit(false)
          else col("domain").isin(blocklist: _*)).cast("long"))
 
+  /** Per-domain contribution quota: keep at most `k` docs per
+    * registrable domain, selected by a deterministic hash rank
+    * (md5-prefix of "quota:"||id, ties to the smaller id) so the kept
+    * sample is reproducible and independent of row order — the C4-style
+    * cap that stops one template-heavy site from dominating a web
+    * corpus. Docs without a URL are exempt (kept).
+    *
+    * Scale shape: the ranking window partitions on the domain key — the
+    * same exchange `domainStats` needs — but ONLY the linked subset
+    * enters it: URL-less docs (commonly most of a mixed corpus) are
+    * split off map-side and unioned back, so they never funnel through
+    * a single null-domain window partition. */
+  def domainQuota(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  multiPartSuffixes: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val withD = withDomain(docs, textCol, multiPartSuffixes)
+    val linked = withD.filter(col("domain").isNotNull)
+    val unlinked = withD.filter(col("domain").isNull)
+    val rk = TextAnalysis.md5Hash60(
+      concat(lit("quota:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("domain")).orderBy(rk, col(idCol))
+    linked.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+      .unionByName(unlinked)
+  }
+
   /** Deterministic synthetic-URL injection — the FIXTURE side of the
     * domain analysis (the corpus tables carry no URLs): docs with
     * id % 3 = 0 get ` from http://{www|cdn}.site{id%50}.{tld}/page{id}`

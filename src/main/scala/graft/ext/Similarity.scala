@@ -428,6 +428,7 @@ object Similarity {
                     tau: Double = 0.7,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val cents = kmeansCentroids(emb, k, iters, idCol, vecCol)
       .withColumn("cn", norm(col("cv")))
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -436,14 +437,21 @@ object Similarity {
     val sim = when(denom === 0.0, 0.0)
       .otherwise(dot(col("v"), col("cv")) / denom)
     // map-side argmax over the broadcast k-way blowup (the
-    // kmeansCentroids pattern — one row per vector reaches the exchange)
-    val assigned = e.join(broadcast(cents), lit(true))
+    // kmeansCentroids pattern — one row per vector reaches the
+    // exchange), carrying ONLY the winning centroid id: dragging the
+    // vector itself through the n×k partial aggregate buffers measured
+    // ~4× slower at probe scale; the vector rejoins on the id key
+    // afterwards. Checkpointed because three consumers follow (both
+    // self-join sides + the verdict join) — without it the whole
+    // training+assignment pipeline re-executes per consumer.
+    val best = e.join(broadcast(cents), lit(true))
       .withColumn("_sim", round(sim, 6))
       .groupBy(col("id"))
-      .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
-        struct(col("_sim"), (-col("c_id")).as("_nc"))).as("best"))
-      .select(col("id"), col("best.c_id").as("cluster"),
-        col("best.v").as("v"), col("best.nrm").as("nrm"))
+      .agg(max_by(col("c_id"),
+        struct(col("_sim"), (-col("c_id")).as("_nc"))).as("cluster"))
+    val assigned = e.join(best, Seq("id"))
+      .select(col("id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val pd = col("a.nrm") * col("b.nrm")
     val psim = when(pd === 0.0, 0.0)
       .otherwise(dot(col("a.v"), col("b.v")) / pd)

@@ -346,19 +346,30 @@ object TextAnalysis {
     *
     * All-integer arithmetic (the q51/lmScore convention): weights are
     * integer milli-units in [-(buckets-1)/2, (buckets-1)/2], the margin
-    * is their exact BIGINT sum — no float accumulation, no division —
-    * so any engine with md5 reproduces it bit-for-bit. Emits
-    * (id, n_tokens, margin_milli, label) with label = 1 when the margin
-    * is strictly positive. */
+    * is their exact BIGINT sum — no float accumulation, no division.
+    * Emits (id, n_tokens, margin_milli, label) with label = 1 when the
+    * margin is strictly positive.
+    *
+    * `hashFn` follows the `Dedup.HashScheme` convention: the default
+    * feature hash is xxhash64 with the sign folded out (a feature hash
+    * only needs to be fixed within one model — measured 66 s → 26 s on
+    * the 1M-doc probe vs per-token md5; the remainder is tokenization);
+    * the registered query passes `md5Hash60` so the DuckDB oracle
+    * replays the margins bit-for-bit. */
   def hashedLinearScore(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        buckets: Int = 1001): DataFrame = {
+                        buckets: Int = 1001,
+                        hashFn: Column => Column =
+                          // logical right shift, NOT abs(): xxhash64 can
+                          // return Long.MinValue, whose abs overflows
+                          // under ANSI arithmetic
+                          c => shiftrightunsigned(xxhash64(c), 1)): DataFrame = {
     require(buckets > 1 && buckets % 2 == 1,
       "odd bucket count keeps the weight range symmetric around 0")
     val toks = tokens(lower(col(textCol)))
     val half = (buckets - 1) / 2
     val weights = transform(toks,
-      t => md5Hash60(t) % buckets - half)
+      t => hashFn(t) % buckets - half)
     df.select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
         aggregate(weights, lit(0L), (acc, x) => acc + x).as("margin_milli"))

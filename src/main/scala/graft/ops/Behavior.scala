@@ -50,16 +50,25 @@ object Behavior {
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       ep.as("ep"))
 
-    // reached(i): (u, t_i) = earliest qualifying completion of step i
-    var reached = base.filter(col("t") === steps.head)
-      .groupBy(col("u")).agg(min(col("ep")).as("ts"))
+    // reached(i): (u, t_i) = earliest qualifying completion of step i.
+    // Each frame is user-cardinality and consumed TWICE (next step's
+    // qualifier + the deepest-step join), so it's checkpointed: without
+    // it the unshared chain re-derives step i from raw events once per
+    // later consumer (6 scans for 3 steps, observed — exchange reuse
+    // does not fire across the differently-filtered subtrees), which at
+    // 100 TB means re-reading the fact table O(steps²/2) times.
+    import org.apache.spark.storage.StorageLevel
+    def ckpt(df: DataFrame): DataFrame =
+      df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    var reached = ckpt(base.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ep")).as("ts")))
     var perUser = reached.select(col("u"), col("ts").as("ts1"))
     steps.zipWithIndex.drop(1).foreach { case (step, i) =>
-      val nxt = base.filter(col("t") === step)
+      val nxt = ckpt(base.filter(col("t") === step)
         .join(reached.select(col("u"), col("ts").as("prev")), Seq("u"))
         .filter(col("ep") > col("prev") &&
           col("ep") <= col("prev") + lit(horizonSec))
-        .groupBy(col("u")).agg(min(col("ep")).as("ts"))
+        .groupBy(col("u")).agg(min(col("ep")).as("ts")))
       reached = nxt
       perUser = perUser.join(
         nxt.select(col("u"), col("ts").as(s"ts${i + 1}")), Seq("u"), "left")

@@ -116,6 +116,28 @@ class CurationSpec extends SparkSpec {
       "evil.net" -> ((1L, 1L, 1L))))
   }
 
+  test("domainQuota caps linked docs per domain, exempts URL-less docs") {
+    val docs = Seq(
+      (1L, "a http://www.foo.com/1"),
+      (2L, "b http://cdn.foo.com/2"),
+      (3L, "c http://www.foo.com/3"),
+      (4L, "d http://bar.net/4"),
+      (5L, "no url at all"))
+      .toDF("doc_id", "text")
+    val kept = Curation.domainQuota(docs, k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly one foo.com survivor (hash-rank elected), bar.net's only
+    // doc and the URL-less doc always survive
+    assert(kept.intersect(Set(1L, 2L, 3L)).size === 1)
+    assert(kept.contains(4L) && kept.contains(5L))
+    // deterministic: the same election every run
+    val again = Curation.domainQuota(docs, k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    // k covering the domain size keeps everything
+    assert(Curation.domainQuota(docs, k = 3).count() === 5)
+  }
+
   // ===== PII / secret scrub =================================================
 
   test("scrubPii counts and redacts emails, phones, and keys") {

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LinkGraph
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank one iteration matches the hand-computed integer trajectory") {
+    // 1 → 2 → 3, node 3 dangling; N = 3, rank0 = 333333 each
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base = 150000 // 3 = 50000; dangling share = 333333 // 3 = 111111
+    // r(1) = 50000 + 850000 * 111111            // 1e6 = 144444
+    // r(2) = 50000 + 850000 * (333333 + 111111) // 1e6 = 427777
+    // r(3) = r(2) (same single inflow)
+    assert(got === Map(1L -> 144444L, 2L -> 427777L, 3L -> 427777L))
+  }
+
+  test("pageRank concentrates rank on the sink and stays mass-bounded") {
+    // star: everyone links to node 0, node 0 links back to 1
+    val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+      .union(Seq((0L, 1L)).toDF("src", "dst"))
+    val got = LinkGraph.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === got.values.max)     // the hub dominates
+    assert(got(1L) > got(2L))              // the hub's target beats leaves
+    // integer mass only ever decays (floor divisions), never inflates
+    assert(got.values.sum <= 1000000L)
+    assert(got.values.forall(_ > 0L))
+  }
+
+  test("syntheticEdges drops self-loops and mods into the id range") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val e = LinkGraph.syntheticEdges(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.forall { case (s, d) => s != d && d >= 0 && d < 100 })
+    assert(!e.exists(_._1 == 0L)) // 0 % 97 == 0 → dangling by design
+    assert(!e.exists(_._1 == 97L))
+  }
+}

@@ -151,8 +151,9 @@ class TextScoringSpec extends SparkSpec {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, ""), (4L, "ALPHA Beta GAMMA"))
       .toDF("doc_id", "text")
-    val out = TextAnalysis.hashedLinearScore(docs).orderBy("doc_id")
-      .collect()
+    val out = TextAnalysis
+      .hashedLinearScore(docs, hashFn = TextAnalysis.md5Hash60)
+      .orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     // identical text → identical margin; case-folding makes 4 match too
@@ -164,6 +165,14 @@ class TextScoringSpec extends SparkSpec {
     assert(out(1L)._3 === (if (expect > 0) 1L else 0L))
     // empty doc: zero tokens, zero margin, label 0
     assert(out(3L) === ((0L, 0L, 0L)))
+    // the fast default hash is deterministic across invocations and
+    // survives the Long.MinValue edge (logical shift, not abs)
+    val fast = TextAnalysis.hashedLinearScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val fast2 = TextAnalysis.hashedLinearScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(fast.toSeq === fast2.toSeq)
+    assert(fast(0)._2 === fast(1)._2) // identical text, identical margin
   }
 
   // --- BPE merge training ---------------------------------------------------
