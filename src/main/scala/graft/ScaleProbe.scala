@@ -216,6 +216,25 @@ object ScaleProbe {
         Curation.injectSyntheticUrls(docs), k = 2))
     }
 
+    // SCD2 at 10M change events: one user-keyed window exchange
+    timed(s"scd2 x$eventReps") {
+      consume(graft.ops.Scd.scd2(events, "user_id", "ts", "event_type",
+        "event_id"))
+    }
+    // bucketized interval join: 10M facts vs per-day windows
+    timed(s"interval_join x$eventReps") {
+      val e = events.select(
+        floor(unix_timestamp(col("ts"))).cast("long").as("ep"),
+        col("value"))
+      val w = e.select(floor(col("ep") / 86400).cast("long").as("window_id"))
+        .distinct()
+        .select(col("window_id"),
+          (col("window_id") * 86400 + 43200).as("w_start"),
+          (col("window_id") * 86400 + 50400).as("w_end"))
+      consume(graft.ops.IntervalJoin.intervalJoin(e, w, "ep", "w_start",
+        "w_end"))
+    }
+
     timed(s"asof_join x$eventReps") {
       val purchases = events.filter(col("event_type") === "purchase")
       val signups = events.filter(col("event_type") === "signup")

@@ -456,6 +456,36 @@ object SparkEntry {
       LinkGraph.pageRank(LinkGraph.syntheticEdges(documents(s, d)),
         iters = 3).orderBy(col("node"))),
 
+    // ===== SCD2 dimension-history building (CDC batch half) ===========
+    // user_id × event_type as a change stream: collapse no-change
+    // events, stitch [valid_from, valid_to) intervals, flag current
+    "q78_scd2" -> ((s, d) =>
+      graft.ops.Scd.scd2(events(s, d), "user_id", "ts", "event_type",
+          "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("attr"))),
+
+    // ===== keyless bucketized interval join ============================
+    // daily incident windows [12:00, 14:00) derived from the event days
+    // themselves; the equi-join runs on manufactured hour buckets, the
+    // containment predicate is a post-join filter — no BNLJ/cartesian
+    "q79_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+        .select(floor(unix_timestamp(col("ts"))).cast("long").as("ep"),
+          col("value"))
+      val windows = e
+        .select(floor(col("ep") / 86400).cast("long").as("window_id"))
+        .distinct()
+        .select(col("window_id"),
+          (col("window_id") * 86400 + 43200).as("w_start"),
+          (col("window_id") * 86400 + 50400).as("w_end"))
+      graft.ops.IntervalJoin.intervalJoin(e, windows, "ep", "w_start",
+          "w_end")
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("window_id"))
+    }),
+
     // ===== per-domain contribution quota (C4-style site cap) ==========
     // k=1 so the cap actually binds on the fixture (67 of the 100
     // planted domains carry 2 docs — the oracle checks real drops)
@@ -1429,6 +1459,42 @@ object SparkEntry {
          |SELECT node, CAST(rank AS BIGINT) AS rank_micro
          |FROM r$iters ORDER BY node""".stripMargin
     },
+
+    // change-collapse + interval stitching over the same window order
+    "q78_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |surv AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS attr,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |    CAST(floor(epoch(lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |      AS valid_to
+        |  FROM surv)
+        |SELECT user_id, attr, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM iv ORDER BY user_id, valid_from, attr""".stripMargin,
+
+    // DuckDB runs the containment join directly; row set must equal the
+    // Spark side's bucketized equi-join + post-filter exactly
+    "q79_interval_join" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+        |  FROM events),
+        |days AS (SELECT DISTINCT ep // 86400 AS day FROM e),
+        |w AS (SELECT day AS window_id, day * 86400 + 43200 AS ws,
+        |             day * 86400 + 50400 AS we FROM days)
+        |SELECT window_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM e JOIN w ON e.ep >= w.ws AND e.ep < w.we
+        |GROUP BY 1 ORDER BY window_id""".stripMargin,
 
     // q68's URL planting + registrable domain, then the hash-rank
     // quota election; URL-less docs bypass the window (kept, null

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history building: turn a
+  * change-event stream (key, ts, attributes) into validity intervals
+  * [valid_from, valid_to) with an is_current flag — the standard
+  * warehouse pattern for "what did this dimension row look like at
+  * time t", and the batch half of a CDC ingestion pipeline.
+  *
+  * Scale shape: both passes (change-collapse, interval stitching) are
+  * windows over the SAME (key, order) partitioning, so the plan pays
+  * one exchange on the dimension key; per-key state inside the window
+  * is O(1) (lag/lead of one row), never a collected history. Dimension
+  * change streams are key-skew-friendly by nature (a hot entity's
+  * history sorts within one partition), and a pathological hot key is
+  * pre-split upstream like any other skewed window input.
+  */
+object Scd {
+
+  /** Collapse consecutive no-change events and emit SCD2 intervals.
+    *
+    * A change event opens a new interval only when `attrCol` differs
+    * from the key's previous event (idempotent re-deliveries and
+    * no-op updates collapse away — CDC streams are full of both). Each
+    * surviving change's interval runs to the NEXT surviving change's
+    * timestamp, the last one is open (`valid_to` null, is_current 1).
+    * `tieCol` breaks exact-timestamp ties deterministically.
+    *
+    * Emits (key, attr, valid_from, valid_to, is_current) with the
+    * validity bounds in floored epoch seconds (cross-engine stable);
+    * ordering inside the window uses the raw timestamp. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           attrCol: String, tieCol: String): DataFrame = {
+    val ord: Seq[Column] = Seq(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val surviving = changes
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+    // the filter preserves the (key, ts) clustering, so this second
+    // window rides the same exchange
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    surviving
+      .withColumn("valid_from",
+        floor(unix_timestamp(col(tsCol))).cast("long"))
+      .withColumn("valid_to",
+        floor(unix_timestamp(lead(col(tsCol), 1).over(w2))).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col(keyCol), col(attrCol).as("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IntervalJoin, Scd}
+
+class ScdIntervalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2 collapses no-change events and stitches intervals") {
+    val changes = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 1L, "bronze"),
+      (1L, ts("2025-01-01 11:00:00"), 2L, "bronze"), // no-op update
+      (1L, ts("2025-01-01 12:00:00"), 3L, "gold"),
+      (1L, ts("2025-01-01 13:00:00"), 4L, "bronze"), // re-demotion reopens
+      (2L, ts("2025-01-01 09:00:00"), 5L, "silver"))
+      .toDF("user_id", "ts", "event_id", "status")
+    val got = Scd.scd2(changes, "user_id", "ts", "status", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    def ep(s: String) = ts(s).getTime / 1000
+    assert(got.toSeq === Seq(
+      (1L, "bronze", ep("2025-01-01 10:00:00"),
+        Some(ep("2025-01-01 12:00:00")), 0L), // 11:00 no-op collapsed
+      (1L, "gold", ep("2025-01-01 12:00:00"),
+        Some(ep("2025-01-01 13:00:00")), 0L),
+      (1L, "bronze", ep("2025-01-01 13:00:00"), None, 1L),
+      (2L, "silver", ep("2025-01-01 09:00:00"), None, 1L)))
+  }
+
+  test("scd2 breaks exact-timestamp ties on the tie column") {
+    val t = ts("2025-01-01 10:00:00")
+    val changes = Seq(
+      (1L, t, 2L, "b"), (1L, t, 1L, "a")) // same instant, id order wins
+      .toDF("user_id", "ts", "event_id", "status")
+    val got = Scd.scd2(changes, "user_id", "ts", "status", "event_id")
+      .orderBy("valid_from", "attr").collect()
+      .map(r => (r.getString(1), r.getLong(4)))
+    assert(got.toSet === Set(("a", 0L), ("b", 1L))) // a opened, b current
+  }
+
+  test("intervalJoin honors [start, end) bounds across bucket spans") {
+    val facts = Seq(
+      (1L, 999L), (2L, 1000L), (3L, 5000L), (4L, 7199L), (5L, 7200L))
+      .toDF("id", "ep")
+    // one interval spanning 2+ hour buckets, one degenerate
+    val ivs = Seq((10L, 1000L, 7200L), (11L, 500L, 500L))
+      .toDF("iv_id", "s", "e")
+    val got = IntervalJoin
+      .intervalJoin(facts, ivs, "ep", "s", "e", bucketSec = 3600L)
+      .select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 999 < start excluded; 1000 inclusive; 7200 = end exclusive;
+    // each matching fact appears exactly once despite the 3-bucket span
+    assert(got.toSeq.sorted === Seq((2L, 10L), (3L, 10L), (4L, 10L)))
+  }
+
+  test("intervalJoin plans a hash equi-join, not BNLJ/cartesian") {
+    val facts = (0L until 100L).map(i => (i, i * 60)).toDF("id", "ep")
+    val ivs = (0L until 50L).map(i => (i, i * 100, i * 100 + 90))
+      .toDF("iv_id", "s", "e")
+    val plan = IntervalJoin.intervalJoin(facts, ivs, "ep", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
