@@ -449,6 +449,13 @@ object SparkEntry {
     "q74_bpe_merges" -> ((s, d) =>
       T.bpeMerges(documents(s, d), iters = 3)),
 
+    // ===== BPE encode: train 3 merges, apply them, report compression =
+    "q80_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ===== integer-exact PageRank over a deterministic link graph =====
     // micro-rank BIGINT arithmetic end-to-end: integer sums are
     // associative, so the distributed aggregate is bit-reproducible
@@ -779,6 +786,40 @@ object SparkEntry {
   private val mixWeights: Map[String, Int] =
     (0 until 20).map(i =>
       s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
+
+  /** Shared CTE chain for the BPE oracles (q74 training, q80 encode):
+    * corpus word counts → spaced symbol strings → per-iteration pair
+    * counts (p_i), elected merge (b_i), merged vocab (v_i). Returned
+    * WITHOUT the leading WITH so callers can append their own CTEs. */
+  private def bpeTrainingCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT arr[i] AS l, arr[i+1] AS r,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, string_split(trim(syms), ' ') AS arr
+         |        FROM v${i - 1}),
+         |    UNNEST(range(1, len(arr))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT word, wc,
+         |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+         |      ' ' || b.l || b.r || ' ') AS syms
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+       |      AS syms
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '\\s+'),
+       |          x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |v0 AS (SELECT * FROM words),
+       |$steps""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1383,40 +1424,46 @@ object SparkEntry {
     // boundary-sentinel replace the Spark side uses
     "q74_bpe_merges" -> {
       val iters = 3
-      val steps = (1 to iters).map { i =>
-        s"""p$i AS (
-           |  SELECT arr[i] AS l, arr[i+1] AS r,
-           |    CAST(sum(wc) AS BIGINT) AS cnt
-           |  FROM (SELECT wc, string_split(trim(syms), ' ') AS arr
-           |        FROM v${i - 1}),
-           |    UNNEST(range(1, len(arr))) AS u(i)
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, cnt FROM p$i
-           |        ORDER BY cnt DESC, l, r LIMIT 1),
-           |v$i AS (
-           |  SELECT word, wc,
-           |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
-           |      ' ' || b.l || b.r || ' ') AS syms
-           |  FROM v${i - 1}, b$i b)""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to iters).map { i =>
         if (i == 1)
           s"SELECT CAST(1 AS BIGINT) AS iter, l, r, l || r AS merged, cnt FROM b1"
         else s"UNION ALL SELECT $i, l, r, l || r, cnt FROM b$i"
       }.mkString("\n")
-      s"""WITH words AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
-         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' '
-         |      AS syms
-         |  FROM (SELECT unnest(list_filter(
-         |          string_split_regex(lower(text), '\\s+'),
-         |          x -> x <> '')) AS word
-         |        FROM documents)
-         |  GROUP BY word),
-         |v0 AS (SELECT * FROM words),
-         |$steps
+      s"""WITH ${bpeTrainingCtes(iters)}
          |SELECT * FROM (
          |$unions) ORDER BY iter""".stripMargin
+    },
+
+    // the q74 training CTEs, then whole-doc encoding: each learned
+    // merge applies as one replace over the sentinel-spaced symbol
+    // string; chr(1) separators stop merges crossing token boundaries
+    "q80_bpe_encode" -> {
+      val iters = 3
+      val encs = (1 to iters).map { i =>
+        s"""enc$i AS (
+           |  SELECT doc_id, n_tokens,
+           |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+           |      ' ' || b.l || b.r || ' ') AS syms
+           |  FROM enc${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeTrainingCtes(iters)},
+         |toksd AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS t
+         |  FROM documents),
+         |enc0 AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    ' ' || array_to_string(list_transform(t,
+         |        w -> array_to_string(string_split(w, ''), ' ')),
+         |      ' ' || chr(1) || ' ') || ' ' AS syms
+         |  FROM toksd),
+         |$encs
+         |SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE len(string_split(trim(syms), ' ')) - (n_tokens - 1)
+         |    END AS BIGINT) AS n_bpe_tokens
+         |FROM enc$iters ORDER BY doc_id""".stripMargin
     },
 
     // integer micro-rank PageRank trajectory, iterations unrolled; all

@@ -453,4 +453,46 @@ object TextAnalysis {
     }
     merges.reduce(_ union _).orderBy(col("iter"))
   }
+
+  /** Token-boundary separator for `bpeEncode`'s whole-text symbol
+    * string: a control char that no trained merge pair can contain, so
+    * merges can never fire across token boundaries. */
+  private val BpeSep = "\u0001"
+
+  /** Apply a learned BPE merge list: encode each document with the
+    * `iters` merges of a `bpeMerges` result (applied in training
+    * order) and report the token count before and after —
+    * (id, n_tokens, n_bpe_tokens). The whole document is encoded as
+    * ONE spaced symbol string with control-char separators between
+    * tokens (see `BpeSep`), so the per-merge application is a single
+    * codegen `replace` over the row rather than a per-token lambda
+    * loop; each merge joins in as a broadcast single row (the same
+    * no-collect election pattern as training). Merge application
+    * inherits `bpeMerges`' non-overlapping replace contract. */
+  def bpeEncode(df: DataFrame, merges: DataFrame, iters: Int,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val spacedTok = (t: Column) =>
+      array_join(filter(split(t, ""), c => c =!= lit("")), " ")
+    val enc0 = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      concat(lit(" "),
+        array_join(transform(toks, spacedTok), s" $BpeSep "),
+        lit(" ")).as("syms"))
+    val encoded = (1 to iters).foldLeft(enc0) { (acc, i) =>
+      val m = merges.filter(col("iter") === i)
+        .select(col("l").as("_l"), col("r").as("_r"))
+      acc.crossJoin(broadcast(m))
+        .select(col(idCol), col("n_tokens"),
+          replace(col("syms"),
+            concat(lit(" "), col("_l"), lit(" "), col("_r"), lit(" ")),
+            concat(lit(" "), col("_l"), col("_r"), lit(" "))).as("syms"))
+    }
+    // split counts symbols AND the n_tokens-1 separators
+    encoded.select(col(idCol), col("n_tokens"),
+      when(col("n_tokens") === 0, 0L)
+        .otherwise(size(split(trim(col("syms")), " ")).cast("long")
+          - (col("n_tokens") - 1)).as("n_bpe_tokens"))
+  }
 }

@@ -196,6 +196,26 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("bpeEncode applies learned merges without crossing token bounds") {
+    // merges learned on this corpus: 'a a'→aa then 'aa b'→aab. Doc 1:
+    // "aab aab" = 2 tokens × 3 chars → both collapse to 1 symbol = 2
+    // bpe tokens. Doc 2: "ba ab" must NOT merge the 'a|a' across the
+    // token boundary: 'b a' + 'a b' stay 4 symbols ('a a' never
+    // adjacent within a token).
+    val docs = Seq(
+      (1L, "aab aab aab"), (2L, "aab aab aab"),
+      (3L, "cd cd"), (4L, "aa"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, iters = 2)
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, "aab aab"), (2L, "ba ab"), (3L, "")).toDF("doc_id", "text"),
+      merges, iters = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc(0) === ((1L, 2L, 2L)))   // 6 chars → 2 'aab' symbols
+    assert(enc(1) === ((2L, 2L, 4L)))   // boundary blocks the 'a a' merge
+    assert(enc(2) === ((3L, 0L, 0L)))   // empty text
+  }
+
   // --- outliers -------------------------------------------------------------
 
   test("outliers flags far points per group and skips constant groups") {
