@@ -456,6 +456,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ===== DSIR importance weights: hashed-bigram log-ratio vs the ====
+    // ===== English subset as target corpus ============================
+    "q81_dsir_weights" -> ((s, d) =>
+      T.dsirWeights(documents(s, d), targetPred = col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
     // ===== integer-exact PageRank over a deterministic link graph =====
     // micro-rank BIGINT arithmetic end-to-end: integer sums are
     // associative, so the distributed aggregate is bit-reproducible
@@ -1465,6 +1471,45 @@ object SparkEntry {
          |    END AS BIGINT) AS n_bpe_tokens
          |FROM enc$iters ORDER BY doc_id""".stripMargin
     },
+
+    // DSIR importance weights: same md5-bucketed bigram features,
+    // add-1-smoothed log ratio quantized once to BIGINT micro-nats,
+    // integer count·ratio sums (the q55 convention)
+    "q81_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_target,
+        |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+        |      AS BIGINT) % 256 AS f
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |docfeat AS (
+        |  SELECT doc_id, is_target, f, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |feat AS (
+        |  SELECT f,
+        |    CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS ct,
+        |    CAST(sum(cnt) AS BIGINT) AS cs
+        |  FROM docfeat GROUP BY 1),
+        |totals AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cs) AS BIGINT) AS ns FROM feat),
+        |ratio AS (
+        |  SELECT f, CAST(round((ln((ct + 1) / (nt + 256.0))
+        |      - ln((cs + 1) / (ns + 256.0))) * 1e6) AS BIGINT)
+        |    AS micro_lr
+        |  FROM feat, totals),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(cnt * micro_lr) AS BIGINT) AS micro_weight
+        |  FROM docfeat JOIN ratio USING (f) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(micro_weight, 0) AS micro_weight
+        |FROM documents d LEFT JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // integer micro-rank PageRank trajectory, iterations unrolled; all
     // divisions are integer (//) and every edge/constant replays the

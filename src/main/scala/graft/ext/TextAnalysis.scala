@@ -454,6 +454,66 @@ object TextAnalysis {
     merges.reduce(_ union _).orderBy(col("iter"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method):
+    * score every document by how much its hashed-bigram distribution
+    * looks like a target corpus vs the full source corpus. Feature =
+    * md5-hashed token bigram mod `buckets` (the oracle-replicable
+    * md5Hash60, so DuckDB verifies the whole pipeline); distributions
+    * are add-1-smoothed bucket frequencies; the per-feature log ratio
+    * ln(pT(f)) − ln(pS(f)) is quantized ONCE to BIGINT micro-nats and
+    * the per-doc weight is the integer sum of count·ratio — the q55
+    * single-quantization-point convention, bit-identical cross-engine.
+    *
+    * Scale shape: one corpus shuffle builds the (doc, feature) count
+    * contraction; the feature table is `buckets` rows (vs 100 TB of
+    * text) and comes back as a broadcast join; totals are a 1-row
+    * broadcast cross join. No collect, no per-doc vocabulary state.
+    *
+    * Output: (doc_id, n_bigrams, micro_weight) for EVERY input doc —
+    * docs with < 2 tokens carry weight 0 via the left join. */
+  def dsirWeights(df: DataFrame, targetPred: Column,
+                  buckets: Int = 256,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val grams = df.select(col(idCol).as("id"),
+        targetPred.as("is_target"), t.as("t"))
+      // guard: sequence(0, -1) DESCENDS for sub-2-token docs — emit an
+      // empty array instead (explode then drops the doc; the final
+      // left join restores it with weight 0)
+      .select(col("id"), col("is_target"),
+        explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat(element_at(col("t"), i + 1), lit(" "),
+              element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col("id"), col("is_target"),
+        pmod(md5Hash60(col("bg")), lit(buckets.toLong)).as("f"))
+    val docFeat = grams
+      .groupBy(col("id"), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feature table + weighted sum both read it
+    val feat = docFeat.groupBy(col("f"))
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(col("cnt")).as("cs"))
+    val totals = feat.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
+    val ratio = feat.crossJoin(broadcast(totals))
+      .select(col("f"),
+        round((log((col("ct") + 1d) / (col("nt") + buckets.toDouble))
+          - log((col("cs") + 1d) / (col("ns") + buckets.toDouble)))
+          * 1e6).cast("long").as("micro_lr"))
+    val weights = docFeat.join(broadcast(ratio), "f")
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("micro_lr")).as("micro_weight"))
+    df.select(col(idCol).as("id"))
+      .join(weights, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("micro_weight"), lit(0L)).as("micro_weight"))
+  }
+
   /** Token-boundary separator for `bpeEncode`'s whole-text symbol
     * string: a control char that no trained merge pair can contain, so
     * merges can never fire across token boundaries. */

@@ -196,6 +196,27 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("dsirWeights: target-seen text outranks target-unseen text") {
+    // target (en) is all "x y" bigrams; de docs split between the same
+    // text and a disjoint one. Weights are log-ratios: with a tiny
+    // target corpus and 256 smoothing buckets the absolute values all
+    // go negative, so (as in real DSIR resampling) only the RELATIVE
+    // order is contractual — target-seen text must outrank
+    // target-unseen text, identical text ties, sub-2-token docs get 0.
+    val docs = Seq(
+      (1L, "x y x y", "en"), (2L, "x y x y", "de"),
+      (3L, "a b a b", "de"), (4L, "solo", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    assert(got(0)._2 === 3L)                    // 3 bigrams
+    assert(got(0)._3 === got(1)._3)             // same text, same weight
+    assert(got(0)._3 > got(2)._3)               // target-seen ≻ unseen
+    assert(got(3) === ((4L, 0L, 0L)))           // single token ⇒ no bigram
+  }
+
   test("bpeEncode applies learned merges without crossing token bounds") {
     // merges learned on this corpus: 'a a'→aa then 'aa b'→aab. Doc 1:
     // "aab aab" = 2 tokens × 3 chars → both collapse to 1 symbol = 2
