@@ -546,6 +546,11 @@ object SparkEntry {
     "q46_quantize" -> ((s, d) =>
       Similarity.quantizationErrorStats(embeddings(s, d))),
 
+    // ===== JL random projection 64→8 dims, md5-sign matrix ============
+    "q82_random_projection" -> ((s, d) =>
+      Similarity.randomProject(embeddings(s, d), k = 8)
+        .orderBy(col("vec_id"))),
+
     // ===== deterministic hash split (train/val/test) ===================
     "q44_hash_split" -> ((s, d) => {
       T.withHashSplit(documents(s, d))
@@ -1852,6 +1857,37 @@ object SparkEntry {
         |SELECT doc_id, text_hash FROM firsts
         |WHERE text_hash NOT IN (SELECT text_hash FROM seen)
         |ORDER BY doc_id""".stripMargin,
+
+    // JL projection: the ±1 matrix is generated driver-side from the
+    // same md5 parity the Spark side uses and embedded as literal
+    // arrays; list_dot_product folds in list order like the Spark
+    // posexplode-sum, and both sides round at the same single point
+    "q82_random_projection" -> {
+      val k = 8; val nDims = 64
+      val wLits = (0 until k).map { j =>
+        (0 until nDims).map { d =>
+          if (graft.ext.Dedup.md5Long(s"rp:$j:$d") % 2 == 1) "1.0"
+          else "-1.0"
+        }.mkString("[", ", ", "]")
+      }
+      val pCols = (0 until k).map(j =>
+        s"    round(list_dot_product(v, ${wLits(j)}), 6) AS p$j")
+        .mkString(",\n")
+      val pSq = (0 until k).map(j => s"p$j * p$j").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id,
+         |$pCols,
+         |    round(list_dot_product(v, v), 6) AS n2
+         |  FROM e)
+         |SELECT vec_id, ${(0 until k).map("p" + _).mkString(", ")},
+         |  CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(sqrt(($pSq) / $k) / sqrt(n2), 6) END AS norm_ratio
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     // centroid rounded 6-dp per dim BEFORE similarity, sims rounded
     // 6-dp BEFORE the rank (q53's determinism conventions); dot/norm

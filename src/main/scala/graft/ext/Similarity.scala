@@ -187,6 +187,44 @@ object Similarity {
       .select(col("id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
   }
 
+  /** Johnson-Lindenstrauss dense random projection: embed `nDims`-dim
+    * vectors into `k` dims with a deterministic ±1 matrix (sign of
+    * md5("rp:j:d") — no RNG state, replicable by any engine with md5,
+    * so the DuckDB oracle checks the projected values themselves).
+    * Achlioptas (2003, public) shows ±1 entries give the JL guarantee;
+    * scaling by 1/√k preserves expected norms, surfaced here as
+    * `norm_ratio` = ‖proj‖/√k ÷ ‖x‖ (≈1 when distances survive).
+    *
+    * Same execution shape as `srpSignatures`: posexplode dimensions →
+    * ONE hash-aggregate with k codegen'd conditional sums (map-side
+    * combine; the per-row higher-order fold runs interpreted). The
+    * weight matrix ships as k literal arrays, not a join. Projections
+    * round to 6 dp at the single quantization point; the ratio is then
+    * arithmetic over identical doubles. */
+  def randomProject(emb: DataFrame, k: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    nDims: Int = 64): DataFrame = {
+    val dims = emb.select(col(idCol).as("id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+    val sums = (0 until k).map { j =>
+      val ws = (0 until nDims).map { d =>
+        if (Dedup.md5Long(s"rp:$j:$d") % 2 == 1) 1.0 else -1.0
+      }
+      round(sum(col("x") * element_at(typedLit(ws), col("d") + 1)), 6)
+        .as(s"p$j")
+    } :+ round(sum(col("x") * col("x")), 6).as("n2")
+    val projNorm2 = (0 until k).map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    dims.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id").as(idCol) +:
+        (0 until k).map(j => col(s"p$j")) :+
+        when(col("n2") === 0d, 0d)
+          .otherwise(round(sqrt(projNorm2 / k) / sqrt(col("n2")), 6))
+          .as("norm_ratio"): _*)
+  }
+
   /** IVF (inverted-file) index: `nCentroids` seed centroids picked
     * deterministically (smallest ids — at corpus scale swap in a k-means
     * sample; the index structure is identical), every vector assigned to

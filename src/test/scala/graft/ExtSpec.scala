@@ -464,6 +464,32 @@ class ExtSpec extends SparkSpec {
     assert(Set(5L, 6L).contains(got(1)))
   }
 
+  test("randomProject: one-hot vectors keep norm exactly, ±1 entries") {
+    // for x = c·e_d every projection is ±c and ‖proj‖/√k ÷ ‖x‖ is
+    // exactly 1 — an algebraic fixed point of the JL scaling that needs
+    // no tolerance; a zero vector takes the 0 guard
+    val dim = 64
+    def oneHot(d: Int, c: Float) =
+      Array.tabulate(dim)(i => if (i == d) c else 0.0f)
+    val emb = Seq(
+      (1L, oneHot(0, 1.0f), 0),
+      (2L, oneHot(5, 3.0f), 0),
+      (3L, Array.fill(dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.randomProject(emb, k = 4)
+      .orderBy("vec_id").collect()
+    val p1 = (1 to 4).map(i => got(0).getDouble(i))
+    assert(p1.forall(v => v == 1.0 || v == -1.0))
+    assert(got(0).getDouble(5) === 1.0) // norm_ratio
+    assert((1 to 4).map(got(1).getDouble).forall(v => math.abs(v) == 3.0))
+    assert(got(1).getDouble(5) === 1.0)
+    assert(got(2).getDouble(5) === 0.0) // zero vector guard
+    // deterministic across runs (hash-derived matrix, no RNG state)
+    val again = Similarity.randomProject(emb, k = 4)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("semanticDedup drops only the higher id of an in-cluster near-dup") {
     // two well-separated directions; vec 3 is a near-copy of vec 1 and
     // must land in its cluster and lose to it; vec 2's cluster has no
