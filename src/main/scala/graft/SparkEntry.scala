@@ -469,6 +469,11 @@ object SparkEntry {
       LinkGraph.pageRank(LinkGraph.syntheticEdges(documents(s, d)),
         iters = 3).orderBy(col("node"))),
 
+    // ===== in-link profile over the same deterministic link graph ====
+    "q83_inlink_stats" -> ((s, d) =>
+      LinkGraph.inLinkStats(LinkGraph.syntheticEdges(documents(s, d)))
+        .orderBy(col("node"))),
+
     // ===== SCD2 dimension-history building (CDC batch half) ===========
     // user_id × event_type as a change stream: collapse no-change
     // events, stitch [valid_from, valid_to) intervals, flag current
@@ -1556,6 +1561,31 @@ object SparkEntry {
          |SELECT node, CAST(rank AS BIGINT) AS rank_micro
          |FROM r$iters ORDER BY node""".stripMargin
     },
+
+    // same replanted edge list as q76; the dominant linker replays the
+    // (links desc, src asc) argmax via a ranking window
+    "q83_inlink_stats" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst
+        |    FROM documents, nn WHERE doc_id % 97 <> 0
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 17 + 3) % nn.n
+        |    FROM documents, nn WHERE doc_id % 97 <> 0)
+        |  WHERE src <> dst),
+        |pp AS (SELECT dst AS node, src, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM e GROUP BY 1, 2),
+        |sel AS (SELECT node, src, cnt, row_number() OVER (
+        |          PARTITION BY node ORDER BY cnt DESC, src) AS rk
+        |        FROM pp),
+        |agg AS (SELECT node, CAST(sum(cnt) AS BIGINT) AS in_degree,
+        |          CAST(count(*) AS BIGINT) AS n_sources
+        |        FROM pp GROUP BY 1)
+        |SELECT a.node, a.in_degree, a.n_sources,
+        |  s.src AS top_src, s.cnt AS top_src_links
+        |FROM agg a JOIN sel s ON a.node = s.node AND s.rk = 1
+        |ORDER BY a.node""".stripMargin,
 
     // change-collapse + interval stitching over the same window order
     "q78_scd2" ->

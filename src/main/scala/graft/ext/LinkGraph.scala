@@ -88,6 +88,31 @@ object LinkGraph {
     * the dangling-mass path is exercised. N is joined in as a 1-row
     * broadcast (no driver-side collect), and the oracle replants the
     * same edges with the same integer arithmetic. */
+  /** Per-target in-link profile — the anchor-aggregation half of link
+    * curation (who points at this page, and who dominates): in_degree
+    * (total inbound edges), n_sources (distinct linkers), and the
+    * dominant linker by (links desc, src asc) — the deterministic
+    * argmax convention.
+    *
+    * Scale shape: one shuffle on (dst, src) builds the pair
+    * contraction with map-side partial counts; the per-node roll-up
+    * re-aggregates the contraction (≤ one row per distinct pair, far
+    * smaller than the edge stream). The argmax rides the same
+    * aggregate as a max(struct) — no ranking window, no second
+    * shuffle of the edges. */
+  def inLinkStats(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val pairs = edges
+      .groupBy(col(dstCol).as("node"), col(srcCol).as("src"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.groupBy(col("node"))
+      .agg(sum(col("cnt")).as("in_degree"),
+        count(lit(1)).as("n_sources"),
+        max(struct(col("cnt"), (-col("src")).as("negsrc"))).as("m"))
+      .select(col("node"), col("in_degree"), col("n_sources"),
+        (-col("m.negsrc")).as("top_src"), col("m.cnt").as("top_src_links"))
+  }
+
   def syntheticEdges(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n"))
     val id = col(idCol)

@@ -19,6 +19,18 @@ class LinkGraphSpec extends SparkSpec {
     assert(got === Map(1L -> 144444L, 2L -> 427777L, 3L -> 427777L))
   }
 
+  test("inLinkStats counts parallel edges and breaks argmax ties low") {
+    // node 10: src 1 twice + src 2 once → top_src 1 by count;
+    // node 20: srcs 2 and 3 tie at one link each → smaller src wins
+    val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (2L, 20L))
+      .toDF("src", "dst")
+    val got = LinkGraph.inLinkStats(edges).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0) === ((10L, 3L, 2L, 1L, 2L)))
+    assert(got(1) === ((20L, 2L, 2L, 2L, 1L)))
+  }
+
   test("pageRank concentrates rank on the sink and stays mass-bounded") {
     // star: everyone links to node 0, node 0 links back to 1
     val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
