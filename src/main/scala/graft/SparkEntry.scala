@@ -656,6 +656,11 @@ object SparkEntry {
           hash = Dedup.OracleHash)
         .orderBy(col("doc_id"))),
 
+    // ===== temperature-scaled language rebalancing (α = 0.5) ==========
+    "q84_temperature_sample" -> ((s, d) =>
+      Curation.temperatureSample(documents(s, d), alpha = 0.5)
+        .orderBy(col("lang"))),
+
     // ===== Gopher-style repetition metrics (template/spam signal) ======
     "q52_repetition" -> ((s, d) =>
       T.repetitionStats(documents(s, d), n = 2)
@@ -2271,6 +2276,28 @@ object SparkEntry {
         |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM af LEFT JOIN dropped d USING (id)
         |ORDER BY vec_id""".stripMargin,
+
+    // α = 0.5 rate runs through IEEE sqrt on both engines (correctly
+    // rounded, unlike pow); one round-to-micro quantization point, then
+    // the md5 coin is pure BIGINT arithmetic
+    "q84_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |    CAST(round(sqrt(CAST(n_min AS DOUBLE)
+        |      / CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS micro_rate
+        |  FROM c, m),
+        |k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE CAST('0x' || substr(md5('temp:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 1000000 < micro_rate
+        |  GROUP BY 1)
+        |SELECT r.lang, r.n_docs, r.micro_rate,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k USING (lang)
+        |ORDER BY r.lang""".stripMargin,
 
     // weights VALUES generated from the same mixWeights map the Spark
     // query uses; the keep predicate is pure BIGINT arithmetic on the

@@ -383,6 +383,45 @@ object Curation {
       .select(col(idCol), col(srcCol))
   }
 
+  /** Temperature-scaled stratum sampling (the mT5/XLM-R α-sampling
+    * scheme, Xue et al. 2021 / Conneau et al. 2020 — public method):
+    * rebalance a multilingual corpus by keeping stratum l with
+    * probability p_l = (n_min / n_l)^(1−α) — α = 1 keeps the natural
+    * distribution, α → 0 flattens it; the smallest stratum always
+    * keeps everything. Rates are quantized ONCE to BIGINT micro-units
+    * and membership is the deterministic md5 coin ("temp:"+id mod 10⁶
+    * < rate), so the sample — not just its size — is reproducible
+    * cross-engine. For α = 0.5 the exponent runs through IEEE sqrt
+    * (correctly rounded everywhere) rather than pow (1-ulp
+    * implementation-defined).
+    *
+    * Returns the per-stratum audit frame (stratum, n_docs, micro_rate,
+    * n_kept) — the sampled rows themselves are the same filter applied
+    * to the corpus. Scale shape: stratum cardinality is tiny (languages,
+    * sources), so counts broadcast back and the membership test is
+    * map-side; one corpus shuffle for the stratum counts, one for the
+    * kept roll-up. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
+                        keyCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0,1]")
+    val counts = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_docs").cast("double")
+    val p = if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(keyCol), col("n_docs"),
+        round(p * 1e6).cast("long").as("micro_rate"))
+    val kept = docs.join(broadcast(rates), Seq(keyCol))
+      .filter(pmod(TextAnalysis.md5Hash60(
+          concat(lit("temp:"), col(idCol).cast("string"))),
+        lit(1000000L)) < col("micro_rate"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_docs"), col("micro_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ===== PII / secret scrubbing ===========================================
 
   /** Patterns deliberately restricted to the regex subset where Java

@@ -342,6 +342,27 @@ class CurationSpec extends SparkSpec {
     assert(Curation.bloomContamination(corpus, empty).count() === 0)
   }
 
+  test("temperatureSample: smallest stratum keeps all, α=1 keeps everything") {
+    val docs = ((1L to 8L).map(i => (i, "en")) :+ (9L -> "de") :+
+      (10L -> "de")).toDF("doc_id", "lang")
+    val got = Curation.temperatureSample(docs, alpha = 0.5)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // de: n_min stratum ⇒ rate 10⁶, every doc kept
+    assert(got(0) === (("de", 2L, 1000000L, 2L)))
+    // en: rate = sqrt(2/8)·10⁶ = 500000, kept count is the
+    // deterministic md5 coin — bounded and reproducible
+    assert(got(1)._3 === 500000L && got(1)._4 <= 8L)
+    val again = Curation.temperatureSample(docs, alpha = 0.5)
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(got.map(_.productIterator.toSeq).toSeq === again.toSeq)
+    // α = 1 is the natural distribution: every stratum keeps all docs
+    val nat = Curation.temperatureSample(docs, alpha = 1.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(nat.forall { case (n, rate, kept) =>
+      rate === 1000000L && kept === n })
+  }
+
   test("dedupLines omits zero-token docs and keeps sub-width tails") {
     val docs = Seq(
       (1L, "   "),             // zero tokens -> omitted
