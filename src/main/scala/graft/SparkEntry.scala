@@ -462,6 +462,25 @@ object SparkEntry {
       T.dsirWeights(documents(s, d), targetPred = col("lang") === "en")
         .orderBy(col("doc_id"))),
 
+    // ===== tokenizer fertility by language: BPE pieces per token ======
+    // integer-exact micro-ratio (sum·10⁶ div sum) over the q80 encoding
+    "q85_bpe_fertility" -> ((s, d) => {
+      val docs = documents(s, d)
+      val enc = T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
+      docs.select(col("doc_id"), col("lang"))
+        .join(enc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_bpe_tokens"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("n_bpe_tokens * 1000000 div n_tokens"))
+            .as("micro_fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // ===== integer-exact PageRank over a deterministic link graph =====
     // micro-rank BIGINT arithmetic end-to-end: integer sums are
     // associative, so the distributed aggregate is bit-reproducible
@@ -840,6 +859,39 @@ object SparkEntry {
        |  GROUP BY word),
        |v0 AS (SELECT * FROM words),
        |$steps""".stripMargin
+  }
+
+  /** Per-document whole-text BPE encoding on top of `bpeTrainingCtes`:
+    * toksd → enc0 (sentinel-spaced symbols, chr(1) token separators) →
+    * per-merge replaces → `encoded(doc_id, n_tokens, n_bpe_tokens)`.
+    * Returned WITHOUT a leading comma; callers splice it after the
+    * training CTEs (q80 dump, q85 fertility roll-up). */
+  private def bpeEncodeCtes(iters: Int): String = {
+    val encs = (1 to iters).map { i =>
+      s"""enc$i AS (
+         |  SELECT doc_id, n_tokens,
+         |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+         |      ' ' || b.l || b.r || ' ') AS syms
+         |  FROM enc${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""toksd AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |enc0 AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    ' ' || array_to_string(list_transform(t,
+       |        w -> array_to_string(string_split(w, ''), ' ')),
+       |      ' ' || chr(1) || ' ') || ' ' AS syms
+       |  FROM toksd),
+       |$encs,
+       |encoded AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN n_tokens = 0 THEN 0
+       |      ELSE len(string_split(trim(syms), ' ')) - (n_tokens - 1)
+       |      END AS BIGINT) AS n_bpe_tokens
+       |  FROM enc$iters)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1460,31 +1512,27 @@ object SparkEntry {
     // string; chr(1) separators stop merges crossing token boundaries
     "q80_bpe_encode" -> {
       val iters = 3
-      val encs = (1 to iters).map { i =>
-        s"""enc$i AS (
-           |  SELECT doc_id, n_tokens,
-           |    replace(syms, ' ' || b.l || ' ' || b.r || ' ',
-           |      ' ' || b.l || b.r || ' ') AS syms
-           |  FROM enc${i - 1}, b$i b)""".stripMargin
-      }.mkString(",\n")
       s"""WITH ${bpeTrainingCtes(iters)},
-         |toksd AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |      x -> x <> '') AS t
-         |  FROM documents),
-         |enc0 AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         |    ' ' || array_to_string(list_transform(t,
-         |        w -> array_to_string(string_split(w, ''), ' ')),
-         |      ' ' || chr(1) || ' ') || ' ' AS syms
-         |  FROM toksd),
-         |$encs
-         |SELECT doc_id, n_tokens,
-         |  CAST(CASE WHEN n_tokens = 0 THEN 0
-         |    ELSE len(string_split(trim(syms), ' ')) - (n_tokens - 1)
-         |    END AS BIGINT) AS n_bpe_tokens
-         |FROM enc$iters ORDER BY doc_id""".stripMargin
+         |${bpeEncodeCtes(iters)}
+         |SELECT doc_id, n_tokens, n_bpe_tokens
+         |FROM encoded ORDER BY doc_id""".stripMargin
+    },
+
+    // the q80 encoding CTEs rolled up by documents.lang; the fertility
+    // ratio is integer floor-division after integer sums (q51/q55
+    // convention — no float re-rounding)
+    "q85_bpe_fertility" -> {
+      val iters = 3
+      s"""WITH ${bpeTrainingCtes(iters)},
+         |${bpeEncodeCtes(iters)}
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN sum(e.n_tokens) = 0 THEN 0
+         |    ELSE sum(e.n_bpe_tokens) * 1000000 // sum(e.n_tokens)
+         |    END AS BIGINT) AS micro_fertility
+         |FROM encoded e JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     },
 
     // DSIR importance weights: same md5-bucketed bigram features,
