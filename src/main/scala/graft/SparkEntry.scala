@@ -641,6 +641,39 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // ===== n-gram novelty vs the id-ordered corpus prefix =============
+    // first-occurrence = min doc_id per shingle (the dedup canonical-
+    // survivor convention); redundancy = fraction of a doc's distinct
+    // shingles already seen in earlier docs, integer micro-ratio
+    "q86_ngram_novelty" -> ((s, d) =>
+      Dedup.shingleNovelty(documents(s, d), n = 3)
+        .orderBy(col("doc_id"))),
+
+    // ===== top-20 adjacent-bigram PMI (collocation mining) ============
+    "q87_pmi_bigrams" -> ((s, d) =>
+      T.pmiBigrams(documents(s, d), minCount = 5, k = 20)),
+
+    // ===== sequence-packing efficiency histogram (context len 128) ====
+    "q88_packing_stats" -> ((s, d) =>
+      T.packingStats(documents(s, d)).orderBy(col("bucket"))),
+
+    // ===== PII density by registrable domain (q67 × q68 composition) ==
+    "q89_pii_by_domain" -> ((s, d) => {
+      val base = Curation.injectSyntheticUrls(
+        Curation.injectSyntheticPii(documents(s, d)))
+      Curation.scrubPii(Curation.withDomain(base))
+        .groupBy(coalesce(col("domain"), lit("(none)")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(col("n_keys")).as("n_keys"))
+        .select(col("domain"), col("n_docs"), col("n_emails"),
+          col("n_phones"), col("n_keys"),
+          expr("(n_emails + n_phones + n_keys) * 1000000 div n_docs")
+            .as("micro_pii_rate"))
+        .orderBy(col("domain"))
+    }),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1852,6 +1885,116 @@ object SparkEntry {
         |  CAST(CASE WHEN domain IN ('site13.org', 'site27.io', 'site42.com')
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
         |FROM dd GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q17's DISTINCT shingle CTE (raw text, same as word_shingles), a
+    // min-doc_id first-occurrence table, integer micro-redundancy
+    "q86_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |first AS (SELECT s, min(doc_id) AS first_id FROM sh0 GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS micro_redundancy
+        |FROM sh0 JOIN first USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram multiplicities from the range unnest (word_grams parity);
+    // identical multiply/divide shape inside ln on both engines, ranked
+    // on the post-quantization micro value
+    "q87_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        |bg AS (SELECT t[i] AS l, t[i+1] AS r,
+        |         CAST(count(*) AS BIGINT) AS c_bg
+        |       FROM toks, UNNEST(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(c_bg) AS BIGINT) AS n_bg FROM bg)
+        |SELECT l, r, c_bg,
+        |  CAST(round(ln((CAST(c_bg AS DOUBLE) * n_uni * n_uni)
+        |    / (CAST(n_bg AS DOUBLE) * ul.c * ur.c)) * 1e6) AS BIGINT)
+        |    AS micro_pmi
+        |FROM bg JOIN uni ul ON bg.l = ul.w JOIN uni ur ON bg.r = ur.w,
+        |  nu, nb
+        |WHERE c_bg >= 5
+        |ORDER BY micro_pmi DESC, l, r LIMIT 20""".stripMargin,
+
+    // all-integer histogram: 16-token buckets capped at 7, padding to
+    // the next 128-token context, floor-division efficiency
+    "q88_packing_stats" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT n, least(n // 16, 7) AS bucket,
+        |        CASE WHEN n = 0 THEN 0
+        |          ELSE ((n + 127) // 128) * 128 - n END AS pad
+        |      FROM n)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(pad) AS BIGINT) AS n_pad,
+        |  CAST(CASE WHEN sum(n) + sum(pad) = 0 THEN 0
+        |    ELSE sum(n) * 1000000 // (sum(n) + sum(pad))
+        |    END AS BIGINT) AS micro_efficiency
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q67's PII planting + q68's URL planting and domain extraction,
+    // composed; detection counts roll up per registrable domain
+    "q89_pii_by_domain" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' key sk_live_'
+        |         || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' from http://'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END
+        |      || '.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |      || list_extract(['com','org','net','io'],
+        |                      CAST(doc_id % 4 AS INT) + 1)
+        |      || '/page' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, text,
+        |        regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+        |      FROM inj),
+        |dd AS (SELECT doc_id, text,
+        |    CASE WHEN host = '' THEN '(none)'
+        |      ELSE (string_split(host, '.'))[-2] || '.'
+        |        || (string_split(host, '.'))[-1] END AS domain
+        |  FROM h),
+        |per AS (SELECT domain,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS e,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS p,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\bsk_live_[0-9a-f]{16}\b')) AS BIGINT) AS k
+        |  FROM dd)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS n_emails,
+        |  CAST(sum(p) AS BIGINT) AS n_phones,
+        |  CAST(sum(k) AS BIGINT) AS n_keys,
+        |  CAST((sum(e) + sum(p) + sum(k)) * 1000000 // count(*)
+        |    AS BIGINT) AS micro_pii_rate
+        |FROM per GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q33_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

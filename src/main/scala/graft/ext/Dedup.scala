@@ -130,6 +130,32 @@ object Dedup {
       explode(graft.functions.TextFunctions.word_shingles(col(textCol), n))
         .as("sh"))
 
+  /** Per-document n-gram redundancy vs the id-ordered corpus prefix:
+    * the fraction of a doc's DISTINCT shingles whose first occurrence
+    * (min doc_id — the dedup canonical-survivor convention) lies in an
+    * earlier document. High redundancy = the doc adds little new
+    * content even when no single earlier doc matches it (template
+    * mosaics, aggregator pages) — the gap exact and near-dup both
+    * leave. Integer micro-ratio, no floats.
+    *
+    * Scale shape: one shuffle to the shingle-keyed first-occurrence
+    * table; the join back arrives already partitioned on the shingle
+    * key, then one roll-up on doc id. Docs with < n tokens have no
+    * shingles and are absent (same as the oracle). */
+  def shingleNovelty(docs: DataFrame, n: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val sh = shingleRowsFast(docs, n, idCol, textCol)
+    val first = sh.groupBy(col("sh")).agg(min(col("id")).as("first_id"))
+    sh.join(first, "sh")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col(idCol), col("n_shingles"), col("n_seen"),
+        expr("n_seen * 1000000 div n_shingles").as("micro_redundancy"))
+  }
+
   // ===== exact dedup =======================================================
 
   /** Exact dedup by content hash: one row per distinct text, keeping the

@@ -514,6 +514,71 @@ object TextAnalysis {
         coalesce(col("micro_weight"), lit(0L)).as("micro_weight"))
   }
 
+  /** Top-k adjacent-bigram PMI (collocation mining): pmi(l,r) =
+    * ln(p(l,r) / (p(l)·p(r))) over the corpus bigram/unigram
+    * distributions, quantized ONCE to BIGINT micro-nats and ranked on
+    * the quantized value so the top-k cut is integer-deterministic.
+    * `minCount` suppresses the unstable low-count tail (classic PMI
+    * failure mode: a pair seen once scores astronomically).
+    *
+    * Scale shape: two corpus contractions (unigram counts, bigram
+    * counts via the codegen `word_grams` kernel), both
+    * vocabulary-sized; the bigram table probe-joins the broadcast
+    * unigram table twice and totals arrive as 1-row broadcasts. The
+    * final top-k is a TakeOrderedAndProject, not a global sort. */
+  def pmiBigrams(df: DataFrame, minCount: Long = 5, k: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    val uni = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + two probe joins read it
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bg = df
+      .select(explode(
+        graft.functions.TextFunctions.word_grams(lower(col(textCol)), 2))
+        .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_bg"))
+    val nBg = bg.agg(sum(col("c_bg")).as("n_bg"))
+    bg.filter(col("c_bg") >= minCount)
+      .select(element_at(split(col("g"), " "), 1).as("l"),
+        element_at(split(col("g"), " "), 2).as("r"), col("c_bg"))
+      .join(broadcast(uni.select(col("w").as("l"), col("c").as("c_l"))),
+        Seq("l"))
+      .join(broadcast(uni.select(col("w").as("r"), col("c").as("c_r"))),
+        Seq("r"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+      .select(col("l"), col("r"), col("c_bg"),
+        round(log((col("c_bg").cast("double") * col("n_uni") * col("n_uni"))
+          / (col("n_bg").cast("double") * col("c_l") * col("c_r"))) * 1e6)
+          .cast("long").as("micro_pmi"))
+      .orderBy(col("micro_pmi").desc, col("l"), col("r"))
+      .limit(k)
+  }
+
+  /** Sequence-packing efficiency histogram: bucket documents by token
+    * length (`bucketWidth`-token buckets capped at `maxBucket`) and
+    * report, per bucket, the padding a pad-to-`ctxLen` batching scheme
+    * would waste vs the tokens kept — the standard pre-flight check
+    * before choosing packed vs padded training batches. All-integer
+    * arithmetic (floor divisions), map-side except one tiny
+    * histogram aggregate. */
+  def packingStats(df: DataFrame, ctxLen: Long = 128,
+                   bucketWidth: Long = 16, maxBucket: Long = 7,
+                   textCol: String = "text"): DataFrame =
+    df.select(size(tokens(lower(col(textCol)))).cast("long").as("n"))
+      .select(col("n"),
+        expr(s"least(n div $bucketWidth, $maxBucket)").as("bucket"),
+        when(col("n") === 0, 0L)
+          .otherwise(expr(s"((n + $ctxLen - 1) div $ctxLen) * $ctxLen - n"))
+          .as("pad"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("pad")).as("n_pad"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_pad"),
+        when(col("n_tokens") + col("n_pad") === 0, 0L)
+          .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
+          .as("micro_efficiency"))
+
   /** Token-boundary separator for `bpeEncode`'s whole-text symbol
     * string: a control char that no trained merge pair can contain, so
     * merges can never fire across token boundaries. */

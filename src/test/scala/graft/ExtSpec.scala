@@ -22,6 +22,24 @@ class ExtSpec extends SparkSpec {
     assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
   }
 
+  test("shingleNovelty charges later docs for shingles seen earlier") {
+    // doc 11 is all-new; doc 12 repeats it verbatim (redundancy 10⁶);
+    // doc 13 shares a 3-token prefix window with 11 but adds new tail
+    // shingles; sub-3-token docs are absent
+    val docs = Seq(
+      (11L, "a b c d e"),        // 3 shingles, all first here
+      (12L, "a b c d e"),        // same 3 → fully redundant
+      (13L, "a b c x y z"),      // 'a b c' seen, 3 of 4 novel
+      (14L, "xx yy"))            // < 3 tokens → no row
+      .toDF("doc_id", "text")
+    val got = Dedup.shingleNovelty(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq(
+      (11L, 3L, 0L, 0L),
+      (12L, 3L, 3L, 1000000L),
+      (13L, 4L, 1L, 250000L)))
+  }
+
   test("jaccard pairs finds near and exact duplicates with correct scores") {
     val got = Dedup.jaccardPairs(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -196,6 +196,41 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("pmiBigrams ranks the exclusive collocation above the promiscuous one") {
+    // "strong coffee" always co-occur (5×, never apart); "big" pairs
+    // with two different right-hand words so each pair's PMI is lower;
+    // pairs under minCount vanish
+    val docs = Seq(
+      (1L, "strong coffee big dog big cat strong coffee"),
+      (2L, "strong coffee big dog big cat strong coffee"),
+      (3L, "strong coffee big dog big cat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.head._1 === "strong" && got.head._2 === "coffee")
+    assert(got.map(p => (p._1, p._2)).toSet
+      .subsetOf(Set(("strong", "coffee"), ("big", "dog"), ("big", "cat"),
+        ("coffee", "big"), ("dog", "big"), ("cat", "strong"))))
+  }
+
+  test("packingStats: integer buckets, padding to context, efficiency") {
+    // 10 tokens → bucket 0, pad 118; 40 tokens → bucket 2, pad 88;
+    // 200 tokens → bucket 7 (capped), pad 2·128−200=56; empty doc →
+    // bucket 0, pad 0
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(40)("w").mkString(" ")),
+      (3L, Seq.fill(200)("w").mkString(" ")),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packingStats(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0) === ((0L, 2L, 10L, 118L, 10L * 1000000L / 128L)))
+    assert(got(1) === ((2L, 1L, 40L, 88L, 40L * 1000000L / 128L)))
+    assert(got(2) === ((7L, 1L, 200L, 56L, 200L * 1000000L / 256L)))
+  }
+
   test("dsirWeights: target-seen text outranks target-unseen text") {
     // target (en) is all "x y" bigrams; de docs split between the same
     // text and a disjoint one. Weights are log-ratios: with a tiny
