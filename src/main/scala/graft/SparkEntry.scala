@@ -674,6 +674,18 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // ===== per-doc character entropy (gibberish/binary detector) ======
+    // one codegen kernel per row — map-side, no shuffle; micro-bit
+    // quantization per char class then integer average (q55 convention)
+    "q90_char_entropy" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.n_chars").as("n_chars"),
+          col("ce.n_distinct").as("n_distinct_chars"),
+          col("ce.micro_entropy").as("micro_entropy"))
+        .orderBy(col("doc_id"))),
+
     // ===== JSON extraction from the props column =======================
     "q33_json_extract" -> ((s, d) => {
       events(s, d)
@@ -1885,6 +1897,31 @@ object SparkEntry {
         |  CAST(CASE WHEN domain IN ('site13.org', 'site27.io', 'site42.com')
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
         |FROM dd GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // relational replay of the CharEntropy kernel: per-char micro-bits
+    // quantized once (round half-up on the positive domain = Java
+    // Math.round), integer sum order-free, floor-divided average
+    "q90_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text <> ''),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |b AS (SELECT doc_id, cnt, n,
+        |        CAST(round(-log2(CAST(cnt AS DOUBLE) / n) * 1e6)
+        |          AS BIGINT) AS mb
+        |      FROM cnt JOIN tot USING (doc_id)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+        |          CAST(sum(cnt * mb) // max(n) AS BIGINT) AS me
+        |        FROM b GROUP BY 1)
+        |SELECT d.doc_id, coalesce(t.n, 0) AS n_chars,
+        |  coalesce(a.nd, 0) AS n_distinct_chars,
+        |  coalesce(a.me, 0) AS micro_entropy
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q17's DISTINCT shingle CTE (raw text, same as word_shingles), a
     // min-doc_id first-occurrence table, integer micro-redundancy

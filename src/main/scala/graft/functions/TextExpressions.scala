@@ -300,6 +300,83 @@ object GramStats {
   }
 }
 
+/** Codegen'd per-document character-entropy kernel: one pass over the
+  * string's code points → struct(n_chars, n_distinct, micro_entropy).
+  * Shannon entropy over the doc's own character distribution is the
+  * classic cheap gibberish/binary-spill detector (natural text sits in
+  * a narrow band; base64 blobs and key-mash score high, repeated-char
+  * spam scores near 0).
+  *
+  * Determinism contract (the q55 convention): each character's
+  * information content −log₂(c/n) is quantized ONCE to BIGINT
+  * micro-bits, then the per-doc average is an integer sum and floor
+  * division — the sum is order-free (associative), so HashMap
+  * iteration order can't leak into the result and any engine with
+  * log2 replays it bit-for-bit.
+  *
+  * Map-side only, no shuffle: at 100 TB this fuses into the scan that
+  * feeds it, unlike the relational explode-chars → two-level-aggregate
+  * formulation (which shuffles the full character stream). */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_entropy expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = CharEntropy.schema
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("micro_entropy", LongType, nullable = false)))
+
+  /** One-pass kernel: count code points in a hash map, then fold the
+    * integer micro-bit contributions. Positive-domain Math.round
+    * (floor(x+½)) coincides with round-half-away used by SQL engines. */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(cp, 1L, java.lang.Long.sum(_, _))
+      n += 1
+    }
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      val microBits = Math.round(
+        -(Math.log(c.toDouble / n) / Math.log(2.0)) * 1e6)
+      acc += c * microBits
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size.toLong, acc / n))
+  }
+}
+
 object TextFunctions {
   /** Column API for the codegen'd shingler: distinct word n-grams of a
     * string column, first-occurrence order. */
@@ -320,4 +397,9 @@ object TextFunctions {
     * whitespace tokens of `text` that are members of `words`. */
   def token_set_hits(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokenSetHits(ColumnBridge.expression(text), words))
+
+  /** Column API for the codegen'd character-entropy kernel:
+    * struct(n_chars, n_distinct, micro_entropy). */
+  def char_entropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 }

@@ -196,6 +196,24 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("char_entropy: uniform chars hit exact log2, repeats score zero") {
+    // "abcd": 4 distinct, p=1/4 → exactly 2 bits → 2_000_000 micro;
+    // "aaaa": entropy 0; "ab" surrogate-free 1 bit; empty → zeros
+    val docs = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "ab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.char_entropy(col("text")).as("ce"))
+      .select(col("doc_id"), col("ce.n_chars"), col("ce.n_distinct"),
+        col("ce.micro_entropy"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq(
+      (1L, 4L, 4L, 2000000L),
+      (2L, 4L, 1L, 0L),
+      (3L, 2L, 2L, 1000000L),
+      (4L, 0L, 0L, 0L)))
+  }
+
   test("pmiBigrams ranks the exclusive collocation above the promiscuous one") {
     // "strong coffee" always co-occur (5×, never apart); "big" pairs
     // with two different right-hand words so each pair's PMI is lower;
