@@ -501,6 +501,25 @@ object SparkEntry {
           "event_id")
         .orderBy(col("user_id"), col("valid_from"), col("attr"))),
 
+    // ===== Heaps-law vocabulary growth over id-ordered prefixes =======
+    "q91_vocab_growth" -> ((s, d) =>
+      T.vocabGrowth(documents(s, d)).orderBy(col("pct"))),
+
+    // ===== SCD2 time-travel: dimension states at the stream midpoint ==
+    "q92_scd2_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val hist = graft.ops.Scd.scd2(ev, "user_id", "ts", "event_type",
+        "event_id")
+      val at = ev.agg(expr(
+        """(CAST(floor(unix_timestamp(min(ts))) AS BIGINT)
+          | + CAST(floor(unix_timestamp(max(ts))) AS BIGINT)) div 2"""
+          .stripMargin).as("at"))
+      graft.ops.Scd.asOf(hist, at)
+        .groupBy(col("attr"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("attr"))
+    }),
+
     // ===== keyless bucketized interval join ============================
     // daily incident windows [12:00, 14:00) derived from the event days
     // themselves; the equi-join runs on manufactured hour buckets, the
@@ -1706,6 +1725,59 @@ object SparkEntry {
         |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_current
         |FROM iv ORDER BY user_id, valid_from, attr""".stripMargin,
+
+    // one pass per contraction with ALL prefix cutoffs as conditional
+    // sums; vocabulary size at a cutoff = tokens whose min-doc_id first
+    // occurrence falls inside it
+    "q91_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM toks),
+        |ft AS (SELECT w, min(doc_id) AS first_id
+        |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1),
+        |p(pct) AS (VALUES (CAST(1 AS BIGINT)), (2), (5), (10), (25),
+        |  (50), (100)),
+        |d AS (SELECT pct, mx * pct // 100 AS cutoff_id,
+        |    CAST(sum(CASE WHEN doc_id <= mx * pct // 100 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN doc_id <= mx * pct // 100 THEN nt ELSE 0
+        |      END) AS BIGINT) AS n_tokens
+        |  FROM dt, mx, p GROUP BY 1, 2),
+        |v AS (SELECT pct,
+        |    CAST(sum(CASE WHEN first_id <= mx * pct // 100 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_vocab
+        |  FROM ft, mx, p GROUP BY 1)
+        |SELECT d.pct, d.cutoff_id, d.n_docs, d.n_tokens, v.n_vocab
+        |FROM d JOIN v USING (pct) ORDER BY d.pct""".stripMargin,
+
+    // q78's interval CTEs + the half-open containment read at the
+    // stream's midpoint instant
+    "q92_scd2_asof" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |surv AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS attr,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |    CAST(floor(epoch(lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+        |      AS valid_to
+        |  FROM surv),
+        |att AS (SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+        |    + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS at
+        |  FROM events)
+        |SELECT attr, CAST(count(*) AS BIGINT) AS n_users
+        |FROM iv, att
+        |WHERE valid_from <= at AND (valid_to IS NULL OR at < valid_to)
+        |GROUP BY attr ORDER BY attr""".stripMargin,
 
     // DuckDB runs the containment join directly; row set must equal the
     // Spark side's bucketized equi-join + post-filter exactly

@@ -579,6 +579,51 @@ object TextAnalysis {
           .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
           .as("micro_efficiency"))
 
+  /** Heaps-law vocabulary-growth curve: at each id-ordered corpus
+    * prefix (`pcts` percent of the max doc id) report docs, running
+    * token count, and DISTINCT vocabulary size — the standard check
+    * that a corpus keeps contributing new types rather than recycling
+    * a template vocabulary (sub-Heaps growth = duplication smell).
+    *
+    * Scale shape: the corpus explodes ONCE into a (token, first_id)
+    * contraction (vocabulary-sized) and a (doc, token-count) frame;
+    * every prefix statistic is then a conditional sum inside two tiny
+    * aggregates — one pass per frame for ALL cutoffs, not a scan per
+    * cutoff. The max-id frame arrives as a 1-row broadcast. */
+  def vocabGrowth(df: DataFrame, pcts: Seq[Int] = Seq(1, 2, 5, 10, 25, 50, 100),
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100))
+    val mx = df.agg(max(col(idCol)).as("mx"))
+    val docTok = df.select(col(idCol).as("id"),
+      size(tokens(lower(col(textCol)))).cast("long").as("nt"))
+    val firstTok = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(min(col("id")).as("first_id"))
+    val dAggs = pcts.flatMap { p => Seq(
+      sum(when(expr(s"id <= mx * $p div 100"), 1L).otherwise(0L))
+        .as(s"nd_$p"),
+      sum(when(expr(s"id <= mx * $p div 100"), col("nt")).otherwise(0L))
+        .as(s"nt_$p"))
+    } :+ max(col("mx")).as("mx")
+    val vAggs = pcts.map { p =>
+      sum(when(expr(s"first_id <= mx * $p div 100"), 1L).otherwise(0L))
+        .as(s"nv_$p")
+    }
+    val dstats = docTok.crossJoin(broadcast(mx)).agg(dAggs.head, dAggs.tail: _*)
+    val vstats = firstTok.crossJoin(broadcast(mx)).agg(vAggs.head, vAggs.tail: _*)
+    dstats.crossJoin(vstats)
+      .select(explode(array(pcts.map(p => struct(
+        lit(p.toLong).as("pct"),
+        expr(s"mx * $p div 100").as("cutoff_id"),
+        col(s"nd_$p").as("n_docs"),
+        col(s"nt_$p").as("n_tokens"),
+        col(s"nv_$p").as("n_vocab"))): _*)).as("r"))
+      .select(col("r.pct").as("pct"), col("r.cutoff_id").as("cutoff_id"),
+        col("r.n_docs").as("n_docs"), col("r.n_tokens").as("n_tokens"),
+        col("r.n_vocab").as("n_vocab"))
+  }
+
   /** Token-boundary separator for `bpeEncode`'s whole-text symbol
     * string: a control char that no trained merge pair can contain, so
     * merges can never fire across token boundaries. */

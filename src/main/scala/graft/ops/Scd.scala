@@ -52,4 +52,16 @@ object Scd {
       .select(col(keyCol), col(attrCol).as("attr"), col("valid_from"),
         col("valid_to"), col("is_current"))
   }
+
+  /** Time-travel read of an SCD2 history: the dimension rows valid at
+    * instant `at` — valid_from ≤ at < valid_to, with the open current
+    * interval (null valid_to) always matching. `at` is a 1-row frame
+    * (column `at`, epoch seconds) so a data-derived instant never
+    * round-trips through the driver; it broadcasts into a map-side
+    * filter — no shuffle on the history. */
+  def asOf(history: DataFrame, at: DataFrame): DataFrame =
+    history.crossJoin(broadcast(at))
+      .filter(col("valid_from") <= col("at") &&
+        (col("valid_to").isNull || col("at") < col("valid_to")))
+      .drop("at")
 }

@@ -44,6 +44,27 @@ class ScdIntervalSpec extends SparkSpec {
     assert(got.toSet === Set(("a", 0L), ("b", 1L))) // a opened, b current
   }
 
+  test("asOf reads the state valid at the instant, half-open") {
+    val changes = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 1L, "bronze"),
+      (1L, ts("2025-01-01 12:00:00"), 2L, "gold"),
+      (2L, ts("2025-01-01 09:00:00"), 3L, "silver"))
+      .toDF("user_id", "ts", "event_id", "status")
+    val hist = Scd.scd2(changes, "user_id", "ts", "status", "event_id")
+    def at(s: String) = Seq(
+      ts(s).getTime / 1000).toDF("at")
+    // 11:00 — user 1 still bronze; exactly 12:00 — gold (valid_from
+    // inclusive, valid_to exclusive); 08:00 — user 2 not yet present
+    val at11 = Scd.asOf(hist, at("2025-01-01 11:00:00"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at11 === Map(1L -> "bronze", 2L -> "silver"))
+    val at12 = Scd.asOf(hist, at("2025-01-01 12:00:00"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at12(1L) === "gold")
+    val at8 = Scd.asOf(hist, at("2025-01-01 08:00:00")).collect()
+    assert(at8.isEmpty)
+  }
+
   test("intervalJoin honors [start, end) bounds across bucket spans") {
     val facts = Seq(
       (1L, 999L), (2L, 1000L), (3L, 5000L), (4L, 7199L), (5L, 7200L))

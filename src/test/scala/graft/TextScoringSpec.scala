@@ -196,6 +196,20 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("vocabGrowth: prefix cutoffs count docs, tokens, first-seen vocab") {
+    // ids 0..10; 50% cutoff = id 5. Prefix 0..5 holds docs {0,5}:
+    // 4 tokens, vocab {a,b,c}; full corpus adds doc 10's {d}
+    val docs = Seq((0L, "a b a"), (5L, "c"), (10L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, pcts = Seq(50, 100))
+      .orderBy("pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Seq(
+      (50L, 5L, 2L, 4L, 3L),
+      (100L, 10L, 3L, 6L, 4L)))
+  }
+
   test("char_entropy: uniform chars hit exact log2, repeats score zero") {
     // "abcd": 4 distinct, p=1/4 → exactly 2 bits → 2_000_000 micro;
     // "aaaa": entropy 0; "ab" surrogate-free 1 bit; empty → zeros
