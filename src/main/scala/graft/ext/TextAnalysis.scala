@@ -651,8 +651,11 @@ object TextAnalysis {
         array_join(transform(toks, spacedTok), s" $BpeSep "),
         lit(" ")).as("syms"))
     val encoded = (1 to iters).foldLeft(enc0) { (acc, i) =>
+      // limit(1) is a no-op (iter is the election key, one row each)
+      // but restores maxRows ≤ 1 through the union+filter, so the
+      // broadcast cross join is PROVABLY single-row in the plan
       val m = merges.filter(col("iter") === i)
-        .select(col("l").as("_l"), col("r").as("_r"))
+        .select(col("l").as("_l"), col("r").as("_r")).limit(1)
       acc.crossJoin(broadcast(m))
         .select(col(idCol), col("n_tokens"),
           replace(col("syms"),
