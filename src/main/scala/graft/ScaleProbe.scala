@@ -30,7 +30,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(name: String)(f: => Long): Unit =
-      if (only.forall(name.contains)) {
+      if (only.forall(_.split(",").exists(name.contains))) {
         val t0 = System.nanoTime()
         val n = f
         println(f"[scale] $name%-28s rows=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -241,6 +241,78 @@ object ScaleProbe {
         .select(col("user_id"), col("ts"), col("value"))
       consume(graft.ops.AsOfJoin.asofJoin(purchases, signups, "user_id", "ts",
         Seq("value")))
+    }
+
+    // ===== round-4 operators ===============================================
+    // replicated corpus WITH the stratum columns (lang, source) for the
+    // target-predicate / stratified ops
+    val docsL = Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(docReps).toDF("rep"))
+      .select((col("doc_id") * docReps + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"))
+
+    // DSIR: corpus → (doc, feature) contraction, 256-row broadcast back
+    timed(s"dsir_weights x$docReps") {
+      consume(TextAnalysis.dsirWeights(docsL, col("lang") === "en"))
+    }
+    // whole-corpus BPE encode (train + apply 3 merges, map-side replaces)
+    timed(s"bpe_encode x$docReps") {
+      val d = docs
+      consume(TextAnalysis.bpeEncode(d,
+        TextAnalysis.bpeMerges(d, iters = 3), iters = 3))
+    }
+    // shingle-keyed first-occurrence + per-doc roll-up at 1M docs
+    timed(s"shingle_novelty x$docReps") {
+      consume(Dedup.shingleNovelty(docs))
+    }
+    // two vocabulary contractions + broadcast probes
+    timed(s"pmi_bigrams x$docReps") {
+      consume(TextAnalysis.pmiBigrams(docs))
+    }
+    // pure map-side codegen kernel — per-row throughput check
+    timed(s"char_entropy x$docReps") {
+      consume(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.n_chars"), col("ce.n_distinct"),
+          col("ce.micro_entropy")))
+    }
+    timed(s"vocab_growth x$docReps") {
+      consume(TextAnalysis.vocabGrowth(docsL))
+    }
+    timed(s"temperature_sample x$docReps") {
+      consume(Curation.temperatureSample(docsL))
+    }
+    // 64M posexploded dims → one hash-aggregate with 9 conditional sums
+    timed(s"random_projection x$docReps") {
+      consume(Similarity.randomProject(emb))
+    }
+    // 2M-edge pair contraction + argmax-in-aggregate
+    timed(s"inlink_stats x$docReps") {
+      consume(graft.ext.LinkGraph.inLinkStats(
+        graft.ext.LinkGraph.syntheticEdges(docs)))
+    }
+    timed(s"packing_stats x$docReps") {
+      consume(TextAnalysis.packingStats(docs))
+    }
+    // three codegen regex passes + domain roll-up over 1M docs
+    timed(s"pii_by_domain x$docReps") {
+      val base = Curation.injectSyntheticUrls(
+        Curation.injectSyntheticPii(docs))
+      consume(Curation.scrubPii(Curation.withDomain(base))
+        .groupBy(coalesce(col("domain"), lit("(none)")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_emails")).as("e"),
+          sum(col("n_phones")).as("p"), sum(col("n_keys")).as("k")))
+    }
+    // SCD2 history + midpoint time-travel read at 10M events
+    timed(s"scd2_asof x$eventReps") {
+      val hist = graft.ops.Scd.scd2(events, "user_id", "ts",
+        "event_type", "event_id")
+      val at = events.agg(expr(
+        """(CAST(floor(unix_timestamp(min(ts))) AS BIGINT)
+          | + CAST(floor(unix_timestamp(max(ts))) AS BIGINT)) div 2"""
+          .stripMargin).as("at"))
+      consume(graft.ops.Scd.asOf(hist, at))
     }
 
     // relational core at replicated-lineitem scale

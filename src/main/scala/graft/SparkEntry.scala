@@ -459,7 +459,8 @@ object SparkEntry {
     // ===== DSIR importance weights: hashed-bigram log-ratio vs the ====
     // ===== English subset as target corpus ============================
     "q81_dsir_weights" -> ((s, d) =>
-      T.dsirWeights(documents(s, d), targetPred = col("lang") === "en")
+      T.dsirWeights(documents(s, d), targetPred = col("lang") === "en",
+          hash = Dedup.OracleHash)
         .orderBy(col("doc_id"))),
 
     // ===== tokenizer fertility by language: BPE pieces per token ======

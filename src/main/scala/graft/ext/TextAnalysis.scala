@@ -458,8 +458,10 @@ object TextAnalysis {
     * for Language Models via Importance Resampling" — public method):
     * score every document by how much its hashed-bigram distribution
     * looks like a target corpus vs the full source corpus. Feature =
-    * md5-hashed token bigram mod `buckets` (the oracle-replicable
-    * md5Hash60, so DuckDB verifies the whole pipeline); distributions
+    * hashed token bigram mod `buckets` — `hash` is the pluggable
+    * `HashScheme` (FastHash/xxhash64 is the scale default; the
+    * registered query passes OracleHash so DuckDB replicates the
+    * whole pipeline bit-for-bit, at ~2× signature cost); distributions
     * are add-1-smoothed bucket frequencies; the per-feature log ratio
     * ln(pT(f)) − ln(pS(f)) is quantized ONCE to BIGINT micro-nats and
     * the per-doc weight is the integer sum of count·ratio — the q55
@@ -474,22 +476,19 @@ object TextAnalysis {
     * docs with < 2 tokens carry weight 0 via the left join. */
   def dsirWeights(df: DataFrame, targetPred: Column,
                   buckets: Int = 256,
+                  hash: Dedup.HashScheme = Dedup.FastHash,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val t = tokens(lower(col(textCol)))
+    // bigrams via the codegen word_grams kernel (one JIT pass per row;
+    // the HOF sequence/transform formulation runs interpreted per
+    // element). Sub-2-token docs yield an empty array — explode drops
+    // them, the final left join restores them with weight 0.
     val grams = df.select(col(idCol).as("id"),
-        targetPred.as("is_target"), t.as("t"))
-      // guard: sequence(0, -1) DESCENDS for sub-2-token docs — emit an
-      // empty array instead (explode then drops the doc; the final
-      // left join restores it with weight 0)
+        targetPred.as("is_target"),
+        explode(graft.functions.TextFunctions.word_grams(
+          lower(col(textCol)), 2)).as("bg"))
       .select(col("id"), col("is_target"),
-        explode(when(size(col("t")) >= 2,
-          transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat(element_at(col("t"), i + 1), lit(" "),
-              element_at(col("t"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .select(col("id"), col("is_target"),
-        pmod(md5Hash60(col("bg")), lit(buckets.toLong)).as("f"))
+        pmod(hash.one(col("bg")), lit(buckets.toLong)).as("f"))
     val docFeat = grams
       .groupBy(col("id"), col("is_target"), col("f"))
       .agg(count(lit(1)).as("cnt"))
