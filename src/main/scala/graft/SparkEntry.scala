@@ -409,6 +409,17 @@ object SparkEntry {
       Dedup.components(pairs).orderBy(col("doc_id"))
     }),
 
+    // ===== quality-weighted dedup canonicalization ====================
+    // keep each near-dup component's cleanest member (q23 quality
+    // score, ties to the smaller id) — not the smallest id
+    "q93_quality_survivors" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.coShinglePairs(docs, minShared = 2,
+        maxPostings = 1000)
+      Dedup.survivorsByScore(T.withQuality(docs), pairs, col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ===== dedup cluster-size histogram (curation report) ==============
     // the distribution a dedup run reports: how many near-dup clusters
     // of each size the corpus contains (size-1 "clusters" are nodes of
@@ -1465,6 +1476,75 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q43's reachability CTE + the q23 quality formula; the election
+    // replays (quality desc, id asc) as a ranking window
+    "q93_quality_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |qbase AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |qratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM qbase),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      AS quality
+        |  FROM qratios),
+        |member AS (
+        |  SELECT c.doc_id, c.component, q.quality
+        |  FROM comp c JOIN q USING (doc_id)),
+        |keep AS (
+        |  SELECT component, doc_id AS keep_id,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY quality DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM member)
+        |SELECT m.doc_id, m.component, k.keep_id,
+        |  CAST(k.n_members AS BIGINT) AS n_members,
+        |  CAST(CASE WHEN m.doc_id = k.keep_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM member m
+        |JOIN (SELECT component, keep_id, n_members FROM keep WHERE rk = 1) k
+        |  USING (component)
+        |ORDER BY m.doc_id""".stripMargin,
 
     // q43's reachability CTE with a two-level roll-up on top
     "q70_component_sizes" ->

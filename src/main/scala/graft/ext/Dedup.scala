@@ -536,6 +536,35 @@ object Dedup {
     docs.join(drop, col(idCol) === col("_drop"), "left_anti")
   }
 
+  /** Quality-weighted survivor selection: within each near-dup
+    * component keep the HIGHEST-scoring member (ties to the smaller
+    * id), not the smallest id — the canonicalization real curation
+    * pipelines want (of N scraped copies, keep the cleanest, not the
+    * earliest-crawled). Emits one row per component member:
+    * (id, component, keep_id, n_members, kept).
+    *
+    * Scale shape: `components` bounds the iterative part; scores join
+    * in on the component members only (a contraction — isolated docs
+    * never enter), and the election is a max(struct) argmax inside
+    * the per-component aggregate, re-joined on the component key —
+    * no ranking window over the membership. */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame, score: Column,
+                       idCol: String = "doc_id"): DataFrame = {
+    val member = components(pairs)
+      .join(docs.select(col(idCol).as("doc_id"), score.as("_score")),
+        "doc_id")
+    val keep = member.groupBy(col("component"))
+      .agg(max(struct(col("_score").as("s"), (-col("doc_id")).as("nid")))
+          .as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).as("keep_id"),
+        col("n_members"))
+    member.join(keep, "component")
+      .select(col("doc_id"), col("component"), col("keep_id"),
+        col("n_members"),
+        (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+  }
+
   /** One-call fuzzy dedup: MinHash-LSH near-dup pairs at `threshold`,
     * then keep the min-id survivor of each clique. The full-corpus
     * curation entry point — everything inside is bucket-bounded. */

@@ -22,6 +22,21 @@ class ExtSpec extends SparkSpec {
     assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
   }
 
+  test("survivorsByScore keeps the best-scoring member, ties to min id") {
+    // component {1,2,3} chained via pairs; doc 2 has the top score so
+    // it survives even though 1 has the smaller id. Component {5,6}
+    // ties on score → min id 5 wins. Doc 9 is isolated (no row).
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (5L, 7.0),
+      (6L, 7.0), (9L, 99.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.survivorsByScore(docs, pairs, col("score"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Seq(
+      (1L, 2L, 3L, 0L), (2L, 2L, 3L, 1L), (3L, 2L, 3L, 0L),
+      (5L, 5L, 2L, 1L), (6L, 5L, 2L, 0L)))
+  }
+
   test("shingleNovelty charges later docs for shingles seen earlier") {
     // doc 11 is all-new; doc 12 repeats it verbatim (redundancy 10⁶);
     // doc 13 shares a 3-token prefix window with 11 but adds new tail
