@@ -688,6 +688,11 @@ object SparkEntry {
     "q88_packing_stats" -> ((s, d) =>
       T.packingStats(documents(s, d)).orderBy(col("bucket"))),
 
+    // ===== strided context-window chunking (pretraining prep) =========
+    "q94_chunk_windows" -> ((s, d) =>
+      T.chunkWindows(documents(s, d), ctxLen = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ===== PII density by registrable domain (q67 × q68 composition) ==
     "q89_pii_by_domain" -> ((s, d) => {
       val base = Curation.injectSyntheticUrls(
@@ -2138,6 +2143,24 @@ object SparkEntry {
         |    ELSE sum(n) * 1000000 // (sum(n) + sum(pad))
         |    END AS BIGINT) AS micro_efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // strided starts from range(0, n, stride); DuckDB's inclusive
+    // 1-based list slice t[s+1 : s+len] mirrors Spark's slice(t, s+1,
+    // len); md5 of the space-joined slice checks chunk CONTENT
+    "q94_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |nn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |       FROM toks WHERE len(t) > 0),
+        |st AS (SELECT doc_id, t, n, unnest(range(0, n, 24)) AS s FROM nn)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(least(n - s, 32) AS BIGINT) AS n_tokens_chunk,
+        |  md5(array_to_string(t[s+1 : s+least(n-s, 32)], ' '))
+        |    AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q67's PII planting + q68's URL planting and domain extraction,
     // composed; detection counts roll up per registrable domain

@@ -578,6 +578,37 @@ object TextAnalysis {
           .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
           .as("micro_efficiency"))
 
+  /** Strided context-window chunking — the standard "cut documents
+    * into `ctxLen`-token windows with `overlap`-token overlap"
+    * pretraining prep. One row per chunk: (id, chunk_idx, start_tok,
+    * n_tokens_chunk, chunk_md5) where chunk_md5 fingerprints the
+    * space-joined token slice (so correctness checks cover CONTENT,
+    * not just offsets). Chunk starts step by ctxLen − overlap while
+    * they fall inside the document; the tail chunk is partial.
+    *
+    * Map-side only: tokenize → sequence/explode → slice — no shuffle,
+    * fuses into the feeding scan at corpus scale. */
+  def chunkWindows(df: DataFrame, ctxLen: Int = 128, overlap: Int = 32,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(ctxLen > overlap && overlap >= 0, "need ctxLen > overlap >= 0")
+    val stride = ctxLen - overlap
+    df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong)))
+          .as("s"))
+      .select(col("id").as(idCol),
+        expr(s"s div $stride").as("chunk_idx"),
+        col("s").as("start_tok"),
+        least(col("n") - col("s"), lit(ctxLen.toLong))
+          .as("n_tokens_chunk"),
+        md5(array_join(slice(col("t"), (col("s") + 1).cast("int"),
+          least(col("n") - col("s"), lit(ctxLen.toLong)).cast("int")),
+          " ")).as("chunk_md5"))
+  }
+
   /** Heaps-law vocabulary-growth curve: at each id-ordered corpus
     * prefix (`pcts` percent of the max doc id) report docs, running
     * token count, and DISTINCT vocabulary size — the standard check

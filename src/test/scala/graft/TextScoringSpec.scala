@@ -196,6 +196,24 @@ class TextScoringSpec extends SparkSpec {
     assert((first.getString(1), first.getString(2)) === (("a", "b")))
   }
 
+  test("chunkWindows strides with overlap and fingerprints content") {
+    // 10 tokens, ctx 4, overlap 2 → stride 2: starts 0,2,4,6,8 with
+    // the tail chunk partial (len 2); empty doc emits nothing
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, " "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, ctxLen = 4, overlap = 2)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.map(c => (c._2, c._3, c._4)) ===
+      Seq((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L), (3L, 6L, 4L),
+        (4L, 8L, 2L)))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._5 === m("t0 t1 t2 t3"))
+    assert(got(4)._5 === m("t8 t9"))
+  }
+
   test("vocabGrowth: prefix cutoffs count docs, tokens, first-seen vocab") {
     // ids 0..10; 50% cutoff = id 5. Prefix 0..5 holds docs {0,5}:
     // 4 tokens, vocab {a,b,c}; full corpus adds doc 10's {d}
