@@ -606,6 +606,11 @@ object SparkEntry {
       Similarity.randomProject(embeddings(s, d), k = 8)
         .orderBy(col("vec_id"))),
 
+    // ===== per-vector nearest-neighbor profile (novelty triage) =======
+    "q95_nn_novelty" -> ((s, d) =>
+      Similarity.nnWithinBlocks(embeddings(s, d))
+        .orderBy(col("vec_id"))),
+
     // ===== deterministic hash split (train/val/test) ===================
     "q44_hash_split" -> ((s, d) => {
       T.withHashSplit(documents(s, d))
@@ -1133,6 +1138,38 @@ object SparkEntry {
         |  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // q20's deterministic IVF blocking, then a per-vector (sim desc,
+    // id asc) argmax over the deduped in-block candidates
+    "q95_nn_novelty" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |d AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates
+        |        FROM d GROUP BY 1),
+        |top AS (SELECT id, nid, s FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY s DESC, nid) AS rk FROM d)
+        |  WHERE rk = 1)
+        |SELECT t.id AS vec_id, t.nid AS nn_id, t.s AS nn_sim,
+        |  a.n_candidates
+        |FROM top t JOIN agg a USING (id) ORDER BY vec_id""".stripMargin,
 
     "q21_ann_brute" ->
       """WITH e AS (

@@ -351,6 +351,39 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Per-vector nearest-neighbor profile within IVF blocks: each
+    * vector's most-similar OTHER vector among its `nAssign` buckets —
+    * low nn_sim = isolated/novel (synthetic-data and outlier triage),
+    * high = duplicate pressure. The blocked form of "distance to
+    * nearest neighbor": candidates come from an equi-join on
+    * centroid_id, never an O(n²) cross product; the argmax is a
+    * max(struct) inside the per-vector aggregate (6-dp rounding before
+    * the argmax, the reproducibility convention). A vector alone in
+    * all its buckets has no candidates and is absent.
+    *
+    * Emits (vec_id, nn_id, nn_sim, n_candidates). */
+  def nnWithinBlocks(emb: DataFrame, nCentroids: Int = 16,
+                     nAssign: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint()
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        round(sim, 6).as("s"))
+      // the same neighbor can surface via both shared buckets — the
+      // argmax is unaffected, the candidate count dedups explicitly
+      .groupBy(col("id"))
+      .agg(max(struct(col("s"), (-col("nid")).as("nn"))).as("m"),
+        countDistinct(col("nid")).as("n_candidates"))
+      .select(col("id").as(idCol), (-col("m.nn")).as("nn_id"),
+        col("m.s").as("nn_sim"), col("n_candidates"))
+  }
+
   /** Approximate top-k via multi-table SRP LSH: `tables` independent
     * signature tables; candidates are the union of corpus vectors
     * sharing the query's bucket in ANY table (standard L-table LSH —

@@ -22,6 +22,23 @@ class ExtSpec extends SparkSpec {
     assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
   }
 
+  test("nnWithinBlocks finds the duplicate as its copy's nearest neighbor") {
+    // vecs 1 and 2 are identical (nn_sim 1.0 of each other); vec 3 is
+    // orthogonal-ish but co-bucketed; all blocked via 2 centroids
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.nnWithinBlocks(emb, nCentroids = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0)._2 === 2L && got(0)._3 === 1.0)
+    assert(got(1)._2 === 1L && got(1)._3 === 1.0)
+    assert(got(2)._2 === 1L) // 3's nearest is a copy of 1 (tie → min id)
+  }
+
   test("survivorsByScore keeps the best-scoring member, ties to min id") {
     // component {1,2,3} chained via pairs; doc 2 has the top score so
     // it survives even though 1 has the smaller id. Component {5,6}
