@@ -693,6 +693,23 @@ object SparkEntry {
     "q88_packing_stats" -> ((s, d) =>
       T.packingStats(documents(s, d)).orderBy(col("bucket"))),
 
+    // ===== per-language quality deciles (threshold calibration) =======
+    // ntile over the deterministic (quality, doc_id) order; min/max of
+    // trunc4 doubles are exact, so the decile table is hash-stable
+    "q96_quality_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = T.withQuality(documents(s, d))
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      q.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     // ===== strided context-window chunking (pretraining prep) =========
     "q94_chunk_windows" -> ((s, d) =>
       T.chunkWindows(documents(s, d), ctxLen = 32, overlap = 8)
@@ -2180,6 +2197,43 @@ object SparkEntry {
         |    ELSE sum(n) * 1000000 // (sum(n) + sum(pad))
         |    END AS BIGINT) AS micro_efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the q23 quality CTEs + standard-SQL ntile on the same
+    // deterministic order; min/max of the floor-scaled doubles
+    "q96_quality_deciles" ->
+      """WITH qbase AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |qratios AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM qbase),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      AS quality
+        |  FROM qratios),
+        |t AS (SELECT lang, quality, CAST(ntile(10) OVER (
+        |        PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT)
+        |        AS decile
+        |      FROM q)
+        |SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(quality) AS min_quality, max(quality) AS max_quality
+        |FROM t GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
 
     // strided starts from range(0, n, stride); DuckDB's inclusive
     // 1-based list slice t[s+1 : s+len] mirrors Spark's slice(t, s+1,
