@@ -606,6 +606,14 @@ object SparkEntry {
       Similarity.randomProject(embeddings(s, d), k = 8)
         .orderBy(col("vec_id"))),
 
+    // ===== semantic decontamination (embedding-level benchmark leak) ==
+    // probe set = vec_id % 31 == 0 (the q49 split convention on the
+    // embeddings table); blocking shares one IVF assignment
+    "q97_semantic_contamination" -> ((s, d) =>
+      Similarity.semanticContamination(embeddings(s, d),
+          probePred = col("vec_id") % 31 === 0, threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     // ===== per-vector nearest-neighbor profile (novelty triage) =======
     "q95_nn_novelty" -> ((s, d) =>
       Similarity.nnWithinBlocks(embeddings(s, d))
@@ -1155,6 +1163,39 @@ object SparkEntry {
         |  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // q20's blocking over the FULL table (probe flag rejoined), then a
+    // per-corpus-vector argmax over co-bucketed probe vectors and a
+    // left join restoring un-probed corpus rows as clean
+    "q97_semantic_contamination" ->
+      """WITH e AS (
+        |  SELECT vec_id, vec_id % 31 = 0 AS is_probe,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, is_probe, v, c_id FROM (
+        |    SELECT e.vec_id, e.is_probe, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS pid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+        |  FROM assigned a JOIN assigned b ON a.c_id = b.c_id
+        |  WHERE NOT a.is_probe AND b.is_probe),
+        |best AS (SELECT id, s AS probe_sim, pid AS probe_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY s DESC, pid) AS rk FROM cand)
+        |  WHERE rk = 1)
+        |SELECT e.vec_id, b.probe_sim, b.probe_id,
+        |  CAST(coalesce(b.probe_sim >= 0.4, false) AS BIGINT)
+        |    AS contaminated
+        |FROM e LEFT JOIN best b ON e.vec_id = b.id
+        |WHERE NOT e.is_probe ORDER BY e.vec_id""".stripMargin,
 
     // q20's deterministic IVF blocking, then a per-vector (sim desc,
     // id asc) argmax over the deduped in-block candidates

@@ -384,6 +384,44 @@ object Similarity {
         col("m.s").as("nn_sim"), col("n_candidates"))
   }
 
+  /** Cross-corpus semantic contamination: flag corpus vectors whose
+    * cosine to ANY probe-set vector (benchmark/eval embeddings)
+    * reaches `threshold` — the embedding-level complement of n-gram
+    * decontamination (paraphrased leakage that exact shingles miss).
+    * Blocking is one shared IVF assignment over both sides (the probe
+    * flag joins back by id), so candidates come from the centroid
+    * equi-join, never a corpus × probe cross product.
+    *
+    * Emits ONE row per corpus vector: (vec_id, probe_sim, probe_id,
+    * contaminated) with nulls for corpus vectors that met no probe in
+    * any shared bucket (un-probed = clean at this blocking recall). */
+  def semanticContamination(emb: DataFrame, probePred: Column,
+                            threshold: Double, nCentroids: Int = 16,
+                            nAssign: Int = 2, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val flags = emb.select(col(idCol).as("fid"), probePred.as("is_probe"))
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .join(flags, col("id") === col("fid")).drop("fid")
+      .localCheckpoint()
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    val best = assigned.filter(!col("is_probe")).as("a")
+      .join(assigned.filter(col("is_probe")).as("b"),
+        col("a.centroid_id") === col("b.centroid_id"))
+      .select(col("a.id").as("id"), col("b.id").as("pid"),
+        round(sim, 6).as("s"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("s"), (-col("pid")).as("np"))).as("m"))
+      .select(col("id"), col("m.s").as("probe_sim"),
+        (-col("m.np")).as("probe_id"))
+    emb.select(col(idCol).as("id"), probePred.as("p")).filter(!col("p"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("probe_sim"), col("probe_id"),
+        coalesce((col("probe_sim") >= threshold).cast("long"), lit(0L))
+          .as("contaminated"))
+  }
+
   /** Approximate top-k via multi-table SRP LSH: `tables` independent
     * signature tables; candidates are the union of corpus vectors
     * sharing the query's bucket in ANY table (standard L-table LSH —

@@ -22,6 +22,26 @@ class ExtSpec extends SparkSpec {
     assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
   }
 
+  test("semanticContamination flags near-copies of probe vectors only") {
+    // probe = {100}; vec 1 duplicates it (contaminated), vec 2 is a
+    // different direction sharing a bucket (similar but < tau), vec 4
+    // points away (clean); probes never appear in the output
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.7f, 0.7f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticContamination(emb,
+        col("vec_id") === 100, threshold = 0.9, nCentroids = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    assert(got.toMap.apply(1L) === 1L)
+    assert(got.toMap.apply(2L) === 0L)
+    assert(got.toMap.apply(4L) === 0L)
+  }
+
   test("nnWithinBlocks finds the duplicate as its copy's nearest neighbor") {
     // vecs 1 and 2 are identical (nn_sim 1.0 of each other); vec 3 is
     // orthogonal-ish but co-bucketed; all blocked via 2 centroids
