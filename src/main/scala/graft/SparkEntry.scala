@@ -63,6 +63,34 @@ object SparkEntry {
         col("value").as("amount")))
     }),
 
+    // ===== trailing-window time series (RANGE frame + lag analytics) ==
+    // integer day key; cents-integer sums inside the frames so the
+    // trailing aggregates are order-free, one round back to currency
+    "q98_daily_trailing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(expr(
+          "CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("day"))
+        .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_events"))
+      val byDay = Window.orderBy(col("day"))
+      val trailing = Window.orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("dod_cents",
+          col("day_cents") - coalesce(lag(col("day_cents"), 1).over(byDay),
+            lit(0L)))
+        .withColumn("trail7_cents", sum(col("day_cents")).over(trailing))
+        .withColumn("trail7_days", count(lit(1)).over(trailing))
+        .select(col("day"), col("n_events"),
+          round(col("day_cents") / 100.0, 2).as("revenue"),
+          round(col("dod_cents") / 100.0, 2).as("dod_delta"),
+          round(col("trail7_cents") / 100.0, 2).as("trail7_revenue"),
+          col("trail7_days"))
+        .orderBy(col("day"))
+    }),
+
     // ===== A3/T2: sliding-window revenue (batch form of the stream agg) =
     "q4_sliding_revenue" -> ((s, d) => {
       A.slidingRevenue(events(s, d).select(
@@ -418,6 +446,56 @@ object SparkEntry {
         maxPostings = 1000)
       Dedup.survivorsByScore(T.withQuality(docs), pairs, col("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ===== corpus health report (quality × entropy × redundancy) ======
+    // the one-call per-language summary a curation run reports; every
+    // ingredient is an already-verified operator and every average is
+    // an integer sum + floor division (order-free)
+    "q100_corpus_report" -> ((s, d) => {
+      val docs = documents(s, d)
+      val q = T.withQuality(docs).select(col("doc_id"), col("lang"),
+        col("n_tokens"),
+        expr("CAST(round(quality * 10000) AS BIGINT)").as("q10k"))
+      val ent = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.micro_entropy").as("me"))
+      val nov = Dedup.shingleNovelty(docs)
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"))
+      q.join(ent, "doc_id").join(nov, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("q10k")).as("sum_q10k"),
+          sum(col("me")).as("sum_me"),
+          sum(coalesce(col("n_shingles"), lit(0L))).as("sum_sh"),
+          sum(coalesce(col("n_seen"), lit(0L))).as("sum_seen"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("sum_q10k div n_docs").as("avg_q10k"),
+          expr("sum_me div n_docs").as("avg_micro_entropy"),
+          when(col("sum_sh") === 0, 0L)
+            .otherwise(expr("sum_seen * 1000000 div sum_sh"))
+            .as("micro_redundancy"))
+        .orderBy(col("lang"))
+    }),
+
+    // ===== size-capped posting lists (the hot-key guard, verified) ====
+    // the capped_collect typed Aggregator under the oracle: groups at
+    // or under the cap yield their full sorted list (md5-fingerprinted),
+    // hot groups finish NULL by construction — both paths deterministic
+    "q99_capped_postings" -> ((s, d) => {
+      val sh = Dedup.shingleRowsFast(documents(s, d), 3)
+        .select(pmod(T.md5Hash60(col("sh")), lit(2048L)).as("bucket"),
+          col("id"))
+      sh.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_postings"),
+          graft.functions.SketchAggregates.capped_collect(12)(col("id"))
+            .as("ids"))
+        .select(col("bucket"), col("n_postings"),
+          md5(array_join(transform(col("ids"), _.cast("string")), ","))
+            .as("ids_md5"),
+          col("ids").isNull.cast("long").as("capped"))
+        .orderBy(col("bucket"))
     }),
 
     // ===== dedup cluster-size histogram (curation report) ==============
@@ -1029,6 +1107,31 @@ object SparkEntry {
         | round(sum(value),2) AS total_amount
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // identical cents-integer framing: RANGE BETWEEN 6 PRECEDING on the
+    // integer day, lag delta, one final round back to currency
+    "q98_daily_trailing" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_events, day_cents,
+        |    day_cents - coalesce(lag(day_cents) OVER (ORDER BY day), 0)
+        |      AS dod_cents,
+        |    CAST(sum(day_cents) OVER (ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS trail7_cents,
+        |    CAST(count(*) OVER (ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS trail7_days
+        |  FROM daily)
+        |SELECT day, n_events, round(day_cents / 100.0, 2) AS revenue,
+        |  round(dod_cents / 100.0, 2) AS dod_delta,
+        |  round(trail7_cents / 100.0, 2) AS trail7_revenue, trail7_days
+        |FROM w ORDER BY day""".stripMargin,
+
     "q4_sliding_revenue" ->
       """SELECT event_type AS product,
         | CAST(floor(epoch(ts)/900)*900 - n.n*900 AS BIGINT) AS window_start,
@@ -1576,6 +1679,96 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the q23 quality, q90 entropy, and q86 novelty CTEs joined and
+    // rolled up by lang; averages are integer floor divisions
+    "q100_corpus_report" ->
+      """WITH qbase AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |qratios AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM qbase),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(round(floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      * 10000) AS BIGINT) AS q10k
+        |  FROM qratios),
+        |ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text <> ''),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |eb AS (SELECT doc_id, cnt, n,
+        |        CAST(round(-log2(CAST(cnt AS DOUBLE) / n) * 1e6)
+        |          AS BIGINT) AS mb
+        |      FROM cnt JOIN tot USING (doc_id)),
+        |ent AS (SELECT doc_id, CAST(sum(cnt * mb) // max(n) AS BIGINT)
+        |          AS me
+        |        FROM eb GROUP BY 1),
+        |stoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM stoks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |first AS (SELECT s, min(doc_id) AS first_id FROM sh0 GROUP BY 1),
+        |nov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_seen
+        |  FROM sh0 JOIN first USING (s) GROUP BY doc_id)
+        |SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(q.q10k) // count(*) AS BIGINT) AS avg_q10k,
+        |  CAST(sum(coalesce(e.me, 0)) // count(*) AS BIGINT)
+        |    AS avg_micro_entropy,
+        |  CAST(CASE WHEN sum(coalesce(v.n_shingles, 0)) = 0 THEN 0
+        |    ELSE sum(coalesce(v.n_seen, 0)) * 1000000
+        |      // sum(coalesce(v.n_shingles, 0)) END AS BIGINT)
+        |    AS micro_redundancy
+        |FROM q LEFT JOIN ent e USING (doc_id)
+        |  LEFT JOIN nov v USING (doc_id)
+        |GROUP BY q.lang ORDER BY q.lang""".stripMargin,
+
+    // q17's shingle CTE, md5-bucketed; groups over the cap go NULL
+    // exactly like the Aggregator's finish()
+    "q99_capped_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |b AS (
+        |  SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2048
+        |    AS bucket, doc_id
+        |  FROM sh0)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_postings,
+        |  CASE WHEN count(*) <= 12
+        |    THEN md5(array_to_string(list_sort(list(doc_id)), ','))
+        |  END AS ids_md5,
+        |  CAST(count(*) > 12 AS BIGINT) AS capped
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // q43's reachability CTE + the q23 quality formula; the election
     // replays (quality desc, id asc) as a ranking window
