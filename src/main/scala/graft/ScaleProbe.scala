@@ -315,6 +315,65 @@ object ScaleProbe {
       consume(graft.ops.Scd.asOf(hist, at))
     }
 
+    // quality-weighted canonicalization: pair-gen + components + the
+    // score election at 1M docs
+    timed(s"quality_survivors x$docReps") {
+      consume(Dedup.survivorsByScore(TextAnalysis.withQuality(docs),
+        Dedup.coShinglePairs(docs, minShared = 2, maxPostings = 1000),
+        col("quality")))
+    }
+    // strided chunking: map-side explode at 1M docs
+    timed(s"chunk_windows x$docReps") {
+      consume(TextAnalysis.chunkWindows(docs))
+    }
+    // in-block NN + cross-corpus contamination: reps CAPPED at 20×
+    // (the semantic_dedup rationale — pure-duplicate replication
+    // degenerates IVF buckets into all-copies cliques, and the
+    // documented contract is "size nCentroids to the corpus / dedup
+    // exact copies first"; 200× would quadratically blow the
+    // in-bucket candidate count into ~10⁹ pairs of identical vectors)
+    // replicas are PERTURBED (rep-scaled nudge on dim 0) so the probe
+    // sees distinct directions, not 20 exact copies per bucket
+    val nnReps = math.min(docReps, 20)
+    val embNn = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(nnReps).toDF("rep"))
+      .select((col("vec_id") * nnReps + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x + col("rep") * lit(0.001)).cast("float"))
+            .otherwise(x)).as("embedding"))
+    timed(s"nn_novelty x$nnReps") {
+      consume(Similarity.nnWithinBlocks(embNn, nCentroids = 256))
+    }
+    timed(s"semantic_contamination x$nnReps") {
+      consume(Similarity.semanticContamination(embNn,
+        col("vec_id") % 31 === 0, threshold = 0.4, nCentroids = 256))
+    }
+    // capped posting lists at 100M+ shingle rows
+    timed(s"capped_postings x$docReps") {
+      consume(docs.select(pmod(TextAnalysis.md5Hash60(col("text")),
+          lit(1 << 20)).as("bucket"), col("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.SketchAggregates.capped_collect(12)(col("doc_id"))
+            .as("ids")))
+    }
+    // one-call corpus report at 1M docs (quality + entropy + novelty)
+    timed(s"corpus_report x$docReps") {
+      val q = TextAnalysis.withQuality(docs).select(col("doc_id"),
+        col("n_tokens"),
+        expr("CAST(round(quality * 10000) AS BIGINT)").as("q10k"))
+      val ent = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.char_entropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.micro_entropy").as("me"))
+      val nov = Dedup.shingleNovelty(docs)
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"))
+      consume(q.join(ent, "doc_id").join(nov, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("nt"),
+          expr("sum(q10k) div count(1)").as("avg_q"),
+          expr("sum(me) div count(1)").as("avg_e"),
+          sum(coalesce(col("n_seen"), lit(0L))).as("seen")))
+    }
+
     // relational core at replicated-lineitem scale
     val li = Tables.lineitem(spark, sfDir)
       .crossJoin(spark.range(eventReps).toDF("rep"))

@@ -2083,11 +2083,13 @@ object SparkEntry {
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
         |surv AS (
         |  SELECT user_id, ts, event_id, event_type FROM ordered
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |iv AS (
         |  SELECT user_id, event_type AS attr,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
@@ -2133,11 +2135,13 @@ object SparkEntry {
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
         |surv AS (
         |  SELECT user_id, ts, event_id, event_type FROM ordered
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |iv AS (
         |  SELECT user_id, event_type AS attr,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,

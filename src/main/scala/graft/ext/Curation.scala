@@ -412,12 +412,18 @@ object Curation {
     val rates = counts.crossJoin(broadcast(nmin))
       .select(col(keyCol), col("n_docs"),
         round(p * 1e6).cast("long").as("micro_rate"))
-    val kept = docs.join(broadcast(rates), Seq(keyCol))
+    // null-SAFE stratum join (<=>): a null key forms a real stratum in
+    // the counts, so it must also match here — an equi-join would
+    // silently drop every null-key doc while the audit frame still
+    // listed the stratum (and let it set n_min)
+    val kept = docs.join(broadcast(rates.withColumnRenamed(keyCol, "_k")),
+        col(keyCol) <=> col("_k"))
       .filter(pmod(TextAnalysis.md5Hash60(
           concat(lit("temp:"), col(idCol).cast("string"))),
         lit(1000000L)) < col("micro_rate"))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq(keyCol), "left")
+      .withColumnRenamed(keyCol, "_k2")
+    rates.join(kept, col(keyCol) <=> col("_k2"), "left").drop("_k2")
       .select(col(keyCol), col("n_docs"), col("micro_rate"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }

@@ -56,9 +56,14 @@ object LinkGraph {
     val base = nodes.join(deg, Seq("node"), "left")
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val n = base.agg(count(lit(1)).as("n"))
+    // all divisions below are TRUE integer `div` — Spark's `/` on two
+    // BIGINTs returns DOUBLE, and a cast-back only coincides with the
+    // floor while dividends stay under 2^53 (the NOTES.md rule); `div`
+    // makes the bit-exactness claim hold by integer semantics, not by
+    // FP-precision bounds
     var ranks = base.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), col("n"),
-        (lit(1000000L) / col("n")).cast("long").as("rank"))
+        expr("1000000 div n").as("rank"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     (1 to iters).foreach { _ =>
       val dangling = ranks.filter(col("deg").isNull)
@@ -66,16 +71,15 @@ object LinkGraph {
       val contrib = e
         .join(ranks.filter(col("deg").isNotNull)
           .select(col("node").as("src"),
-            (col("rank") / col("deg")).cast("long").as("share")), Seq("src"))
+            expr("rank div deg").as("share")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
       ranks = ranks.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"), col("n"),
-          (((lit(1000000L) - lit(dampingMicro)) / col("n")).cast("long") +
-            (lit(dampingMicro) * (coalesce(col("inflow"), lit(0L)) +
-              (col("dang") / col("n")).cast("long")) / lit(1000000L))
-              .cast("long")).as("rank"))
+          expr(s"(${1000000L - dampingMicro} div n) + " +
+            s"($dampingMicro * (coalesce(inflow, 0L) + (dang div n)) " +
+            "div 1000000)").as("rank"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
     ranks.select(col("node"), col("rank").as("rank_micro"))

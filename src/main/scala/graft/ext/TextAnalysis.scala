@@ -683,14 +683,20 @@ object TextAnalysis {
     val encoded = (1 to iters).foldLeft(enc0) { (acc, i) =>
       // limit(1) is a no-op (iter is the election key, one row each)
       // but restores maxRows ≤ 1 through the union+filter, so the
-      // broadcast cross join is PROVABLY single-row in the plan
+      // broadcast nested-loop join is PROVABLY single-row in the plan.
+      // LEFT join, not crossJoin: a missing iteration (degenerate
+      // corpus with no pairs left, or iters beyond the trained merge
+      // count) must pass documents through unchanged, not annihilate
+      // the frame against an empty build side.
       val m = merges.filter(col("iter") === i)
         .select(col("l").as("_l"), col("r").as("_r")).limit(1)
-      acc.crossJoin(broadcast(m))
+      acc.join(broadcast(m), lit(true), "left")
         .select(col(idCol), col("n_tokens"),
-          replace(col("syms"),
-            concat(lit(" "), col("_l"), lit(" "), col("_r"), lit(" ")),
-            concat(lit(" "), col("_l"), col("_r"), lit(" "))).as("syms"))
+          when(col("_l").isNull, col("syms"))
+            .otherwise(replace(col("syms"),
+              concat(lit(" "), col("_l"), lit(" "), col("_r"), lit(" ")),
+              concat(lit(" "), col("_l"), col("_r"), lit(" "))))
+            .as("syms"))
     }
     // split counts symbols AND the n_tokens-1 separators
     encoded.select(col(idCol), col("n_tokens"),

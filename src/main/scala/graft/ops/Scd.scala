@@ -36,9 +36,15 @@ object Scd {
            attrCol: String, tieCol: String): DataFrame = {
     val ord: Seq[Column] = Seq(col(tsCol), col(tieCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    // null-SAFE change detection: lag(attr) is null both for a key's
+    // first event and after a null attribute value, so "first row" is
+    // detected positionally (row_number, riding the same exchange) and
+    // the comparison is <=> — a transition to/from NULL opens an
+    // interval and runs of NULLs collapse like any other value
     val surviving = changes
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
     // the filter preserves the (key, ts) clustering, so this second
     // window rides the same exchange
     val w2 = Window.partitionBy(col(keyCol)).orderBy(ord: _*)

@@ -361,6 +361,13 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(nat.forall { case (n, rate, kept) =>
       rate === 1000000L && kept === n })
+    // a NULL key is a real stratum: it must sample (null-safe join),
+    // not audit n_kept=0 while silently dropping its docs
+    val withNull = docs.union(Seq((11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang"))
+    val nullRow = Curation.temperatureSample(withNull, alpha = 1.0)
+      .filter(col("lang").isNull).collect()
+    assert(nullRow.length === 1 && nullRow.head.getLong(3) === 1L)
   }
 
   test("dedupLines omits zero-token docs and keeps sub-width tails") {

@@ -44,6 +44,24 @@ class ScdIntervalSpec extends SparkSpec {
     assert(got.toSet === Set(("a", 0L), ("b", 1L))) // a opened, b current
   }
 
+  test("scd2 is null-safe: transitions to/from NULL open intervals") {
+    // bronze → NULL (deletion) → bronze must be three intervals; the
+    // NULL run in user 2 collapses to one interval
+    val changes = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 1L, Some("bronze")),
+      (1L, ts("2025-01-01 11:00:00"), 2L, None),
+      (1L, ts("2025-01-01 12:00:00"), 3L, Some("bronze")),
+      (2L, ts("2025-01-01 09:00:00"), 4L, None),
+      (2L, ts("2025-01-01 10:00:00"), 5L, None))
+      .toDF("user_id", "ts", "event_id", "status")
+    val got = Scd.scd2(changes, "user_id", "ts", "status", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(4)))
+    assert(got === Seq(
+      (1L, Some("bronze"), 0L), (1L, None, 0L), (1L, Some("bronze"), 1L),
+      (2L, None, 1L)))
+  }
+
   test("asOf reads the state valid at the instant, half-open") {
     val changes = Seq(
       (1L, ts("2025-01-01 10:00:00"), 1L, "bronze"),

@@ -320,6 +320,13 @@ class TextScoringSpec extends SparkSpec {
     assert(enc(0) === ((1L, 2L, 2L)))   // 6 chars → 2 'aab' symbols
     assert(enc(1) === ((2L, 2L, 4L)))   // boundary blocks the 'a a' merge
     assert(enc(2) === ((3L, 0L, 0L)))   // empty text
+    // asking for MORE iterations than the trained merge list holds must
+    // pass documents through the missing rounds unchanged — not
+    // annihilate the frame against an empty broadcast side
+    val enc5 = TextAnalysis.bpeEncode(
+      Seq((1L, "aab aab")).toDF("doc_id", "text"), merges, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc5 === Array((1L, 2L, 2L)))
   }
 
   // --- outliers -------------------------------------------------------------
