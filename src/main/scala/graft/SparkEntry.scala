@@ -63,6 +63,23 @@ object SparkEntry {
         col("value").as("amount")))
     }),
 
+    // ===== built-in session_window sessionization =====================
+    // the native operator q32 hand-rolls: exact-microsecond gap
+    // semantics (a gap of EXACTLY 30 min starts a new session — the
+    // half-open [ts, ts+gap) merge rule), session end = last event
+    // + gap. Micros are integers on both engines, so no flooring.
+    "q101_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -1631,6 +1648,32 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM filtered)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // gaps-and-islands at integer MICROSECOND precision; the >= gap
+    // boundary replays session_window's half-open merge rule, end =
+    // last event + gap
+    "q101_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value, ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, us, value, ts,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sessioned AS (
+        |  SELECT user_id, us, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        |  CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sessioned GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q32_sessionize" ->
       """WITH e AS (

@@ -180,6 +180,43 @@ class SessionizeSpec extends SparkSpec {
     assert(spark.table(name).count() === 2)
   }
 
+  test("built-in session_window streams with a watermark and matches batch") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2025-01-01 10:00:00"), 1.0),
+      (1L, ts("2025-01-01 10:10:00"), 2.0),  // same session (10 min gap)
+      (1L, ts("2025-01-01 11:00:00"), 4.0),  // 50 min gap → new session
+      (2L, ts("2025-01-01 10:05:00"), 8.0))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("n"), col("v"))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val name = s"sesswin_${System.nanoTime()}"
+    val q = sessions(input.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // advance the watermark past every session end to flush state
+      input.addData(Seq((9L, ts("2025-01-01 13:00:00"), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .filter(col("user_id") =!= 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = sessions(rows.toDF("user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("nearDupPairsBlocked finds in-bucket pairs at a fraction of the scan") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.nearDupPairs(emb, 0.4).collect()
