@@ -63,6 +63,21 @@ object SparkEntry {
         col("value").as("amount")))
     }),
 
+    // ===== exact weighted median (quantity-weighted price) ============
+    // cents-integer values and integer weights in, one round back out
+    "q102_weighted_median" -> ((s, d) =>
+      A.weightedMedian(
+          lineitem(s, d).select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("price_cents"),
+            expr("CAST(l_quantity AS BIGINT)").as("qty")),
+          "l_returnflag", "price_cents", "qty")
+        .select(col("l_returnflag"),
+          round(col("weighted_median") / 100.0, 2)
+            .as("weighted_median_price"),
+          col("total_weight").as("total_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // ===== built-in session_window sessionization =====================
     // the native operator q32 hand-rolls: exact-microsecond gap
     // semantics (a gap of EXACTLY 30 min starts a new session — the
@@ -1648,6 +1663,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM filtered)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // identical cents/weight integers; the tie-robust lower weighted
+    // median (2·cum ≥ total on the inclusive cumsum)
+    "q102_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT l_returnflag, cents,
+        |    sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM b)
+        |SELECT l_returnflag,
+        |  round(CAST(min(cents) AS DOUBLE) / 100.0, 2)
+        |    AS weighted_median_price,
+        |  CAST(max(tot) AS BIGINT) AS total_qty
+        |FROM w WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

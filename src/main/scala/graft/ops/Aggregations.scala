@@ -77,4 +77,32 @@ object Aggregations {
       .withColumn("mu", round(col("mu"), 6))
       .withColumn("sigma", round(col("sigma"), 6))
   }
+
+  /** Exact weighted median per group — the lower weighted median: the
+    * smallest value v whose inclusive cumulative weight reaches half
+    * the group total (2·cum ≥ total). Spark has percentile/approx_
+    * percentile but no WEIGHTED quantile; this is the windowed-cumsum
+    * formulation. Both inputs are taken as INTEGER columns (quantize
+    * values first — e.g. cents — per the integer-exact convention), so
+    * the result is deterministic even under tied values: whether a tie
+    * group qualifies depends only on its inclusive group-end cumsum,
+    * never on the arbitrary order within the tie.
+    *
+    * Scale shape: one exchange on the group key feeds both windows and
+    * the final roll-up; per-row window state is O(1). Same skew story
+    * as any keyed window (pre-split pathological hot groups). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(weightCol))
+      .withColumn("_cum", sum(col(weightCol)).over(cum))
+      .withColumn("_tot", sum(col(weightCol)).over(all))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("_tot")).as("total_weight"))
+  }
 }

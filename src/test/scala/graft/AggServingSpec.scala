@@ -87,4 +87,19 @@ class AggServingSpec extends SparkSpec {
     val df = Seq((1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
     assert(Serving.distinctOn(df, Seq("a")).count() === 2)
   }
+
+  test("weightedMedian: lower median by cumulative weight, tie-robust") {
+    import graft.ops.Aggregations
+    // group a: weights 1,1,10 on values 1,2,3 → total 12, first value
+    // whose 2·cum reaches 12 is 3. group b: 2,2 on 5,7 → cum(5)=2,
+    // 2·2 ≥ 4 → 5 (the LOWER weighted median on an even split).
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      ("b", 5L, 2L), ("b", 7L, 2L))
+      .toDF("g", "v", "w")
+    val got = Aggregations.weightedMedian(df, "g", "v", "w")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq(("a", 3L, 12L), ("b", 5L, 4L)))
+  }
 }
