@@ -390,6 +390,23 @@ object ScaleProbe {
         .agg(round(sum(rev), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("p_name")).limit(10))
     }
+    // weighted median on the q102 failure shape: 10M rows funneled onto
+    // a CARDINALITY-3 group key. The contraction must bound the window
+    // input by the value domain (100k distinct values), so the 3-task
+    // window sees ~300k rows, never 10M; the first line prints that
+    // contracted size next to the raw count as the boundedness witness.
+    timed("weighted_median 10M/3grp") {
+      val wm = spark.range(10000000L).select(
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("g"),
+        pmod(expr("xxhash64(id)"), lit(100000L)).as("v"),
+        (pmod(expr("xxhash64(id, 7L)"), lit(50L)) + 1).as("w"))
+      val contracted = wm.groupBy(col("g"), col("v")).count().count()
+      println(f"[scale]   wm window input: $contracted rows (raw 10000000)")
+      assert(contracted <= 300000L,
+        s"contraction not bounded by value domain: $contracted")
+      consume(Aggregations.weightedMedian(wm, "g", "v", "w"))
+    }
     spark.stop()
   }
 }

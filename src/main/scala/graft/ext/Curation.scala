@@ -504,7 +504,11 @@ object Curation {
     // so element_at(parts, -3) is reached only with ≥3 labels (ANSI-safe)
     val registrable =
       if (multiPartSuffixes.isEmpty) lastTwo
-      else when(size(parts) >= 3 && lastTwo.isin(multiPartSuffixes: _*),
+      // PSL entries are lowercase by convention but the host regex admits
+      // uppercase — fold case on the compared side only, so EXAMPLE.CO.UK
+      // keeps three labels while the emitted domain preserves input case
+      else when(size(parts) >= 3 &&
+          lower(lastTwo).isin(multiPartSuffixes.map(_.toLowerCase): _*),
         concat(element_at(parts, -3), lit("."), lastTwo))
         .otherwise(lastTwo)
     docs.withColumn("url_host", host)

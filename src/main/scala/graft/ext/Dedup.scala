@@ -549,8 +549,18 @@ object Dedup {
     * the per-component aggregate, re-joined on the component key —
     * no ranking window over the membership. */
   def survivorsByScore(docs: DataFrame, pairs: DataFrame, score: Column,
-                       idCol: String = "doc_id"): DataFrame = {
-    val member = components(pairs)
+                       idCol: String = "doc_id"): DataFrame =
+    survivorsByScoreFromComponents(docs, components(pairs), score, idCol)
+
+  /** `survivorsByScore` taking an ALREADY-COMPUTED (doc_id, component)
+    * frame — the reuse seam: a session computing components once (e.g.
+    * a curation run that also reports component sizes) passes the same
+    * materialized frame here instead of re-running pair generation +
+    * label propagation per consumer. Election semantics identical. */
+  def survivorsByScoreFromComponents(docs: DataFrame, comps: DataFrame,
+                                     score: Column,
+                                     idCol: String = "doc_id"): DataFrame = {
+    val member = comps
       .join(docs.select(col(idCol).as("doc_id"), score.as("_score")),
         "doc_id")
     val keep = member.groupBy(col("component"))

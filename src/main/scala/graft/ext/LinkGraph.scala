@@ -85,13 +85,6 @@ object LinkGraph {
     ranks.select(col("node"), col("rank").as("rank_micro"))
   }
 
-  /** Deterministic synthetic link graph over a document id column — the
-    * fixture side of the PageRank query (the corpus tables carry no
-    * links): each doc i links to (i·31+7) mod N and (i·17+3) mod N,
-    * self-loops dropped, and docs with i ≡ 0 (mod 97) emit NO edges so
-    * the dangling-mass path is exercised. N is joined in as a 1-row
-    * broadcast (no driver-side collect), and the oracle replants the
-    * same edges with the same integer arithmetic. */
   /** Per-target in-link profile — the anchor-aggregation half of link
     * curation (who points at this page, and who dominates): in_degree
     * (total inbound edges), n_sources (distinct linkers), and the
@@ -117,6 +110,13 @@ object LinkGraph {
         (-col("m.negsrc")).as("top_src"), col("m.cnt").as("top_src_links"))
   }
 
+  /** Deterministic synthetic link graph over a document id column — the
+    * fixture side of the PageRank query (the corpus tables carry no
+    * links): each doc i links to (i·31+7) mod N and (i·17+3) mod N,
+    * self-loops dropped, and docs with i ≡ 0 (mod 97) emit NO edges so
+    * the dangling-mass path is exercised. N is joined in as a 1-row
+    * broadcast (no driver-side collect), and the oracle replants the
+    * same edges with the same integer arithmetic. */
   def syntheticEdges(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n"))
     val id = col(idCol)

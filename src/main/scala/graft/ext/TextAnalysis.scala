@@ -522,9 +522,12 @@ object TextAnalysis {
     *
     * Scale shape: two corpus contractions (unigram counts, bigram
     * counts via the codegen `word_grams` kernel), both
-    * vocabulary-sized; the bigram table probe-joins the broadcast
-    * unigram table twice and totals arrive as 1-row broadcasts. The
-    * final top-k is a TakeOrderedAndProject, not a global sort. */
+    * vocabulary-sized; the bigram table probe-joins the unigram table
+    * twice — no forced broadcast, since vocabulary cardinality is
+    * unbounded corpus-derived (AQE broadcasts when the build side
+    * fits; otherwise both sides hash on an already-contracted key) —
+    * and totals arrive as 1-row broadcasts. The final top-k is a
+    * TakeOrderedAndProject, not a global sort. */
   def pmiBigrams(df: DataFrame, minCount: Long = 5, k: Int = 20,
                  textCol: String = "text"): DataFrame = {
     val uni = df
@@ -541,10 +544,8 @@ object TextAnalysis {
     bg.filter(col("c_bg") >= minCount)
       .select(element_at(split(col("g"), " "), 1).as("l"),
         element_at(split(col("g"), " "), 2).as("r"), col("c_bg"))
-      .join(broadcast(uni.select(col("w").as("l"), col("c").as("c_l"))),
-        Seq("l"))
-      .join(broadcast(uni.select(col("w").as("r"), col("c").as("c_r"))),
-        Seq("r"))
+      .join(uni.select(col("w").as("l"), col("c").as("c_l")), Seq("l"))
+      .join(uni.select(col("w").as("r"), col("c").as("c_r")), Seq("r"))
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
       .select(col("l"), col("r"), col("c_bg"),
         round(log((col("c_bg").cast("double") * col("n_uni") * col("n_uni"))

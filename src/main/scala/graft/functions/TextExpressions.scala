@@ -377,6 +377,84 @@ object CharEntropy {
   }
 }
 
+/** Codegen'd text normalization kernel: per code point, (1) Unicode
+  * lowercase, (2) fullwidth→ASCII shift (U+FF01–FF5E minus 0xFEE0,
+  * ideographic space U+3000 → space), (3) an EXPLICIT fold table —
+  * curated Latin-1 + Latin-Extended-A accent strips (à→a … ž→z) and
+  * the multi-char ligature/sharp folds (ß→ss, æ→ae, œ→oe, ﬁ→fi,
+  * ﬂ→fl, þ→th) — else the code point passes through unchanged.
+  *
+  * The fold table IS the contract (engine-parity character map): the
+  * DuckDB oracle replays the identical map as lower() + a replace
+  * chain + translate(), so cross-engine agreement is by construction,
+  * not by hoping two Unicode libraries agree on full NFKC. Production
+  * corpora wanting full NFKC/ICU folding swap the kernel body behind
+  * the same Expression seam. Map-side only — fuses into the scan that
+  * feeds langid/quality/shingling, which all assume folded text for
+  * non-ASCII corpora. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"normalize_text expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.fold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizeText.fold($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  /** (source-chars, replacement) — every source char folds to the same
+    * replacement string. Lowercase sources only: the kernel lowercases
+    * BEFORE the lookup, so uppercase variants fold through their
+    * lowercase form. Kept in one literal so the oracle's translate/
+    * replace arguments can be read off line by line. */
+  private val foldPairs: Seq[(String, String)] = Seq(
+    "àáâãäå" -> "a", "èéêë" -> "e", "ìíîï" -> "i", "òóôõöø" -> "o",
+    "ùúûü" -> "u", "ç" -> "c", "ñ" -> "n", "ýÿ" -> "y", "ð" -> "d",
+    "āăą" -> "a", "ćĉċč" -> "c", "ďđ" -> "d", "ēĕėęě" -> "e",
+    "ĝğġģ" -> "g", "ĥħ" -> "h", "ĩīĭįı" -> "i", "ĵ" -> "j", "ķ" -> "k",
+    "ĺļľł" -> "l", "ńņň" -> "n", "ōŏő" -> "o", "ŕŗř" -> "r",
+    "śŝşš" -> "s", "ţťŧ" -> "t", "ũūŭůűų" -> "u", "ŵ" -> "w",
+    "ŷ" -> "y", "źżž" -> "z",
+    "ß" -> "ss", "æ" -> "ae", "œ" -> "oe", "ﬁ" -> "fi", "ﬂ" -> "fl",
+    "þ" -> "th")
+
+  private val foldMap: java.util.HashMap[Integer, String] = {
+    val m = new java.util.HashMap[Integer, String]()
+    foldPairs.foreach { case (srcs, rep) =>
+      srcs.foreach(ch => m.put(ch.toInt, rep))
+    }
+    m
+  }
+
+  def fold(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      var cp = Character.toLowerCase(s.codePointAt(i))
+      i += Character.charCount(cp)
+      if (cp == 0x3000) cp = 0x20                       // ideographic space
+      else if (cp >= 0xFF01 && cp <= 0xFF5E) cp -= 0xFEE0 // fullwidth ASCII
+      val rep = foldMap.get(cp)
+      if (rep ne null) sb.append(rep) else sb.appendCodePoint(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextFunctions {
   /** Column API for the codegen'd shingler: distinct word n-grams of a
     * string column, first-occurrence order. */
@@ -402,4 +480,10 @@ object TextFunctions {
     * struct(n_chars, n_distinct, micro_entropy). */
   def char_entropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** Column API for the codegen'd normalization kernel: lowercase +
+    * fullwidth shift + explicit accent/ligature fold (see
+    * [[NormalizeText]] for the parity contract). */
+  def normalize_text(text: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text)))
 }

@@ -88,18 +88,29 @@ object Aggregations {
     * group qualifies depends only on its inclusive group-end cumsum,
     * never on the arbitrary order within the tie.
     *
-    * Scale shape: one exchange on the group key feeds both windows and
-    * the final roll-up; per-row window state is O(1). Same skew story
-    * as any keyed window (pre-split pathological hot groups). */
+    * Scale shape: the input is CONTRACTED before any window — an
+    * ordinary hash aggregate (map-side partials) collapses the table to
+    * one row per (group, value) with the weights summed — so the keyed
+    * cumsum window shuffles at most |distinct values| rows per group,
+    * never the raw table. Without the contraction a low-cardinality
+    * group key (e.g. 3 flags over all of lineitem) funnels the whole
+    * table through 3 window tasks; with it the window input is bounded
+    * by the value domain (cents-quantized prices: ~10^5-10^6 rows)
+    * regardless of corpus size. The lower-median result is unchanged:
+    * ties already resolved on the inclusive tie-group-end cumsum, which
+    * is exactly the contracted row's cumulative weight. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val contracted = df
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("_w"))
     val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol), col(valueCol), col(weightCol))
-      .withColumn("_cum", sum(col(weightCol)).over(cum))
-      .withColumn("_tot", sum(col(weightCol)).over(all))
+    contracted
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(all))
       .filter(col("_cum") * 2 >= col("_tot"))
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("weighted_median"),

@@ -33,8 +33,8 @@ object Behavior {
     *
     * Returns one row per funnel step: (step, step_name, n_users,
     * pct_of_first) with n_users = users whose journey reached AT LEAST
-    * that step, pct rounded to 2 dp (100.0 for the first step,
-    * null-safe when step 1 has no users).
+    * that step, pct rounded to 2 dp (100.0 for the first step; null —
+    * guarded, not 0/0 NaN — when step 1 has no users).
     *
     * Physical shape: one filtered min-aggregate per step, chained by
     * inner joins on the user key (all shuffles share the user hash
@@ -89,13 +89,16 @@ object Behavior {
       .toDF("step", "step_name")
     val w = Window.orderBy(col("step").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val firstW = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     broadcast(names).join(counts, Seq("step"), "left")
       .withColumn("n_users",
         sum(coalesce(col("n_exact"), lit(0L))).over(w))
       .withColumn("pct_of_first",
-        round(col("n_users") * lit(100.0) /
-          first(col("n_users")).over(Window.orderBy(col("step"))
-            .rowsBetween(Window.unboundedPreceding, 0)), 2))
+        when(first(col("n_users")).over(firstW) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_users") * lit(100.0) /
+            first(col("n_users")).over(firstW), 2)))
       .select(col("step").cast("long").as("step"), col("step_name"),
         col("n_users"), col("pct_of_first"))
       .orderBy(col("step"))

@@ -64,9 +64,13 @@ object Scd {
     * interval (null valid_to) always matching. `at` is a 1-row frame
     * (column `at`, epoch seconds) so a data-derived instant never
     * round-trips through the driver; it broadcasts into a map-side
-    * filter — no shuffle on the history. */
+    * filter — no shuffle on the history. LEFT join per the repo's
+    * single-row-broadcast convention (an empty `at` frame yields a null
+    * instant and an empty result, instead of annihilating the probe
+    * side mid-plan the way a crossJoin against zero build rows does —
+    * cf. the BPE empty-merge lesson in NOTES.md). */
   def asOf(history: DataFrame, at: DataFrame): DataFrame =
-    history.crossJoin(broadcast(at))
+    history.join(broadcast(at.limit(1)), lit(true), "left")
       .filter(col("valid_from") <= col("at") &&
         (col("valid_to").isNull || col("at") < col("valid_to")))
       .drop("at")

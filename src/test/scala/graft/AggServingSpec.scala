@@ -102,4 +102,34 @@ class AggServingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got === Seq(("a", 3L, 12L), ("b", 5L, 4L)))
   }
+
+  test("weightedMedian merges duplicate values before the cumsum") {
+    import graft.ops.Aggregations
+    // duplicate (g, v) rows must fold into one contracted row; the
+    // median over {1×1, 1×1, 3×10} equals the median over {1×2, 3×10}
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 1L, 1L), ("a", 3L, 10L))
+      .toDF("g", "v", "w")
+    val got = Aggregations.weightedMedian(df, "g", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 3L, 12L)))
+  }
+
+  test("weightedMedian windows the contraction, not the raw table") {
+    import graft.ops.Aggregations
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => W}
+    // the scale contract (q102 lesson): the keyed cumsum window's input
+    // must be the (group, value) pre-aggregate — bounded by the value
+    // domain — never the raw rows. Assert an Aggregate sits strictly
+    // below every Window in the optimized plan.
+    val df = Seq(("a", 1L, 1L)).toDF("g", "v", "w")
+    val plan = Aggregations.weightedMedian(df, "g", "v", "w")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: W => w }
+    assert(windows.nonEmpty, "expected a window in the plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window input is not a contraction:\n$w")
+    }
+  }
 }

@@ -75,4 +75,40 @@ class EntrySpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"plan-quality offenders: $offenders")
   }
+
+  // An unpartitioned (or constant-partitioned) Window funnels every
+  // input row through ONE task — fine on a calendar-bounded per-day
+  // frame, a scale-killer on raw table input (the q102 lesson: a
+  // cardinality-3 partition key is the same failure mode). Gate: such a
+  // window is legal ONLY when its input is a provable contraction — an
+  // Aggregate somewhere below on the input path (possibly joined with
+  // other contractions / literal frames), or a frame whose maxRows is
+  // already bounded. Row-preserving unaries (Project/Filter/Sort/
+  // Window/Limit) pass through; row-EXPANDING nodes (Generate, Expand)
+  // and raw leaves end the search as non-contracted.
+  test("no query plans an unpartitioned window over non-contracted input") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+
+    def contracted(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _ if p.maxRows.exists(_ <= 100000L) => true
+      case j: Join => contracted(j.left) && contracted(j.right)
+      case u @ (_: Project | _: Filter | _: Sort | _: Window |
+                _: GlobalLimit | _: LocalLimit | _: SubqueryAlias |
+                _: Distinct | _: RepartitionOperation) =>
+        contracted(u.asInstanceOf[UnaryNode].child)
+      case _ => false
+    }
+
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: Window
+            if w.partitionSpec.forall(_.foldable) && !contracted(w.child) =>
+          w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over non-contracted input: $offenders")
+  }
 }
