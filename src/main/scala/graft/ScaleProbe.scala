@@ -407,6 +407,26 @@ object ScaleProbe {
         s"contraction not bounded by value domain: $contracted")
       consume(Aggregations.weightedMedian(wm, "g", "v", "w"))
     }
+    // hot-key ordered cumsum: 95% of 10M rows in ONE group. The direct
+    // keyed window runs the hot group on a single task; saltedCumSum
+    // spreads it across 32 segments — same rows out (spec-verified),
+    // the probe records the wall-clock gap
+    val skew = spark.range(10000000L).select(
+      when(pmod(col("id"), lit(20)) === 0,
+        concat(lit("cold"), pmod(col("id"), lit(7))))
+        .otherwise(lit("hot")).as("g"),
+      col("id").as("o"),
+      pmod(expr("xxhash64(id)"), lit(100L)).as("v"))
+    timed("cumsum_direct 10M/hot") {
+      import org.apache.spark.sql.expressions.Window
+      consume(skew.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("o"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))))
+    }
+    timed("cumsum_salted 10M/hot") {
+      consume(graft.ops.SkewJoin.saltedCumSum(skew, "g", "o", "v",
+        salt = 32))
+    }
     spark.stop()
   }
 }

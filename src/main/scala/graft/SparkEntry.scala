@@ -115,6 +115,47 @@ object SparkEntry {
           col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    // ===== text normalization (codegen fold kernel) ===================
+    // case/accent/ligature/fullwidth variants of the same content must
+    // collapse to ONE key before langid/quality/dedup trust their
+    // inputs on a multilingual corpus — the corpus fixture is ASCII, so
+    // a planted multilingual block carries the fold coverage (every map
+    // family: accents, Latin-Ext-A, ß/æ/œ/ﬁ/ﬂ/þ multis, fullwidth +
+    // ideographic space) and a corpus slice proves the table plumbing.
+    // The oracle replays the SAME character map (lower + replace chain
+    // + translate) — parity by construction, see NormalizeText.
+    "q103_normalize_text" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (1L, "Crème BRÛLÉE à Paris"),
+        (2L, "creme brulee a paris"),
+        (3L, "CRÈME BRÛLÉE À PARIS"),
+        (4L, "Straße GRÖSSER"),
+        (5L, "strasse grosser"),
+        (6L, "ＦＵＬＬＷＩＤＴＨ　Ｔｅｘｔ　１２３！"),
+        (7L, "fullwidth text 123!"),
+        (8L, "ﬁnancial ﬂows"),
+        (9L, "financial flows"),
+        (10L, "ŁÓDŹ żółć"),
+        (11L, "lodz zolc"),
+        (12L, "Ærøskøbing œuvre"),
+        (13L, "aeroskobing oeuvre"),
+        (14L, "Þingvellir norðan"),
+        (15L, "thingvellir nordan"),
+        (16L, "naïve façade — déjà vu"),
+        (17L, "São Tomé and Príncipe"),
+        (18L, "plain ascii stays put")).toDF("fix_id", "raw")
+      val corpus = documents(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 100L).as("fix_id"), col("text").as("raw"))
+      planted.unionByName(corpus)
+        .select(col("fix_id"),
+          graft.functions.TextFunctions.normalize_text(col("raw"))
+            .as("norm_text"))
+        .groupBy(col("norm_text"))
+        .agg(count(lit(1)).as("n_variants"), min(col("fix_id")).as("first_fix_id"))
+        .orderBy(col("norm_text"))
+    }),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -1707,6 +1748,45 @@ object SparkEntry {
         |  CAST(max(tot) AS BIGINT) AS total_qty
         |FROM w WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the SAME character map as NormalizeText, replayed as lower() +
+    // a replace chain (multi-char folds) + translate (1:1 folds incl.
+    // fullwidth); group key ordering is bytewise UTF-8 on both engines
+    "q103_normalize_text" ->
+      """WITH raws(fix_id, raw) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'Crème BRÛLÉE à Paris'),
+        |  (2, 'creme brulee a paris'),
+        |  (3, 'CRÈME BRÛLÉE À PARIS'),
+        |  (4, 'Straße GRÖSSER'),
+        |  (5, 'strasse grosser'),
+        |  (6, 'ＦＵＬＬＷＩＤＴＨ　Ｔｅｘｔ　１２３！'),
+        |  (7, 'fullwidth text 123!'),
+        |  (8, 'ﬁnancial ﬂows'),
+        |  (9, 'financial flows'),
+        |  (10, 'ŁÓDŹ żółć'),
+        |  (11, 'lodz zolc'),
+        |  (12, 'Ærøskøbing œuvre'),
+        |  (13, 'aeroskobing oeuvre'),
+        |  (14, 'Þingvellir norðan'),
+        |  (15, 'thingvellir nordan'),
+        |  (16, 'naïve façade — déjà vu'),
+        |  (17, 'São Tomé and Príncipe'),
+        |  (18, 'plain ascii stays put')),
+        |corpus AS (
+        |  SELECT doc_id + 100 AS fix_id, text AS raw
+        |  FROM documents WHERE doc_id < 3),
+        |allr AS (SELECT * FROM raws UNION ALL SELECT * FROM corpus),
+        |norm AS (SELECT fix_id,
+        |  translate(
+        |    replace(replace(replace(replace(replace(replace(lower(raw),
+        |      'ß','ss'), 'æ','ae'), 'œ','oe'), 'ﬁ','fi'), 'ﬂ','fl'),
+        |      'þ','th'),
+        |    'èûàéöółźżćøïçãíðｆｕｌｗｉｄｔｈｅｘ１２３！　',
+        |    'euaeoolzzcoicaidfulwidthex123! ') AS norm_text
+        |  FROM allr)
+        |SELECT norm_text, CAST(count(*) AS BIGINT) AS n_variants,
+        |  min(fix_id) AS first_fix_id
+        |FROM norm GROUP BY norm_text ORDER BY norm_text""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

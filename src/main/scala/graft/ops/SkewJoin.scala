@@ -56,4 +56,60 @@ object SkewJoin {
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(groupCol))
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+
+  /** Hot-key pre-split for the ORDERED window case — the general form
+    * of the "pre-split pathological hot groups" escape hatch the keyed
+    * cumulative windows (SCD2-style histories, weighted medians,
+    * first-occurrence elections) document by hand.
+    *
+    * A plain `sum OVER (PARTITION BY g ORDER BY o)` funnels each
+    * group's full row set through ONE task; when one group dominates
+    * the table, that task is the job. This is the classic two-phase
+    * parallel scan instead: (1) split each group's ORDER RANGE into
+    * `salt` equal-width segments (bounds from a per-group min/max hash
+    * aggregate joined back — deterministic, no rand()), run the cumsum
+    * per (group, segment) so a hot group occupies `salt` tasks; (2)
+    * per-segment totals (≤ `salt` rows per group) get an exclusive
+    * running sum over the segment index — a provable contraction, so
+    * the tiny second window is gate-legal — and join back as offsets:
+    * final cumsum = local cumsum + offset of all earlier segments.
+    *
+    * Inclusive RANGE-frame semantics (ties take their tie-group-end
+    * total, exactly DuckDB's `RANGE BETWEEN UNBOUNDED PRECEDING AND
+    * CURRENT ROW`): tie rows never straddle a segment boundary (equal
+    * order values hash to the same segment by construction), so the
+    * result is deterministic and row-for-row equal to the direct
+    * window at ANY salt (verified by test). Requires a NUMERIC
+    * `orderCol` (epoch seconds, ids, cents); the equal-width split
+    * assumes the order values are not pathologically clustered —
+    * timestamps and sequence ids, the common hot-group shapes, split
+    * evenly. Appends `outCol`; `_lo/_hi/_seg` scratch columns are
+    * dropped. */
+  def saltedCumSum(df: DataFrame, groupCol: String, orderCol: String,
+                   valueCol: String, salt: Int = 16,
+                   outCol: String = "cum"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(orderCol)).as("_lo"), max(col(orderCol)).as("_hi"))
+    // (o - lo) * salt div (hi - lo + 1) ∈ [0, salt) — integer math, no
+    // boundary epsilon; a constant-order group collapses to segment 0
+    val seg = when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(expr(s"(($orderCol - _lo) * $salt) div (_hi - _lo + 1)"))
+    val wLocal = Window.partitionBy(col(groupCol), col("_seg"))
+      .orderBy(col(orderCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.join(bounds, groupCol)
+      .withColumn("_seg", seg)
+      .withColumn("_local", sum(col(valueCol)).over(wLocal))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(groupCol), col("_seg"))
+      .agg(sum(col(valueCol)).as("_segtot"))
+      .withColumn("_off", coalesce(sum(col("_segtot")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("_seg"), col("_off"))
+    local.join(offsets, Seq(groupCol, "_seg"))
+      .withColumn(outCol, col("_local") + col("_off"))
+      .drop("_lo", "_hi", "_seg", "_local", "_off")
+  }
 }

@@ -44,6 +44,33 @@ class SkewAndCheckpointSpec extends SparkSpec {
     assert(math.abs(total(7) - 4096.0) < 1e-6)
   }
 
+  test("saltedCumSum equals the direct keyed cumsum under heavy skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 9000 of 10000 rows in one hot group; integer values, duplicate
+    // order values included (i div 3) to exercise the RANGE tie rule
+    val rows = (1 to 10000).map { i =>
+      val g = if (i % 10 == 0) s"cold${i % 7}" else "hot"
+      (g, (i / 3).toLong, (i % 13).toLong)
+    }
+    val df = rows.toDF("g", "o", "v")
+    val direct = df.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("o"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "o", "v", "cum").collect().map(_.toSeq)
+    for (salt <- Seq(1, 4, 16)) {
+      val salted = SkewJoin.saltedCumSum(df, "g", "o", "v", salt)
+        .select("g", "o", "v", "cum").collect().map(_.toSeq)
+      assert(salted.groupBy(identity).view.mapValues(_.size).toMap ===
+        direct.groupBy(identity).view.mapValues(_.size).toMap,
+        s"salt=$salt diverged from the direct window")
+    }
+    // constant-order group (degenerate range): everything is one tie
+    val const = Seq(("g", 5L, 1L), ("g", 5L, 2L)).toDF("g", "o", "v")
+    val got = SkewJoin.saltedCumSum(const, "g", "o", "v", 8)
+      .select("cum").as[Long].collect().toSeq
+    assert(got === Seq(3L, 3L))
+  }
+
   test("T4: streaming query restarts from checkpoint without duplicating output") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("out").toString + "/agg"

@@ -285,4 +285,44 @@ class StreamingSpec extends SparkSpec {
     assert(out("A") === "beverages")
     assert(out("C") === null) // left join keeps unmatched stream rows
   }
+
+  test("streaming curation: cross-batch dedup via the fingerprint store, restart-idempotent") {
+    import graft.stream.CurationStream
+    val base = java.nio.file.Files.createTempDirectory("curation").toString
+    val (store, out, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = CurationStream.sinkCurated(docs, store, out, ckpt).start()
+    val batch1 = Seq(
+      (1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text"),              // in-batch duplicate of 1
+      (6L, "   "))                     // cleansed away (blank after trim)
+    val batch2 = Seq(
+      (4L, "Alpha TEXT"),              // cross-batch dup of 1 AFTER folding
+      (5L, "gamma text"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    def admitted(): Set[Long] =
+      spark.read.option("basePath", out).parquet(out)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // in-batch dup 3 lost to min-id 1; cross-batch dup 4 dropped by the
+    // store; blank 6 cleansed — each duplicate dropped exactly once
+    assert(admitted() === Set(1L, 2L, 5L))
+
+    // redelivery: replay batch 1's rows under its original batchId with
+    // the store already populated — the batch_id exclusion must
+    // recompute the SAME survivors, not annihilate them
+    CurationStream.processBatch(store, out)(
+      batch1.toDF("doc_id", "text"), 0L)
+    assert(admitted() === Set(1L, 2L, 5L))
+    val storeHashes = spark.read.option("basePath", store).parquet(store)
+      .select(col("text_hash")).collect().map(_.getString(0)).toSeq
+    assert(storeHashes.size === storeHashes.distinct.size,
+      "redelivery duplicated store fingerprints")
+    assert(storeHashes.size === 3) // alpha, beta, gamma
+  }
 }

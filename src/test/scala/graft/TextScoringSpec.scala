@@ -341,4 +341,31 @@ class TextScoringSpec extends SparkSpec {
     // constant group: sigma = 0, |v - mu| = 0, never flagged
     assert(!out.exists(_.getAs[String]("grp") == "c"))
   }
+
+  // --- normalize_text -------------------------------------------------------
+
+  test("normalize_text folds case, accents, ligatures, fullwidth per the map") {
+    import graft.functions.TextFunctions.normalize_text
+    val cases = Seq(
+      "Crème BRÛLÉE à Paris" -> "creme brulee a paris",
+      "Straße GRÖSSER" -> "strasse grosser",
+      "ＦＵＬＬＷＩＤＴＨ　Ｔｅｘｔ　１２３！" -> "fullwidth text 123!",
+      "ﬁnancial ﬂows" -> "financial flows",
+      "ŁÓDŹ żółć" -> "lodz zolc",
+      "Ærøskøbing œuvre" -> "aeroskobing oeuvre",
+      "Þingvellir norðan" -> "thingvellir nordan",
+      "emoji 🙂 and 汉字 pass through" -> "emoji 🙂 and 汉字 pass through",
+      "" -> "")
+    val got = cases.map(_._1).toDF("raw")
+      .select(normalize_text(col("raw"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+    // null propagates
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "raw")
+      .select(normalize_text(col("raw"))).collect()
+    assert(n.head.isNullAt(0))
+    // idempotent: normalizing normalized text is the identity
+    val twice = cases.map(_._2).toDF("raw")
+      .select(normalize_text(normalize_text(col("raw")))).as[String].collect()
+    assert(twice.toSeq === cases.map(_._2))
+  }
 }
