@@ -283,9 +283,19 @@ object Dedup {
     val inter = postingPairs(posts)
     val j = col("cnt").cast("double") /
       (col("na") + col("nb") - col("cnt"))
+    // shuffle_hash PINNED on the sizes side: the pair table's size
+    // estimate propagates from the checkpointed posting lists and is
+    // wildly low on duplicate-dense corpora, so the planner otherwise
+    // picks `inter` as a BROADCAST build side — ~10⁸ pairs through the
+    // driver at 10× fixture density (found by the sf1-equivalent scale
+    // run: q17 OOM'd the BroadcastExchange at 48g). Building the
+    // doc-cardinality sizes side per partition is the shape that holds
+    // at any corpus size; the pair stream only ever streams.
     inter
-      .join(sizes.select(col("id"), col("n").as("na")), col("doc_a") === col("id")).drop("id")
-      .join(sizes.select(col("id"), col("n").as("nb")), col("doc_b") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("na")).hint("shuffle_hash"),
+        col("doc_a") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")).hint("shuffle_hash"),
+        col("doc_b") === col("id")).drop("id")
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"),
         TextAnalysis.trunc4(j).as("jaccard"))
@@ -356,7 +366,9 @@ object Dedup {
       val sizes = banded.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("_bsz"))
         .filter(col("_bsz") <= maxBucketSize)
-      banded.join(sizes.select(col("band"), col("bh")), Seq("band", "bh"))
+      // bucket-cardinality side builds per partition (never the stream)
+      banded.join(sizes.select(col("band"), col("bh")).hint("shuffle_hash"),
+        Seq("band", "bh"))
     }
     // Candidates carry ONLY id pairs — carrying both k-long signatures
     // through the bucket join multiplies its shuffle/memory footprint by
@@ -368,9 +380,15 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // merge PINNED: the scaladoc's "spillable sort-merge" contract was
+    // only a planner default — a low estimate on `cand` (stats
+    // propagate from the checkpointed signatures) would flip it to a
+    // broadcast build of the PAIR table, the q17 scale failure shape
     val withSigs = cand
-      .join(sigs.select(col("id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
-      .join(sigs.select(col("id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
+      .join(sigs.select(col("id").as("doc_a"), col("mh").as("mh_a"))
+        .hint("merge"), Seq("doc_a"))
+      .join(sigs.select(col("id").as("doc_b"), col("mh").as("mh_b"))
+        .hint("merge"), Seq("doc_b"))
     val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
       (x, y) => x === y), b => b)) / lit(k.toDouble)
     withSigs
@@ -670,9 +688,14 @@ object Dedup {
       val sizes = chunked0.groupBy(col("k"), col("chunk"))
         .agg(count(lit(1)).as("_bsz"))
         .filter(col("_bsz") <= maxBucketSize)
-      chunked0.join(sizes.select(col("k"), col("chunk")), Seq("k", "chunk"))
+      // bucket-cardinality side builds per partition (never the stream)
+      chunked0.join(sizes.select(col("k"), col("chunk")).hint("shuffle_hash"),
+        Seq("k", "chunk"))
     }
-    chunked.as("a").join(chunked.as("b"), Seq("k", "chunk"))
+    // merge PINNED on the self-join: both aliases share one low size
+    // estimate; a broadcast build of either side is the unbounded-pair
+    // failure shape (see jaccardPairs)
+    chunked.as("a").join(chunked.as("b").hint("merge"), Seq("k", "chunk"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))

@@ -62,6 +62,30 @@ class ScdIntervalSpec extends SparkSpec {
       (2L, None, 1L)))
   }
 
+  test("scd2 same-second A->B->A flip: (key, valid_from, attr) ties carry distinct valid_to") {
+    // the q78 ordering hazard: sub-second flips floor to one epoch
+    // second, so the two "a" intervals tie on (user_id, valid_from,
+    // attr) — the sort key must extend to valid_to (NULLS LAST) for a
+    // deterministic cross-engine order. Millisecond steps inside one
+    // second: ts() parses whole seconds, so build via Timestamp math.
+    val base = ts("2025-01-01 10:00:00")
+    def plus(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
+    val changes = Seq(
+      (1L, plus(0), 1L, "a"), (1L, plus(200), 2L, "b"),
+      (1L, plus(400), 3L, "a"))
+      .toDF("user_id", "ts", "event_id", "status")
+    val got = Scd.scd2(changes, "user_id", "ts", "status", "event_id")
+      .orderBy(col("user_id"), col("valid_from"), col("attr"),
+        col("valid_to").asc_nulls_last)
+      .collect()
+      .map(r => (r.getString(1), Option(r.get(3)), r.getLong(4)))
+    val vf = base.getTime / 1000
+    // all three intervals share valid_from = floor(epoch); the two "a"
+    // rows order by valid_to (closed one first, open current last)
+    assert(got.toSeq === Seq(
+      ("a", Some(vf), 0L), ("a", None, 1L), ("b", Some(vf), 0L)))
+  }
+
   test("asOf reads the state valid at the instant, half-open") {
     val changes = Seq(
       (1L, ts("2025-01-01 10:00:00"), 1L, "bronze"),
