@@ -156,6 +156,44 @@ object SparkEntry {
         .orderBy(col("norm_text"))
     }),
 
+    // ===== deterministic training-shard manifest ======================
+    "q104_train_shards" -> ((s, d) =>
+      Curation.trainShards(documents(s, d), nShards = 8, seed = 42L)
+        .orderBy(col("shard"))),
+
+    // ===== BM25 top-k retrieval (fixed query-term set) ================
+    "q105_bm25" -> ((s, d) =>
+      T.bm25TopK(documents(s, d), terms = Seq("spark", "join", "vector"),
+        k = 20)),
+
+    // ===== duplicated-n-gram coverage (substring-dup signal) ==========
+    "q106_dup_gram_coverage" -> ((s, d) =>
+      T.dupGramCoverage(documents(s, d), n = 3, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // ===== Zipf-fit slope per language =================================
+    "q107_zipf_slope" -> ((s, d) =>
+      T.zipfSlope(documents(s, d), topN = 30)
+        .orderBy(col("lang"))),
+
+    // ===== corpus snapshot delta (incremental curation) ===============
+    "q108_snapshot_diff" -> ((s, d) =>
+      Curation.snapshotDiff(documents(s, d),
+          Curation.syntheticPrevSnapshot(documents(s, d)))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy(col("status"))),
+
+    // ===== per-language winsorized length stats =======================
+    "q109_winsorize" -> ((s, d) =>
+      A.winsorizeStats(
+          documents(s, d).select(col("lang"),
+            length(col("text")).cast("long").as("len")),
+          "lang", "len")
+        .orderBy(col("lang"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -1787,6 +1825,169 @@ object SparkEntry {
         |SELECT norm_text, CAST(count(*) AS BIGINT) AS n_variants,
         |  min(fix_id) AS first_fix_id
         |FROM norm GROUP BY norm_text ORDER BY norm_text""".stripMargin,
+
+    // seeded md5 shard + order hashes — all-integer manifest
+    "q104_train_shards" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substring(
+        |           md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         CAST(('0x' || substring(
+        |           md5('o42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           AS oh,
+        |         CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nc) AS BIGINT) AS n_chars,
+        |       min(oh) AS first_hash, max(oh) AS last_hash
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // per-(doc, term) score quantized to BIGINT micros BEFORE the
+    // per-doc sum (q55 convention); float ops mirror the Spark
+    // expression tree term-for-term (incl. 1.2 + 1.0, never a folded
+    // 2.2 literal — the folded parse is a different double)
+    "q105_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |hits AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |per AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM hits h JOIN dfq d USING (token) CROSS JOIN g)
+        |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM per GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // distinct grams per doc (q17 shingle convention, raw text), gram
+    // identity = the md5-prefix 60-bit hash on BOTH engines
+    "q106_dup_gram_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM sh),
+        |base AS (SELECT doc_id, count(*) AS n_grams FROM hashed GROUP BY 1),
+        |dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_dup
+        |        FROM hashed JOIN dup USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(b.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+        |       CASE WHEN COALESCE(b.n_grams, 0) = 0 THEN 0.0
+        |            ELSE floor(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+        |                   / b.n_grams * 10000) / 10000 END AS dup_coverage
+        |FROM documents d
+        |LEFT JOIN base b USING (doc_id)
+        |LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // ln(rank)/ln(freq) quantized ONCE to BIGINT micros; the
+    // normal-equation sums are exact integers, one closing division
+    "q107_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |freq AS (
+        |  SELECT lang AS grp, t[i] AS token, count(*) AS freq
+        |  FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |rked AS (
+        |  SELECT grp, freq, row_number() OVER (
+        |    PARTITION BY grp ORDER BY freq DESC, token) AS rank
+        |  FROM freq),
+        |pts AS (
+        |  SELECT grp,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+        |  FROM rked WHERE rank <= 30),
+        |s AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_points,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT grp AS lang, n_points,
+        |       round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM s ORDER BY lang""".stripMargin,
+
+    // prev snapshot replayed arithmetically (drop %7, rewrite %5,
+    // plant removed ids ≥ 10^6); status by id + md5 content compare
+    "q108_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [v0]' ELSE text END
+        |           AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |c AS (SELECT doc_id AS id, md5(text) AS ch FROM documents),
+        |p AS (SELECT doc_id AS id, md5(text) AS ph FROM prev),
+        |j AS (
+        |  SELECT COALESCE(c.id, p.id) AS id, ch, ph
+        |  FROM c FULL OUTER JOIN p ON c.id = p.id),
+        |st AS (
+        |  SELECT id,
+        |    CASE WHEN ph IS NULL THEN 'added'
+        |         WHEN ch IS NULL THEN 'removed'
+        |         WHEN ch = ph THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM j)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(id) AS first_id, max(id) AS last_id
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
+
+    // discrete (type-1) percentiles over the (lang, len) contraction —
+    // integer cum*100 >= p*tot comparisons, no interpolation
+    "q109_winsorize" ->
+      """WITH v AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |contracted AS (
+        |  SELECT lang, len, count(*) AS w FROM v GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT lang, len, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY lang) AS tot
+        |  FROM contracted),
+        |bounds AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 100 >= 5 * tot THEN len END) AS lo,
+        |    min(CASE WHEN cum * 100 >= 95 * tot THEN len END) AS hi
+        |  FROM cc GROUP BY lang)
+        |SELECT v.lang, CAST(count(*) AS BIGINT) AS n,
+        |       max(lo) AS lo, max(hi) AS hi,
+        |       CAST(sum(CASE WHEN len < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clamped_lo,
+        |       CAST(sum(CASE WHEN len > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clamped_hi,
+        |       CAST(sum(least(greatest(len, lo), hi)) AS BIGINT)
+        |         AS winsorized_sum
+        |FROM v JOIN bounds USING (lang)
+        |GROUP BY v.lang ORDER BY v.lang""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

@@ -609,4 +609,77 @@ object Curation {
       when(pmod(id, lit(11)) === 0, phone).otherwise(lit("")),
       when(pmod(id, lit(13)) === 0, key).otherwise(lit(""))))
   }
+
+  /** Deterministic training-shard assignment + per-shard manifest.
+    * Docs land in `nShards` output shards by a seeded content-free
+    * hash of the id (`md5Hash60(seed:id) mod nShards`), and each shard
+    * gets a stable intra-shard order key from a second seeded hash —
+    * the standard "global shuffle then shard" step before tokenized
+    * training data is written, made reproducible across runs and
+    * engines (seeded md5, not partition-order-dependent rand()).
+    *
+    * Scale shape: assignment and order keys are map-side codegen; the
+    * manifest is one hash aggregate with map-side partials (one row
+    * per shard). The real write path is
+    * `df.repartition(nShards, shard).sortWithinPartitions(order_hash)`
+    * → partitioned sink — one shuffle total, no global sort; min/max
+    * order hashes in the manifest witness the per-shard order domain.
+    * All outputs are integers — bit-identical cross-engine. */
+  def trainShards(docs: DataFrame, nShards: Int, seed: Long = 42L,
+                  idCol: String = "doc_id"): DataFrame = {
+    val ids = col(idCol).cast("string")
+    val shard = pmod(graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"$seed:"), ids)), lit(nShards.toLong))
+    val orderHash = graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"o$seed:"), ids))
+    docs.select(shard.as("shard"), orderHash.as("oh"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        min(col("oh")).as("first_hash"),
+        max(col("oh")).as("last_hash"))
+  }
+
+  /** Corpus snapshot delta: per-document added / removed / changed /
+    * unchanged status between the current corpus and a previous
+    * snapshot, by id + content hash — the incremental-curation
+    * primitive (recrawl diffing, delta tokenization: only `added` and
+    * `changed` docs re-enter the pipeline; `removed` ids feed
+    * tombstones).
+    *
+    * Scale shape: one full-outer sort-merge join on the id — both
+    * sides shuffle exactly once on their natural key, content compare
+    * is a map-side md5 equality after the join, no row ever carries
+    * both texts further than the status projection. At 100 TB this is
+    * the plan you'd want (id join, not content join); bucketing both
+    * snapshots on the id column removes even that shuffle. */
+  def snapshotDiff(cur: DataFrame, prev: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("ch"))
+    val p = prev.select(col(idCol).as("id"), md5(col(textCol)).as("ph"))
+    c.join(p, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("ph").isNull, lit("added"))
+          .when(col("ch").isNull, lit("removed"))
+          .when(col("ch") === col("ph"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Synthetic "previous snapshot" fixture for the diff oracle: drops
+    * every 7th doc (→ added in the current), rewrites every 5th
+    * surviving text (→ changed), and plants ids ≥ 10⁶ that the current
+    * corpus lacks (→ removed). Engine-portable arithmetic only. */
+  def syntheticPrevSnapshot(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val kept = docs.filter(pmod(id, lit(7)) =!= 0)
+      .withColumn(textCol,
+        when(pmod(id, lit(5)) === 0, concat(col(textCol), lit(" [v0]")))
+          .otherwise(col(textCol)))
+    val removed = docs.filter(pmod(id, lit(11)) === 0)
+      .withColumn(idCol, id + lit(1000000L))
+    kept.unionByName(removed)
+  }
 }

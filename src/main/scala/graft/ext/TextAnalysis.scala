@@ -705,4 +705,140 @@ object TextAnalysis {
         .otherwise(size(split(trim(col("syms")), " ")).cast("long")
           - (col("n_tokens") - 1)).as("n_bpe_tokens"))
   }
+
+  /** BM25 retrieval: top-k documents for a fixed query-term set
+    * (Robertson/Sparck-Jones with the Lucene always-positive idf,
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`).
+    *
+    * Scale shape: the query terms are a tiny literal set, so the token
+    * stream is filtered to query-term hits BEFORE the (doc, term) tf
+    * aggregate — only matching tokens ever shuffle, the corpus dies
+    * map-side. Document length is a per-row codegen count (no second
+    * corpus pass); avgdl and N arrive as a 1-row broadcast; the df
+    * table is at most |terms| rows and broadcasts. The final top-k is
+    * a TakeOrderedAndProject, never a global sort.
+    *
+    * Determinism contract: the per-(doc, term) score is quantized ONCE
+    * to BIGINT micro-points (round(score·10⁶)); the per-doc total is
+    * then an integer sum, so the result — and the (score desc, doc_id)
+    * rank — is bit-identical cross-engine regardless of float summation
+    * order (the q55 integer-quantization convention). */
+  def bm25TopK(df: DataFrame, terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("dl"), toks.as("t"))
+    // localCheckpoint: both the df table and the scored rows read the
+    // hit contraction (the q54 two-consumer convention)
+    val hits = base.select(col("id"), col("dl"),
+        explode(filter(col("t"),
+          t => t.isin(terms.map(lit): _*))).as("token"))
+      .groupBy(col("id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val globals = df.agg(count(lit(1)).as("n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("toktot"))
+    val dfreq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perTerm = hits
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(globals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("avgdl", col("toktot").cast("double") / col("n"))
+      .withColumn("score_micro",
+        round(col("idf") * col("tf") * (lit(k1) + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
+          .cast("long"))
+    perTerm.groupBy(col("id").as(idCol))
+      .agg(sum(col("score_micro")).as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Zipf-fit slope per group: least-squares slope of ln(freq) on
+    * ln(rank) over each group's top-N tokens — the classic corpus
+    * health check (natural text ≈ −1; templated/spammy shards drift).
+    *
+    * Scale shape: the regression runs on the (group, token) frequency
+    * CONTRACTION (one ordinary hash aggregate with map-side partials),
+    * so the rank window sees at most |vocab| rows per group, never the
+    * corpus; everything after the top-N filter is constant-size.
+    *
+    * Determinism contract: ln(rank) and ln(freq) are quantized ONCE to
+    * BIGINT micro-units; the normal-equation sums are then exact
+    * integer arithmetic (top-N bounds them far below overflow:
+    * N·(ln 10⁶·10⁶)² ≈ 10¹⁶ per term pair) and the single closing
+    * division is deterministic, so the rounded slope is bit-identical
+    * cross-engine. */
+  def zipfSlope(df: DataFrame, topN: Int = 30,
+                groupCol: String = "lang",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(col(groupCol).as("grp"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val rk = Window.partitionBy(col("grp"))
+      .orderBy(col("freq").desc, col("token"))
+    val top = freq.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= topN)
+      .withColumn("x", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("y", round(log(col("freq").cast("double")) * 1e6, 0).cast("long"))
+    top.groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("zipf_slope",
+        round((col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+      .select(col(groupCol), col("n_points"), col("zipf_slope"))
+  }
+
+  /** Per-document duplicated-n-gram coverage: the fraction of a doc's
+    * DISTINCT word n-grams that occur in at least `minDocs` documents —
+    * the per-doc "how much of me is boilerplate/copied" signal behind
+    * suffix-style exact-substring dedup (Lee et al. 2022's decision
+    * statistic, computed at n-gram granularity).
+    *
+    * Scale shape: per-doc distinct grams come from the codegen shingler
+    * (one pass, map-side); grams shuffle as 60-bit hashes (8-byte keys,
+    * never strings) into an ordinary count aggregate with map-side
+    * partials; the per-doc roll-up joins the exploded gram stream to
+    * the duplicated-gram contraction on the hash key — both sides are
+    * already partitioned by that key from their aggregates, so the join
+    * adds no exchange. Doc totals ride the same codegen array (`size`),
+    * costing no second corpus pass.
+    *
+    * All outputs are integers plus one trunc4 ratio of integers —
+    * bit-identical cross-engine. md5Hash60 is the oracle-replicable
+    * hash scheme (xxhash64 stays the scale default elsewhere). */
+  def dupGramCoverage(df: DataFrame, n: Int = 3, minDocs: Int = 2,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sh = graft.functions.TextFunctions.word_shingles(col(textCol), n)
+    val base = df.select(col(idCol).as("id"), sh.as("grams"))
+      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
+        col("grams"))
+    val exploded = base
+      .select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), md5Hash60(col("g")).as("h"))
+    val dup = exploded.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val perDoc = exploded.join(dup, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"), col("n_grams"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(trunc4(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_grams"))).as("dup_coverage"))
+  }
 }

@@ -116,4 +116,50 @@ object Aggregations {
       .agg(min(col(valueCol)).as("weighted_median"),
         max(col("_tot")).as("total_weight"))
   }
+
+  /** Per-group winsorization stats: clamp an INTEGER value column at
+    * the group's discrete pLo/pHi percentiles and report how much was
+    * clamped — the robust-scaling step quality-score filters need
+    * before thresholding (a handful of 10 MB outlier docs otherwise
+    * drag a mean-based cutoff). Percentiles are the DISCRETE
+    * (type-1 / lower) quantile — the smallest v with
+    * 100·F(v) ≥ p·total — so every comparison is exact integer
+    * arithmetic and the result is bit-identical cross-engine (the
+    * interpolated quantile_cont would reintroduce float ulp).
+    *
+    * Scale shape: same contraction discipline as [[weightedMedian]] —
+    * the cumsum window runs over the (group, distinct value)
+    * contraction, never the raw table, so a cardinality-3 group key
+    * cannot funnel the corpus through 3 window tasks; the per-group
+    * threshold table (one row per group) broadcasts back onto the raw
+    * stream, which is clamped map-side and re-aggregated with map-side
+    * partials. Two corpus passes, both shuffle-bounded by the key
+    * domain. */
+  def winsorizeStats(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contracted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_w"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    val bounds = contracted
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(all))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("_cum") * 100 >= lit(pLo) * col("_tot"),
+          col(valueCol))).as("lo"),
+        min(when(col("_cum") * 100 >= lit(pHi) * col("_tot"),
+          col(valueCol))).as("hi"))
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum((col(valueCol) < col("lo")).cast("long")).as("n_clamped_lo"),
+        sum((col(valueCol) > col("hi")).cast("long")).as("n_clamped_hi"),
+        sum(least(greatest(col(valueCol), col("lo")), col("hi"))
+          .cast("long")).as("winsorized_sum"))
+  }
 }
