@@ -427,6 +427,48 @@ object ScaleProbe {
       consume(graft.ops.SkewJoin.saltedCumSum(skew, "g", "o", "v",
         salt = 32))
     }
+
+    // ===== round-5 operators ===============================================
+    // BM25: the term filter must kill the corpus map-side — only
+    // query-term hits may reach the tf shuffle
+    timed(s"bm25 x$docReps") {
+      consume(TextAnalysis.bm25TopK(docs,
+        Seq("spark", "join", "vector"), k = 20))
+    }
+    // duplicated-gram coverage at adversarial density: on the
+    // replicated corpus EVERY base gram is duplicated docReps times,
+    // so the dup contraction is maximal and the join-back carries the
+    // whole exploded stream — worst case for the op
+    timed(s"dup_gram_coverage x$docReps") {
+      consume(TextAnalysis.dupGramCoverage(docs))
+    }
+    // regression over the (group, token) contraction — corpus-sized
+    // explode, vocab-sized everything after
+    timed(s"zipf_slope x$docReps") {
+      consume(TextAnalysis.zipfSlope(docsL))
+    }
+    // 1M-row full-outer id join + md5 compare
+    timed(s"snapshot_diff x$docReps") {
+      consume(Curation.snapshotDiff(docs,
+        Curation.syntheticPrevSnapshot(docs)))
+    }
+    // winsorize on the q102 failure shape: 10M rows, 3 groups — the
+    // contraction must bound the window input by the value domain
+    timed("winsorize 10M/3grp") {
+      val wz = spark.range(10000000L).select(
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("g"),
+        pmod(expr("xxhash64(id)"), lit(100000L)).as("v"))
+      consume(Aggregations.winsorizeStats(wz, "g", "v"))
+    }
+    // salted per-stratum top-k: 1M docs, 5 strata — no window task may
+    // see more than ~1/salt of a stratum
+    timed(s"weighted_sample x$docReps") {
+      consume(Curation.weightedSample(docsL, k = 100, salt = 32))
+    }
+    timed(s"train_shards x$docReps") {
+      consume(Curation.trainShards(docs, nShards = 1024))
+    }
     spark.stop()
   }
 }

@@ -194,6 +194,18 @@ object SparkEntry {
           "lang", "len")
         .orderBy(col("lang"))),
 
+    // ===== near-dup leakage across the train/val/test split ===========
+    // reuses the memoized q43 component labelling; the split is
+    // recomputed arithmetically from the id, so no corpus join
+    "q110_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(sharedComponents(s, d))
+        .orderBy(col("component"))),
+
+    // ===== seeded weighted sample (A-Res), k per language =============
+    "q111_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(documents(s, d), k = 5)
+        .orderBy(col("lang"), col("rk"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -1988,6 +2000,79 @@ object SparkEntry {
         |         AS winsorized_sum
         |FROM v JOIN bounds USING (lang)
         |GROUP BY v.lang ORDER BY v.lang""".stripMargin,
+
+    // the q43 component CTE + the q44 md5-bucket split, leaky
+    // components only (≥ 2 distinct splits represented)
+    "q110_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT component,
+        |    CASE WHEN CAST(('0x' || substring(
+        |             md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substring(
+        |             md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM comp),
+        |agg AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_val,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM lab GROUP BY component)
+        |SELECT component, n_docs, n_train, n_val, n_test
+        |FROM agg
+        |WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_val > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2
+        |ORDER BY component""".stripMargin,
+
+    // unsalted per-stratum rank — equal to the salted two-phase top-k
+    // by distributivity; ln key quantized to micros, id tie-break
+    "q111_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |    CAST(round(ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0)
+        |        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1e6, 0)
+        |      AS BIGINT) AS key_micro
+        |  FROM (
+        |    SELECT lang, doc_id, text,
+        |      CAST(('0x' || substring(
+        |        md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    FROM documents)),
+        |rked AS (
+        |  SELECT lang, doc_id, key_micro,
+        |    row_number() OVER (
+        |      PARTITION BY lang ORDER BY key_micro DESC, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, key_micro
+        |FROM rked WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

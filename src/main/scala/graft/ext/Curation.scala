@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for LLM training-data pipelines beyond
@@ -665,6 +665,48 @@ object Curation {
           .when(col("ch").isNull, lit("removed"))
           .when(col("ch") === col("ph"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Deterministic weighted sampling without replacement, k per
+    * stratum — Efraimidis–Spirakis A-Res with a SEEDED uniform: each
+    * doc draws u = (md5Hash60(seed:id)+1)/2⁶⁰ ∈ (0,1] and is ranked by
+    * ln(u)/w (the monotone log of the u^(1/w) priority key; larger is
+    * better), so inclusion probability is proportional to the weight,
+    * yet the sample is bit-reproducible across runs, partitionings, and
+    * engines — unlike rand(), whose draw depends on task layout. The
+    * key is quantized to BIGINT micros with the id as tie-break, so the
+    * rank itself is integer-deterministic.
+    *
+    * Scale shape: the per-stratum top-k is SALTED two-phase — a local
+    * top-k per (stratum, salt) first, then the true top-k over the
+    * ≤ salt·k-row contraction — so a low-cardinality stratum column
+    * (the common case: languages, domains) never funnels the corpus
+    * through |strata| window tasks. Top-k distributes over any salting
+    * (every local winner set keeps k), so the result equals the direct
+    * per-stratum rank and the oracle replays the UNSALTED form. */
+  def weightedSample(docs: DataFrame, k: Int, seed: Long = 42L,
+                     strataCol: String = "lang",
+                     weight: Column = length(col("text")).cast("double"),
+                     salt: Int = 8,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val keyed = docs.select(col(strataCol).as("stratum"), col(idCol),
+        round(log((h + lit(1L)).cast("double") / lit(1.152921504606846976e18))
+          / greatest(weight, lit(1.0)) * 1e6, 0).cast("long").as("key_micro"),
+        pmod(col(idCol), lit(salt.toLong)).as("_salt"))
+    val local = Window.partitionBy(col("stratum"), col("_salt"))
+      .orderBy(col("key_micro").desc, col(idCol))
+    val global = Window.partitionBy(col("stratum"))
+      .orderBy(col("key_micro").desc, col(idCol))
+    keyed
+      .withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= k)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= k)
+      .select(col("stratum").as(strataCol), col("rk").cast("long").as("rk"),
+        col(idCol), col("key_micro"))
   }
 
   /** Synthetic "previous snapshot" fixture for the diff oracle: drops

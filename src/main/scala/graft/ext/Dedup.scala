@@ -703,4 +703,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Eval-hygiene audit: near-dup components whose members straddle the
+    * train/val/test hash split — the leak a plain id-hash split cannot
+    * see (a near-duplicate of a training doc landing in test inflates
+    * eval scores even though no id crosses the boundary). Input is a
+    * (doc_id, component) labelling (e.g. [[components]]); the split is
+    * recomputed arithmetically from the id ([[TextAnalysis.withHashSplit]]'s
+    * md5 bucket), so no join against the corpus is needed.
+    *
+    * Scale shape: one hash aggregate over the node-cardinality
+    * component frame (already a contraction of the corpus), map-side
+    * split derivation, no extra shuffle beyond the groupBy. Output is
+    * leaky components only — at healthy dedup rates a vanishing
+    * fraction. All-integer output. */
+  def splitLeakage(comps: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    val pct = pmod(TextAnalysis.md5Hash60(col("doc_id").cast("string")),
+      lit(100L))
+    val split = when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
+    comps.withColumn("split", split)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("split") === "train").cast("long")).as("n_train"),
+        sum((col("split") === "val").cast("long")).as("n_val"),
+        sum((col("split") === "test").cast("long")).as("n_test"))
+      .filter(
+        (col("n_train") > 0).cast("int") + (col("n_val") > 0).cast("int")
+          + (col("n_test") > 0).cast("int") >= 2)
+  }
 }

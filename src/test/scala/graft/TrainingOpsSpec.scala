@@ -96,6 +96,49 @@ class TrainingOpsSpec extends SparkSpec {
     assert(byStatus.values.sum == n + ids.count(_ % 11 == 0))
   }
 
+  test("splitLeakage flags exactly the components spanning ≥2 splits") {
+    import spark.implicits._
+    val ids = (1L to 40L)
+    val comps = ids.map(i => (i, i % 8)).toDF("doc_id", "component")
+    // replicate the split assignment to derive the expected leaky set
+    val splits = T.withHashSplit(ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = ids.groupBy(_ % 8)
+      .filter { case (_, ms) => ms.map(splits).toSet.size >= 2 }
+      .keySet
+    val got = graft.ext.Dedup.splitLeakage(comps).collect()
+    assert(got.map(_.getLong(0)).toSet == expected)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+  }
+
+  test("weightedSample: salted two-phase top-k equals the direct rank") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.weightedSample(docs, k = 5, seed = 7L, salt = 4)
+      .orderBy(col("lang"), col("rk")).collect()
+    // direct unsalted reference rank over the same quantized key
+    val h = T.md5Hash60(concat(lit("7:"), col("doc_id").cast("string")))
+    val keyed = docs.select(col("lang"), col("doc_id"),
+      round(log((h + lit(1L)).cast("double") / lit(1.152921504606846976e18))
+        / greatest(length(col("text")).cast("double"), lit(1.0)) * 1e6, 0)
+        .cast("long").as("key_micro"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+    val want = keyed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("key_micro"))
+      .orderBy(col("lang"), col("rk")).collect()
+    assert(got.toSeq == want.toSeq)
+    // reproducible; different seed draws a different sample
+    val again = Curation.weightedSample(docs, k = 5, seed = 7L, salt = 4)
+      .orderBy(col("lang"), col("rk")).collect()
+    assert(got.toSeq == again.toSeq)
+    val other = Curation.weightedSample(docs, k = 5, seed = 8L, salt = 4)
+      .orderBy(col("lang"), col("rk")).collect()
+    assert(got.map(_.getLong(2)).toSeq != other.map(_.getLong(2)).toSeq)
+  }
+
   test("winsorizeStats matches a brute-force discrete-percentile clamp") {
     import spark.implicits._
     val vals = Seq.tabulate(200)(i => ("g", (i + 1).toLong)) ++
