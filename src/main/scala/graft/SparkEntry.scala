@@ -206,6 +206,20 @@ object SparkEntry {
       Curation.weightedSample(documents(s, d), k = 5)
         .orderBy(col("lang"), col("rk"))),
 
+    // ===== group-aware split repair (fixes what q110 detects) =========
+    "q112_split_repair" -> ((s, d) =>
+      Dedup.repairSplitLeakage(documents(s, d), sharedComponents(s, d))
+        .groupBy(col("repaired_split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("split") =!= col("repaired_split")).cast("long"))
+            .as("n_moved"))
+        .orderBy(col("repaired_split"))),
+
+    // ===== hard-negative mining (contrastive training pairs) ==========
+    "q113_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(embeddings(s, d), k = 3)
+        .orderBy(col("vec_id"), col("rk"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2073,6 +2087,87 @@ object SparkEntry {
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, key_micro
         |FROM rked WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // the q43 component CTE again; each component re-split by the md5
+    // bucket of its min member, non-members keep their own bucket
+    "q112_split_repair" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |canon AS (SELECT component, min(doc_id) AS rep FROM comp
+        |          GROUP BY component),
+        |membership AS (
+        |  SELECT comp.doc_id, canon.rep FROM comp JOIN canon USING (component)),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN CAST(('0x' || substring(
+        |             md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substring(
+        |             md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN CAST(('0x' || substring(
+        |             md5(CAST(COALESCE(m.rep, d.doc_id) AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substring(
+        |             md5(CAST(COALESCE(m.rep, d.doc_id) AS VARCHAR)), 1, 15))
+        |             AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS repaired_split
+        |  FROM documents d LEFT JOIN membership m USING (doc_id))
+        |SELECT repaired_split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN split <> repaired_split THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_moved
+        |FROM lab GROUP BY repaired_split ORDER BY repaired_split""".stripMargin,
+
+    // the q95 blocking CTE constrained to cross-label candidates,
+    // top-3 per anchor by (rounded sim desc, id)
+    "q113_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, label, v, c_id FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |d AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS neg_id,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS neg_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id
+        |       AND a.label <> b.label)
+        |SELECT id AS vec_id, CAST(rk AS BIGINT) AS rk, neg_id, neg_sim
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY neg_sim DESC, neg_id) AS rk
+        |  FROM d)
+        |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

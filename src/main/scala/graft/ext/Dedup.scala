@@ -734,4 +734,37 @@ object Dedup {
         (col("n_train") > 0).cast("int") + (col("n_val") > 0).cast("int")
           + (col("n_test") > 0).cast("int") >= 2)
   }
+
+  /** Repair of the leakage [[splitLeakage]] detects: every near-dup
+    * component is re-split AS A UNIT by hashing its canonical member
+    * (the component's min doc id), so no component can straddle the
+    * train/val/test boundary — the group-aware split every careful
+    * eval pipeline needs (splitting on a raw id hash leaks paraphrases
+    * into test). Docs outside any component keep their own id-hash
+    * split, so the repair perturbs only near-dup docs and the split
+    * ratios stay ≈ trainPct/valPct in expectation.
+    *
+    * Returns (id, split, repaired_split) per doc. Scale shape: one
+    * aggregate over the node-cardinality component frame (component →
+    * canonical id), one id-keyed sort-merge join back to the corpus —
+    * the membership frame is corpus-bounded but dedup-rate-sized;
+    * everything else is map-side hash arithmetic. */
+  def repairSplitLeakage(docs: DataFrame, comps: DataFrame,
+                         trainPct: Int = 80, valPct: Int = 10,
+                         idCol: String = "doc_id"): DataFrame = {
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val pct = pmod(TextAnalysis.md5Hash60(id.cast("string")), lit(100L))
+      when(pct < trainPct, "train")
+        .when(pct < trainPct + valPct, "val")
+        .otherwise("test")
+    }
+    val canon = comps
+      .groupBy(col("component")).agg(min(col("doc_id")).as("_rep"))
+    val membership = comps.join(canon, "component")
+      .select(col("doc_id").as("_mid"), col("_rep"))
+    docs.select(col(idCol)).join(membership,
+        col(idCol) === col("_mid"), "left")
+      .select(col(idCol), splitOf(col(idCol)).as("split"),
+        splitOf(coalesce(col("_rep"), col(idCol))).as("repaired_split"))
+  }
 }

@@ -384,6 +384,45 @@ object Similarity {
         col("m.s").as("nn_sim"), col("n_candidates"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the "confusable but wrong" examples that make embedding training
+    * data effective. Blocking is the shared deterministic IVF
+    * assignment ([[ivfAssign]]), so candidates come from the
+    * centroid-id equi-join, never an all-pairs product; the same
+    * neighbor surfacing through both shared buckets is collapsed by
+    * DISTINCT before ranking.
+    *
+    * Scale shape: bounded bucket join (hot-bucket guards live in the
+    * assignment), per-anchor rank window keyed on the anchor id —
+    * corpus-cardinality partitions, so no funneling — and the k-row
+    * output per anchor. The recall/cost dial is (nCentroids, nAssign),
+    * sized like the ANN path (k ∝ √n). */
+  def hardNegatives(emb: DataFrame, k: Int = 3, nCentroids: Int = 16,
+                    nAssign: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = emb.select(col(idCol).as("lid"), col(labelCol).as("lbl"))
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .join(labels, col("id") === col("lid")).drop("lid")
+      .localCheckpoint()
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    val cands = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") =!= col("b.id") && col("a.lbl") =!= col("b.lbl"))
+      .select(col("a.id").as("id"), col("b.id").as("neg_id"),
+        round(sim, 6).as("neg_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("neg_sim").desc, col("neg_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("rk"), col("neg_id"), col("neg_sim"))
+  }
+
   /** Cross-corpus semantic contamination: flag corpus vectors whose
     * cosine to ANY probe-set vector (benchmark/eval embeddings)
     * reaches `threshold` — the embedding-level complement of n-gram

@@ -139,6 +139,43 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq != other.map(_.getLong(2)).toSeq)
   }
 
+  test("repairSplitLeakage: components re-split as units, others untouched") {
+    val comps = graft.ext.Dedup.components(
+      graft.ext.Dedup.coShinglePairs(docs, minShared = 2,
+        maxPostings = 1000)).localCheckpoint()
+    val repaired = graft.ext.Dedup.repairSplitLeakage(docs, comps)
+    assert(repaired.count() == docs.count())
+    // after repair no component spans two splits
+    val spans = repaired.join(comps, "doc_id")
+      .groupBy(col("component"))
+      .agg(countDistinct(col("repaired_split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(spans == 0L, "a repaired component still spans splits")
+    // docs outside any component keep their id-hash split
+    val touched = repaired.join(comps, Seq("doc_id"), "left_anti")
+      .filter(col("split") =!= col("repaired_split")).count()
+    assert(touched == 0L, "a non-component doc was moved")
+  }
+
+  test("hardNegatives: cross-label only, ranked, bounded at k") {
+    val emb = spark.read.parquet(sf("embeddings")).localCheckpoint()
+    val got = graft.ext.Similarity.hardNegatives(emb, k = 3)
+      .localCheckpoint()
+    assert(got.count() > 0)
+    assert(got.filter(col("rk") > 3).count() == 0L)
+    val labels = emb.select(col("vec_id").as("nid"), col("label").as("nlbl"))
+    val sameLabel = got
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(labels, col("neg_id") === col("nid"))
+      .filter(col("label") === col("nlbl")).count()
+    assert(sameLabel == 0L, "a negative shares the anchor's label")
+    // rk is dense from 1 within each anchor
+    val badRk = got.groupBy(col("vec_id"))
+      .agg(max(col("rk")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(badRk == 0L)
+  }
+
   test("winsorizeStats matches a brute-force discrete-percentile clamp") {
     import spark.implicits._
     val vals = Seq.tabulate(200)(i => ("g", (i + 1).toLong)) ++
