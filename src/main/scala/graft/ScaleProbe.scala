@@ -469,6 +469,21 @@ object ScaleProbe {
     timed(s"train_shards x$docReps") {
       consume(Curation.trainShards(docs, nShards = 1024))
     }
+    // group-aware split repair over the full pair-gen + components
+    // chain at 1M docs (the q112 deployment shape)
+    timed(s"split_repair x$docReps") {
+      consume(Dedup.repairSplitLeakage(docs,
+        Dedup.components(Dedup.coShinglePairs(docs, minShared = 2,
+          maxPostings = 150))))
+    }
+    // hard negatives at the capped-rep density (the nn_novelty
+    // rationale: pure replication degenerates IVF buckets); labels
+    // synthesized from the id so every bucket mixes labels
+    timed(s"hard_negatives x$nnReps") {
+      consume(Similarity.hardNegatives(
+        embNn.withColumn("label", pmod(col("vec_id"), lit(7)).cast("int")),
+        k = 3, nCentroids = 256))
+    }
     spark.stop()
   }
 }

@@ -727,34 +727,39 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val base = df.select(col(idCol).as("id"),
-      tokenCount(col(textCol)).cast("long").as("dl"), toks.as("t"))
-    // localCheckpoint: both the df table and the scored rows read the
-    // hit contraction (the q54 two-consumer convention)
-    val hits = base.select(col("id"), col("dl"),
-        explode(filter(col("t"),
-          t => t.isin(terms.map(lit): _*))).as("token"))
-      .groupBy(col("id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val globals = df.agg(count(lit(1)).as("n"),
-      sum(tokenCount(col(textCol)).cast("long")).as("toktot"))
-    val dfreq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val perTerm = hits
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(globals))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("avgdl", col("toktot").cast("double") / col("n"))
-      .withColumn("score_micro",
-        round(col("idf") * col("tf") * (lit(k1) + 1.0) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b)
-              + lit(b) * col("dl") / col("avgdl"))) * 1e6, 0)
-          .cast("long"))
-    perTerm.groupBy(col("id").as(idCol))
-      .agg(sum(col("score_micro")).as("bm25_micro"),
-        count(lit(1)).as("n_terms"))
+    // For a literal query-term set NOTHING token-shaped needs to move:
+    // per-term tf is one codegen token_set_hits({term}) probe per row
+    // (no explode, no interpreted HOF — the first formulation's
+    // explode+filter cost 45 s/1M docs; this is one corpus scan), the
+    // (N, avgdl, df_t) globals are ONE aggregate with |terms|
+    // conditional sums, broadcast back as a single row, and scoring is
+    // map-side arithmetic into a TakeOrderedAndProject.
+    val lowered = lower(col(textCol))
+    val tfCols = terms.map(t => graft.functions.TextFunctions
+      .token_set_hits(lowered, Seq(t)).cast("long").as(s"tf_$t"))
+    val base = df.select(
+      (col(idCol).as("id") +: tokenCount(col(textCol)).cast("long").as("dl")
+        +: tfCols): _*)
+    val aggs = sum(col("dl")).as("toktot") +:
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val globals = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val avgdl = col("toktot").cast("double") / col("n")
+    def idf(t: String) = log(lit(1.0) +
+      (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t")
+      when(tf > 0,
+        round(idf(t) * tf * (lit(k1) + 1.0) /
+            (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+          * 1e6, 0).cast("long"))
+        .otherwise(lit(0L))
+    }
+    base.crossJoin(broadcast(globals))
+      .select(col("id").as(idCol),
+        terms.map(termScore).reduce(_ + _).as("bm25_micro"),
+        terms.map(t => (col(s"tf_$t") > 0).cast("long")).reduce(_ + _)
+          .as("n_terms"))
+      .filter(col("n_terms") > 0)
       .orderBy(col("bm25_micro").desc, col(idCol))
       .limit(k)
   }
@@ -778,8 +783,12 @@ object TextAnalysis {
                 groupCol: String = "lang",
                 textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // word_grams(·, 1), not tokens(·): the codegen kernel — the
+    // split+filter HOF runs interpreted per token and dominated the
+    // 1M-doc probe (the q23 stopword lesson again)
     val freq = df.select(col(groupCol).as("grp"),
-        explode(tokens(lower(col(textCol)))).as("token"))
+        explode(graft.functions.TextFunctions
+          .word_grams(lower(col(textCol)), 1)).as("token"))
       .groupBy(col("grp"), col("token"))
       .agg(count(lit(1)).as("freq"))
     val rk = Window.partitionBy(col("grp"))
@@ -821,19 +830,28 @@ object TextAnalysis {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val sh = graft.functions.TextFunctions.word_shingles(col(textCol), n)
-    val base = df.select(col(idCol).as("id"), sh.as("grams"))
-      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
-        col("grams"))
-    val exploded = base
-      .select(col("id"), explode(col("grams")).as("g"))
+    // the exploded hash stream feeds BOTH the dup aggregate and the
+    // join-back — checkpoint it once (16 bytes/row) instead of running
+    // the shingler over the corpus twice (the q54 two-consumer
+    // convention); per-doc totals come map-side from the array length,
+    // costing no shuffle
+    val exploded = df
+      .select(col(idCol).as("id"), explode(sh).as("g"))
       .select(col("id"), md5Hash60(col("g")).as("h"))
+      .localCheckpoint()
     val dup = exploded.groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    val perDoc = exploded.join(dup, "h")
+    // shuffle_hash PINNED: both sides are corpus-derived and unbounded,
+    // so a stats-misestimate broadcast of either is the q17-at-10×
+    // failure shape; the hash build holds only the dup contraction's
+    // per-partition slice
+    val perDoc = exploded
+      .join(dup.select(col("h")).hint("shuffle_hash"), "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup"))
-    base.select(col("id"), col("n_grams"))
+    df.select(col(idCol).as("id"),
+        size(sh).cast("long").as("n_grams"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
