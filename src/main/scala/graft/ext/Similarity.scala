@@ -402,7 +402,6 @@ object Similarity {
                     nAssign: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val labels = emb.select(col(idCol).as("lid"), col(labelCol).as("lbl"))
     val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
       .join(labels, col("id") === col("lid")).drop("lid")
@@ -415,10 +414,20 @@ object Similarity {
           col("a.id") =!= col("b.id") && col("a.lbl") =!= col("b.lbl"))
       .select(col("a.id").as("id"), col("b.id").as("neg_id"),
         round(sim, 6).as("neg_sim"))
-      .distinct()
+    // distinct + rank window, DELIBERATELY: the tempting single
+    // collect_set + sorted-k-slice aggregate is NOT an improvement —
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // distinct keys per task (every task here), and the partial stage
+    // ships whole candidate buffers through the shuffle, so its "one
+    // exchange" carries more bytes than these two row-level exchanges,
+    // which sort-spill gracefully (probed at 100k vectors; no win,
+    // with OOM exposure the row form doesn't have).
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id"))
       .orderBy(col("neg_sim").desc, col("neg_id"))
-    cands.withColumn("rk", row_number().over(w).cast("long"))
+    cands.distinct()
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("id").as(idCol), col("rk"), col("neg_id"), col("neg_sim"))
   }
