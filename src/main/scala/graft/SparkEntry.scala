@@ -51,6 +51,12 @@ object SparkEntry {
       Dedup.components(pairs).localCheckpoint(true)
     })
 
+  /** Eagerly builds the shared component labelling for `d` (no-op when
+    * already memoised). Bench calls this during warmup so the first
+    * alphabetical consumer (q110) doesn't absorb the whole five-query
+    * chain cost and per-query timings reflect the operators. */
+  def warmShared(s: SparkSession, d: String): Unit = sharedComponents(s, d)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== A1-A2 + O1: batch aggregation layer ==========================

@@ -22,13 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy conf) and truncate to microseconds with *integer*
-    * division — `div`, not `/`, because nanos ≈ 1.7e18 exceeds double's
-    * 2^53 mantissa and float division would corrupt the microseconds.
-    * Truncation (not rounding) matches how DuckDB ingests ns→us, keeping
-    * the oracle comparison exact. */
+  /** `events.ts` has shipped under two encodings across testdata
+    * regenerations, so the loader dispatches on the *observed* type:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]), so `nanosAsLong` surfaces it as
+    *    LongType raw nanos and we truncate to microseconds with
+    *    *integer* division — `div`, not `/`, because nanos ≈ 1.7e18
+    *    exceeds double's 2^53 mantissa and float division would corrupt
+    *    the microseconds. Truncation (not rounding) matches how DuckDB
+    *    ingests ns→us, keeping the oracle comparison exact.
+    *  - timestamp[us] with isAdjustedToUTC=false: Spark infers
+    *    TimestampNTZType; the cast to (session-local) TimestampType is
+    *    bit-exact with the DuckDB oracle only because every entry point
+    *    sets spark.sql.session.timeZone=UTC.
+    *  - timestamp[us] adjusted to UTC (plain TimestampType): passthrough.
+    *
+    * Any OTHER type fails loudly here, naming what was observed — a
+    * silent passthrough once cost a round 26 invisible query failures
+    * (VERDICT round 5). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
@@ -37,7 +49,12 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", expr("cast(ts as timestamp)"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => sys.error(
+        s"Tables.events: unsupported encoding for events.ts — got $other, " +
+        "expected LongType (raw nanos), TimestampNTZType, or TimestampType. " +
+        "The testdata was likely regenerated with a new schema; add an " +
+        "explicit case rather than letting 26 events queries fail downstream.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A deliberately broken query must surface in the round artifacts —
+  * errors.json AND a `_verify_error` marker parquet — never vanish
+  * (round-5 lesson: 26 silent skips read as an 87-green report). */
+class VerifySpec extends SparkSpec {
+
+  test("failed query lands in errors.json and a marker parquet; good query unaffected") {
+    val outDir = Files.createTempDirectory("graft-verify-spec").toString
+    val queries = Map[String, (SparkSession, String) => DataFrame](
+      "good_query" -> ((s, _) => { import s.implicits._; Seq(1, 2).toDF("x") }),
+      "broken_query" -> ((s, _) => s.read.parquet("/nonexistent/boom.parquet")))
+    val failures = Verify.run(spark, "/unused", outDir, queries,
+      Map("good_query" -> "SELECT 1 AS x"))
+
+    assert(failures.keySet === Set("broken_query"))
+
+    val errJson = Files.readString(Paths.get(s"$outDir/errors.json"))
+    assert(errJson.contains("broken_query"))
+
+    // marker parquet: driver's compare sees a loud mismatch, not absence
+    val marker = spark.read.parquet(s"$outDir/broken_query")
+    assert(marker.columns.toSeq === Seq("_verify_error"))
+    assert(marker.count() === 1)
+
+    val good = spark.read.parquet(s"$outDir/good_query")
+    assert(good.select("x").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+
+    val oracle = Files.readString(Paths.get(s"$outDir/oracle_sql.json"))
+    assert(oracle.contains("good_query"))
+  }
+
+  test("clean run writes an empty errors.json object") {
+    val outDir = Files.createTempDirectory("graft-verify-spec").toString
+    val queries = Map[String, (SparkSession, String) => DataFrame](
+      "ok" -> ((s, _) => { import s.implicits._; Seq(1).toDF("x") }))
+    val failures = Verify.run(spark, "/unused", outDir, queries, Map.empty)
+    assert(failures.isEmpty)
+    assert(Files.readString(Paths.get(s"$outDir/errors.json")) === "{}")
+  }
+}
