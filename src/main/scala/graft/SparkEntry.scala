@@ -226,6 +226,28 @@ object SparkEntry {
       Similarity.hardNegatives(embeddings(s, d), k = 3)
         .orderBy(col("vec_id"), col("rk"))),
 
+    // ===== embedding whitening stats (per-dimension distribution) =====
+    "q114_embed_dimstats" -> ((s, d) =>
+      Similarity.dimStats(embeddings(s, d))),
+
+    // ===== event-rate anomaly detection (trailing z-score) ============
+    "q115_rate_anomaly" -> ((s, d) =>
+      graft.ops.Behavior.rateAnomaly(events(s, d))),
+
+    // ===== corpus snapshot drift (per-lang token JS divergence) =======
+    // doc_id parity stands in for two crawl snapshots of one corpus
+    "q116_token_drift" -> ((s, d) =>
+      T.tokenDrift(documents(s, d), snapshotCol = pmod(col("doc_id"), lit(2)))
+        .withColumnRenamed("grp", "lang")),
+
+    // ===== last-touch conversion attribution ==========================
+    "q117_attribution" -> ((s, d) =>
+      graft.ops.Behavior.lastTouchAttribution(events(s, d))),
+
+    // ===== shuffle-key skew diagnostics ================================
+    "q118_key_skew" -> ((s, d) =>
+      Profiling.keySkew(events(s, d), keyCol = "user_id")),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2174,6 +2196,143 @@ object SparkEntry {
         |    PARTITION BY id ORDER BY neg_sim DESC, neg_id) AS rk
         |  FROM d)
         |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    // element micro-quantization → exact integer sums (q107 convention);
+    // HUGEINT mirrors Spark's decimal(38,0) squared-sum accumulator
+    "q114_embed_dimstats" ->
+      """WITH m AS (
+        |  SELECT i - 1 AS dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |  FROM (
+        |    SELECT unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |agg AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    sum(xm) AS s1, sum(CAST(xm AS HUGEINT) * xm) AS s2,
+        |    min(xm) AS mn, max(xm) AS mx
+        |  FROM m GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  round(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean_value,
+        |  round(sqrt(CAST(s2 AS DOUBLE) / n -
+        |    (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e6, 6)
+        |    AS std_value,
+        |  round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_value,
+        |  round(CAST(mx AS DOUBLE) / 1e6, 6) AS max_value
+        |FROM agg ORDER BY dim""".stripMargin,
+
+    // trailing 8-bucket baseline, current bucket excluded; population
+    // std; full-window + positive-variance gates match the Spark side
+    "q115_rate_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, n,
+        |    count(n) OVER f AS base_n,
+        |    sum(n) OVER f AS base_sum,
+        |    sum(n * n) OVER f AS base_sumsq
+        |  FROM b
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(base_sum AS DOUBLE) / 8 AS mean,
+        |    sqrt(CAST(base_sumsq AS DOUBLE) / 8 -
+        |      (CAST(base_sum AS DOUBLE) / 8) * (CAST(base_sum AS DOUBLE) / 8))
+        |      AS std
+        |  FROM w WHERE base_n = 8)
+        |SELECT event_type, bucket, n,
+        |  round(mean, 2) AS baseline_mean,
+        |  CAST(round((n - mean) / std * 1e6, 0) AS BIGINT) AS z_micro
+        |FROM z
+        |WHERE std > 0 AND abs(round((n - mean) / std * 1e6, 0)) >= 2000000
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // per-token JSD contribution nano-quantized before the sum (q107
+    // convention) so the aggregation order cannot move the hash
+    "q116_token_drift" ->
+      """WITH tok AS (
+        |  SELECT lang, CAST(doc_id % 2 AS INT) AS snap,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, token,
+        |    sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM tok GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, token, c0, c1,
+        |    sum(c0) OVER (PARTITION BY lang) AS t0,
+        |    sum(c1) OVER (PARTITION BY lang) AS t1
+        |  FROM cnt),
+        |term AS (
+        |  SELECT lang, t0, t1,
+        |    CAST(round((
+        |      CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / t0) *
+        |        ln((CAST(c0 AS DOUBLE) / t0) /
+        |           ((CAST(c0 AS DOUBLE) / t0 + CAST(c1 AS DOUBLE) / t1) / 2)) / 2
+        |      ELSE 0 END +
+        |      CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / t1) *
+        |        ln((CAST(c1 AS DOUBLE) / t1) /
+        |           ((CAST(c0 AS DOUBLE) / t0 + CAST(c1 AS DOUBLE) / t1) / 2)) / 2
+        |      ELSE 0 END) * 1e9, 0) AS BIGINT) AS term_nano
+        |  FROM tot)
+        |SELECT lang, CAST(max(t0) AS BIGINT) AS n_tokens_0,
+        |  CAST(max(t1) AS BIGINT) AS n_tokens_1,
+        |  CAST(round(CAST(sum(term_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS jsd_micro
+        |FROM term GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // one window pass: last preceding touch via IGNORE NULLS; touches
+    // sort before same-second conversions, event_id breaks ties
+    "q117_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_id AS eid
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click', 'view')),
+        |marked AS (
+        |  SELECT u, t, ep, eid,
+        |    last_value(CASE WHEN t <> 'purchase'
+        |               THEN struct_pack(tep := ep, tt := t) END IGNORE NULLS)
+        |      OVER (PARTITION BY u
+        |            ORDER BY ep, CASE WHEN t = 'purchase' THEN 1 ELSE 0 END, eid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM base),
+        |conv AS (
+        |  SELECT CASE WHEN touch IS NOT NULL
+        |                   AND ep - touch.tep <= 3600
+        |              THEN touch.tt ELSE 'organic' END AS channel,
+        |         ep - touch.tep AS lag_sec
+        |  FROM marked WHERE t = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  round(avg(CASE WHEN channel <> 'organic' THEN lag_sec END), 2)
+        |    AS avg_lag_sec
+        |FROM conv GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
+    "q118_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |rked AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt, k) AS i,
+        |    row_number() OVER (ORDER BY cnt DESC, k) AS rk_desc
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  sum(cnt) AS n_rows,
+        |  round(CAST(sum(CASE WHEN rk_desc = 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 6) AS top1_share,
+        |  round(CAST(sum(CASE WHEN rk_desc <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 6) AS top10_share,
+        |  round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM rked""".stripMargin,
 
     // gaps-and-islands at integer MICROSECOND precision; the >= gap
     // boundary replays session_window's half-open merge rule, end =

@@ -50,6 +50,53 @@ object Profiling {
     }
   }
 
+  /** Join/group-key skew diagnostics — the pre-flight every large
+    * shuffle deserves: per-key frequencies contracted to
+    * (n_keys, n_rows, top-1 share, top-`topK` share, Gini). A Gini near
+    * 0 means uniform keys (hash partitioning will balance); near 1
+    * means a handful of hot keys own the table and the downstream
+    * join/agg needs salting or AQE skew handling (see ops/SkewJoin).
+    *
+    * Gini over the ranked key-count sequence x₁ ≤ … ≤ xₙ:
+    * G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n — computed from exact integer
+    * window/aggregate sums, one double division at the end.
+    *
+    * Scale: the only full-data pass is the per-key count (map-side
+    * partial). The ranking window runs on the key-cardinality
+    * contraction; if even THAT is huge, the window partitions by
+    * nothing — so this diagnostic is for key spaces that fit a single
+    * partition after contraction (10⁷ keys ≈ 160 MB — fine); beyond
+    * that, sample keys first. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    // ascending count, key tie-break: deterministic ranks
+    val w = Window.orderBy(col("cnt"), col("k"))
+    val wDesc = Window.orderBy(col("cnt").desc, col("k"))
+    counts
+      .withColumn("i", row_number().over(w))
+      .withColumn("rk_desc", row_number().over(wDesc))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        sum(col("i") * col("cnt")).as("iwsum"),
+        sum(when(col("rk_desc") === 1, col("cnt")).otherwise(0L))
+          .as("top1"),
+        sum(when(col("rk_desc") <= topK, col("cnt")).otherwise(0L))
+          .as("topk"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("top1").cast("double") / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("topk").cast("double") / col("n_rows"), 6)
+          .as(s"top${topK}_share"),
+        round(
+          lit(2.0) * col("iwsum") /
+            (col("n_keys").cast("double") * col("n_rows")) -
+            (col("n_keys") + lit(1)).cast("double") / col("n_keys"), 6)
+          .as("gini"))
+  }
+
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
     val pieces = cols.map { c =>
       struct(

@@ -718,4 +718,42 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("id").as(idCol), col("sim"))
   }
+
+  /** Per-dimension distribution stats of an embedding column — the
+    * whitening/normalization pre-pass every embedding pipeline runs
+    * before PQ/IVF training (mean-centering, per-dim scale, dead-dim
+    * detection): (dim, n, mean, std_pop, min, max).
+    *
+    * Determinism: each element is micro-quantized (`round(x*1e6)` →
+    * BIGINT) BEFORE aggregation, so the shuffled partial sums are
+    * integer — order-free and bit-identical across engines; only the
+    * final per-dim scalar math (mean/variance of one group) runs in
+    * floating point. The squared sum accumulates as decimal(38,0):
+    * micros² ≈ 1e12 per element would overflow int64 past ~9M rows per
+    * dimension, and 100 TB of vectors is billions.
+    *
+    * Scale: posexplode multiplies rows ×dims, but partial hash
+    * aggregation collapses each partition to `dims` buffer rows before
+    * the exchange — the shuffle is O(partitions × dims), independent of
+    * row count. 100 TB of vectors shuffles kilobytes. */
+  def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val micro = emb.select(posexplode(
+        transform(col(vecCol), x => round(x.cast("double") * 1e6)
+          .cast("long"))).as(Seq("dim", "xm")))
+    micro.groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm")).as("s1"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("s2"),
+        min(col("xm")).as("mn"),
+        max(col("xm")).as("mx"))
+      .select(col("dim"), col("n"),
+        round(col("s1") / col("n") / 1e6, 6).as("mean_value"),
+        round(
+          sqrt(col("s2").cast("double") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n"))) / 1e6, 6)
+          .as("std_value"),
+        round(col("mn") / 1e6, 6).as("min_value"),
+        round(col("mx") / 1e6, 6).as("max_value"))
+      .orderBy(col("dim"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
@@ -858,5 +859,55 @@ object TextAnalysis {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(trunc4(coalesce(col("n_dup"), lit(0L)).cast("double")
             / col("n_grams"))).as("dup_coverage"))
+  }
+
+  /** Token-distribution drift between two corpus snapshots, per group:
+    * Jensen-Shannon divergence (natural log; 0 = identical, ln 2 =
+    * disjoint) between the unigram distributions of snapshot 0 and
+    * snapshot 1 within each group — the standard "did the crawl shift
+    * under me" monitor run between corpus versions, far more sensitive
+    * than doc-level diffing (q108) because it sees WHAT changed inside
+    * replaced text, not how many rows changed.
+    *
+    * `snapshotCol` must be 0/1. Output: (grp, n_tokens_0, n_tokens_1,
+    * jsd_micro) — the divergence micro-quantized after an exact-integer
+    * contribution sum, following the q107 convention: each token's
+    * contribution 0.5·p·ln(p/m) + 0.5·q·ln(q/m) is nano-quantized to a
+    * BIGINT before summing, so the reduce order Spark picks cannot
+    * change the hash.
+    *
+    * Scale: one (grp, token, snapshot) count aggregate contracts the
+    * token stream map-side; the JSD sum re-aggregates the contraction
+    * (≤ |vocab| × groups rows). No join — the two snapshots pivot into
+    * one row per (grp, token) via conditional sums. */
+  def tokenDrift(df: DataFrame, snapshotCol: Column,
+                 grpCol: String = "lang",
+                 textCol: String = "text"): DataFrame = {
+    val counts = df
+      .select(col(grpCol).as("grp"), snapshotCol.cast("int").as("snap"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = Window.partitionBy(col("grp"))
+    val contrib = counts
+      .withColumn("t0", sum(col("c0")).over(totals))
+      .withColumn("t1", sum(col("c1")).over(totals))
+      .withColumn("p", col("c0").cast("double") / col("t0"))
+      .withColumn("q", col("c1").cast("double") / col("t1"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2)
+          .otherwise(lit(0.0)) +
+        when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2)
+          .otherwise(lit(0.0)))
+      .withColumn("term_nano", round(col("term") * 1e9).cast("long"))
+    contrib
+      .groupBy(col("grp"))
+      .agg(max(col("t0")).as("n_tokens_0"), max(col("t1")).as("n_tokens_1"),
+        sum(col("term_nano")).as("jsd_nano"))
+      .select(col("grp"), col("n_tokens_0"), col("n_tokens_1"),
+        (round(col("jsd_nano") / 1e3)).cast("long").as("jsd_micro"))
+      .orderBy(col("grp"))
   }
 }

@@ -142,4 +142,105 @@ object Behavior {
           2))
       .orderBy(col("cohort_day"), col("week_offset"))
   }
+
+  /** Event-rate anomaly detection: per (event_type, time bucket) counts
+    * scored against a trailing-window baseline — z = (n − mean) / std
+    * over the previous `trailing` buckets (current bucket excluded, so
+    * the spike being tested never contaminates its own baseline). Only
+    * buckets with a FULL trailing window and non-zero baseline variance
+    * are scored; |z| ≥ `minZ` rows are returned.
+    *
+    * Determinism: bucket counts are integers; the baseline mean/std is
+    * double math on one row's frame of ≤`trailing` integers (identical
+    * sequence on any engine), and z is micro-quantized for the oracle
+    * hash. Population std — the frame IS the baseline, not a sample.
+    *
+    * Scale: the raw-event aggregate collapses 100 TB to
+    * (types × buckets) rows before the window; the window partitions by
+    * event_type and slides over a bounded ROWS frame, so no partition
+    * outgrows types × buckets-per-partition regardless of event volume.
+    */
+  def rateAnomaly(events: DataFrame, bucketSec: Long = 900,
+                  trailing: Int = 8, minZ: Double = 2.0,
+                  typeCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val bucket = (floor(floor(unix_timestamp(col(tsCol))) / bucketSec) *
+      bucketSec).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("base_n", count(col("n")).over(frame))
+      .withColumn("base_sum", sum(col("n")).over(frame))
+      .withColumn("base_sumsq", sum(col("n") * col("n")).over(frame))
+      .filter(col("base_n") === trailing)
+      .withColumn("mean", col("base_sum").cast("double") / trailing)
+      .withColumn("std",
+        sqrt(col("base_sumsq").cast("double") / trailing -
+          col("mean") * col("mean")))
+      .filter(col("std") > 0)
+      .withColumn("z_micro",
+        round((col("n") - col("mean")) / col("std") * 1e6).cast("long"))
+      .filter(abs(col("z_micro")) >= (minZ * 1e6).toLong)
+      .select(col("event_type"), col("bucket"), col("n"),
+        round(col("mean"), 2).as("baseline_mean"), col("z_micro"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's most recent touch event (any of `touchTypes`) within
+    * `horizonSec` before it; conversions with no qualifying touch are
+    * credited to "organic". Returns one row per credited channel:
+    * (channel, n_conversions, avg_lag_sec).
+    *
+    * Physical shape: ONE window pass — events sort once per user by
+    * (time, tie-break) and the last preceding touch arrives via
+    * last(..., ignoreNulls) over an unbounded-preceding frame. No
+    * self-join, no range join: the fact table shuffles exactly once on
+    * the user key. The horizon is applied AFTER the window (a lag
+    * filter), so the frame never needs a RANGE bound — ROWS frames
+    * stream in O(1) memory per row while the equivalent range join
+    * would rescan each user's touch history per conversion.
+    *
+    * Determinism: epoch-second comparisons; ties inside one second
+    * break on event type then a stable id column if present. Lag
+    * averages are exact integer sums divided once at the end. */
+  def lastTouchAttribution(events: DataFrame,
+                           conversionType: String = "purchase",
+                           touchTypes: Seq[String] = Seq("click", "view"),
+                           horizonSec: Long = 3600,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           idCol: String = "event_id"): DataFrame = {
+    val ep = floor(unix_timestamp(col(tsCol))).cast("long")
+    val base = events
+      .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("t"), ep.as("ep"),
+        col(idCol).as("eid"))
+    // touches sort before a same-second conversion so an instantaneous
+    // touch→conversion still attributes; among same-second touches the
+    // highest event id wins (latest arrival, stable tie-break)
+    val isConv = col("t") === conversionType
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ep"), isConv.cast("int"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = base
+      .withColumn("touch",
+        last(when(!isConv, struct(col("ep").as("tep"), col("t").as("tt"))),
+          ignoreNulls = true).over(w))
+      .filter(isConv)
+      .withColumn("lag_sec", col("ep") - col("touch.tep"))
+      .withColumn("channel",
+        when(col("touch").isNotNull && col("lag_sec") <= horizonSec,
+          col("touch.tt")).otherwise(lit("organic")))
+    attributed
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(avg(when(col("channel") =!= "organic", col("lag_sec"))), 2)
+          .as("avg_lag_sec"))
+      .orderBy(col("channel"))
+  }
 }

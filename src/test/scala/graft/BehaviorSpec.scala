@@ -62,4 +62,67 @@ class BehaviorSpec extends SparkSpec {
     assert(got((d1 + 1, 1L)) === ((1L, 100.0)))   // user 3 wk 1
     assert(got.size === 4)
   }
+
+  test("rateAnomaly flags a spike against its trailing baseline only") {
+    // 10 buckets of a flat-ish series (counts 10,11 alternating) then a
+    // 30-count spike: the spike's baseline is the 8 buckets before it
+    val base = 1700000000L - (1700000000L % 900)
+    val rows = (0 until 10).flatMap { b =>
+      val n = if (b % 2 == 0) 10 else 11
+      (0 until n).map(i => ("click", new Timestamp((base + b * 900) * 1000L)))
+    } ++ (0 until 30).map(i =>
+      ("click", new Timestamp((base + 10 * 900) * 1000L)))
+    val df = rows.toDF("event_type", "ts")
+    val got = Behavior.rateAnomaly(df, trailing = 8, minZ = 2.0).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("bucket") === base + 10 * 900)
+    assert(r.getAs[Long]("n") === 30)
+    // baseline = buckets 2..9 (counts 10,11 × 4) → mean 10.5, std 0.5
+    assert(r.getAs[Double]("baseline_mean") === 10.5)
+    assert(r.getAs[Long]("z_micro") === ((30 - 10.5) / 0.5 * 1e6).toLong)
+  }
+
+  test("rateAnomaly requires a full trailing window and nonzero variance") {
+    // constant series: std 0 everywhere → nothing scored, even though
+    // every bucket from index 8 has a full window
+    val base = 1700000000L - (1700000000L % 900)
+    val flat = (0 until 12).flatMap(b => (0 until 5).map(_ =>
+      ("view", new Timestamp((base + b * 900) * 1000L))))
+      .toDF("event_type", "ts")
+    assert(Behavior.rateAnomaly(flat).count() === 0)
+  }
+
+  test("lastTouchAttribution credits the latest in-horizon touch, else organic") {
+    val e = Seq(
+      // u1: view 10:00, click 10:30, purchase 11:00 → click, lag 1800
+      (1L, "view", ts("1 10:00"), 1L), (1L, "click", ts("1 10:30"), 2L),
+      (1L, "purchase", ts("1 11:00"), 3L),
+      // u2: click 08:00, purchase 10:00 → outside 1h horizon → organic
+      (2L, "click", ts("1 08:00"), 4L),
+      (2L, "purchase", ts("1 10:00"), 5L),
+      // u3: purchase with no touches at all → organic
+      (3L, "purchase", ts("1 09:00"), 6L),
+      // u4: view at the SAME second as the purchase still attributes
+      (4L, "view", ts("1 12:00"), 7L),
+      (4L, "purchase", ts("1 12:00"), 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.lastTouchAttribution(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.getAs[java.lang.Double]("avg_lag_sec"))))).toMap
+    assert(got("click") === ((1L, Some(1800.0))))
+    assert(got("view") === ((1L, Some(0.0))))
+    assert(got("organic") === ((2L, None)))
+  }
+
+  test("lastTouchAttribution: an error event never takes credit") {
+    val e = Seq(
+      (1L, "view", ts("1 10:00"), 1L),
+      (1L, "error", ts("1 10:30"), 2L), // not a touch type — invisible
+      (1L, "purchase", ts("1 10:45"), 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.lastTouchAttribution(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("view" -> 1L))
+  }
 }

@@ -579,4 +579,25 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._1 === got(1L)._1)          // same cluster as its dup
     assert(got.size === 4)
   }
+
+  test("dimStats: per-dimension mean/std/min/max from micro-quantized sums") {
+    val emb = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(3.0f, 2.0f)),
+      (3L, Array(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = got(0L)
+    assert(d0.getAs[Long]("n") === 3L)
+    assert(d0.getAs[Double]("mean_value") === 3.0)
+    // population std of (1,3,5) = sqrt(8/3)
+    assert(math.abs(d0.getAs[Double]("std_value") - math.sqrt(8.0 / 3)) < 1e-6)
+    assert(d0.getAs[Double]("min_value") === 1.0)
+    assert(d0.getAs[Double]("max_value") === 5.0)
+    val d1 = got(1L)
+    assert(d1.getAs[Double]("mean_value") === 0.0)
+    assert(d1.getAs[Double]("min_value") === -2.0)
+    assert(got.size === 2)
+  }
 }

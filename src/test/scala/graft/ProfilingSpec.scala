@@ -53,4 +53,23 @@ class ProfilingSpec extends SparkSpec {
     assert(Sinks.fileUri("file:///x") === "file:///x")
     assert(Sinks.fileUri("/tmp/x") === "file:///tmp/x")
   }
+
+  test("keySkew: uniform keys score gini 0, hot key dominates the shares") {
+    val uniform = (1 to 10).flatMap(k => Seq.fill(4)(k)).toDF("k")
+    val u = Profiling.keySkew(uniform, "k").collect().head
+    assert(u.getAs[Long]("n_keys") === 10L)
+    assert(u.getAs[Long]("n_rows") === 40L)
+    assert(u.getAs[Double]("top1_share") === 0.1)
+    assert(u.getAs[Double]("gini") === 0.0)
+
+    // key 1 owns 91 of 100 rows, keys 2..10 one each
+    val hot = (Seq.fill(91)(1) ++ (2 to 10)).toDF("k")
+    val h = Profiling.keySkew(hot, "k").collect().head
+    assert(h.getAs[Double]("top1_share") === 0.91)
+    assert(h.getAs[Double]("top10_share") === 1.0)
+    // ascending x = (1×9, 91): G = 2·(1+2+…+9 + 10·91)/(10·100) − 11/10
+    val expected = BigDecimal(2.0 * (45 + 910) / 1000.0 - 1.1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getAs[Double]("gini") === expected)
+  }
 }

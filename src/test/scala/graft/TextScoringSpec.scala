@@ -368,4 +368,29 @@ class TextScoringSpec extends SparkSpec {
       .select(normalize_text(normalize_text(col("raw")))).as[String].collect()
     assert(twice.toSeq === cases.map(_._2))
   }
+
+  // --- token drift (Jensen-Shannon divergence) ----------------------------
+
+  test("tokenDrift: identical snapshots diverge 0, disjoint snapshots ln 2") {
+    val same = Seq(
+      (0L, "en", "alpha beta gamma"), (1L, "en", "alpha beta gamma"),
+      (2L, "xx", "aa bb"), (3L, "xx", "cc dd"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tokenDrift(same, pmod(col("doc_id"), lit(2)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // en: snapshot 0 and 1 are the same 3 tokens → JSD exactly 0
+    assert(got("en").getAs[Long]("jsd_micro") === 0L)
+    assert(got("en").getAs[Long]("n_tokens_0") === 3L)
+    // xx: no shared tokens → JSD = ln 2 (693147 micro)
+    assert(got("xx").getAs[Long]("jsd_micro") === 693147L)
+  }
+
+  test("tokenDrift: a skewed shared vocabulary lands strictly inside (0, ln 2)") {
+    val df = Seq(
+      (0L, "en", "a a a a b"), (1L, "en", "a b b b b"))
+      .toDF("doc_id", "lang", "text")
+    val jsd = TextAnalysis.tokenDrift(df, pmod(col("doc_id"), lit(2)))
+      .collect().head.getAs[Long]("jsd_micro")
+    assert(jsd > 0L && jsd < 693147L)
+  }
 }
