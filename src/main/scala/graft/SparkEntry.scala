@@ -248,6 +248,37 @@ object SparkEntry {
     "q118_key_skew" -> ((s, d) =>
       Profiling.keySkew(events(s, d), keyCol = "user_id")),
 
+    // ===== CUBE multi-dimensional aggregate ===========================
+    // engine-portable weekday: epoch-day mod 7 (no tz/locale semantics)
+    "q119_cube" -> ((s, d) =>
+      events(s, d)
+        .cube(col("event_type"),
+          expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) % 7 AS BIGINT)")
+            .as("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("revenue"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("dow"))),
+
+    // ===== pairwise Pearson correlation (profiling tier) ==============
+    "q120_corr_matrix" -> ((s, d) =>
+      Profiling.corrMatrix(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ===== categorical dependence (mutual information) ================
+    "q121_mutual_info" -> ((s, d) =>
+      Profiling.mutualInfo(
+        events(s, d).withColumn("dow",
+          expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) % 7 AS BIGINT)")),
+        xCol = "event_type", yCol = "dow")),
+
+    // ===== ANN index recall@k evaluation ==============================
+    "q122_ann_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), k = 5,
+        bits = 4, tables = 8, scheme = Dedup.OracleHash)
+    }),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2313,6 +2344,161 @@ object SparkEntry {
         |  round(avg(CASE WHEN channel <> 'organic' THEN lag_sec END), 2)
         |    AS avg_lag_sec
         |FROM conv GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // grouping() bit order mirrors Spark's grouping_id (first col = MSB)
+    "q119_cube" ->
+      """SELECT event_type,
+        |  CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS revenue,
+        |  CAST(grouping(event_type) * 2 +
+        |       grouping(CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT))
+        |    AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE (event_type,
+        |  CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT))
+        |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
+
+    // e4-quantized HUGEINT sums mirror Spark's decimal(38,0)
+    // accumulators; the correlation itself is identical double math
+    "q120_corr_matrix" ->
+      """WITH qv AS (
+        |  SELECT CAST(round(l_quantity * 1e4, 0) AS HUGEINT) AS a,
+        |         CAST(round(l_extendedprice * 1e4, 0) AS HUGEINT) AS b,
+        |         CAST(round(l_discount * 1e4, 0) AS HUGEINT) AS c,
+        |         CAST(round(l_tax * 1e4, 0) AS HUGEINT) AS d
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |    CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(d) AS DOUBLE) AS sd,
+        |    CAST(sum(a*a) AS DOUBLE) AS ssa, CAST(sum(b*b) AS DOUBLE) AS ssb,
+        |    CAST(sum(c*c) AS DOUBLE) AS ssc, CAST(sum(d*d) AS DOUBLE) AS ssd,
+        |    CAST(sum(a*b) AS DOUBLE) AS sab, CAST(sum(a*c) AS DOUBLE) AS sac,
+        |    CAST(sum(a*d) AS DOUBLE) AS sad, CAST(sum(b*c) AS DOUBLE) AS sbc,
+        |    CAST(sum(b*d) AS DOUBLE) AS sbd, CAST(sum(c*d) AS DOUBLE) AS scd
+        |  FROM qv)
+        |SELECT col_x, col_y,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN round(cov / sqrt(vx * vy), 6) END AS corr
+        |FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    n*sab - sa*sb AS cov, n*ssa - sa*sa AS vx, n*ssb - sb*sb AS vy
+        |  FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    n*sac - sa*sc, n*ssa - sa*sa, n*ssc - sc*sc FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    n*sad - sa*sd, n*ssa - sa*sa, n*ssd - sd*sd FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    n*sbc - sb*sc, n*ssb - sb*sb, n*ssc - sc*sc FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    n*sbd - sb*sd, n*ssb - sb*sb, n*ssd - sd*sd FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    n*scd - sc*sd, n*ssc - sc*sc, n*ssd - sd*sd FROM s)
+        |ORDER BY col_x, col_y""".stripMargin,
+
+    // per-cell p·ln terms nano-quantized pre-sum (q107 convention);
+    // margins are window sums over the contingency contraction
+    "q121_mutual_info" ->
+      """WITH j AS (
+        |  SELECT event_type AS x,
+        |    CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) * 1e9,
+        |      0) AS BIGINT) AS mi_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(nx AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hx_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(ny AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hy_nano
+        |  FROM cells)
+        |SELECT
+        |  CAST(round(CAST(sum(mi_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS mi_micro,
+        |  CAST(round(CAST(sum(hx_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS h_x_micro,
+        |  CAST(round(CAST(sum(hy_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS h_y_micro,
+        |  CASE WHEN sum(hx_nano) > 0 AND sum(hy_nano) > 0
+        |       THEN round(CAST(sum(mi_nano) AS DOUBLE) /
+        |         sqrt(CAST(sum(hx_nano) AS DOUBLE) * sum(hy_nano)), 6)
+        |  END AS nmi
+        |FROM t""".stripMargin,
+
+    // the q21 brute CTEs + the q22 SRP replica CTEs, joined into
+    // per-query hit counts — an index-quality eval, so both pipelines
+    // appear verbatim
+    "q122_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qq AS (SELECT * FROM e WHERE vec_id < 10),
+        |scored_b AS (
+        |  SELECT qq.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_cosine_similarity(qq.v, c.v), 6) AS cos_sim
+        |  FROM qq, e c WHERE qq.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |dims AS (
+        |  SELECT vec_id, u.i - 1 AS d, v[u.i] AS x
+        |  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |planes AS (
+        |  SELECT p.p, dd.d,
+        |    CASE WHEN CAST(('0x' || substring(
+        |           md5(CAST(p.p * 4096 + dd.d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS w
+        |  FROM UNNEST(range(0, 32)) AS p(p),
+        |       (SELECT DISTINCT d FROM dims) dd),
+        |sums AS (
+        |  SELECT dims.vec_id, pl.p, round(sum(dims.x * pl.w), 6) AS s
+        |  FROM dims JOIN planes pl ON pl.d = dims.d
+        |  GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, (p // 4) AS tbl,
+        |         sum(CASE WHEN s >= 0 THEN (1 << (p % 4)) ELSE 0 END) AS sig
+        |  FROM sums GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT qs.vec_id AS qid, cs.vec_id AS cid
+        |  FROM sigs qs JOIN sigs cs
+        |    ON cs.tbl = qs.tbl AND cs.sig = qs.sig
+        |  WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id),
+        |scored_a AS (
+        |  SELECT cand.qid, cand.cid,
+        |    round(list_cosine_similarity(q2.v, c.v), 6) AS cos_sim
+        |  FROM cand
+        |  JOIN e q2 ON q2.vec_id = cand.qid
+        |  JOIN e c ON c.vec_id = cand.cid),
+        |approx AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_a)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM exact JOIN approx USING (qid, cid) GROUP BY 1),
+        |ne AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM exact GROUP BY 1)
+        |SELECT ne.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+        |    AS recall
+        |FROM ne LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -97,6 +97,106 @@ object Profiling {
           .as("gini"))
   }
 
+  /** Pairwise Pearson correlation of numeric columns — the feature-
+    * redundancy screen of a stats profile. One pass, one row out per
+    * unordered column pair.
+    *
+    * Determinism: values are e4-quantized to integers first; every
+    * accumulated sum (Σx, Σx², Σxy) is EXACT integer arithmetic in
+    * decimal(38,0) — far past int64, which the cross-products would
+    * overflow at ~1e9 rows — so the shuffle-order-sensitive part of the
+    * computation is exact, and the final correlation is a handful of
+    * identical IEEE double ops per pair on both engines.
+    *
+    * Scale: a single aggregate with 2c + c(c−1)/2 + 1 accumulators (c
+    * columns); partial aggregation makes the shuffle one buffer row
+    * per partition. The c² blow-up is in ACCUMULATOR count, not data —
+    * fine for profile-sized c (≤ ~30 columns), and never a second scan. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val q = cols.map(c =>
+      round(col(c).cast("double") * 1e4).cast("long")
+        .cast("decimal(38,0)").as(c))
+    val base = df.select(q: _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      cols.flatMap { c => Seq(
+        sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"ss_$c"))
+      } ++
+      pairs.map { case (a, b) =>
+        sum(col(a) * col(b)).as(s"sp_${a}__$b")
+      }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("n").cast("double")
+      def d(name: String) = col(name).cast("double")
+      val cov = n * d(s"sp_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+      val vx = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vy = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, plus
+    * both marginal entropies and the normalized MI — the dependence
+    * screen for dataset design (is `source` just a proxy for `lang`?
+    * does the split correlate with the label?). MI = 0 ⇔ independent;
+    * NMI = MI/√(H(x)·H(y)) ∈ [0,1] when both entropies are positive.
+    *
+    * Determinism: all distributions come from exact integer counts;
+    * each cell's p·ln term is nano-quantized to a BIGINT before the
+    * final sum (the q107 convention), so aggregation order can't move
+    * the hash.
+    *
+    * Scale: one (x,y) count aggregate contracts the table map-side;
+    * margins come from window sums OVER THE CONTRACTION (|X|·|Y|
+    * cells), so nothing downstream of the first aggregate sees row
+    * counts. Cardinalities beyond ~10⁶ cells want the sketch tier, not
+    * this exact op. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val cells = joint
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    val dbl = (c: Column) => c.cast("double")
+    val miTerm = dbl(col("nxy")) / dbl(col("n")) *
+      log(dbl(col("nxy")) * dbl(col("n")) / (dbl(col("nx")) * dbl(col("ny"))))
+    // marginal-entropy terms divided across the cells of each margin
+    // (each x-row carries its share nxy/nx of x's entropy term), so one
+    // pass over the cell frame yields MI and both entropies together
+    val hxTerm = dbl(col("nxy")) / dbl(col("n")) *
+      -log(dbl(col("nx")) / dbl(col("n")))
+    val hyTerm = dbl(col("nxy")) / dbl(col("n")) *
+      -log(dbl(col("ny")) / dbl(col("n")))
+    cells
+      .select(
+        round(miTerm * 1e9).cast("long").as("mi_nano"),
+        round(hxTerm * 1e9).cast("long").as("hx_nano"),
+        round(hyTerm * 1e9).cast("long").as("hy_nano"))
+      .agg(sum(col("mi_nano")).as("mi_n"), sum(col("hx_nano")).as("hx_n"),
+        sum(col("hy_nano")).as("hy_n"))
+      .select(
+        round(col("mi_n") / 1e3).cast("long").as("mi_micro"),
+        round(col("hx_n") / 1e3).cast("long").as("h_x_micro"),
+        round(col("hy_n") / 1e3).cast("long").as("h_y_micro"),
+        when(col("hx_n") > 0 && col("hy_n") > 0,
+          round(col("mi_n") / sqrt(col("hx_n").cast("double") * col("hy_n")),
+            6))
+          .otherwise(lit(null).cast("double")).as("nmi"))
+  }
+
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {
     val pieces = cols.map { c =>
       struct(

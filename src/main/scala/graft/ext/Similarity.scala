@@ -719,6 +719,38 @@ object Similarity {
       .select(col("label"), col("rk"), col("id").as(idCol), col("sim"))
   }
 
+  /** Recall@k evaluation of the SRP-LSH index against the exact
+    * brute-force ranking, per query: n_hits = |ann top-k ∩ exact
+    * top-k|, recall = n_hits/k. The operator every ANN deployment runs
+    * before trusting its index parameters (bits/tables trade recall
+    * for candidate volume) — and after every reindex, as drift
+    * monitoring.
+    *
+    * Scale: evaluation runs on a query SAMPLE (queries df), never the
+    * full corpus — the brute side is the yardstick and stays
+    * broadcast-query-sided exactly as q21; the join of the two top-k
+    * frames is k·|queries| rows a side. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                bits: Int = 4, tables: Int = 8,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                scheme: Dedup.HashScheme = Dedup.FastHash): DataFrame = {
+    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    val approx = annTopK(corpus, queries, k, bits, tables, idCol, vecCol,
+        scheme)
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Per-dimension distribution stats of an embedding column — the
     * whitening/normalization pre-pass every embedding pipeline runs
     * before PQ/IVF training (mean-centering, per-dim scale, dead-dim

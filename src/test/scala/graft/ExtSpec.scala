@@ -156,6 +156,27 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"ann recall $recall too low")
   }
 
+  test("annRecall agrees with a manual brute∩ann per-query comparison") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(emb, q, 5))
+    val ann = pairs(Similarity.annTopK(emb, q, 5, bits = 4, tables = 8))
+    val expected = brute.groupBy(_._1).map { case (qid, b) =>
+      qid -> b.count(ann.contains)
+    }
+    val got = Similarity.annRecall(emb, q, 5, bits = 4, tables = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (qid, hits) =>
+      assert(got(qid)._1 === hits.toLong, s"qid $qid")
+      assert(got(qid)._2 === BigDecimal(hits / 5.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("ivfTopK buckets cover the corpus and recall beats random probing") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = Similarity.ivfAssign(emb, 16)

@@ -72,4 +72,35 @@ class ProfilingSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(h.getAs[Double]("gini") === expected)
   }
+
+  test("corrMatrix: exact ±1 on linear columns, null on a constant column") {
+    val df = Seq((1.0, 2.0, -1.0, 7.0), (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0), (4.0, 8.0, -4.0, 7.0))
+      .toDF("x", "y2x", "yneg", "konst")
+    val got = Profiling.corrMatrix(df, Seq("x", "y2x", "yneg", "konst"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(got(("x", "y2x")) === Some(1.0))
+    assert(got(("x", "yneg")) === Some(-1.0))
+    assert(got(("x", "konst"))  === None) // zero variance → undefined
+    assert(got(("y2x", "yneg")) === Some(-1.0))
+    assert(got.size === 6)
+  }
+
+  test("mutualInfo: 0 for independent columns, H(x) and NMI 1 when y = x") {
+    // 2×2 uniform independent grid
+    val indep = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    val i = Profiling.mutualInfo(indep, "x", "y").collect().head
+    assert(i.getAs[Long]("mi_micro") === 0L)
+    assert(i.getAs[Long]("h_x_micro") === 693147L) // ln 2
+    assert(i.getAs[Double]("nmi") === 0.0)
+
+    // y fully determined by x, uniform over 2 values → MI = H = ln 2
+    val dep = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val d = Profiling.mutualInfo(dep, "x", "y").collect().head
+    assert(d.getAs[Long]("mi_micro") === 693147L)
+    assert(d.getAs[Double]("nmi") === 1.0)
+  }
 }
