@@ -484,6 +484,56 @@ object ScaleProbe {
         embNn.withColumn("label", pmod(col("vec_id"), lit(7)).cast("int")),
         k = 3, nCentroids = 256))
     }
+
+    // ---- round-6 additions (q114-q122) --------------------------------
+    // dimStats: the explode ×64 collapses to dims-cardinality partial
+    // buffers map-side — timing should track the scan, not the blowup
+    timed(s"embed_dimstats x$docReps") {
+      consume(Similarity.dimStats(emb))
+    }
+    // rate anomaly on the replicated stream: the aggregate contracts
+    // events to (type × bucket) before any window
+    timed(s"rate_anomaly x$eventReps") {
+      consume(graft.ops.Behavior.rateAnomaly(events))
+    }
+    // attribution: one user-keyed window pass over 10M events
+    timed(s"attribution x$eventReps") {
+      consume(graft.ops.Behavior.lastTouchAttribution(events))
+    }
+    timed(s"token_drift x$docReps") {
+      consume(TextAnalysis.tokenDrift(docs
+        .withColumn("lang", pmod(col("doc_id"), lit(5)).cast("int")),
+        snapshotCol = pmod(col("doc_id"), lit(2))))
+    }
+    timed(s"mutual_info x$eventReps") {
+      consume(graft.ext.Profiling.mutualInfo(
+        events.withColumn("dow",
+          expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) % 7 AS BIGINT)")),
+        "event_type", "dow"))
+    }
+    timed(s"corr_matrix x$eventReps") {
+      consume(graft.ext.Profiling.corrMatrix(
+        Tables.lineitem(spark, sfDir)
+          .crossJoin(spark.range(eventReps / 10).toDF("rep")),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+    }
+    timed(s"key_skew x$eventReps") {
+      consume(graft.ext.Profiling.keySkew(events, "user_id"))
+    }
+    // triangle census over the synthetic graph at 1M nodes (~2M
+    // directed edges); wedge join bounded by the ~4-degree graph
+    timed(s"triangles x$docReps") {
+      consume(graft.ext.LinkGraph.triangleCensus(
+        graft.ext.LinkGraph.syntheticEdges(docs)))
+    }
+    timed(s"k_anonymity x$eventReps") {
+      consume(Curation.kAnonymity(
+        events.select(col("event_type"),
+          expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) % 7 AS BIGINT)")
+            .as("dow"),
+          floor(col("value") / 10).cast("long").as("value_bucket")),
+        Seq("event_type", "dow", "value_bucket")))
+    }
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, LinkGraph, Multimodal, Profiling, Similarity, TextAnalysis => T}
+import graft.ext.{Curation, Dedup, LinkGraph, Multimodal, Profiling, Retrieval, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -278,6 +278,37 @@ object SparkEntry {
       Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), k = 5,
         bits = 4, tables = 8, scheme = Dedup.OracleHash)
     }),
+
+    // ===== hybrid retrieval: reciprocal-rank fusion ===================
+    // lexical BM25 top-100 fused with embedding-cosine top-100 (query =
+    // vector 0); both rankings are ≤100 rows, so the unpartitioned
+    // ranking windows run on bounded frames
+    "q123_rrf_fusion" -> ((s, d) => {
+      val bm = T.bm25TopK(documents(s, d),
+          terms = Seq("spark", "join", "vector"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = embeddings(s, d)
+      val cos = Similarity.bruteTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("cid").as("id"), col("rank"))
+      Retrieval.rrf(Seq(bm, cos), c = 60, topK = 20)
+    }),
+
+    // ===== k-anonymity audit (privacy tier) ===========================
+    "q124_k_anonymity" -> ((s, d) =>
+      Curation.kAnonymity(
+        events(s, d).select(col("event_type"),
+          expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) % 7 AS BIGINT)")
+            .as("dow"),
+          floor(col("value") / 10).cast("long").as("value_bucket")),
+        Seq("event_type", "dow", "value_bucket"), k = 5)),
+
+    // ===== triangle census of the link graph ==========================
+    "q125_triangles" -> ((s, d) =>
+      LinkGraph.triangleCensus(
+        LinkGraph.syntheticEdges(documents(s, d)))),
 
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
@@ -2499,6 +2530,127 @@ object SparkEntry {
         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
         |    AS recall
         |FROM ne LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
+
+    // the q105 BM25 pipeline at k=100 + a cosine ranking vs vector 0,
+    // fused positionally: contrib = round(1e6/(60+rank)) per ranker
+    "q123_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |hits AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |per AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM hits h JOIN dfq d USING (token) CROSS JOIN g),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+        |  FROM per GROUP BY doc_id
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+        |bmr AS (
+        |  SELECT doc_id AS id, row_number() OVER (
+        |    ORDER BY bm25_micro DESC, doc_id) AS rank
+        |  FROM bmtop),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cscored AS (
+        |  SELECT e.vec_id AS cid,
+        |         round(list_cosine_similarity(q0.qv, e.v), 6) AS cos_sim
+        |  FROM e, q0 WHERE e.vec_id <> 0),
+        |cosr AS (
+        |  SELECT cid AS id, rank FROM (
+        |    SELECT cid, row_number() OVER (
+        |      ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM cscored)
+        |  WHERE rank <= 100),
+        |u AS (
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS contrib
+        |  FROM bmr
+        |  UNION ALL
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) FROM cosr),
+        |f AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_rankers,
+        |         CAST(sum(contrib) AS BIGINT) AS rrf_micro
+        |  FROM u GROUP BY 1)
+        |SELECT id, n_rankers, rrf_micro, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY rrf_micro DESC, id) AS BIGINT) AS rank
+        |  FROM f)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // quasi-identifier combination sizes from one count aggregate;
+    // the audit runs over the combo contraction
+    "q124_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS dow,
+        |    CAST(floor(value / 10) AS BIGINT) AS value_bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_combos,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_combos,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  round(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    * 100 / sum(cnt), 4) AS pct_at_risk,
+        |  min(cnt) AS min_combo_size
+        |FROM c""".stripMargin,
+
+    // the q76 synthetic edge arithmetic, canonicalized a<b, then the
+    // wedge self-join closed against the edge set; wedges from exact
+    // integer degree sums
+    "q125_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 31 + 7) % nn.n AS dst
+        |    FROM documents, nn WHERE doc_id % 97 <> 0
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 17 + 3) % nn.n
+        |    FROM documents, nn WHERE doc_id % 97 <> 0)
+        |  WHERE src <> dst),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT e1.a, e1.b, e2.b AS c FROM und e1
+        |  JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN und e3 ON w.b = e3.a AND w.c = e3.b),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |       THEN CAST(round(n_triangles * 3.0 * 1e6 / n_wedges, 0)
+        |                 AS BIGINT)
+        |       ELSE 0 END AS transitivity_micro
+        |FROM agg, tri, ec""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -724,4 +724,37 @@ object Curation {
       .withColumn(idCol, id + lit(1000000L))
     kept.unionByName(removed)
   }
+
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * re-identification screen run before releasing or training on
+    * event-level data (complements the PII scrub, which removes direct
+    * identifiers; this measures how identifying the REMAINING columns
+    * are in combination). A row is "at risk" when its full
+    * quasi-identifier combination occurs fewer than `k` times.
+    *
+    * One row out: (n_rows, n_combos, n_violating_combos,
+    * n_rows_at_risk, pct_at_risk, min_combo_size).
+    *
+    * Scale: one combo-count aggregate (map-side partial) contracts the
+    * table to its quasi-identifier cardinality; the audit aggregate
+    * runs over that contraction. Nothing here is row-count-sized after
+    * the first shuffle. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    val combos = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    combos.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_combos"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_violating_combos"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("cnt")).as("min_combo_size"))
+      .select(col("n_rows"), col("n_combos"), col("n_violating_combos"),
+        col("n_rows_at_risk"),
+        round(col("n_rows_at_risk").cast("double") * 100 / col("n_rows"), 4)
+          .as("pct_at_risk"),
+        col("min_combo_size"))
+  }
 }

@@ -127,4 +127,62 @@ object LinkGraph {
         (col("src") * 17 + 3) % col("n"))).as("dst"))
       .filter(col("src") =!= col("dst"))
   }
+
+  /** Global triangle census of the undirected graph: one row with
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity_micro) —
+    * transitivity = 3·triangles / wedges, the global clustering
+    * coefficient (how often "a friend of my friend is my friend" —
+    * spam farms and boilerplate rings light this up).
+    *
+    * The classic distributed shape: canonicalize to a < b and dedupe
+    * (direction and multiplicity never create triangles), then ONE
+    * self-join builds wedges (a<b<c via b) and ONE join closes them
+    * against the edge set — both on edge keys, no matrix, no
+    * per-node adjacency collection. The a<b<c ordering counts each
+    * triangle exactly once and keeps the wedge frame the minimal
+    * oriented one (Σ over b of lower-deg×higher-deg pairs). Wedge
+    * count is Σ deg·(deg−1)/2 in exact integers.
+    *
+    * Scale: the wedge join is the known hot spot (a hub of degree d
+    * emits O(d²) oriented wedges); `maxWedgeDegree` caps the oriented
+    * out-degree a node may contribute (skip-listing mega-hubs the way
+    * maxPostings caps hot shingles) — exact below the cap, and the
+    * cap's effect is VISIBLE (n_capped_nodes would be the follow-up
+    * column; here the synthetic graph's max degree is ~4, so the cap
+    * never fires in fixtures and the count stays exact). */
+  def triangleCensus(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst",
+                     maxWedgeDegree: Int = 10000): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // oriented out-degree (a<b edges per a) for the wedge cap
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("odeg"))
+    val capped = und.join(deg.filter(col("odeg") <= maxWedgeDegree)
+      .select(col("a")), Seq("a"))
+    // wedges a<b<c through their smallest endpoint a
+    val wedges = capped.as("e1")
+      .join(capped.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val triangles = wedges.join(und.as("e3"),
+      col("wb") === col("e3.a") && col("wc") === col("e3.b"))
+    val undDeg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val wedgeTotal = undDeg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges")) // exact: d(d−1) even
+    val tri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val ecnt = und.agg(count(lit(1)).as("n_edges"))
+    wedgeTotal.crossJoin(broadcast(tri)).crossJoin(broadcast(ecnt))
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * lit(3.0) * 1e6 / col("n_wedges"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("transitivity_micro"))
+  }
 }

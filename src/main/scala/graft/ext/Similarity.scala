@@ -769,9 +769,14 @@ object Similarity {
     * the exchange — the shuffle is O(partitions × dims), independent of
     * row count. 100 TB of vectors shuffles kilobytes. */
   def dimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val micro = emb.select(posexplode(
-        transform(col(vecCol), x => round(x.cast("double") * 1e6)
-          .cast("long"))).as(Seq("dim", "xm")))
+    // quantize AFTER the explode: a transform() lambda before it runs
+    // interpreted (higher-order functions never enter codegen — the
+    // q105/BM25 lesson), while the identical arithmetic on the exploded
+    // scalar is WholeStageCodegen'd. Probed 17.0 → 13.7 s at 25.6M
+    // elements (the remainder is the Generate itself, not the math).
+    val micro = emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xm"))
     micro.groupBy(col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("xm")).as("s1"),

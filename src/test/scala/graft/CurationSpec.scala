@@ -381,4 +381,22 @@ class CurationSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got === Seq((2L, "tail", 0L), (3L, "", 1L)))
   }
+
+  test("kAnonymity: combos under k are at risk, a safe table audits clean") {
+    // combo (a,1): 5 rows — safe at k=5; (a,2): 2 rows; (b,1): 1 row
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1)))
+      .toDF("x", "y")
+    val r = Curation.kAnonymity(df, Seq("x", "y"), k = 5).collect().head
+    assert(r.getAs[Long]("n_rows") === 8L)
+    assert(r.getAs[Long]("n_combos") === 3L)
+    assert(r.getAs[Long]("n_violating_combos") === 2L)
+    assert(r.getAs[Long]("n_rows_at_risk") === 3L)
+    assert(r.getAs[Double]("pct_at_risk") === 37.5)
+    assert(r.getAs[Long]("min_combo_size") === 1L)
+
+    val safe = Seq.fill(10)(("a", 1)).toDF("x", "y")
+    val s = Curation.kAnonymity(safe, Seq("x", "y"), k = 5).collect().head
+    assert(s.getAs[Long]("n_rows_at_risk") === 0L)
+    assert(s.getAs[Double]("pct_at_risk") === 0.0)
+  }
 }

@@ -52,4 +52,27 @@ class LinkGraphSpec extends SparkSpec {
     assert(!e.exists(_._1 == 0L)) // 0 % 97 == 0 → dangling by design
     assert(!e.exists(_._1 == 97L))
   }
+
+  test("triangleCensus: known graph, direction/multiplicity-blind, exact wedges") {
+    // triangle {1,2,3} + pendant 3-4; reversed and duplicate edges must
+    // not change anything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = LinkGraph.triangleCensus(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    // deg = (2,2,3,1) → wedges 1+1+3+0 = 5
+    assert(r.getAs[Long]("n_wedges") === 5L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    // transitivity = 3·1/5 = 0.6
+    assert(r.getAs[Long]("transitivity_micro") === 600000L)
+  }
+
+  test("triangleCensus: triangle-free star has wedges but zero transitivity") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = LinkGraph.triangleCensus(star).collect().head
+    assert(r.getAs[Long]("n_wedges") === 3L)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Long]("transitivity_micro") === 0L)
+  }
 }
