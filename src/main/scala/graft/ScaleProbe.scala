@@ -534,6 +534,13 @@ object ScaleProbe {
           floor(col("value") / 10).cast("long").as("value_bucket")),
         Seq("event_type", "dow", "value_bucket")))
     }
+    // contribution expansion: user-day contraction ×28, then distinct
+    timed(s"rolling_dau x$eventReps") {
+      consume(graft.ops.Behavior.rollingActiveUsers(events))
+    }
+    timed(s"path_trigrams x$eventReps") {
+      consume(graft.ops.Behavior.pathTrigrams(events))
+    }
     spark.stop()
   }
 }

@@ -310,6 +310,23 @@ object SparkEntry {
       LinkGraph.triangleCensus(
         LinkGraph.syntheticEdges(documents(s, d)))),
 
+    // ===== rolling engagement (DAU / MAU-28 / stickiness) =============
+    "q126_rolling_dau" -> ((s, d) =>
+      graft.ops.Behavior.rollingActiveUsers(events(s, d))),
+
+    // ===== session path trigrams (behavior flows) =====================
+    "q127_path_trigrams" -> ((s, d) =>
+      graft.ops.Behavior.pathTrigrams(events(s, d), k = 20)),
+
+    // ===== right-to-erasure sweep audit ===============================
+    // synthetic regulatory request: every 13th user id
+    "q128_erasure_audit" -> ((s, d) => {
+      val e = events(s, d)
+      Curation.erasureAudit(e,
+        e.filter(pmod(col("user_id"), lit(13)) === 0)
+          .select(col("user_id")).distinct())
+    }),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2651,6 +2668,72 @@ object SparkEntry {
         |                 AS BIGINT)
         |       ELSE 0 END AS transitivity_micro
         |FROM agg, tri, ec""".stripMargin,
+
+    // the contribution expansion: each (user, day) covers 28 target
+    // days; distinct then count — identical shape to the Spark side
+    "q126_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS target FROM ud),
+        |contrib AS (
+        |  SELECT DISTINCT u, d + o.k AS target
+        |  FROM ud, UNNEST(range(0, 28)) AS o(k)
+        |  WHERE d + o.k IN (SELECT target FROM days)),
+        |mau AS (
+        |  SELECT target, CAST(count(*) AS BIGINT) AS mau FROM contrib
+        |  GROUP BY 1),
+        |dau AS (
+        |  SELECT d AS target, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1)
+        |SELECT dau.target AS day, dau.dau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+        |FROM dau JOIN mau ON dau.target = mau.target
+        |ORDER BY day""".stripMargin,
+
+    // the q32 sessionizer + two leads inside the session partition
+    "q127_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+        |                   OR ep - lag(ep) OVER w > 1800
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |tri AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER sw AS step2,
+        |    lead(event_type, 2) OVER sw AS step3
+        |  FROM sessioned
+        |  WINDOW sw AS (PARTITION BY user_id, sess ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+
+    // membership probe + conditional aggregate; keys = every 13th user
+    "q128_erasure_audit" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 13 = 0)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows_before,
+        |  CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rows_deleted,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rows_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys_requested,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys_present,
+        |  round(CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) * 100 / count(*), 4) AS pct_deleted
+        |FROM events LEFT JOIN keys ON events.user_id = keys.k""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -739,6 +739,36 @@ object Curation {
     * table to its quasi-identifier cardinality; the audit aggregate
     * runs over that contraction. Nothing here is row-count-sized after
     * the first shuffle. */
+  /** Right-to-erasure sweep audit: given a deletion key list, report
+    * what an erasure pass would remove — (n_rows_before, n_rows_deleted,
+    * n_rows_after, n_keys_requested, n_keys_present, pct_deleted). The
+    * compliance half of the privacy tier (kAnonymity measures
+    * re-identification risk; this measures deletion reach before the
+    * destructive pass runs).
+    *
+    * Scale: one conditional aggregate over the fact table with the key
+    * list broadcast as a semi-join membership probe — the fact table is
+    * scanned once and never shuffled on row count; only the (small,
+    * regulatory-request-sized) key list moves. */
+  def erasureAudit(df: DataFrame, deleteKeys: DataFrame,
+                   keyCol: String = "user_id"): DataFrame = {
+    val keys = deleteKeys.select(col(keyCol).as("k")).distinct()
+    val marked = df.select(col(keyCol).as("k"))
+      .join(broadcast(keys.withColumn("hit", lit(1))), Seq("k"), "left")
+    val nKeys = keys.agg(count(lit(1)).as("n_keys_requested"))
+    marked.agg(
+        count(lit(1)).as("n_rows_before"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_rows_deleted"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_rows_after"),
+        countDistinct(when(col("hit") === 1, col("k")))
+          .as("n_keys_present"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("n_rows_before"), col("n_rows_deleted"),
+        col("n_rows_after"), col("n_keys_requested"), col("n_keys_present"),
+        round(col("n_rows_deleted").cast("double") * 100
+          / col("n_rows_before"), 4).as("pct_deleted"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
                  k: Int = 5): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")

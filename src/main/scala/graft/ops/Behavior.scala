@@ -189,6 +189,108 @@ object Behavior {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Rolling active users: for each observed day, DAU (distinct users
+    * that day), MAU_28 (distinct users over the trailing 28 days), and
+    * the DAU/MAU stickiness ratio — the engagement triple every event
+    * warehouse reports daily.
+    *
+    * Physical shape — the "contribution expansion": each distinct
+    * (user, day) row contributes to the 28 target days it keeps the
+    * user active for, via an explode(sequence(...)) bounded at ×28,
+    * then ONE distinct + count per target day. This trades a 28×
+    * row expansion of the user-DAY contraction (already tiny next to
+    * raw events) for completely even key distribution — against the
+    * alternative (a day-range self-join), there is no skew cliff and
+    * no O(days²) window. Target days outside the observed range drop
+    * via an equi-join with the day frame.
+    *
+    * The HLL path for 100 TB: [[rollingActiveUsersSketch]] unions 28
+    * DAILY sketches per target day (days × 28 sketch rows total,
+    * independent of user count); this exact form is its oracle at test
+    * scale. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 28,
+                         userCol: String = "user_id",
+                         tsCol: String = "ts"): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long")
+    val ud = events.select(col(userCol).as("u"), day.as("d")).distinct()
+    val days = ud.select(col("d").as("target")).distinct()
+    val contrib = ud
+      .select(col("u"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("target"))
+      .join(days, Seq("target"))
+      .distinct()
+    val mau = contrib.groupBy(col("target"))
+      .agg(count(lit(1)).as("mau")) // contrib is already (u, target)-distinct
+    val dau = ud.groupBy(col("d").as("target"))
+      .agg(count(lit(1)).as("dau")) // ud is already (u, d)-distinct
+    dau.join(mau, Seq("target"))
+      .select(col("target").as("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** The sketch form of [[rollingActiveUsers]]: one HLL sketch per
+    * (day), each unioned into the `windowDays` target days it covers —
+    * the union input is days × window SKETCH rows regardless of user
+    * count, which at 100 TB is the difference between shuffling DAU
+    * rows ×28 and shuffling a few thousand constant-size buffers. No
+    * DuckDB oracle (sketch layouts are engine-specific); BehaviorSpec
+    * pins the estimates to the exact form within tolerance. */
+  def rollingActiveUsersSketch(events: DataFrame, windowDays: Int = 28,
+                               userCol: String = "user_id",
+                               tsCol: String = "ts",
+                               lgK: Int = 14): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long")
+    val daily = events.select(col(userCol).as("u"), day.as("d"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("u"), lit(lgK)).as("sk"))
+    val days = daily.select(col("d").as("target")).distinct()
+    daily
+      .select(col("sk"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("target"))
+      .join(days, Seq("target"))
+      .groupBy(col("target"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau_est"))
+      .select(col("target").as("day"), col("mau_est"))
+      .orderBy(col("day"))
+  }
+
+  /** Top-k session path trigrams — "behavior flows": the most common
+    * ordered 3-step event sequences within a session (30-min
+    * inactivity gap, the q32 convention). The product-analytics view
+    * of what users actually DO, one level above single-event counts.
+    *
+    * Physical shape: one user-keyed exchange feeds all three window
+    * passes (lag, running session sum, leads) — hashpartitioning(user)
+    * already satisfies the (user, sess) clustering requirement, so the
+    * session-scoped window inserts only a LOCAL re-sort, never a second
+    * shuffle (verified in the plan: one Exchange before the windows,
+    * one after for the trigram count). Ties inside a second break on an
+    * id column for determinism. */
+  def pathTrigrams(events: DataFrame, gapSec: Long = 1800, k: Int = 20,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val gap = epoch - lag(epoch, 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSec, 1).otherwise(0)
+    val sessioned = events
+      .withColumn("sess",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sw = Window.partitionBy(col(userCol), col("sess"))
+      .orderBy(col(tsCol), col(idCol))
+    sessioned
+      .withColumn("t2", lead(col(typeCol), 1).over(sw))
+      .withColumn("t3", lead(col(typeCol), 2).over(sw))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col(typeCol).as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * user's most recent touch event (any of `touchTypes`) within
     * `horizonSec` before it; conversions with no qualifying touch are

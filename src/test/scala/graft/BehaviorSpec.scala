@@ -125,4 +125,51 @@ class BehaviorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("view" -> 1L))
   }
+
+  test("rollingActiveUsers: window membership, observed days only") {
+    // user 1 on days 0 and 3; user 2 on day 3; window 3 days
+    val e = Seq(
+      (1L, ts("1 10:00")), (1L, ts("4 10:00")), (2L, ts("4 11:00")))
+      .toDF("user_id", "ts")
+    val got = Behavior.rollingActiveUsers(e, windowDays = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val d0 = got.keys.min
+    // day 0: only user 1 active, window [-2..0] → mau 1
+    assert(got(d0) === ((1L, 1L, 1.0)))
+    // day 3: dau 2; window [1..3] contains only day 3 (day 0 aged out)
+    assert(got(d0 + 3) === ((2L, 2L, 1.0)))
+    assert(got.size === 2) // days 1,2 unobserved → no rows
+  }
+
+  test("rollingActiveUsersSketch estimates track the exact form") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Behavior.rollingActiveUsers(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = Behavior.rollingActiveUsersSketch(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (day, mau) =>
+      val d = math.abs(est(day) - mau).toDouble / mau
+      assert(d <= 0.05, s"day $day: sketch ${est(day)} vs exact $mau")
+    }
+  }
+
+  test("pathTrigrams: session gaps break paths, counts aggregate across users") {
+    val e = Seq(
+      // user 1, one session: a b c d → trigrams abc, bcd
+      (1L, "a", ts("1 10:00"), 1L), (1L, "b", ts("1 10:01"), 2L),
+      (1L, "c", ts("1 10:02"), 3L), (1L, "d", ts("1 10:03"), 4L),
+      // user 1, NEW session (gap > 30 min): a b c → abc again
+      (1L, "a", ts("1 12:00"), 5L), (1L, "b", ts("1 12:01"), 6L),
+      (1L, "c", ts("1 12:02"), 7L),
+      // user 2: a b then session break — no trigram across the gap
+      (2L, "a", ts("1 09:00"), 8L), (2L, "b", ts("1 09:01"), 9L),
+      (2L, "c", ts("1 11:00"), 10L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.pathTrigrams(e, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got === Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
+  }
 }

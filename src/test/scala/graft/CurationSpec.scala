@@ -399,4 +399,19 @@ class CurationSpec extends SparkSpec {
     assert(s.getAs[Long]("n_rows_at_risk") === 0L)
     assert(s.getAs[Double]("pct_at_risk") === 0.0)
   }
+
+  test("erasureAudit: counts reach of a deletion list, absent keys visible") {
+    val facts = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("user_id")
+    // request deletion of users 1 and 99 (99 has no rows)
+    val keys = Seq(1L, 99L).toDF("user_id")
+    val r = Curation.erasureAudit(facts, keys).collect().head
+    assert(r.getAs[Long]("n_rows_before") === 6L)
+    assert(r.getAs[Long]("n_rows_deleted") === 2L)
+    assert(r.getAs[Long]("n_rows_after") === 4L)
+    assert(r.getAs[Long]("n_keys_requested") === 2L)
+    assert(r.getAs[Long]("n_keys_present") === 1L) // 99 never occurs
+    assert(r.getAs[Double]("pct_deleted") ===
+      BigDecimal(2.0 * 100 / 6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
