@@ -23,6 +23,29 @@ import org.apache.spark.sql.SparkSession
   * never as a fast success.
   */
 object Bench {
+
+  /** Warm cache for the tables every query family re-reads. Each table
+    * warms under its own try/catch: one broken loader must degrade to
+    * that family's queries reporting -1, never kill the whole run —
+    * BENCH_r05 was lost to a single loader throwing here (rc=1, zero
+    * timings recorded). Returns the names that FAILED to warm so the
+    * degradation is test-assertable. */
+  def warmTables(spark: SparkSession, sfDir: String): Seq[String] =
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "events"     -> (() => Tables.events(spark, sfDir)),
+      "documents"  -> (() => Tables.documents(spark, sfDir)),
+      "embeddings" -> (() => Tables.embeddings(spark, sfDir)),
+      "lineitem"   -> (() => Tables.lineitem(spark, sfDir)),
+      "orders"     -> (() => Tables.orders(spark, sfDir)))
+      .flatMap { case (name, load) =>
+        try { val df = load(); df.cache(); df.count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[Bench] warmup of $name failed " +
+            s"(family will report per-query errors): ${e.getMessage}")
+          Some(name)
+        }
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,24 +58,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm cache for the tables every query family re-reads. Each table
-    // warms under its own try/catch: one broken loader must degrade to
-    // that family's queries reporting -1, never kill the whole run —
-    // BENCH_r05 was lost to a single loader throwing here (rc=1, zero
-    // timings recorded).
-    Seq[(String, () => org.apache.spark.sql.DataFrame)](
-      "events"     -> (() => Tables.events(spark, sfDir)),
-      "documents"  -> (() => Tables.documents(spark, sfDir)),
-      "embeddings" -> (() => Tables.embeddings(spark, sfDir)),
-      "lineitem"   -> (() => Tables.lineitem(spark, sfDir)),
-      "orders"     -> (() => Tables.orders(spark, sfDir)))
-      .foreach { case (name, load) =>
-        try { val df = load(); df.cache(); df.count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[Bench] warmup of $name failed " +
-            s"(family will report per-query errors): ${e.getMessage}")
-        }
-      }
+    Bench.warmTables(spark, sfDir)
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

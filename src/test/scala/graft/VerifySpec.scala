@@ -42,4 +42,16 @@ class VerifySpec extends SparkSpec {
     assert(failures.isEmpty)
     assert(Files.readString(Paths.get(s"$outDir/errors.json")) === "{}")
   }
+
+  test("Bench warmup degrades per-table on a bogus sfDir instead of throwing") {
+    // every loader fails against a nonexistent dir — the run must
+    // survive and report all five failures (BENCH_r05 was lost to one
+    // loader throwing OUTSIDE any try/catch)
+    val failed = Bench.warmTables(spark, "/nonexistent/sfdir")
+    assert(failed.toSet ===
+      Set("events", "documents", "embeddings", "lineitem", "orders"))
+    // and against real testdata nothing fails
+    assert(Bench.warmTables(spark, "/root/testdata/sf0.001") === Nil)
+    spark.catalog.clearCache() // don't leak the warm cache into other suites
+  }
 }
