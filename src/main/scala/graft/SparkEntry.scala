@@ -327,6 +327,14 @@ object SparkEntry {
           .select(col("user_id")).distinct())
     }),
 
+    // ===== numeric distribution drift (PSI) ===========================
+    // epoch-day parity as the reference/current snapshot split
+    "q129_psi_drift" -> ((s, d) =>
+      Profiling.psiDrift(events(s, d), valueCol = "value",
+        snapshotCol =
+          pmod(expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) AS BIGINT)"),
+            lit(2)))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2734,6 +2742,44 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
         |    AS DOUBLE) * 100 / count(*), 4) AS pct_deleted
         |FROM events LEFT JOIN keys ON events.user_id = keys.k""".stripMargin,
+
+    // reference-decile buckets from quantile_disc (≙ approx_percentile
+    // at accuracy 1e6, the q69 convention); terms nano-quantized
+    "q129_psi_drift" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) % 2 AS snap,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |cuts AS (
+        |  SELECT quantile_disc(cents,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM v WHERE snap = 0),
+        |b AS (
+        |  SELECT snap, len(list_filter(cs, c -> cents > c)) AS bucket
+        |  FROM v, cuts),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(r) AS tr, sum(c) AS tc FROM cnt),
+        |terms AS (
+        |  SELECT r, c, tr, tc,
+        |    CASE WHEN r > 0 AND c > 0
+        |         THEN CAST(round(
+        |           (CAST(c AS DOUBLE) / tc - CAST(r AS DOUBLE) / tr) *
+        |           ln((CAST(c AS DOUBLE) / tc) / (CAST(r AS DOUBLE) / tr))
+        |           * 1e9, 0) AS BIGINT)
+        |         ELSE 0 END AS t_nano,
+        |    CASE WHEN r > 0 AND c > 0 THEN 1 ELSE 0 END AS scored
+        |  FROM cnt, tot)
+        |SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+        |  CAST(max(tc) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(scored) AS BIGINT) AS n_scored_buckets,
+        |  CAST(round(CAST(sum(t_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS psi_micro
+        |FROM terms""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

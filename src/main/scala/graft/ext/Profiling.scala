@@ -146,6 +146,55 @@ object Profiling {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** Population stability index of a numeric column between a
+    * reference snapshot (snap=0) and a current one (snap=1) — the
+    * standard ML-monitoring drift score: bucket by the REFERENCE's
+    * decile cutpoints, psi = Σ (q−p)·ln(q/p) over buckets (p =
+    * reference share, q = current share). Rule of thumb: <0.1 stable,
+    * 0.1-0.25 moderate shift, >0.25 investigate. Complements
+    * [[TextAnalysis.tokenDrift]] (token-level JSD) with
+    * numeric-distribution drift.
+    *
+    * Cutpoints come from approx_percentile at accuracy 10⁶ — exact
+    * data elements at oracle scale (the q69 convention, mirrored by
+    * DuckDB quantile_disc), a constant-memory KLL-style sketch at
+    * 100 TB where exact global quantiles would need a full sort. The
+    * one-row cutpoint array broadcasts; per-row bucketing is a
+    * 9-element array probe. A bucket empty on either side contributes
+    * no term (reported via n_scored_buckets so silence is visible).
+    *
+    * Determinism: values cents-quantized before everything; bucket
+    * counts exact integers; per-bucket terms nano-quantized pre-sum.
+    * Output: one row (n_ref, n_cur, n_buckets, n_scored_buckets,
+    * psi_micro). */
+  def psiDrift(df: DataFrame, valueCol: String, snapshotCol: Column,
+               buckets: Int = 10): DataFrame = {
+    val v = df.select(snapshotCol.cast("int").as("snap"),
+      round(col(valueCol) * 100).cast("long").as("cents"))
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = v.filter(col("snap") === 0)
+      .agg(expr(s"approx_percentile(cents, array(${ps.mkString(",")}), 1000000)")
+        .as("cs"))
+    val bucketed = v.crossJoin(broadcast(cuts))
+      .select(col("snap"),
+        size(filter(col("cs"), c => col("cents") > c)).as("bucket"))
+    val cnt = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("r"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c"))
+    val tot = cnt.agg(sum(col("r")).as("tr"), sum(col("c")).as("tc"))
+    val p = col("r").cast("double") / col("tr")
+    val q = col("c").cast("double") / col("tc")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("tr"), col("tc"),
+        when(col("r") > 0 && col("c") > 0,
+          round((q - p) * log(q / p) * 1e9).cast("long"))
+          .otherwise(lit(0L)).as("t_nano"),
+        when(col("r") > 0 && col("c") > 0, 1L).otherwise(0L).as("scored"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        count(lit(1)).as("n_buckets"), sum(col("scored")).as("n_scored_buckets"),
+        round(sum(col("t_nano")) / 1e3).cast("long").as("psi_micro"))
+  }
+
   /** Mutual information (nats) between two categorical columns, plus
     * both marginal entropies and the normalized MI — the dependence
     * screen for dataset design (is `source` just a proxy for `lang`?

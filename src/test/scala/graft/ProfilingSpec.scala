@@ -103,4 +103,24 @@ class ProfilingSpec extends SparkSpec {
     assert(d.getAs[Long]("mi_micro") === 693147L)
     assert(d.getAs[Double]("nmi") === 1.0)
   }
+
+  test("psiDrift: 0 on identical snapshots, hand-computed value on a known shift") {
+    import org.apache.spark.sql.functions.col
+    // both snapshots 50/50 over two values → every bucket share equal
+    val same = (1 to 100).map(i => (i % 2, if (i % 4 < 2) 1.0 else 2.0))
+      .toDF("snap", "value")
+    val s = Profiling.psiDrift(same, "value", col("snap")).collect().head
+    assert(s.getAs[Long]("psi_micro") === 0L)
+
+    // 2-bucket case: ref 50/50, cur 25/75 →
+    // psi = 0.25·ln 2 + 0.25·ln 1.5 ≈ 0.274653
+    val ref = Seq.fill(50)((0, 1.0)) ++ Seq.fill(50)((0, 2.0))
+    val cur = Seq.fill(25)((1, 1.0)) ++ Seq.fill(75)((1, 2.0))
+    val r = Profiling.psiDrift((ref ++ cur).toDF("snap", "value"),
+      "value", col("snap"), buckets = 2).collect().head
+    assert(r.getAs[Long]("n_ref") === 100L)
+    assert(r.getAs[Long]("n_cur") === 100L)
+    assert(r.getAs[Long]("n_scored_buckets") === 2L)
+    assert(r.getAs[Long]("psi_micro") === 274653L)
+  }
 }
