@@ -335,6 +335,10 @@ object SparkEntry {
           pmod(expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) AS BIGINT)"),
             lit(2)))),
 
+    // ===== EWMA forecast baseline (trend-following smoothing) =========
+    "q130_ewma_forecast" -> ((s, d) =>
+      graft.ops.Behavior.ewmaForecast(events(s, d))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2780,6 +2784,37 @@ object SparkEntry {
         |  CAST(round(CAST(sum(t_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
         |    AS psi_micro
         |FROM terms""".stripMargin,
+
+    // weight literals are generated from the SAME Scala doubles the
+    // query evaluates (Double.toString round-trips exactly, so DuckDB
+    // parses identical bits); terms summed in the same left-fold order
+    "q130_ewma_forecast" -> {
+      val alpha = 0.3; val k = 16
+      val weights = (1 to k).map(i => alpha * math.pow(1 - alpha, i - 1))
+      val norm = weights.sum
+      val weighted = (1 to k)
+        .map(i => s"lag(n, $i) OVER w * ${weights(i - 1)}")
+        .mkString(" + ")
+      val gate = (1 to k)
+        .map(i => s"(CASE WHEN lag(n, $i) OVER w IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type, bucket, n,
+         |    ($weighted) / $norm AS forecast,
+         |    ($gate) AS n_lags
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+         |SELECT event_type, bucket, n,
+         |  CAST(round(forecast * 1e6, 0) AS BIGINT) AS forecast_micro,
+         |  CAST(round((n - forecast) * 1e6, 0) AS BIGINT) AS residual_micro
+         |FROM f WHERE n_lags = $k
+         |ORDER BY event_type, bucket""".stripMargin
+    },
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -291,6 +291,55 @@ object Behavior {
       .limit(k)
   }
 
+  /** EWMA forecast baseline over per-bucket event counts — the
+    * smoothing half of rate monitoring ([[rateAnomaly]] flags against
+    * a flat mean; this produces the exponentially-weighted forecast
+    * and residual that trend-following dashboards and alert
+    * thresholds consume).
+    *
+    * Truncated-window form, NOT the recursion: forecast_t =
+    * Σ_{i=1..K} α(1−α)^{i−1}·x_{t−i} / Σ_{i=1..K} α(1−α)^{i−1} —
+    * the bucket's own count is excluded (a forecast, not a smooth),
+    * and the weight tail past K is renormalized away. With α=0.3,
+    * K=16 the dropped tail is (1−α)^16 ≈ 0.3%. The recursion would
+    * need either a sequential scan per key (no partition parallelism
+    * inside a series) or an unbounded-preceding window carrying
+    * pow() over the full history (numerically explosive); the
+    * truncated form is one bounded ROWS frame, deterministic, and
+    * exact integer inputs → identical doubles on any engine.
+    *
+    * Only buckets with all K lags observed are emitted (the
+    * [[rateAnomaly]] full-window gate). Scale: the window runs on the
+    * (type × bucket) contraction. */
+  def ewmaForecast(events: DataFrame, bucketSec: Long = 900,
+                   alpha: Double = 0.3, k: Int = 16,
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val bucket = (floor(floor(unix_timestamp(col(tsCol))) / bucketSec) *
+      bucketSec).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val weights = (1 to k).map(i => alpha * math.pow(1 - alpha, i - 1))
+    val norm = weights.sum
+    val weighted = (1 to k).map(i =>
+      lag(col("n"), i).over(w) * lit(weights(i - 1)))
+      .reduce(_ + _)
+    counts
+      .withColumn("n_lags",
+        (1 to k).map(i =>
+          when(lag(col("n"), i).over(w).isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("forecast", weighted / lit(norm))
+      .filter(col("n_lags") === k)
+      .select(col("event_type"), col("bucket"), col("n"),
+        round(col("forecast") * 1e6).cast("long").as("forecast_micro"),
+        round((col("n") - col("forecast")) * 1e6).cast("long")
+          .as("residual_micro"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * user's most recent touch event (any of `touchTypes`) within
     * `horizonSec` before it; conversions with no qualifying touch are

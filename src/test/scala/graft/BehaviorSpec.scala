@@ -126,6 +126,25 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Map("view" -> 1L))
   }
 
+  test("ewmaForecast: weights decay over the truncated window, gate on full lags") {
+    val base = 1700000000L - (1700000000L % 900)
+    // 17 buckets with counts 1..17 — only the last has 16 full lags
+    val e = (0 until 17).flatMap { b =>
+      (0 to b).map(_ => ("view", new Timestamp((base + b * 900) * 1000L)))
+    }.toDF("event_type", "ts")
+    val got = Behavior.ewmaForecast(e).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("bucket") === base + 16 * 900)
+    assert(r.getAs[Long]("n") === 17L)
+    // independently recompute: forecast from counts 16,15,…,1 (lag 1..16)
+    val weights = (1 to 16).map(i => 0.3 * math.pow(0.7, i - 1))
+    val expected = (1 to 16).map(i => (17 - i).toDouble * weights(i - 1))
+      .foldLeft(0.0)(_ + _) / weights.sum
+    assert(r.getAs[Long]("forecast_micro") === math.round(expected * 1e6))
+    assert(r.getAs[Long]("residual_micro") === math.round((17 - expected) * 1e6))
+  }
+
   test("rollingActiveUsers: window membership, observed days only") {
     // user 1 on days 0 and 3; user 2 on day 3; window 3 days
     val e = Seq(
