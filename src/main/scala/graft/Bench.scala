@@ -82,6 +82,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
+      // JMH-style inter-query GC OUTSIDE the timed region: a heavy
+      // neighbor's tenured garbage otherwise bleeds into the next
+      // query's number (observed: a BigDecimal-heavy q120 inflating
+      // the following query 10×). Each query's own allocation pressure
+      // still lands inside its timing.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         materialize(name)

@@ -339,6 +339,16 @@ object SparkEntry {
     "q130_ewma_forecast" -> ((s, d) =>
       graft.ops.Behavior.ewmaForecast(events(s, d))),
 
+    // ===== per-user conversion rate with Wilson 95% interval ==========
+    "q131_wilson_rate" -> ((s, d) =>
+      graft.ops.Behavior.wilsonRate(events(s, d),
+        successType = "purchase", trialTypes = Seq("view", "purchase"))),
+
+    // ===== funnel time-to-convert percentiles =========================
+    "q132_time_to_convert" -> ((s, d) =>
+      graft.ops.Behavior.timeToConvert(events(s, d),
+        entryType = "view", conversionType = "purchase")),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2815,6 +2825,51 @@ object SparkEntry {
          |FROM f WHERE n_lags = $k
          |ORDER BY event_type, bucket""".stripMargin
     },
+
+    // Wilson score interval from integer (s, n) per group; the double
+    // sequence mirrors the Spark expression term for term
+    "q131_wilson_rate" ->
+      """WITH g AS (
+        |  SELECT user_id AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1)
+        |SELECT grp, n, s,
+        |  CAST(round(CAST(s AS DOUBLE) / n * 1e6, 0) AS BIGINT)
+        |    AS rate_micro,
+        |  CAST(round(
+        |    ((CAST(s AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)) -
+        |     1.96 * sqrt((CAST(s AS DOUBLE) / n) * (1.0 - CAST(s AS DOUBLE) / n) / n
+        |                 + (1.96 * 1.96) / (4.0 * n * n)))
+        |    / (1.0 + (1.96 * 1.96) / n) * 1e6, 0) AS BIGINT) AS lo_micro,
+        |  CAST(round(
+        |    ((CAST(s AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)) +
+        |     1.96 * sqrt((CAST(s AS DOUBLE) / n) * (1.0 - CAST(s AS DOUBLE) / n) / n
+        |                 + (1.96 * 1.96) / (4.0 * n * n)))
+        |    / (1.0 + (1.96 * 1.96) / n) * 1e6, 0) AS BIGINT) AS hi_micro
+        |FROM g ORDER BY grp""".stripMargin,
+
+    // earliest-entry → earliest-later-conversion lags; percentiles via
+    // quantile_disc (≙ approx_percentile at 1e6, the q69 convention)
+    "q132_time_to_convert" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |entry AS (
+        |  SELECT u, min(ep) AS t0 FROM base WHERE t = 'view' GROUP BY 1),
+        |lags AS (
+        |  SELECT b.u, min(b.ep - e.t0) AS lag
+        |  FROM base b JOIN entry e ON b.u = e.u
+        |  WHERE b.t = 'purchase' AND b.ep > e.t0
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_disc(lag, 0.5) AS p50_lag,
+        |  quantile_disc(lag, 0.9) AS p90_lag,
+        |  quantile_disc(lag, 0.99) AS p99_lag,
+        |  min(lag) AS min_lag, max(lag) AS max_lag
+        |FROM lags""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -291,6 +291,74 @@ object Behavior {
       .limit(k)
   }
 
+  /** Per-group binomial rate with Wilson 95% score interval — the
+    * "is this CTR difference real" screen (never report a rate off a
+    * small denominator without its interval). For each group:
+    * successes s, trials n, rate, and the Wilson bounds
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96.
+    *
+    * Deterministic: one integer count aggregate per group, then a
+    * fixed sequence of double ops on two scalars — identical on any
+    * engine; bounds micro-quantized. Scale: one map-side-combined
+    * aggregate; the interval math runs on the group contraction. */
+  def wilsonRate(events: DataFrame, successType: String,
+                 trialTypes: Seq[String],
+                 groupCol: String = "user_id",
+                 typeCol: String = "event_type"): DataFrame = {
+    val z = 1.96
+    val grouped = events
+      .filter(col(typeCol).isin(trialTypes: _*))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(typeCol) === successType, 1L).otherwise(0L)).as("s"))
+    val n = col("n").cast("double")
+    val p = col("s").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))
+    grouped.select(col("grp"), col("n"), col("s"),
+        round(p * 1e6).cast("long").as("rate_micro"),
+        round((center - margin) / denom * 1e6).cast("long").as("lo_micro"),
+        round((center + margin) / denom * 1e6).cast("long").as("hi_micro"))
+      .orderBy(col("grp"))
+  }
+
+  /** Time-to-convert distribution: for each user's FIRST entry-step
+    * event, the lag to their first qualifying conversion after it
+    * (the q71 funnel's earliest-transition semantics, horizon-free),
+    * summarized as lag percentiles — the "how long does the funnel
+    * take" half of conversion analysis.
+    *
+    * Percentiles via approx_percentile at accuracy 10⁶ (exact data
+    * elements at oracle scale ≙ DuckDB quantile_disc, constant-memory
+    * sketch at volume — the q69/q129 convention). Scale: two filtered
+    * min-aggregates on the user key + one global sketch aggregate. */
+  def timeToConvert(events: DataFrame, entryType: String,
+                    conversionType: String,
+                    userCol: String = "user_id", typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val ep = floor(unix_timestamp(col(tsCol))).cast("long")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      ep.as("ep"))
+    val entry = base.filter(col("t") === entryType)
+      .groupBy(col("u")).agg(min(col("ep")).as("t0"))
+    val lags = base.filter(col("t") === conversionType)
+      .join(entry, Seq("u"))
+      .filter(col("ep") > col("t0"))
+      .groupBy(col("u")).agg(min(col("ep") - col("t0")).as("lag"))
+    lags.agg(
+      count(lit(1)).as("n_converted"),
+      expr("approx_percentile(lag, array(0.5, 0.9, 0.99), 1000000)").as("pq"),
+      min(col("lag")).as("min_lag"), max(col("lag")).as("max_lag"))
+      .select(col("n_converted"),
+        element_at(col("pq"), 1).as("p50_lag"),
+        element_at(col("pq"), 2).as("p90_lag"),
+        element_at(col("pq"), 3).as("p99_lag"),
+        col("min_lag"), col("max_lag"))
+  }
+
   /** EWMA forecast baseline over per-bucket event counts — the
     * smoothing half of rate monitoring ([[rateAnomaly]] flags against
     * a flat mean; this produces the exponentially-weighted forecast

@@ -145,6 +145,53 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Long]("residual_micro") === math.round((17 - expected) * 1e6))
   }
 
+  test("wilsonRate: hand-computed interval, bounds inside [0,1], order-safe") {
+    // user 1: 1 purchase / 4 trials; user 2: 0 / 2 (rate 0, lo must be 0-ish)
+    val e = Seq(
+      (1L, "view"), (1L, "view"), (1L, "view"), (1L, "purchase"),
+      (2L, "view"), (2L, "view"),
+      (1L, "error")) // not a trial type — ignored
+      .map { case (u, t) => (u, t, ts("1 10:00")) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.wilsonRate(e, "purchase", Seq("view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n") === 4L && r1.getAs[Long]("s") === 1L)
+    assert(r1.getAs[Long]("rate_micro") === 250000L)
+    // independent Wilson computation
+    val (z, n, p) = (1.96, 4.0, 0.25)
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = p + z2 / (2.0 * n)
+    val margin = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    assert(r1.getAs[Long]("lo_micro") ===
+      math.round((center - margin) / denom * 1e6))
+    assert(r1.getAs[Long]("hi_micro") ===
+      math.round((center + margin) / denom * 1e6))
+    assert(r1.getAs[Long]("lo_micro") >= 0L &&
+      r1.getAs[Long]("hi_micro") <= 1000000L)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("rate_micro") === 0L)
+    assert(r2.getAs[Long]("lo_micro") === 0L) // p=0 → margin = center
+  }
+
+  test("timeToConvert: earliest entry to earliest later conversion, strict after") {
+    val e = Seq(
+      // u1: view 10:00, purchase 10:30 → lag 1800
+      (1L, "view", ts("1 10:00")), (1L, "purchase", ts("1 10:30")),
+      // u2: purchase BEFORE any view → never converts
+      (2L, "purchase", ts("1 09:00")), (2L, "view", ts("1 10:00")),
+      // u3: two purchases after view — earliest wins (lag 600)
+      (3L, "view", ts("1 08:00")), (3L, "purchase", ts("1 08:10")),
+      (3L, "purchase", ts("1 09:00")))
+      .toDF("user_id", "event_type", "ts")
+    val r = Behavior.timeToConvert(e, "view", "purchase").collect().head
+    assert(r.getAs[Long]("n_converted") === 2L)
+    assert(r.getAs[Long]("min_lag") === 600L)
+    assert(r.getAs[Long]("max_lag") === 1800L)
+    assert(r.getAs[Long]("p50_lag") === 600L) // quantile_disc convention
+  }
+
   test("rollingActiveUsers: window membership, observed days only") {
     // user 1 on days 0 and 3; user 2 on day 3; window 3 days
     val e = Seq(
