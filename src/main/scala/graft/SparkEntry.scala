@@ -349,6 +349,10 @@ object SparkEntry {
       graft.ops.Behavior.timeToConvert(events(s, d),
         entryType = "view", conversionType = "purchase")),
 
+    // ===== Benford first-digit audit (data forensics) =================
+    "q133_benford" -> ((s, d) =>
+      Profiling.benford(events(s, d), valueCol = "value")),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2870,6 +2874,29 @@ object SparkEntry {
         |  quantile_disc(lag, 0.99) AS p99_lag,
         |  min(lag) AS min_lag, max(lag) AS max_lag
         |FROM lags""".stripMargin,
+
+    // lexical first-significant-digit (string strip, no log10 on the
+    // value path); expected shares from ln(1+1/d)/ln(10)
+    "q133_benford" ->
+      """WITH d AS (
+        |  SELECT substring(regexp_replace(
+        |      CAST(abs(value) AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS digit
+        |  FROM events WHERE value IS NOT NULL AND abs(value) > 0),
+        |c AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE digit <> '' GROUP BY 1),
+        |t AS (SELECT c.digit, c.n, sum(n) OVER () AS tot FROM c)
+        |SELECT digit, n,
+        |  CAST(round(CAST(n AS DOUBLE) / tot * 1e6, 0) AS BIGINT)
+        |    AS obs_micro,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6,
+        |    0) AS BIGINT) AS exp_micro,
+        |  CAST(round(
+        |    (CAST(n AS DOUBLE) / tot - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    * (CAST(n AS DOUBLE) / tot - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+        |    / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1e9, 0)
+        |    AS BIGINT) AS chi2_nano
+        |FROM t ORDER BY digit""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

@@ -203,6 +203,45 @@ object Profiling {
         round(sum(col("t_nano")) / 1e3).cast("long").as("psi_micro"))
   }
 
+  /** Benford first-digit audit of a positive numeric column — the
+    * data-forensics screen for fabricated or truncated numerics
+    * (naturally-occurring multiplicative data follows
+    * P(d) = log10(1 + 1/d); uniform or hand-entered data does not).
+    * Output: one row per digit 1-9 with observed count, observed and
+    * expected shares, plus the chi-square contribution — consumers
+    * threshold the total χ² or eyeball the per-digit deviation.
+    *
+    * A HIGH χ² is not fraud per se (bounded-range data like
+    * percentages legitimately deviates); the operator reports the
+    * deviation, interpretation stays with the caller.
+    *
+    * Determinism: first digit extracted lexically from the absolute
+    * value (no log10 on the hot path, no float-pow drift); counts are
+    * exact integers; the χ² terms and shares are micro/nano-quantized
+    * scalar math on the 9-row contraction. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(regexp_replace(
+      abs(col(valueCol)).cast("string"), "[^1-9]", ""), 1, 1)
+    val counts = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) > 0)
+      .select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    counts
+      .withColumn("tot", sum(col("n")).over(total))
+      .withColumn("p_obs", col("n").cast("double") / col("tot"))
+      .withColumn("p_exp",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .select(col("digit"), col("n"),
+        round(col("p_obs") * 1e6).cast("long").as("obs_micro"),
+        round(col("p_exp") * 1e6).cast("long").as("exp_micro"),
+        round((col("p_obs") - col("p_exp")) * (col("p_obs") - col("p_exp"))
+          / col("p_exp") * 1e9).cast("long").as("chi2_nano"))
+      .orderBy(col("digit"))
+  }
+
   /** Mutual information (nats) between two categorical columns, plus
     * both marginal entropies and the normalized MI — the dependence
     * screen for dataset design (is `source` just a proxy for `lang`?

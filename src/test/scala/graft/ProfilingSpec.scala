@@ -104,6 +104,26 @@ class ProfilingSpec extends SparkSpec {
     assert(d.getAs[Double]("nmi") === 1.0)
   }
 
+  test("benford: lexical first significant digit, zeros/nulls dropped") {
+    val df = Seq[Option[Double]](
+      Some(1.0), Some(1.5), Some(19.0),   // digit 1 ×3
+      Some(0.02),                          // leading zeros skipped → 2
+      Some(0.91),                          // → 9
+      Some(300.0), Some(-4.5),             // 3; sign ignored → 4
+      Some(0.0), None)                     // dropped
+      .toDF("value")
+    val got = Profiling.benford(df, "value").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("1", "2", "3", "4", "9"))
+    assert(got("1").getAs[Long]("n") === 3L)
+    assert(got("2").getAs[Long]("n") === 1L)
+    // expected share of digit 1 = log10(2) ≈ 0.301030
+    assert(got("1").getAs[Long]("exp_micro") === 301030L)
+    // observed share 3/7
+    assert(got("1").getAs[Long]("obs_micro") ===
+      math.round(3.0 / 7 * 1e6))
+  }
+
   test("psiDrift: 0 on identical snapshots, hand-computed value on a known shift") {
     import org.apache.spark.sql.functions.col
     // both snapshots 50/50 over two values → every bucket share equal
