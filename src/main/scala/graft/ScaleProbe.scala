@@ -541,6 +541,28 @@ object ScaleProbe {
     timed(s"path_trigrams x$eventReps") {
       consume(graft.ops.Behavior.pathTrigrams(events))
     }
+    timed(s"psi_drift x$eventReps") {
+      consume(graft.ext.Profiling.psiDrift(events, "value",
+        pmod(expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) AS BIGINT)"),
+          lit(2))))
+    }
+    // production accuracy: cutpoints only need percentile RESOLUTION,
+    // not element exactness — the 1e6 setting is for oracle parity
+    timed(s"psi_drift_acc1e4 x$eventReps") {
+      consume(graft.ext.Profiling.psiDrift(events, "value",
+        pmod(expr("CAST(floor(floor(unix_timestamp(ts)) / 86400) AS BIGINT)"),
+          lit(2)), accuracy = 10000))
+    }
+    timed(s"wilson_rate x$eventReps") {
+      consume(graft.ops.Behavior.wilsonRate(events,
+        "purchase", Seq("view", "purchase")))
+    }
+    timed(s"benford x$eventReps") {
+      consume(graft.ext.Profiling.benford(events, "value"))
+    }
+    timed(s"ewma_forecast x$eventReps") {
+      consume(graft.ops.Behavior.ewmaForecast(events))
+    }
     spark.stop()
   }
 }
