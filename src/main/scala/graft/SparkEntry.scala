@@ -353,6 +353,12 @@ object SparkEntry {
     "q133_benford" -> ((s, d) =>
       Profiling.benford(events(s, d), valueCol = "value")),
 
+    // ===== soft dedup: 1/|cluster| sampling weights ===================
+    // sixth consumer of the shared component memo
+    "q134_cluster_weights" -> ((s, d) =>
+      Dedup.clusterWeights(documents(s, d), sharedComponents(s, d))
+        .orderBy(col("doc_id"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -2897,6 +2903,42 @@ object SparkEntry {
         |    / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)) * 1e9, 0)
         |    AS BIGINT) AS chi2_nano
         |FROM t ORDER BY digit""".stripMargin,
+
+    // the q43 component CTE + per-component sizes; singletons weight 1e6
+    "q134_cluster_weights" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+        |       FROM comp GROUP BY 1),
+        |m AS (SELECT comp.doc_id, comp.component, sz.csize
+        |      FROM comp JOIN sz USING (component))
+        |SELECT d.doc_id,
+        |  coalesce(m.component, d.doc_id) AS component,
+        |  coalesce(m.csize, 1) AS csize,
+        |  CAST(round(1e6 / coalesce(m.csize, 1), 0) AS BIGINT)
+        |    AS weight_micro
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Gini from exact integer ranked sums: G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n
     "q118_key_skew" ->

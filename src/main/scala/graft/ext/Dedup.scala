@@ -767,4 +767,34 @@ object Dedup {
       .select(col(idCol), splitOf(col(idCol)).as("split"),
         splitOf(coalesce(col("_rep"), col(idCol))).as("repaired_split"))
   }
+
+  /** Soft dedup: per-doc sampling weight 1/|cluster| from the near-dup
+    * component labelling — each duplicate CLUSTER contributes one
+    * document's worth of probability mass in expectation, without
+    * dropping anything (the down-weighting alternative to
+    * [[survivorsExact]]-style hard dedup: keeps paraphrase diversity,
+    * removes duplication bias; feeds [[graft.ext.Curation.weightedSample]]
+    * or a trainer's example-weight column directly). Docs outside any
+    * component are singletons with weight 1.
+    *
+    * Output per doc: (id, component, csize, weight_micro) — weights
+    * micro-quantized, Σ weight over a cluster = 1e6 ± rounding.
+    *
+    * Scale: one count aggregate over the node-cardinality component
+    * frame, one id-keyed join back to the corpus — same shape as
+    * [[repairSplitLeakage]], nothing corpus-quadratic. */
+  def clusterWeights(docs: DataFrame, comps: DataFrame,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+    val membership = comps.join(sizes, "component")
+      .select(col("doc_id").as("_mid"), col("component"), col("csize"))
+    docs.select(col(idCol))
+      .join(membership, col(idCol) === col("_mid"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        round(lit(1e6) / coalesce(col("csize"), lit(1L))).cast("long")
+          .as("weight_micro"))
+  }
 }

@@ -601,6 +601,25 @@ class ExtSpec extends SparkSpec {
     assert(got.size === 4)
   }
 
+  test("clusterWeights: 1/|cluster| weights, singletons weight 1e6") {
+    val chainDocs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "solo"), (10L, "x"), (11L, "y"))
+      .toDF("doc_id", "text")
+    val comps = Dedup.components(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+    val got = Dedup.clusterWeights(chainDocs, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((1L, 3L, 333333L)))  // cluster {1,2,3}
+    assert(got(2L) === ((1L, 3L, 333333L)))
+    assert(got(3L) === ((1L, 3L, 333333L)))
+    assert(got(4L) === ((4L, 1L, 1000000L))) // singleton = own component
+    assert(got(10L) === ((10L, 2L, 500000L)))
+    assert(got(11L) === ((10L, 2L, 500000L)))
+    // the cluster's mass sums to one doc's worth (± micro rounding)
+    assert(Seq(1L, 2L, 3L).map(got(_)._3).sum === 999999L)
+  }
+
   test("dimStats: per-dimension mean/std/min/max from micro-quantized sums") {
     val emb = Seq(
       (1L, Array(1.0f, -2.0f)),
