@@ -359,6 +359,24 @@ object SparkEntry {
       Dedup.clusterWeights(documents(s, d), sharedComponents(s, d))
         .orderBy(col("doc_id"))),
 
+    // ===== incremental dedup-graph growth =============================
+    // docs with id % 7 == 0 play the "new crawl batch": fold their
+    // edges into the old batch's labelling; the oracle is the FULL
+    // recompute (provably identical partition — see Dedup scaladoc)
+    "q135_incremental_components" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isNew = pmod(col("doc_id"), lit(7)) === 0
+      val oldLabels = Dedup.components(
+        Dedup.coShinglePairs(docs.filter(!isNew), minShared = 2,
+          maxPostings = 1000))
+      val newEdges = Dedup.coShinglePairs(docs, minShared = 2,
+          maxPostings = 1000)
+        .filter(pmod(col("doc_a"), lit(7)) === 0 ||
+          pmod(col("doc_b"), lit(7)) === 0)
+      Dedup.incrementalComponents(oldLabels, newEdges)
+        .orderBy(col("doc_id"))
+    }),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -3011,6 +3029,33 @@ object SparkEntry {
     // recursive reachability: min reachable id == component min label,
     // replicating Dedup.components' fixpoint over the same edge set
     "q43_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
+        |SELECT id AS doc_id, min(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the ORACLE for the incremental fold is the FULL recompute (same
+    // CTE as q43): label edges preserve old connectivity, so the
+    // partitions — and the min labels — must be identical
+    "q135_incremental_components" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

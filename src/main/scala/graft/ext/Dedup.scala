@@ -768,6 +768,37 @@ object Dedup {
         splitOf(coalesce(col("_rep"), col(idCol))).as("repaired_split"))
   }
 
+  /** Incremental component maintenance: fold a NEW batch's edges into
+    * an existing (doc_id, component) labelling without re-running pair
+    * generation over the old corpus — the corpus-growth path of the
+    * dedup graph (a daily crawl adds 0.1% new docs; recomputing 100 TB
+    * of co-shingle pairs for that is the thing this avoids).
+    *
+    * Correctness: each old doc contributes a (doc → its component
+    * label) edge; old-component connectivity is preserved because the
+    * label IS a member doc (the component min), so the union graph
+    * (label edges ∪ new edges) has exactly the same connected
+    * partition as the full old∪new edge set, and min-label propagation
+    * yields the same labels a full recompute would. Proven by
+    * equivalence in ExtSpec (bridged clusters, chained merges, and the
+    * real fixture corpus). Caveat: the equivalence holds when pair
+    * generation is deterministic w.r.t. corpus growth — a maxPostings
+    * cap that newly fires on the grown corpus can drop pairs a
+    * full recompute would also drop but the OLD run did not; re-run
+    * from pairs when hot-shingle caps are in play across snapshots.
+    *
+    * Scale: the label-edge side is node-cardinality (old corpus docs
+    * with edges); pointer-jumping runs on label edges + new-batch
+    * edges only. */
+  def incrementalComponents(prevLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val labelEdges = prevLabels
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+    components(labelEdges.unionByName(
+      newEdges.select(col("doc_a"), col("doc_b"))))
+  }
+
   /** Soft dedup: per-doc sampling weight 1/|cluster| from the near-dup
     * component labelling — each duplicate CLUSTER contributes one
     * document's worth of probability mass in expectation, without

@@ -601,6 +601,35 @@ class ExtSpec extends SparkSpec {
     assert(got.size === 4)
   }
 
+  test("incrementalComponents: bridging a new doc merges old clusters; equals full recompute") {
+    // old clusters {1,2,3} and {5,6}; new doc 7 bridges them, new doc
+    // 9 starts a fresh pair with old-singleton 8
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val newEdges = Seq((2L, 7L), (5L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val oldLabels = Dedup.components(oldEdges)
+    val inc = Dedup.incrementalComponents(oldLabels, newEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.components(oldEdges.unionByName(newEdges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    assert(inc(7L) === 1L && inc(6L) === 1L) // bridged → one component, min label
+    assert(inc(9L) === 8L)
+
+    // and on the real fixture corpus with the q135 old/new split
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = pmod(col("doc_id"), lit(7)) === 0
+    val allPairs = Dedup.coShinglePairs(docs, minShared = 2, maxPostings = 1000)
+    val incReal = Dedup.incrementalComponents(
+      Dedup.components(Dedup.coShinglePairs(docs.filter(!isNew),
+        minShared = 2, maxPostings = 1000)),
+      allPairs.filter(pmod(col("doc_a"), lit(7)) === 0 ||
+        pmod(col("doc_b"), lit(7)) === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullReal = Dedup.components(allPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incReal === fullReal)
+  }
+
   test("clusterWeights: 1/|cluster| weights, singletons weight 1e6") {
     val chainDocs = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (4L, "solo"), (10L, "x"), (11L, "y"))
