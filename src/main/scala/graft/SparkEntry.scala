@@ -369,10 +369,11 @@ object SparkEntry {
       val oldLabels = Dedup.components(
         Dedup.coShinglePairs(docs.filter(!isNew), minShared = 2,
           maxPostings = 1000))
-      val newEdges = Dedup.coShinglePairs(docs, minShared = 2,
-          maxPostings = 1000)
-        .filter(pmod(col("doc_a"), lit(7)) === 0 ||
-          pmod(col("doc_b"), lit(7)) === 0)
+      // pair generation itself is restricted to pairs touching the new
+      // batch — old×old pairs never materialize (the point of the
+      // incremental path; a post-expansion filter would pay them)
+      val newEdges = Dedup.coShinglePairsTouching(docs, isNew,
+        minShared = 2, maxPostings = 1000)
       Dedup.incrementalComponents(oldLabels, newEdges)
         .orderBy(col("doc_id"))
     }),
@@ -2711,13 +2712,17 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
         |  FROM deg),
-        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
-        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |capn AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN odeg > 10000 THEN 1 ELSE 0 END),
+        |                       0) AS BIGINT) AS n_capped_nodes
+        |  FROM (SELECT a, count(*) AS odeg FROM und GROUP BY 1))
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles, n_capped_nodes,
         |  CASE WHEN n_wedges > 0
         |       THEN CAST(round(n_triangles * 3.0 * 1e6 / n_wedges, 0)
         |                 AS BIGINT)
         |       ELSE 0 END AS transitivity_micro
-        |FROM agg, tri, ec""".stripMargin,
+        |FROM agg, tri, ec, capn""".stripMargin,
 
     // the contribution expansion: each (user, day) covers 28 target
     // days; distinct then count — identical shape to the Spark side
@@ -2969,7 +2974,7 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY cnt DESC, k) AS rk_desc
         |  FROM c)
         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        |  sum(cnt) AS n_rows,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  round(CAST(sum(CASE WHEN rk_desc = 1 THEN cnt ELSE 0 END) AS DOUBLE)
         |    / sum(cnt), 6) AS top1_share,
         |  round(CAST(sum(CASE WHEN rk_desc <= 10 THEN cnt ELSE 0 END) AS DOUBLE)

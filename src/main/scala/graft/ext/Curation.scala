@@ -725,20 +725,6 @@ object Curation {
     kept.unionByName(removed)
   }
 
-  /** k-anonymity audit over a quasi-identifier combination — the
-    * re-identification screen run before releasing or training on
-    * event-level data (complements the PII scrub, which removes direct
-    * identifiers; this measures how identifying the REMAINING columns
-    * are in combination). A row is "at risk" when its full
-    * quasi-identifier combination occurs fewer than `k` times.
-    *
-    * One row out: (n_rows, n_combos, n_violating_combos,
-    * n_rows_at_risk, pct_at_risk, min_combo_size).
-    *
-    * Scale: one combo-count aggregate (map-side partial) contracts the
-    * table to its quasi-identifier cardinality; the audit aggregate
-    * runs over that contraction. Nothing here is row-count-sized after
-    * the first shuffle. */
   /** Right-to-erasure sweep audit: given a deletion key list, report
     * what an erasure pass would remove — (n_rows_before, n_rows_deleted,
     * n_rows_after, n_keys_requested, n_keys_present, pct_deleted). The
@@ -769,6 +755,20 @@ object Curation {
           / col("n_rows_before"), 4).as("pct_deleted"))
   }
 
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * re-identification screen run before releasing or training on
+    * event-level data (complements the PII scrub, which removes direct
+    * identifiers; this measures how identifying the REMAINING columns
+    * are in combination). A row is "at risk" when its full
+    * quasi-identifier combination occurs fewer than `k` times.
+    *
+    * One row out: (n_rows, n_combos, n_violating_combos,
+    * n_rows_at_risk, pct_at_risk, min_combo_size).
+    *
+    * Scale: one combo-count aggregate (map-side partial) contracts the
+    * table to its quasi-identifier cardinality; the audit aggregate
+    * runs over that contraction. Nothing here is row-count-sized after
+    * the first shuffle. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
                  k: Int = 5): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")

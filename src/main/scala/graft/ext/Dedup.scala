@@ -425,6 +425,49 @@ object Dedup {
       .filter(col("cnt") >= minShared)
       .select(col("doc_a"), col("doc_b"))
 
+  /** [[coShinglePairs]] restricted to pairs TOUCHING the `isNew`
+    * subset — the incremental-crawl access pattern behind
+    * [[incrementalComponents]]: when a daily batch adds 0.1% new docs,
+    * only new×old and new×new links can change the labelling, so
+    * old×old pairs must never MATERIALIZE (filtering them after a full
+    * pair expansion pays the quadratic cost incremental maintenance
+    * exists to skip).
+    *
+    * Shape: posting lists are built over the FULL corpus (a new doc's
+    * neighbours are old, so old ids must sit in the lists) with the
+    * is-new flag packed into each posting's low bit (id·2+flag — order
+    * and the `maxPostings` cap behave exactly as the unpacked lists,
+    * one extra bit per id; requires id < 2⁶²). Pair expansion then
+    * explodes each list ONCE, keeps only new elements (a codegen
+    * filter between the two explodes — the interpreted array-HOF
+    * alternative is the NOTES shingle lesson), and pairs each with the
+    * full list: per-list cost k_new·k instead of k²/2. Both-new pairs
+    * dedup by packed order; shared-shingle counts and the emitted
+    * (doc_a < doc_b) pairs are EXACTLY
+    * `coShinglePairs(docs).filter(touching isNew)` (ExtSpec pins
+    * frame equality). */
+  def coShinglePairsTouching(docs: DataFrame, isNew: Column,
+                             minShared: Long = 2,
+                             maxPostings: Int = Int.MaxValue,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val packed = docs.select(
+      (col(idCol) * 2 + isNew.cast("long")).as(idCol), col(textCol))
+    postingLists(packed, maxPostings, idCol, textCol, checkpoint = false)
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"), explode(col("ids")).as("p"))
+      .filter(col("p").bitwiseAND(1) === 1)
+      .select(col("p"), explode(col("ids")).as("q"))
+      .filter(col("q") =!= col("p") &&
+        (col("q").bitwiseAND(1) === 0 || col("q") > col("p")))
+      .groupBy(
+        least(shiftright(col("p"), 1), shiftright(col("q"), 1)).as("doc_a"),
+        greatest(shiftright(col("p"), 1), shiftright(col("q"), 1)).as("doc_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact connected components of a near-dup pair graph (doc_a <
     * doc_b): every node labelled with the minimum id reachable from it.
     * Iterative min-label propagation to a fixpoint — each round every

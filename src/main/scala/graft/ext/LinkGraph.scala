@@ -147,9 +147,13 @@ object LinkGraph {
     * emits O(d²) oriented wedges); `maxWedgeDegree` caps the oriented
     * out-degree a node may contribute (skip-listing mega-hubs the way
     * maxPostings caps hot shingles) — exact below the cap, and the
-    * cap's effect is VISIBLE (n_capped_nodes would be the follow-up
-    * column; here the synthetic graph's max degree is ~4, so the cap
-    * never fires in fixtures and the count stays exact). */
+    * cap's effect is VISIBLE: `n_capped_nodes` reports how many nodes
+    * were skip-listed, so a census with n_capped_nodes > 0 reads as
+    * the approximation it is (n_wedges stays the FULL Σ deg·(deg−1)/2,
+    * so capped transitivity is a LOWER bound on the true value; 0
+    * means every reported number is exact). The synthetic fixture's
+    * max degree is ~4, so the q125 oracle asserts n_capped_nodes = 0
+    * alongside the exact counts. */
   def triangleCensus(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst",
                      maxWedgeDegree: Int = 10000): DataFrame = {
@@ -177,9 +181,14 @@ object LinkGraph {
       sum(expr("d * (d - 1) div 2")).as("n_wedges")) // exact: d(d−1) even
     val tri = triangles.agg(count(lit(1)).as("n_triangles"))
     val ecnt = und.agg(count(lit(1)).as("n_edges"))
+    val cappedN = deg.agg(coalesce(
+      sum(when(col("odeg") > maxWedgeDegree, 1L).otherwise(0L)),
+      lit(0L)).as("n_capped_nodes"))
     wedgeTotal.crossJoin(broadcast(tri)).crossJoin(broadcast(ecnt))
+      .crossJoin(broadcast(cappedN))
       .select(col("n_nodes"), col("n_edges"),
         col("n_wedges").cast("long").as("n_wedges"), col("n_triangles"),
+        col("n_capped_nodes"),
         when(col("n_wedges") > 0,
           round(col("n_triangles") * lit(3.0) * 1e6 / col("n_wedges"))
             .cast("long"))

@@ -59,32 +59,47 @@ object Profiling {
     *
     * Gini over the ranked key-count sequence x₁ ≤ … ≤ xₙ:
     * G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n — computed from exact integer
-    * window/aggregate sums, one double division at the end.
+    * aggregate sums, one double division at the end.
+    *
+    * No per-key ranking anywhere: all tied keys share a count value,
+    * so every ranked sum is a CLOSED FORM over the (count value,
+    * #keys with that count) contraction — a block of m keys tied at
+    * cnt occupies ranks start+1..start+m and contributes
+    * cnt·(m·cum − m(m−1)/2) to Σ i·xᵢ (cum = keys with cnt ≤ this,
+    * an arithmetic-series sum independent of intra-block order), and
+    * the top-K mass clamps K against the descending cumulative key
+    * count. Identical five outputs to the row_number formulation
+    * (ExtSpec pins equality), without its single-partition window
+    * over the key contraction.
     *
     * Scale: the only full-data pass is the per-key count (map-side
-    * partial). The ranking window runs on the key-cardinality
-    * contraction; if even THAT is huge, the window partitions by
-    * nothing — so this diagnostic is for key spaces that fit a single
-    * partition after contraction (10⁷ keys ≈ 160 MB — fine); beyond
-    * that, sample keys first. */
+    * partial). The cumulative windows run on the DISTINCT-COUNT-VALUE
+    * contraction, whose size k obeys k(k+1)/2 ≤ n_rows (distinct
+    * positive counts sum past any budget), so k ≤ √(2·n_rows) —
+    * ~1.4M values even at 10¹² rows; the one-task window is bounded
+    * by arithmetic, not by hoping keys contract. */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
-    // ascending count, key tie-break: deterministic ranks
-    val w = Window.orderBy(col("cnt"), col("k"))
-    val wDesc = Window.orderBy(col("cnt").desc, col("k"))
-    counts
-      .withColumn("i", row_number().over(w))
-      .withColumn("rk_desc", row_number().over(wDesc))
-      .agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("cnt")).as("n_rows"),
-        sum(col("i") * col("cnt")).as("iwsum"),
-        sum(when(col("rk_desc") === 1, col("cnt")).otherwise(0L))
-          .as("top1"),
-        sum(when(col("rk_desc") <= topK, col("cnt")).otherwise(0L))
-          .as("topk"))
+    val g = counts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val wAsc = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cum_asc", sum(col("m")).over(wAsc))
+      .withColumn("n_keys", sum(col("m")).over(Window.partitionBy()))
+    // keys with a STRICTLY larger cnt = n_keys − cum_asc; this block's
+    // share of the descending top-K is K − (n_keys − cum_asc), clamped
+    // to [0, m] — tie order is irrelevant because tied keys have equal
+    // cnt, so any m-subset of a tie block carries the same mass
+    def inTop(k: Long) = greatest(lit(0L), least(col("m"),
+      lit(k) - col("n_keys") + col("cum_asc")))
+    cum.agg(
+      max(col("n_keys")).as("n_keys"),
+      sum(col("cnt") * col("m")).as("n_rows"),
+      sum(expr("cnt * (m * cum_asc - (m * (m - 1)) div 2)")).as("iwsum"),
+      sum(col("cnt") * inTop(1L)).as("top1"),
+      sum(col("cnt") * inTop(topK.toLong)).as("topk"))
       .select(col("n_keys"), col("n_rows"),
         round(col("top1").cast("double") / col("n_rows"), 6)
           .as("top1_share"),
@@ -115,14 +130,23 @@ object Profiling {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     // columns stay LONG so every per-row product is a codegen'd long
-    // multiply; only the SUM accumulates as decimal(38,0). Quantized
-    // values are ≤ ~1e9 e4-micros, so a single product ≤ ~1e18 fits
-    // int64 — it is the row-count-scaled SUM that overflows, not the
-    // product. (The first formulation quantized the columns straight
-    // to decimal, making every row's multiply a BigDecimal allocation:
-    // 279 s for 60M rows vs 6.8 s after this change — a 40× hot-loop
-    // tax for exactness the product never needed, plus enough tenured
-    // garbage to slow the NEXT query by 10× on GC alone.)
+    // multiply; only the SUM accumulates as decimal(38,0).
+    // VALUE-MAGNITUDE BOUND: a single product q_a·q_b fits int64 only
+    // while |x| ≤ ~3·10⁵ (|q| = |x|·1e4 ≤ 3.03·10⁹ ⇒ product ≤
+    // 9.2·10¹⁸); the fixture columns are prices/quantities well inside
+    // it. Past the bound the product does NOT corrupt silently: the
+    // session runs Spark 4 ANSI mode (no override anywhere in this
+    // repo), so long·long overflow raises ARITHMETIC_OVERFLOW and the
+    // query fails loudly — the documented remedies are coarser
+    // quantization (1e2 buys 100× headroom at 2 fewer digits) or
+    // casting one factor to decimal before the multiply (exact at any
+    // range, at the ~40× hot-loop cost measured below). It is the
+    // row-count-scaled SUM that needs decimal, not the product. (The
+    // first formulation quantized the columns straight to decimal,
+    // making every row's multiply a BigDecimal allocation: 279 s for
+    // 60M rows vs 6.8 s after this change — a 40× hot-loop tax for
+    // exactness the product never needed, plus enough tenured garbage
+    // to slow the NEXT query by 10× on GC alone.)
     val q = cols.map(c =>
       round(col(c).cast("double") * 1e4).cast("long").as(c))
     val base = df.select(q: _*)

@@ -721,7 +721,10 @@ object Similarity {
 
   /** Recall@k evaluation of the SRP-LSH index against the exact
     * brute-force ranking, per query: n_hits = |ann top-k ∩ exact
-    * top-k|, recall = n_hits/k. The operator every ANN deployment runs
+    * top-k|, recall = n_hits/n_exact (n_exact = |exact top-k| — equal
+    * to k except on corpora smaller than k, where the divisor is the
+    * achievable set, keeping recall 1.0 for a perfect index instead of
+    * penalizing small corpora). The operator every ANN deployment runs
     * before trusting its index parameters (bits/tables trade recall
     * for candidate volume) — and after every reindex, as drift
     * monitoring.

@@ -16,9 +16,13 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
   * scored when a LATER bucket first shows up for the same key (rates
   * are per-key monotone signals, so "next bucket started" is the
   * natural close signal and needs no cross-key watermark coordination).
-  * Until it closes, a bucket's count keeps absorbing late rows — a
-  * late row after close is dropped (same trade a watermark makes,
-  * with the horizon measured in buckets instead of wall time).
+  * Until it closes, a bucket's count keeps absorbing late rows; at
+  * close the count FREEZES — a late row for ANY closed bucket is
+  * dropped, including closed buckets still retained as baseline
+  * history, so the baseline a score was computed against never shifts
+  * after the fact (the same trade a watermark makes, with the horizon
+  * measured in buckets instead of wall time — here the horizon is
+  * exactly one bucket: only the open bucket absorbs).
   *
   * State per key is ONE MapState with a bounded window of bucket
   * counts (open + `Trailing` closed): entries are point-updated per
@@ -69,20 +73,23 @@ object StreamingAnomaly {
       if (deltas.isEmpty) return Iterator.empty
 
       val known: Map[Long, Long] = buckets.iterator().toMap
-      val closedFrontier = // buckets strictly below this were scored
-        if (known.isEmpty) Long.MinValue
-        else known.keys.max - (Trailing.toLong - 1) * BucketSec
-      // merge deltas, dropping post-close stragglers
+      // every bucket strictly below the known max is CLOSED (it was
+      // scored the moment a later bucket appeared) — its count is
+      // frozen, so a late delta for it is dropped even while the
+      // bucket is still retained as baseline history; merging it
+      // would silently shift future baselines away from what the
+      // already-emitted scores saw
+      val frontier =
+        if (known.isEmpty) Long.MinValue else known.keys.max
       val merged = deltas.foldLeft(known) { case (m, (b, d)) =>
-        if (b < closedFrontier) m // late past the horizon: dropped
+        if (b < frontier) m // late for a closed bucket: dropped
         else m.updated(b, m.getOrElse(b, 0L) + d)
       }
       val high = merged.keys.max
       // score every bucket that just closed (open before, < high now),
       // oldest first, against the Trailing buckets before it
       val newlyClosed = merged.keys.filter(b =>
-        b < high && b >= (if (known.isEmpty) Long.MinValue
-                          else known.keys.max)).toSeq.sorted
+        b < high && b >= frontier).toSeq.sorted
       val out = newlyClosed.flatMap { b =>
         val base = (1 to Trailing).flatMap(i =>
           merged.get(b - i * BucketSec))

@@ -630,6 +630,25 @@ class ExtSpec extends SparkSpec {
     assert(incReal === fullReal)
   }
 
+  test("coShinglePairsTouching equals the post-filtered full pair set") {
+    // the incremental pair-gen (new side restricted BEFORE expansion)
+    // must emit exactly the full expansion filtered to pairs touching
+    // a new doc — same pairs, same orientation, no extras
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = pmod(col("doc_id"), lit(7)) === 0
+    val filtered = Dedup.coShinglePairs(docs, minShared = 2,
+        maxPostings = 1000)
+      .filter(pmod(col("doc_a"), lit(7)) === 0 ||
+        pmod(col("doc_b"), lit(7)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touching = Dedup.coShinglePairsTouching(docs, isNew,
+        minShared = 2, maxPostings = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(touching === filtered)
+    assert(touching.nonEmpty)
+    assert(touching.forall { case (a, b) => a < b })
+  }
+
   test("clusterWeights: 1/|cluster| weights, singletons weight 1e6") {
     val chainDocs = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (4L, "solo"), (10L, "x"), (11L, "y"))

@@ -66,6 +66,7 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") === 1L)
     // transitivity = 3·1/5 = 0.6
     assert(r.getAs[Long]("transitivity_micro") === 600000L)
+    assert(r.getAs[Long]("n_capped_nodes") === 0L)
   }
 
   test("triangleCensus: triangle-free star has wedges but zero transitivity") {
@@ -74,5 +75,23 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") === 3L)
     assert(r.getAs[Long]("n_triangles") === 0L)
     assert(r.getAs[Long]("transitivity_micro") === 0L)
+    assert(r.getAs[Long]("n_capped_nodes") === 0L)
+  }
+
+  test("triangleCensus: a firing wedge cap is visible in n_capped_nodes") {
+    // triangle {1,2,3}: node 1's oriented out-degree is 2 (1-2, 1-3),
+    // so maxWedgeDegree = 1 skip-lists it — the triangle's only wedge
+    // a<b<c disappears and the cap must SAY so
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val exact = LinkGraph.triangleCensus(edges).collect().head
+    assert(exact.getAs[Long]("n_triangles") === 1L)
+    assert(exact.getAs[Long]("n_capped_nodes") === 0L)
+    val capped = LinkGraph.triangleCensus(edges, maxWedgeDegree = 1)
+      .collect().head
+    assert(capped.getAs[Long]("n_capped_nodes") === 1L)
+    assert(capped.getAs[Long]("n_triangles") === 0L)
+    // n_wedges stays the full degree sum — capped transitivity is a
+    // visible LOWER bound, not a silently rescaled ratio
+    assert(capped.getAs[Long]("n_wedges") === 3L)
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ext.Profiling
 import graft.io.Sinks
 
@@ -71,6 +73,41 @@ class ProfilingSpec extends SparkSpec {
     val expected = BigDecimal(2.0 * (45 + 910) / 1000.0 - 1.1)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(h.getAs[Double]("gini") === expected)
+  }
+
+  test("keySkew closed form equals the row_number formulation on tied counts") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (the closed-form's interesting case): counts
+    // 1×5, 2×4, 3×3, 7×2, 20×1 across 15 keys — tie blocks straddle
+    // the top-10 boundary so the clamp arithmetic is exercised
+    val rows = (1 to 5).flatMap(k => Seq.fill(1)(k)) ++
+      (6 to 9).flatMap(k => Seq.fill(2)(k)) ++
+      (10 to 12).flatMap(k => Seq.fill(3)(k)) ++
+      (13 to 14).flatMap(k => Seq.fill(7)(k)) ++ Seq.fill(20)(15)
+    val df = rows.toDF("k")
+    val got = Profiling.keySkew(df, "k").collect().head
+    // reference: the direct ranked-window formulation
+    val counts = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("i", row_number().over(Window.orderBy(col("cnt"), col("k"))))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("k"))))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        sum(col("i") * col("cnt")).as("iwsum"),
+        sum(when(col("rk") === 1, col("cnt")).otherwise(0L)).as("top1"),
+        sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("topk"))
+      .collect().head
+    assert(got.getAs[Long]("n_keys") === counts.getAs[Long]("n_keys"))
+    assert(got.getAs[Long]("n_rows") === counts.getAs[Long]("n_rows"))
+    val nk = counts.getAs[Long]("n_keys").toDouble
+    val nr = counts.getAs[Long]("n_rows")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("top1_share") ===
+      r6(counts.getAs[Long]("top1").toDouble / nr))
+    assert(got.getAs[Double]("top10_share") ===
+      r6(counts.getAs[Long]("topk").toDouble / nr))
+    assert(got.getAs[Double]("gini") ===
+      r6(2.0 * counts.getAs[Long]("iwsum") / (nk * nr) - (nk + 1) / nk))
   }
 
   test("corrMatrix: exact ±1 on linear columns, null on a constant column") {
