@@ -49,6 +49,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // run-context snapshot BEFORE any Spark work: full-suite totals
+    // swing 105-135 s with machine state (page cache, post-test-suite
+    // GC carryover — see NOTES), so cross-round ratios are only
+    // like-for-like when the context rides in the record. load_avg_1m
+    // captures a still-settling machine (a just-exited test-suite JVM
+    // shows up here); jvm_uptime confirms the timing JVM itself is
+    // fresh.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    val ctx =
+      s""""ctx":{"jvm_uptime_ms_at_start":${
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+      },"load_avg_1m_at_start":${osBean.getSystemLoadAverage
+      },"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)
+      },"host_cpus":${Runtime.getRuntime.availableProcessors
+      },"spark_cpus":"$cpus"}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,7 +117,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s""""errors":${errors.mkString("[", ",", "]")},$ctx,"sf":"$sfDir"}"""
     println(line)
     // the stdout line has been truncated upstream before (BENCH_r02's
     // JSON tail) — persist a copy so totals survive log truncation.

@@ -378,6 +378,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ===== HLL DAU/MAU scale-path accuracy gate =======================
+    // the sketch tier gets a driver-visible correctness row: every
+    // observed day's HLL MAU-28 estimate must sit within 5% of the
+    // exact contribution-expansion MAU (lgK=14 ⇒ rsd ≈ 0.8%, so 5% is
+    // a stable margin, not a coin flip). The oracle asserts the
+    // invariant itself (n_within = n_days, flag 1): estimator drift
+    // turns the row red instead of silently degrading the scale path.
+    "q136_dau_mau_sketch_check" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.ops.Behavior.rollingActiveUsers(ev)
+        .join(graft.ops.Behavior.rollingActiveUsersSketch(ev), Seq("day"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(abs(col("mau_est") - col("mau")).cast("double")
+              / col("mau") <= 0.05, 1L).otherwise(0L))
+            .as("n_within_5pct"))
+        .select(col("n_days"), col("n_within_5pct"),
+          (col("n_days") === col("n_within_5pct")).cast("long")
+            .as("all_within_5pct"))
+    }),
+
+    // ===== pre-flight join-cardinality audit ==========================
+    // exact output size + worst-key contribution of the orders⋈lineitem
+    // join, from two key contractions — run BEFORE the 100 TB shuffle
+    "q137_join_cardinality" -> ((s, d) =>
+      Profiling.joinCardinality(lineitem(s, d), orders(s, d),
+        keyL = "l_orderkey", keyR = "o_orderkey")),
+
+    // ===== corpus snapshot shingle overlap (versioning diff) ==========
+    // doc_id parity as the two snapshots (the q116 convention); the
+    // md5-60 hash so the oracle replays the identical key
+    "q138_shingle_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.shingleOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        hash = T.md5Hash60 _)
+    }),
+
+    // ===== median/MAD robust outlier screen ===========================
+    "q139_mad_outliers" -> ((s, d) =>
+      A.madOutliers(
+          lineitem(s, d).select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("price_cents")),
+          "l_returnflag", "price_cents")
+        .orderBy(col("l_returnflag"))),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -3083,6 +3130,112 @@ object SparkEntry {
         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id)
         |SELECT id AS doc_id, min(comp) AS component
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the oracle asserts the ACCURACY INVARIANT, not the estimates
+    // (HLL layouts are engine-specific): n_within must equal the
+    // day count and the flag must be 1 — sketch drift past 5% turns
+    // this row red in the driver compare
+    "q136_dau_mau_sketch_check" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+        |    AS d
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_within_5pct,
+        |  CAST(1 AS BIGINT) AS all_within_5pct
+        |FROM ud""".stripMargin,
+
+    // exact join-output size from the two key contractions
+    "q137_join_cardinality" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+        |  FROM lineitem GROUP BY 1),
+        |cr AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+        |  FROM orders GROUP BY 1),
+        |lt AS (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) AS n_left,
+        |              CAST(count(*) AS BIGINT) AS n_keys_left FROM cl),
+        |rt AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS n_right,
+        |              CAST(count(*) AS BIGINT) AS n_keys_right FROM cr),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys_common,
+        |    CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS out_rows,
+        |    CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_out
+        |  FROM cl JOIN cr USING (k))
+        |SELECT n_left, n_right, n_keys_left, n_keys_right,
+        |  n_keys_common, out_rows, max_key_out
+        |FROM j, lt, rt""".stripMargin,
+
+    // distinct md5-60 shingle keys per parity snapshot; presence flags
+    // and the overlap audit over the shingle-universe contraction —
+    // floor-truncated ratios (the trunc4 convention for discrete k/n)
+    "q138_shingle_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |shs AS (
+        |  SELECT DISTINCT doc_id % 2 AS snap,
+        |         CAST(('0x' || substring(
+        |           md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+        |           AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |univ AS (
+        |  SELECT h,
+        |    max(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM shs GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(sum(in_a) AS BIGINT) AS n_shingles_a,
+        |    CAST(sum(in_b) AS BIGINT) AS n_shingles_b,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |    CAST(count(*) AS BIGINT) AS n_union
+        |  FROM univ)
+        |SELECT n_shingles_a, n_shingles_b, n_common, n_union,
+        |  floor(CAST(n_common AS DOUBLE) / n_union * 10000) / 10000
+        |    AS jaccard,
+        |  floor(CAST(n_common AS DOUBLE) / n_shingles_a * 10000) / 10000
+        |    AS containment_a,
+        |  floor(CAST(n_common AS DOUBLE) / n_shingles_b * 10000) / 10000
+        |    AS containment_b
+        |FROM agg""".stripMargin,
+
+    // both medians replayed with the repo's integer cumsum discipline
+    // (lower median: min value with 2·cum ≥ total)
+    "q139_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem),
+        |c1 AS (SELECT g, x, CAST(count(*) AS BIGINT) AS w
+        |       FROM v GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT g, x,
+        |    sum(w) OVER (PARTITION BY g ORDER BY x
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM c1),
+        |med AS (SELECT g, min(x) AS med FROM m1
+        |        WHERE cum * 2 >= tot GROUP BY 1),
+        |d AS (SELECT v.g, abs(x - med) AS dd FROM v JOIN med USING (g)),
+        |c2 AS (SELECT g, dd, CAST(count(*) AS BIGINT) AS w
+        |       FROM d GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT g, dd,
+        |    sum(w) OVER (PARTITION BY g ORDER BY dd
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS tot
+        |  FROM c2),
+        |mad AS (SELECT g, min(dd) AS mad FROM m2
+        |        WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT d.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  max(med.med) AS median, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dd > 3 * mad.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN dd > 3 * mad.mad THEN 1 ELSE 0 END)
+        |             AS DOUBLE) * 100 / count(*), 4) AS pct_outliers
+        |FROM d JOIN med USING (g) JOIN mad USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q23 quality, q90 entropy, and q86 novelty CTEs joined and
     // rolled up by lang; averages are integer floor divisions

@@ -130,6 +130,50 @@ object Dedup {
       explode(graft.functions.TextFunctions.word_shingles(col(textCol), n))
         .as("sh"))
 
+  /** Corpus-level n-gram overlap between two snapshots — the dataset
+    * VERSIONING diff (did the recrawl actually change the corpus? how
+    * much of last month's data is inside this month's?): distinct
+    * shingle counts per side, the shared count, Jaccard, and both
+    * containments (C(a|b) = |A∩B|/|A| — asymmetric, the "is A a
+    * subset of B" signal Jaccard hides). Complements
+    * [[graft.ext.TextAnalysis]]'s tokenDrift (distribution-shape
+    * drift) with set-membership drift at shingle granularity.
+    *
+    * One row out: (n_shingles_a, n_shingles_b, n_common, n_union,
+    * jaccard, containment_a, containment_b).
+    *
+    * Scale: shingles build map-side (codegen kernel), collapse to the
+    * distinct-shingle universe in ONE hash-keyed shuffle (map-side
+    * partial max on two presence flags — never a self-join of the
+    * sides), and the audit aggregate runs over that contraction. The
+    * hash is pluggable per the [[HashScheme]] convention: xxhash64 at
+    * scale, `TextAnalysis.md5Hash60` where a DuckDB oracle must replay
+    * the exact key (q138). */
+  def shingleOverlap(a: DataFrame, b: DataFrame, n: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     hash: Column => Column = xxhash64(_)): DataFrame = {
+    def side(df: DataFrame, flag: Int) =
+      shingleRowsFast(df, n, idCol, textCol)
+        .select(hash(col("sh")).as("h"), lit(flag).as("snap"))
+    val univ = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("h"))
+      .agg(max(when(col("snap") === 0, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("snap") === 1, 1L).otherwise(0L)).as("in_b"))
+    val t4 = TextAnalysis.trunc4 _
+    univ.agg(
+        coalesce(sum(col("in_a")), lit(0L)).as("n_shingles_a"),
+        coalesce(sum(col("in_b")), lit(0L)).as("n_shingles_b"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_common"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_shingles_a"), col("n_shingles_b"), col("n_common"),
+        col("n_union"),
+        t4(col("n_common").cast("double") / col("n_union")).as("jaccard"),
+        t4(col("n_common").cast("double") / col("n_shingles_a"))
+          .as("containment_a"),
+        t4(col("n_common").cast("double") / col("n_shingles_b"))
+          .as("containment_b"))
+  }
+
   /** Per-document n-gram redundancy vs the id-ordered corpus prefix:
     * the fraction of a doc's DISTINCT shingles whose first occurrence
     * (min doc_id — the dedup canonical-survivor convention) lies in an

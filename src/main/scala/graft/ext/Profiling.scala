@@ -112,6 +112,44 @@ object Profiling {
           .as("gini"))
   }
 
+  /** Pre-flight join-cardinality audit: the EXACT output row count a
+    * key equi-join would produce — Σ over common keys of
+    * cnt_left·cnt_right — plus the diagnostics that say WHY
+    * (matching-key counts, the worst single key's contribution). The
+    * planning step before any 100 TB join: a join that looks 1:1 but
+    * hides a few many:many keys explodes quadratically, and this
+    * reports it from two cheap contractions before the shuffle finds
+    * out the hard way. Pairs with [[keySkew]] (per-side skew) the way
+    * EXPLAIN pairs with statistics.
+    *
+    * One row out: (n_left, n_right, n_keys_left, n_keys_right,
+    * n_keys_common, out_rows, max_key_out).
+    *
+    * Scale: two map-side-combined per-key counts; the contraction
+    * equi-join is key-cardinality-sized; the per-key product needs
+    * cnt_l·cnt_r within int64 (both sides >3·10⁹ rows on ONE key
+    * overflows — at which point the real answer is "salt or rethink
+    * the join", and ANSI mode fails loudly); the row-count-scaled SUM
+    * accumulates as decimal(38,0). */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      keyL: String, keyR: String): DataFrame = {
+    val cl = left.groupBy(col(keyL).as("k")).agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(keyR).as("k")).agg(count(lit(1)).as("cr"))
+    val ltot = cl.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val rtot = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    cl.join(cr, Seq("k"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)"))
+          .cast("long"), lit(0L)).as("out_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_out"))
+      .crossJoin(broadcast(ltot)).crossJoin(broadcast(rtot))
+      .select(col("n_left"), col("n_right"), col("n_keys_left"),
+        col("n_keys_right"), col("n_keys_common"), col("out_rows"),
+        col("max_key_out"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns — the feature-
     * redundancy screen of a stats profile. One pass, one row out per
     * unordered column pair.

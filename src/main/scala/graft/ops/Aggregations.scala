@@ -135,6 +135,54 @@ object Aggregations {
     * stream, which is clamped map-side and re-aggregated with map-side
     * partials. Two corpus passes, both shuffle-bounded by the key
     * domain. */
+  /** Per-group robust outlier screen: lower median, MAD (median
+    * absolute deviation, lower), and how many rows sit beyond
+    * `k`·MAD of the median — the outlier detector that, unlike
+    * mean/std z-scores, is not dragged by the outliers it is looking
+    * for (50% breakdown point vs 0). Takes an INTEGER value column
+    * (quantize first, the repo convention), so both medians and every
+    * comparison are exact integer arithmetic — bit-identical
+    * cross-engine, no float thresholds.
+    *
+    * Output per group: (group, n, median, mad, n_outliers,
+    * pct_outliers).
+    *
+    * Known MAD edge: a group where the majority value is constant has
+    * MAD = 0, making EVERY deviating row an "outlier" (k·0 = 0) — the
+    * standard MAD pathology, reported as-is rather than papered over;
+    * consumers treating mad = 0 specially should branch on the column.
+    *
+    * Scale shape: both medians ride [[weightedMedian]]'s contraction
+    * discipline (windows over the (group, distinct value) contraction,
+    * never the raw table); the per-group scalars broadcast back onto
+    * the raw stream for one conditional-count pass. Three corpus
+    * passes total, every shuffle bounded by group × value-domain
+    * cardinality. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol))
+      .withColumn("_one", lit(1L))
+    val med = weightedMedian(base, groupCol, valueCol, "_one")
+      .select(col(groupCol), col("weighted_median").as("_med"))
+    val dev = base.join(broadcast(med), groupCol)
+      .select(col(groupCol), col("_med"),
+        abs(col(valueCol) - col("_med")).as("_d"))
+      .withColumn("_one", lit(1L))
+    val mad = weightedMedian(dev, groupCol, "_d", "_one")
+      .select(col(groupCol), col("weighted_median").as("_mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        sum((col("_d") > lit(k.toLong) * col("_mad")).cast("long"))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") * 100 / col("n"), 4)
+          .as("pct_outliers"))
+  }
+
   def winsorizeStats(df: DataFrame, groupCol: String, valueCol: String,
                      pLo: Int = 5, pHi: Int = 95): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -43,6 +43,24 @@ import graft.ext.Dedup
   */
 object CurationStream {
 
+  /** At-source ingestion dedup — `dropDuplicatesWithinWatermark` in
+    * the curation seat: drops producer-retry duplicates (the same
+    * doc_id re-sent within `horizon`) BEFORE any cleanse/store work.
+    * This is a different dedup axis than the fingerprint store: the
+    * store is CONTENT-keyed and remembers forever (file-backed), while
+    * this stage is ID-keyed with state auto-expired at the watermark —
+    * bounded by horizon × ingest rate, never corpus history. A retry
+    * that mutated the payload (same id, edited text) slips past the
+    * content store by design; only this stage catches it. Compose as
+    * `sinkCurated(dedupIngest(stream), ...)`.
+    *
+    * Scale: the dedup state is a per-id marker with watermark TTL —
+    * the Structured Streaming primitive built exactly for this; no
+    * unbounded `dropDuplicates` state, no store round-trip per retry. */
+  def dedupIngest(docs: DataFrame, horizon: String = "10 minutes",
+                  idCol: String = "doc_id", tsCol: String = "ts"): DataFrame =
+    Sessionize.dedupWithinWatermark(docs, Seq(idCol), tsCol, horizon)
+
   /** Stream-safe document cleanse: drop rows with null id/text, trim
     * and case/accent-fold the text (the [[graft.functions.NormalizeText]]
     * kernel — map-side, codegen), drop rows blank after trimming. */

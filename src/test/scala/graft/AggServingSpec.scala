@@ -115,6 +115,25 @@ class AggServingSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 3L, 12L)))
   }
 
+  test("madOutliers: hand-computed median/MAD, outliers beyond 3 MAD") {
+    import graft.ops.Aggregations
+    // values 1,2,3,4,100: lower median (n=5) = 3; |x−3| = 2,1,0,1,97 →
+    // sorted 0,1,1,2,97 → MAD = 1; outliers dd > 3·1: only 97 → 1 row
+    val df = Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)).toDF("g", "x")
+    val r = Aggregations.madOutliers(df, "g", "x").collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("median") === 3L)
+    assert(r.getAs[Long]("mad") === 1L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("pct_outliers") === 20.0)
+    // a tight group has zero outliers; even n takes the LOWER median
+    val tight = Seq(10L, 11L, 12L, 13L).map(("t", _)).toDF("g", "x")
+    val t = Aggregations.madOutliers(tight, "g", "x").collect().head
+    assert(t.getAs[Long]("median") === 11L)
+    assert(t.getAs[Long]("mad") === 1L)
+    assert(t.getAs[Long]("n_outliers") === 0L)
+  }
+
   test("weightedMedian windows the contraction, not the raw table") {
     import graft.ops.Aggregations
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => W}

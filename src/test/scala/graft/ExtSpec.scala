@@ -630,6 +630,26 @@ class ExtSpec extends SparkSpec {
     assert(incReal === fullReal)
   }
 
+  test("shingleOverlap: hand-computed set audit between two snapshots") {
+    // a: "a b c d" → {abc, bcd}; b: "b c d e f" → {bcd, cde, def}
+    // common {bcd} → jaccard 1/4, containments 1/2 and 1/3 (truncated)
+    val a = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val b = Seq((2L, "b c d e f")).toDF("doc_id", "text")
+    val r = Dedup.shingleOverlap(a, b).collect().head
+    assert(r.getAs[Long]("n_shingles_a") === 2L)
+    assert(r.getAs[Long]("n_shingles_b") === 3L)
+    assert(r.getAs[Long]("n_common") === 1L)
+    assert(r.getAs[Long]("n_union") === 4L)
+    assert(r.getAs[Double]("jaccard") === 0.25)
+    assert(r.getAs[Double]("containment_a") === 0.5)
+    assert(r.getAs[Double]("containment_b") === 0.3333)
+    // identical corpora: full overlap on every measure
+    val s = Dedup.shingleOverlap(a, a.withColumn("doc_id", lit(9L)))
+      .collect().head
+    assert(s.getAs[Double]("jaccard") === 1.0)
+    assert(s.getAs[Long]("n_union") === 2L)
+  }
+
   test("coShinglePairsTouching equals the post-filtered full pair set") {
     // the incremental pair-gen (new side restricted BEFORE expansion)
     // must emit exactly the full expansion filtered to pairs touching

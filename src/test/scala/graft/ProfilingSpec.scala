@@ -75,6 +75,30 @@ class ProfilingSpec extends SparkSpec {
     assert(h.getAs[Double]("gini") === expected)
   }
 
+  test("joinCardinality: exact fan-out sum and worst-key contribution") {
+    // left keys 1,1,2,3 × right keys 1,2,2,4 → common {1,2};
+    // out = 2·1 + 1·2 = 4; worst key contributes 2 either way
+    val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
+    val r = Profiling.joinCardinality(left, right, "lk", "rk")
+      .collect().head
+    assert(r.getAs[Long]("n_left") === 4L)
+    assert(r.getAs[Long]("n_right") === 4L)
+    assert(r.getAs[Long]("n_keys_left") === 3L)
+    assert(r.getAs[Long]("n_keys_right") === 3L)
+    assert(r.getAs[Long]("n_keys_common") === 2L)
+    assert(r.getAs[Long]("out_rows") === 4L)
+    assert(r.getAs[Long]("max_key_out") === 2L)
+    // the estimate IS the real join size
+    assert(left.join(right, col("lk") === col("rk")).count() === 4L)
+    // disjoint keys: zero everything except the side totals
+    val z = Profiling.joinCardinality(left, Seq(9L).toDF("rk"), "lk", "rk")
+      .collect().head
+    assert(z.getAs[Long]("n_keys_common") === 0L)
+    assert(z.getAs[Long]("out_rows") === 0L)
+    assert(z.getAs[Long]("max_key_out") === 0L)
+  }
+
   test("keySkew closed form equals the row_number formulation on tied counts") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (the closed-form's interesting case): counts

@@ -325,4 +325,34 @@ class StreamingSpec extends SparkSpec {
       "redelivery duplicated store fingerprints")
     assert(storeHashes.size === 3) // alpha, beta, gamma
   }
+
+  test("ingestion dedup catches a mutated retry the content store cannot") {
+    import graft.stream.CurationStream
+    val base = java.nio.file.Files.createTempDirectory("ingdedup").toString
+    val (store, out, ckpt) = (s"$base/store", s"$base/out", s"$base/ckpt")
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    // the composition under test: id-keyed watermark dedup feeding the
+    // content-keyed store pipeline
+    val q = CurationStream.sinkCurated(
+      CurationStream.dedupIngest(docs).drop("ts"), store, out, ckpt).start()
+    try {
+      input.addData(Seq(
+        (1L, ts("2025-01-01 10:00:00"), "alpha text"),
+        // producer retry of doc 1 with an EDITED payload: different
+        // content hash, so the fingerprint store would admit it — only
+        // the id-keyed ingestion dedup drops it
+        (1L, ts("2025-01-01 10:00:03"), "alpha text v2"),
+        (2L, ts("2025-01-01 10:00:10"), "beta text")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.option("basePath", out).parquet(out)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(admitted.keySet === Set(1L, 2L))
+    assert(admitted(1L) === "alpha text") // the first delivery won
+  }
 }
