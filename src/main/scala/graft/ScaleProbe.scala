@@ -563,6 +563,59 @@ object ScaleProbe {
     timed(s"ewma_forecast x$eventReps") {
       consume(graft.ops.Behavior.ewmaForecast(events))
     }
+
+    // ===== round-7 operators ===============================================
+    // keySkew at HIGH key cardinality (~6.3M distinct of 10M rows) —
+    // the case the row_number formulation funneled through one window
+    // task; the closed form's windows see only the distinct-COUNT-value
+    // contraction (a handful of rows here)
+    timed("key_skew_hikey 10M/6.3Mkeys") {
+      consume(graft.ext.Profiling.keySkew(
+        spark.range(10000000L)
+          .select(pmod(expr("xxhash64(id)"), lit(10000000L)).as("k")),
+        "k"))
+    }
+    timed(s"join_cardinality x${eventReps / 10}") {
+      consume(graft.ext.Profiling.joinCardinality(
+        Tables.lineitem(spark, sfDir)
+          .crossJoin(spark.range(eventReps / 10).toDF("rep")),
+        Tables.orders(spark, sfDir), "l_orderkey", "o_orderkey"))
+    }
+    timed(s"shingle_overlap x$docReps") {
+      consume(Dedup.shingleOverlap(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    }
+    timed("mad_outliers 10M/3grp") {
+      val mo = spark.range(10000000L).select(
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("g"),
+        pmod(expr("xxhash64(id)"), lit(100000L)).as("v"))
+      consume(Aggregations.madOutliers(mo, "g", "v"))
+    }
+    // the q135 shape fix, measured where EXPANSION dominates: at ×10
+    // replication with cap 500 every base shingle's 10-copy posting
+    // list survives the cap, so the full expansion pays C(10,2) pairs
+    // per list while the touching variant pays k_new·k with a ~10%
+    // new batch — the regime the incremental-crawl operator exists
+    // for. (A cap BELOW the replication factor silently cap-drops
+    // every list and both variants measure only the posting build —
+    // the first version of this probe did exactly that and read as
+    // parity; keep cap > reps.)
+    val docs10 = Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(10).toDF("rep"))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    timed("incremental_pairs x10/cap500") {
+      consume(Dedup.coShinglePairsTouching(docs10,
+        pmod(col("doc_id"), lit(10)) === 0,
+        minShared = 2, maxPostings = 500))
+    }
+    timed("full_pairs_filtered x10/cap500") {
+      consume(Dedup.coShinglePairs(docs10, minShared = 2, maxPostings = 500)
+        .filter(pmod(col("doc_a"), lit(10)) === 0 ||
+          pmod(col("doc_b"), lit(10)) === 0))
+    }
     spark.stop()
   }
 }

@@ -482,10 +482,13 @@ object Dedup {
     * is-new flag packed into each posting's low bit (id·2+flag — order
     * and the `maxPostings` cap behave exactly as the unpacked lists,
     * one extra bit per id; requires id < 2⁶²). Pair expansion then
-    * explodes each list ONCE, keeps only new elements (a codegen
-    * filter between the two explodes — the interpreted array-HOF
-    * alternative is the NOTES shingle lesson), and pairs each with the
-    * full list: per-list cost k_new·k instead of k²/2. Both-new pairs
+    * selects the new subset of each list with an in-array filter
+    * (O(k) per LIST — interpreted, but this is the one place the HOF
+    * beats the codegen alternative: exploding the full list first
+    * copies the k-element array into k UnsafeRows, k² element copies
+    * per list, which probe-measured SLOWER than the full expansion it
+    * was meant to undercut) and pairs each new element with the full
+    * list: per-list cost k_new·k instead of k²/2. Both-new pairs
     * dedup by packed order; shared-shingle counts and the emitted
     * (doc_a < doc_b) pairs are EXACTLY
     * `coShinglePairs(docs).filter(touching isNew)` (ExtSpec pins
@@ -499,8 +502,8 @@ object Dedup {
       (col(idCol) * 2 + isNew.cast("long")).as(idCol), col(textCol))
     postingLists(packed, maxPostings, idCol, textCol, checkpoint = false)
       .filter(size(col("ids")) >= 2)
-      .select(col("ids"), explode(col("ids")).as("p"))
-      .filter(col("p").bitwiseAND(1) === 1)
+      .select(col("ids"),
+        explode(filter(col("ids"), x => x.bitwiseAND(1) === 1)).as("p"))
       .select(col("p"), explode(col("ids")).as("q"))
       .filter(col("q") =!= col("p") &&
         (col("q").bitwiseAND(1) === 0 || col("q") > col("p")))
