@@ -425,6 +425,44 @@ object SparkEntry {
           "l_returnflag", "price_cents")
         .orderBy(col("l_returnflag"))),
 
+    // ===== Misra-Gries heavy hitters (sketch guarantee gate) ==========
+    // synthetic skew (user_id % 100 clamped at 10: ~90% of rows land
+    // on key 10) so eviction actually fires at capacity 8; the oracle
+    // counts true heavy hitters from the FULL exact counts — a red
+    // row = a violated MG guarantee
+    "q140_heavy_hitters" -> ((s, d) =>
+      Profiling.heavyHitters(
+        events(s, d).select(
+          least(pmod(col("user_id"), lit(100)), lit(10L)).as("k")),
+        keyCol = "k", capacity = 8)),
+
+    // ===== calendar gap-fill ==========================================
+    // daily event counts with days ≡ 2 (mod 3) removed, then densified
+    // back — the filled zero rows are the operator's output
+    "q141_gap_fill" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+          .as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .filter(pmod(col("day"), lit(3)) =!= 2)
+      A.gapFillDays(daily, "day", Seq("n_events", "cents"))
+    }),
+
+    // ===== per-day session bounce rate ================================
+    "q142_bounce_rate" -> ((s, d) =>
+      graft.ops.Behavior.bounceRate(events(s, d))),
+
+    // ===== per-day discrete percentile bands (p50/p90/p99) ============
+    "q143_value_bands" -> ((s, d) =>
+      A.percentileBands(
+        events(s, d).select(
+          expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+            .as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        "day", "cents")),
+
     // ===== trailing-window time series (RANGE frame + lag analytics) ==
     // integer day key; cents-integer sums inside the frames so the
     // trailing aggregates are order-free, one round back to currency
@@ -3199,6 +3237,86 @@ object SparkEntry {
         |  floor(CAST(n_common AS DOUBLE) / n_shingles_b * 10000) / 10000
         |    AS containment_b
         |FROM agg""".stripMargin,
+
+    // the FULL exact heavy-hitter count — the Spark side counts only
+    // MG candidates, so equality here IS the Misra-Gries guarantee
+    "q140_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT least(user_id % 100, 10) AS k FROM events),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+        |SELECT n_rows, CAST(8 AS BIGINT) AS capacity,
+        |  n_rows // 8 AS threshold,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c, t
+        |   WHERE cnt > n_rows // 8) AS n_true_hh
+        |FROM t""".stripMargin,
+
+    // sequence spine: range(lo, hi+1) replays Spark's inclusive
+    // sequence(lo, hi); removed days come back as zero rows
+    "q141_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |kept AS (SELECT * FROM daily WHERE day % 3 <> 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM kept),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+        |SELECT spine.day AS day,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(cents, 0) AS cents
+        |FROM spine LEFT JOIN kept USING (day)
+        |ORDER BY day""".stripMargin,
+
+    // the q32 sessionization CTE rolled up to (day, bounce share);
+    // a session belongs to its start day
+    "q142_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ep,
+        |    CASE WHEN lag(ep) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+        |         THEN 1 ELSE 0 END AS is_new,
+        |    ts
+        |  FROM e),
+        |sessioned AS (
+        |  SELECT user_id, ep,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(ep) // 86400 AS day
+        |  FROM sessioned GROUP BY 1, 2)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) * 100 / count(*), 4) AS bounce_pct
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // discrete (type-1) percentiles via the integer cumsum discipline,
+    // one conditional-min per percent
+    "q143_value_bands" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT day, cents, CAST(count(*) AS BIGINT) AS w
+        |      FROM v GROUP BY 1, 2),
+        |m AS (
+        |  SELECT day, cents,
+        |    sum(w) OVER (PARTITION BY day ORDER BY cents
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY day) AS tot
+        |  FROM c)
+        |SELECT day, CAST(max(tot) AS BIGINT) AS n,
+        |  min(CASE WHEN cum * 100 >= 50 * tot THEN cents END) AS p50,
+        |  min(CASE WHEN cum * 100 >= 90 * tot THEN cents END) AS p90,
+        |  min(CASE WHEN cum * 100 >= 99 * tot THEN cents END) AS p99
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both medians replayed with the repo's integer cumsum discipline
     // (lower median: min value with 2·cum ≥ total)

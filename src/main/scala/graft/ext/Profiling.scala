@@ -150,6 +150,53 @@ object Profiling {
         col("max_key_out"))
   }
 
+  /** Heavy-hitter audit via the Misra-Gries mergeable summary
+    * ([[graft.functions.SketchAggregates.mg_summary]]): one
+    * O(capacity)-state pass finds the candidate set, a second pass
+    * recounts ONLY the candidates exactly (broadcast semi-join — the
+    * shuffle carries ≤ capacity keys, never the key universe). The
+    * classical guarantee: every key with true frequency > n/capacity
+    * is in the summary, so counting candidates finds ALL true heavy
+    * hitters without ever building the full per-key contraction —
+    * the point at 100 TB, where the keySkew-style exact contraction
+    * is itself the expensive step.
+    *
+    * Output (one row): (n_rows, capacity, threshold, n_true_hh) with
+    * threshold = n_rows div capacity and n_true_hh = candidates whose
+    * EXACT count exceeds it. Deterministic even though the summary
+    * CONTENT is merge-order-dependent: only sub-threshold candidates
+    * vary run to run, and they are filtered by the exact recount.
+    * The q140 oracle computes n_true_hh from the FULL exact counts —
+    * a red row would mean the MG guarantee was violated (a missed
+    * heavy hitter), making the sketch tier's correctness
+    * driver-visible, the q136 pattern. */
+  def heavyHitters(df: DataFrame, keyCol: String,
+                   capacity: Int = 64): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+    // one pass: the MG summary and the row count ride the same
+    // aggregate — ONE row always, so the output survives an empty or
+    // fully-decremented candidate set (an all-null row here was the
+    // first formulation's bug)
+    val summary = keys
+      .agg(graft.functions.SketchAggregates
+          .mg_summary(capacity)(col("k")).as("mg"),
+        count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // two consumers of the O(capacity) row
+    val cand = summary.select(col("n_rows"),
+      explode(map_keys(col("mg"))).as("k"))
+    val found = keys
+      .join(broadcast(cand.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand), Seq("k"))
+      .agg(coalesce(
+        sum(when(col("cnt") > expr(s"n_rows div $capacity"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_true_hh"))
+    summary
+      .select(col("n_rows"), lit(capacity.toLong).as("capacity"),
+        expr(s"n_rows div $capacity").as("threshold"))
+      .crossJoin(broadcast(found))
+  }
+
   /** Pairwise Pearson correlation of numeric columns — the feature-
     * redundancy screen of a stats profile. One pass, one row out per
     * unordered column pair.

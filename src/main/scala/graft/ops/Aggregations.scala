@@ -117,6 +117,64 @@ object Aggregations {
         max(col("_tot")).as("total_weight"))
   }
 
+  /** Per-group discrete percentile bands (lower/type-1 percentiles of
+    * an INTEGER value column at the given percents) — the daily
+    * latency-report shape (p50/p90/p99 per day) under the repo's
+    * integer-exact convention: the smallest v with 100·F(v) ≥ p·total
+    * per percent, every comparison exact integer arithmetic.
+    *
+    * Output per group: (group, n, p<p1>, p<p2>, …) ordered by group.
+    *
+    * Scale shape: the [[weightedMedian]] contraction discipline — one
+    * corpus-contracting aggregate to (group, value, weight), a keyed
+    * cumsum window over the contraction, one conditional-min per
+    * percent in a single final aggregate. A 3-row group key never
+    * funnels the corpus through 3 window tasks. */
+  def percentileBands(df: DataFrame, groupCol: String, valueCol: String,
+                      percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      "percents must be in (0, 100]")
+    val contracted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_w"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    val cums = contracted
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_tot", sum(col("_w")).over(all))
+    val bands = percents.map(p =>
+      min(when(col("_cum") * 100 >= lit(p) * col("_tot"), col(valueCol)))
+        .as(s"p$p"))
+    cums.groupBy(col(groupCol))
+      .agg(max(col("_tot")).as("n"), bands: _*)
+      .orderBy(col(groupCol))
+  }
+
+  /** Calendar gap-fill: densify a per-day aggregate to EVERY day in
+    * its observed [min, max] range, missing days carried as zero rows
+    * — the step between a sparse aggregate and anything that assumes
+    * a contiguous time axis (trailing windows, day-over-day deltas,
+    * charting). Spark has no native gap-fill; this is the
+    * sequence-spine idiom: explode one min→max `sequence` into the
+    * day spine (ONE row's array — bounded by calendar cardinality,
+    * ~37k rows even for a century) and left-join the aggregate onto
+    * it, zero-coalescing `fillCols`.
+    *
+    * Scale: the input is already a per-day contraction; the spine is
+    * calendar-sized; the join is day-keyed between two tiny frames.
+    * Nothing here ever sees raw-event cardinality. */
+  def gapFillDays(daily: DataFrame, dayCol: String,
+                  fillCols: Seq[String]): DataFrame = {
+    val spine = daily
+      .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as(dayCol))
+    val filled = fillCols.map(c => coalesce(col(c), lit(0L)).as(c))
+    spine.join(daily, Seq(dayCol), "left")
+      .select(col(dayCol) +: filled: _*)
+      .orderBy(col(dayCol))
+  }
+
   /** Per-group winsorization stats: clamp an INTEGER value column at
     * the group's discrete pLo/pHi percentiles and report how much was
     * clamped — the robust-scaling step quality-score filters need

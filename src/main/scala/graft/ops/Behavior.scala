@@ -291,6 +291,40 @@ object Behavior {
       .limit(k)
   }
 
+  /** Per-day session bounce rate: the share of sessions containing
+    * exactly one event (30-min inactivity-gap sessionization, the q32
+    * convention; a session belongs to its START day) — the
+    * engagement-quality headline next to DAU/MAU.
+    *
+    * Physical shape — the q127 plan fact: ONE user-keyed exchange
+    * feeds both window passes (lag for the gap flag, running sum for
+    * the session id); the per-session roll-up re-aggregates on
+    * (user, sess) already clustered by the same exchange, and the
+    * day roll-up contracts session-cardinality rows. Ties inside a
+    * second break on the id column for determinism. */
+  def bounceRate(events: DataFrame, gapSec: Long = 1800,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val epoch = floor(unix_timestamp(col(tsCol))).cast("long")
+    val gap = epoch - lag(epoch, 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSec, 1).otherwise(0)
+    val sessioned = events.withColumn("sess",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned.groupBy(col(userCol), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr(s"CAST(floor(unix_timestamp($tsCol)) AS BIGINT) div 86400"))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") * 100 / col("n_sessions"), 4)
+          .as("bounce_pct"))
+      .orderBy(col("day"))
+  }
+
   /** Per-group binomial rate with Wilson 95% score interval — the
     * "is this CTR difference real" screen (never report a rate off a
     * small denominator without its interval). For each group:

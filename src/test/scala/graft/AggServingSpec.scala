@@ -134,6 +134,36 @@ class AggServingSpec extends SparkSpec {
     assert(t.getAs[Long]("n_outliers") === 0L)
   }
 
+  test("percentileBands: hand-computed discrete bands per group") {
+    import graft.ops.Aggregations
+    // group g: values 1..100 once each → p50=50, p90=90, p99=99
+    val df = (1L to 100L).map(("g", _)).toDF("g", "v")
+    val r = Aggregations.percentileBands(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("p50") === 50L)
+    assert(r.getAs[Long]("p90") === 90L)
+    assert(r.getAs[Long]("p99") === 99L)
+    // heavy ties: 97×10 + 3×99 → p50=p90=10, p99=99
+    val tied = (Seq.fill(97)(10L) ++ Seq.fill(3)(99L)).map(("t", _))
+      .toDF("g", "v")
+    val t = Aggregations.percentileBands(tied, "g", "v").collect().head
+    assert(t.getAs[Long]("p50") === 10L)
+    assert(t.getAs[Long]("p90") === 10L)
+    assert(t.getAs[Long]("p99") === 99L)
+  }
+
+  test("gapFillDays: missing days come back as zero rows, range inclusive") {
+    import graft.ops.Aggregations
+    val daily = Seq((1L, 5L, 100L), (2L, 3L, 60L), (5L, 1L, 20L))
+      .toDF("day", "n_events", "cents")
+    val got = Aggregations.gapFillDays(daily, "day",
+        Seq("n_events", "cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      (1L, 5L, 100L), (2L, 3L, 60L), (3L, 0L, 0L), (4L, 0L, 0L),
+      (5L, 1L, 20L)))
+  }
+
   test("weightedMedian windows the contraction, not the raw table") {
     import graft.ops.Aggregations
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => W}

@@ -221,6 +221,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("bounceRate: single-event sessions count as bounces on their start day") {
+    // user 1: two events 10 min apart (one session, no bounce), then a
+    // second session 2 h later with ONE event (bounce, same day);
+    // user 2: one event (bounce) on the next day
+    val e = Seq(
+      (1L, ts("1 10:00"), 1L), (1L, ts("1 10:10"), 2L),
+      (1L, ts("1 13:00"), 3L),
+      (2L, ts("2 09:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Behavior.bounceRate(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val d1 = got.keys.min
+    assert(got(d1) === ((2L, 1L, 50.0)))
+    assert(got(d1 + 1) === ((1L, 1L, 100.0)))
+    assert(got.size === 2)
+  }
+
   test("pathTrigrams: session gaps break paths, counts aggregate across users") {
     val e = Seq(
       // user 1, one session: a b c d → trigrams abc, bcd

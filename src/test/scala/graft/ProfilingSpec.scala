@@ -75,6 +75,23 @@ class ProfilingSpec extends SparkSpec {
     assert(h.getAs[Double]("gini") === expected)
   }
 
+  test("heavyHitters: every true heavy hitter survives the MG summary") {
+    // 100 rows: a=50, b=30, 20 singletons; capacity 4 → threshold 25
+    // → true heavy hitters {a, b}; the candidate recount must find both
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 20).map(i => s"x$i")
+    val r = Profiling.heavyHitters(rows.toDF("k"), "k", capacity = 4)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") === 100L)
+    assert(r.getAs[Long]("capacity") === 4L)
+    assert(r.getAs[Long]("threshold") === 25L)
+    assert(r.getAs[Long]("n_true_hh") === 2L)
+    // no key above threshold → zero found, still deterministic
+    val flat = (1 to 50).map(i => s"k${i % 10}").toDF("k")
+    val f = Profiling.heavyHitters(flat, "k", capacity = 4).collect().head
+    assert(f.getAs[Long]("n_true_hh") === 0L)
+  }
+
   test("joinCardinality: exact fan-out sum and worst-key contribution") {
     // left keys 1,1,2,3 × right keys 1,2,2,4 → common {1,2};
     // out = 2·1 + 1·2 = 4; worst key contributes 2 either way
