@@ -606,6 +606,28 @@ object ScaleProbe {
       .crossJoin(spark.range(10).toDF("rep"))
       .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    // q135 stage decomposition (run with docReps=1 against a ScaleUp
+    // dir to see which stage owns the 10× wall-clock)
+    val isNewQ = pmod(col("doc_id"), lit(7)) === 0
+    timed("q135_pairs_old") {
+      consume(Dedup.coShinglePairs(docs.filter(!isNewQ),
+        minShared = 2, maxPostings = 1000))
+    }
+    timed("q135_pairs_touching") {
+      consume(Dedup.coShinglePairsTouching(docs, isNewQ,
+        minShared = 2, maxPostings = 1000))
+    }
+    timed("q135_cc_old") {
+      consume(Dedup.components(Dedup.coShinglePairs(docs.filter(!isNewQ),
+        minShared = 2, maxPostings = 1000)))
+    }
+    timed("q135_incremental_full") {
+      val oldLabels = Dedup.components(Dedup.coShinglePairs(
+        docs.filter(!isNewQ), minShared = 2, maxPostings = 1000))
+      consume(Dedup.incrementalComponents(oldLabels,
+        Dedup.coShinglePairsTouching(docs, isNewQ,
+          minShared = 2, maxPostings = 1000)))
+    }
     timed("incremental_pairs x10/cap500") {
       consume(Dedup.coShinglePairsTouching(docs10,
         pmod(col("doc_id"), lit(10)) === 0,

@@ -515,6 +515,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** Pair-set evaluation — recall and precision of a CANDIDATE pair
+    * generator against an EXACT reference pair set, the index-eval
+    * every LSH deployment needs before trusting its band/row
+    * parameters (the [[graft.ext.Similarity.annRecall]] pattern for
+    * the dedup tier): n_common = |exact ∩ candidate|, recall =
+    * n_common/n_exact, precision = n_common/n_candidate, both
+    * micro-quantized. Pass e.g. `jaccardPairs` output as `exact` and
+    * `minhashPairs` as `candidate`; under [[OracleHash]] the whole
+    * composition is deterministic and DuckDB-replayable (q144).
+    *
+    * Scale: both inputs are already bounded pair pipelines; they are
+    * localCheckpointed so each side's (expensive) generation runs
+    * ONCE across its two consumers, and everything downstream is
+    * pair-cardinality counts + 1-row broadcasts. */
+  def pairSetEval(exact: DataFrame, candidate: DataFrame): DataFrame = {
+    val ex = exact.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val cd = candidate.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val ne = ex.agg(count(lit(1)).as("n_exact"))
+    val nc = cd.agg(count(lit(1)).as("n_candidate"))
+    val com = ex.join(cd, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    ne.crossJoin(broadcast(nc)).crossJoin(broadcast(com))
+      .select(col("n_exact"), col("n_candidate"), col("n_common"),
+        round(col("n_common").cast("double") * 1e6 / col("n_exact"))
+          .cast("long").as("recall_micro"),
+        round(col("n_common").cast("double") * 1e6 / col("n_candidate"))
+          .cast("long").as("precision_micro"))
+  }
+
   /** Exact connected components of a near-dup pair graph (doc_a <
     * doc_b): every node labelled with the minimum id reachable from it.
     * Iterative min-label propagation to a fixpoint — each round every

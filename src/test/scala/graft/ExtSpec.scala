@@ -630,6 +630,17 @@ class ExtSpec extends SparkSpec {
     assert(incReal === fullReal)
   }
 
+  test("pairSetEval: recall and precision from hand-built pair sets") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairSetEval(exact, cand).collect().head
+    assert(r.getAs[Long]("n_exact") === 3L)
+    assert(r.getAs[Long]("n_candidate") === 3L)
+    assert(r.getAs[Long]("n_common") === 2L)
+    assert(r.getAs[Long]("recall_micro") === 666667L)
+    assert(r.getAs[Long]("precision_micro") === 666667L)
+  }
+
   test("shingleOverlap: hand-computed set audit between two snapshots") {
     // a: "a b c d" → {abc, bcd}; b: "b c d e f" → {bcd, cde, def}
     // common {bcd} → jaccard 1/4, containments 1/2 and 1/3 (truncated)
