@@ -526,13 +526,22 @@ object Dedup {
     * composition is deterministic and DuckDB-replayable (q144).
     *
     * Scale: both inputs are already bounded pair pipelines; they are
-    * localCheckpointed so each side's (expensive) generation runs
-    * ONCE across its two consumers, and everything downstream is
-    * pair-cardinality counts + 1-row broadcasts. */
+    * checkpointed DISK_ONLY so each side's (expensive) generation runs
+    * ONCE across its two consumers without pinning multi-million-pair
+    * deserialized blocks in the heap (the default MEMORY_AND_DISK
+    * blocks measurably GC-taxed the NEXT queries in a shared JVM —
+    * the q120→q13 bleed mechanism, via retention instead of garbage);
+    * everything downstream is pair-cardinality counts + 1-row
+    * broadcasts. At full corpus scale run the eval on a DOCUMENT
+    * SAMPLE — the exact reference side is the quadratic yardstick
+    * tier by definition, and recall measured on a uniform doc sample
+    * estimates corpus recall unbiasedly. */
   def pairSetEval(exact: DataFrame, candidate: DataFrame): DataFrame = {
-    val ex = exact.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    import org.apache.spark.storage.StorageLevel
+    val ex = exact.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val cd = candidate.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val ne = ex.agg(count(lit(1)).as("n_exact"))
     val nc = cd.agg(count(lit(1)).as("n_candidate"))
     val com = ex.join(cd, Seq("doc_a", "doc_b"), "left_semi")
