@@ -218,13 +218,18 @@ object Aggregations {
     * contraction, never the raw rows. Every window rides the
     * [[weightedMedian]] contraction discipline (bounded by group ×
     * value-domain cardinality); per-group scalars move as broadcast
-    * one-row-per-group frames. (The first formulation re-joined the
-    * raw table for deviations and again for the final count — three
-    * corpus-sized executions, ~4× slower at 6M rows, for identical
-    * output.) */
+    * one-row-per-group frames. Both contractions are CHECKPOINTED:
+    * each has two structurally different consumers, and Spark's
+    * exchange reuse only dedups identical subplans — without the
+    * materialization the corpus scan ran three times (verified in the
+    * formatted plan), exactly the cost this shape exists to avoid.
+    * (The first formulation re-joined the raw table for deviations
+    * and again for the final count — three corpus-sized executions,
+    * ~4× slower at 6M rows, for identical output.) */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val cum = (ord: String) => Window.partitionBy(col(groupCol))
       .orderBy(col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -237,11 +242,13 @@ object Aggregations {
         .groupBy(col(groupCol)).agg(min(col(vCol)).as(out))
     val c1 = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_w"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val med = lowerMedian(c1, valueCol, "_med")
     val devC = c1.join(broadcast(med), groupCol)
       .groupBy(col(groupCol),
         abs(col(valueCol) - col("_med")).as("_d"))
       .agg(sum(col("_w")).as("_w"), max(col("_med")).as("_med"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val mad = lowerMedian(devC, "_d", "_mad")
     devC.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))

@@ -126,6 +126,67 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("streamed sessions roll up to the batch bounceRate exactly") {
+    // the streaming sessionizer is the online half of q142: its
+    // emitted sessions, aggregated per start day, must reproduce
+    // Behavior.bounceRate on the same in-order rows
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: a 2-event session then a 1-event session (bounce), day 1;
+      // user 2: one event (bounce) on day 2
+      val rows = Seq(
+        (1L, ts("2025-01-01 10:00:00"), 1.0),
+        (1L, ts("2025-01-01 10:10:00"), 2.0),
+        (1L, ts("2025-01-01 13:00:00"), 3.0),
+        (2L, ts("2025-01-02 09:00:00"), 4.0))
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      val df = input.toDF().toDF("user_id", "ts", "value")
+      val name = s"bounce_tws_${System.nanoTime()}"
+      val q = Sessionize.sessionsTwsWithFlush(df, gapSeconds = 1800,
+          delay = "10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        // sentinel user far in the future advances the watermark; the
+        // next batch fires the idle timers and flushes every real
+        // session (the sentinel's own session never closes → absent)
+        input.addData(Seq((99L, ts("2025-01-05 00:00:00"), 0.0)))
+        q.processAllAvailable()
+        input.addData(Seq((99L, ts("2025-01-05 00:00:01"), 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val streamedRollup = spark.table(name)
+        .groupBy(expr("session_start div 86400").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .select(col("day"), col("n_sessions"), col("n_bounces"),
+          round(col("n_bounces").cast("double") * 100 / col("n_sessions"), 4)
+            .as("bounce_pct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = graft.ops.Behavior.bounceRate(
+          rows.zipWithIndex.map { case ((u, t, v), i) => (u, t, i.toLong) }
+            .toDF("user_id", "ts", "event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(batch.map(_._1).size === 2)
+      assert(streamedRollup === batch)
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("MapState running counters accumulate across micro-batches per entry") {
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
