@@ -483,6 +483,10 @@ object SparkEntry {
           expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
         "day", "cents")),
 
+    // ===== cohort value curves (LTV) ==================================
+    "q145_cohort_value" -> ((s, d) =>
+      graft.ops.Behavior.cohortValue(events(s, d))),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -3269,6 +3273,34 @@ object SparkEntry {
         |  floor(CAST(n_common AS DOUBLE) / n_shingles_b * 10000) / 10000
         |    AS containment_b
         |FROM agg""".stripMargin,
+
+    // the q72 cohort CTEs extended with cents sums; cumulative revenue
+    // via the same window; LTV is integer micro-arithmetic
+    "q145_cohort_value" ->
+      """WITH b AS (
+        |  SELECT user_id AS u,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS dd,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |fst AS (SELECT u, min(dd) AS cohort FROM b GROUP BY u),
+        |weekly AS (
+        |  SELECT cohort AS cohort_day,
+        |    CAST(floor((dd - cohort) / 7) AS BIGINT) AS week_offset,
+        |    count(DISTINCT u) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM b JOIN fst USING (u) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_day, week_offset, n_users, revenue_cents,
+        |    CAST(sum(revenue_cents) OVER (PARTITION BY cohort_day
+        |      ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_revenue_cents,
+        |    max(CASE WHEN week_offset = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort_day) AS cohort_users
+        |  FROM weekly)
+        |SELECT cohort_day, week_offset, n_users, revenue_cents,
+        |  cum_revenue_cents,
+        |  cum_revenue_cents * 10000 // cohort_users AS ltv_micro
+        |FROM cum ORDER BY cohort_day, week_offset""".stripMargin,
 
     // the q17 exact-pair CTEs and the q18 LSH CTEs composed off the
     // SAME shingle base, then set-intersection counts — fully

@@ -143,6 +143,51 @@ object Behavior {
       .orderBy(col("cohort_day"), col("week_offset"))
   }
 
+  /** Cohort value curves — the monetization companion of [[retention]]
+    * (the LTV view every subscription/commerce warehouse reports): per
+    * (first-seen-day cohort, week offset), active users, revenue, the
+    * cohort's CUMULATIVE revenue, and cumulative revenue per cohort
+    * member in micro-units (the LTV curve a payback model reads off).
+    *
+    * Integer-exact: revenue is cents-quantized before any aggregation;
+    * the LTV division is integer micro-arithmetic
+    * (cents·10⁴ div cohort_users), so rows hash identically
+    * cross-engine. Cohort size rides the week-0 row via the q72 window
+    * trick (every member is active in their own first week), avoiding
+    * a second per-user aggregate.
+    *
+    * Scale: one distinct-(user, day, value-sum) style contraction →
+    * per-user min (map-side combinable) → one join back on user →
+    * (cohort, week) contraction; the cumulative window partitions by
+    * cohort day over week offsets — frames bounded by calendar
+    * cardinality, never user or event counts. */
+  def cohortValue(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long")
+    val base = events.select(col(userCol).as("u"), day.as("dd"),
+      expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+    val firstDay = base.groupBy(col("u")).agg(min(col("dd")).as("cohort"))
+    val weekly = base.join(firstDay, Seq("u"))
+      .withColumn("week_offset",
+        floor((col("dd") - col("cohort")) / 7).cast("long"))
+      .groupBy(col("cohort").as("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("u")).as("n_users"),
+        sum(col("cents")).as("revenue_cents"))
+    val byCohort = Window.partitionBy(col("cohort_day"))
+    val cum = byCohort.orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(cum))
+      .withColumn("cohort_users",
+        max(when(col("week_offset") === 0, col("n_users"))).over(byCohort))
+      .select(col("cohort_day"), col("week_offset"), col("n_users"),
+        col("revenue_cents"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents * 10000 div cohort_users").as("ltv_micro"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
   /** Event-rate anomaly detection: per (event_type, time bucket) counts
     * scored against a trailing-window baseline — z = (n − mean) / std
     * over the previous `trailing` buckets (current bucket excluded, so

@@ -221,6 +221,25 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("cohortValue: cumulative revenue and integer LTV per cohort week") {
+    // cohort A (day of '01'): users 1,2 week 0 (10.00 + 2.00), user 1
+    // returns week 1 (5.00); cohort B (day of '02'): user 3 (1.00)
+    val e = Seq(
+      (1L, ts("1 10:00"), 10.0), (2L, ts("1 11:00"), 2.0),
+      (1L, ts("9 10:00"), 5.0),
+      (3L, ts("2 10:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = Behavior.cohortValue(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val a = got.keys.map(_._1).min
+    assert(got((a, 0L)) === ((2L, 1200L, 1200L, 6000000L)))
+    // week 1: one active user, but LTV divides by the COHORT size (2)
+    assert(got((a, 1L)) === ((1L, 500L, 1700L, 8500000L)))
+    assert(got((a + 1, 0L)) === ((1L, 100L, 100L, 1000000L)))
+    assert(got.size === 3)
+  }
+
   test("bounceRate: single-event sessions count as bounces on their start day") {
     // user 1: two events 10 min apart (one session, no bounce), then a
     // second session 2 h later with ONE event (bounce, same day);
