@@ -133,8 +133,17 @@ object Profiling {
     * accumulates as decimal(38,0). */
   def joinCardinality(left: DataFrame, right: DataFrame,
                       keyL: String, keyR: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // each contraction has two consumers (its side totals and the
+    // common-key join) whose subplans differ — the join side gains an
+    // isnotnull(k) filter — so exchange reuse does NOT dedup them and
+    // the raw table would scan twice (verified in the formatted plan);
+    // materializing the key-cardinality contraction keeps the audit at
+    // one scan per side, the whole point of a pre-flight check
     val cl = left.groupBy(col(keyL).as("k")).agg(count(lit(1)).as("cl"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val cr = right.groupBy(col(keyR).as("k")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val ltot = cl.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"),
       count(lit(1)).as("n_keys_left"))
     val rtot = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"),
