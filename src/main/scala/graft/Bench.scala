@@ -58,13 +58,35 @@ object Bench {
     // fresh.
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
+    val loadAtEntry = osBean.getSystemLoadAverage
+    // settle gate: BENCH_r07 started at load 2.58 (straight after the
+    // test suite) and paid ~15% uniform drift vs an idle-start run of
+    // the same HEAD — cross-round ratios only compare like-for-like
+    // from a near-idle machine. Wait (bounded) for the 1-minute load
+    // to decay below the threshold before any timed work; the wait and
+    // both load readings ride in ctx so a gated-but-still-loud start
+    // is visible in the record, not hidden.
+    val settleLoad = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "1.0")
+      .toDouble
+    val settleTimeoutMs = sys.env
+      .getOrElse("SPARK_GRAFT_SETTLE_TIMEOUT_MS", "240000").toLong
+    val settleT0 = System.nanoTime()
+    while (osBean.getSystemLoadAverage > settleLoad &&
+           (System.nanoTime() - settleT0) < settleTimeoutMs * 1000000L)
+      Thread.sleep(5000)
+    val settleWaitMs = (System.nanoTime() - settleT0) / 1000000L
     val ctx =
       s""""ctx":{"jvm_uptime_ms_at_start":${
         java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
-      },"load_avg_1m_at_start":${osBean.getSystemLoadAverage
+      },"load_avg_1m_at_entry":$loadAtEntry,"settle_wait_ms":$settleWaitMs,"load_avg_1m_at_start":${osBean.getSystemLoadAverage
       },"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)
       },"host_cpus":${Runtime.getRuntime.availableProcessors
       },"spark_cpus":"$cpus"}"""
+    // per-query measurement-history annotations (NOT correctness):
+    // discontinuities a cross-round per-query comparison must know
+    // about ride in the record itself, not only in NOTES.md
+    val annotations =
+      """"annotations":{"q135_incremental_components":"r07+: prior-batch labelling is memoized into warmup (warmShared); r06-and-earlier timings include that rebuild (~60% of the r06 number) - not like-for-like across the r06/r07 boundary","q144_lsh_eval":"r08+: eval corpus is a deterministic md5-keep half-sample (oracle replays it); r07 timings ran the full doc set - not like-for-like across the r07/r08 boundary"}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,7 +139,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${errors.mkString("[", ",", "]")},$ctx,"sf":"$sfDir"}"""
+      s""""errors":${errors.mkString("[", ",", "]")},$ctx,$annotations,"sf":"$sfDir"}"""
     println(line)
     // the stdout line has been truncated upstream before (BENCH_r02's
     // JSON tail) — persist a copy so totals survive log truncation.

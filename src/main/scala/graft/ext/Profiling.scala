@@ -130,7 +130,18 @@ object Profiling {
     * cnt_l·cnt_r within int64 (both sides >3·10⁹ rows on ONE key
     * overflows — at which point the real answer is "salt or rethink
     * the join", and ANSI mode fails loudly); the row-count-scaled SUM
-    * accumulates as decimal(38,0). */
+    * accumulates as decimal(38,0).
+    *
+    * Checkpoint lifetime: the two key contractions are EAGERLY
+    * localCheckpointed at call time (jobs run before the caller's
+    * action) and their blocks are caller-owned — they free when the
+    * ContextCleaner GCs the returned plan's RDDs, so hold the result,
+    * not the operator call, in long-lived references. localCheckpoint
+    * trades fault tolerance for speed: on a real cluster an executor
+    * loss invalidates the checkpointed blocks and fails the query
+    * (rerun the audit — it is a pre-flight diagnostic, not a pipeline
+    * stage); use reliable checkpointing instead where that retry is
+    * unacceptable. */
   def joinCardinality(left: DataFrame, right: DataFrame,
                       keyL: String, keyR: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel

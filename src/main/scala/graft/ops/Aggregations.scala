@@ -78,6 +78,84 @@ object Aggregations {
       .withColumn("sigma", round(col("sigma"), 6))
   }
 
+  /** Contraction-row threshold below which [[cumAndTot]] keeps the
+    * direct keyed window even when `salt > 1`. A single-task sorted
+    * running sum over ~2M rows costs about what the salted plan's
+    * extra stages cost (measured at sf0.1: the salted rewrite of a
+    * 600k-row cumsum was ~2× the direct window — fixed stage
+    * overhead, not data volume); above it the funnel grows linearly
+    * on ONE core while the salted plan stays parallel, so salting
+    * wins and keeps winning. Conservative: the gate is on TOTAL
+    * contraction rows while the funnel is really per-group — a
+    * window the policy leaves unsalted never has more input than
+    * this bound. */
+  val AdaptiveSaltRows: Long = 2000000L
+
+  /** The shared cumsum-over-contraction step of the median family
+    * (weightedMedian / percentileBands / madOutliers / winsorizeStats):
+    * append `_cum` (inclusive keyed cumsum of `_w` ordered by
+    * `valueCol`) and `_tot` (group total of `_w`) to a
+    * (group, value, _w) contraction.
+    *
+    * The direct keyed window is correct, but BOTH its windows funnel
+    * each group's whole contraction through one task, and on a
+    * NEAR-UNIQUE value domain (raw price cents) the contraction is
+    * corpus-sized, so a 3-value group key means 3 tasks sorting n/3
+    * rows each: the one shape that gets strictly worse with scale.
+    * The salted plan routes the running sum through
+    * [[SkewJoin.saltedCumSum]] (each group's order range split into
+    * `salt` segments, cumsum per segment + per-segment offsets — tie
+    * semantics proven row-identical at any salt) with `_tot` riding
+    * the offsets pass for free (a tiny window over ≤ salt rows per
+    * group), so NO window anywhere sees more than ~1/salt of a group.
+    * Output rows are bit-identical either way: contraction rows are
+    * distinct on (group, value), so the order key has no ties and
+    * both formulations sum the same prefix sets.
+    *
+    * Strategy choice is ADAPTIVE (the AQE philosophy — runtime stats
+    * pick the physical plan, semantics unchanged): the contraction is
+    * materialized anyway, so its exact row count is a ~free job, and
+    * the direct window wins under `saltMinRows` rows (fewer stages)
+    * while the salted plan wins above it (parallelism). `salt ≤ 1`
+    * forces the direct window; `saltMinRows = 0` forces salting.
+    *
+    * `materialize` eagerly localCheckpoints the contraction first
+    * (pass false ONLY when the caller already checkpointed it): the
+    * count and the salted path's consumers (segment bounds, local
+    * cumsum, offsets) have structurally different subplans — exchange
+    * reuse would not dedup them (the q137 lesson) and the corpus
+    * would contract repeatedly. Checkpoint lifetime is caller-owned:
+    * blocks free on ContextCleaner GC of the returned plan, and
+    * localCheckpoint is not executor-loss-tolerant — on a real
+    * cluster prefer reliable checkpointing for multi-hour jobs (same
+    * caveat as the other checkpoint sites in this repo). */
+  private def cumAndTot(contracted0: DataFrame, groupCol: String,
+                        valueCol: String, salt: Int,
+                        saltMinRows: Long,
+                        materialize: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def direct(c: DataFrame): DataFrame = {
+      val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col(groupCol))
+      c.withColumn("_cum", sum(col("_w")).over(cum))
+        .withColumn("_tot", sum(col("_w")).over(all))
+    }
+    if (salt <= 1) direct(contracted0)
+    else {
+      import org.apache.spark.storage.StorageLevel
+      val contracted =
+        if (materialize)
+          contracted0.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        else contracted0
+      if (saltMinRows > 0 && contracted.count() <= saltMinRows)
+        direct(contracted)
+      else
+        SkewJoin.saltedCumSum(contracted, groupCol, valueCol, "_w", salt,
+          outCol = "_cum", totCol = Some("_tot"))
+    }
+  }
+
   /** Exact weighted median per group — the lower weighted median: the
     * smallest value v whose inclusive cumulative weight reaches half
     * the group total (2·cum ≥ total). Spark has percentile/approx_
@@ -91,26 +169,26 @@ object Aggregations {
     * Scale shape: the input is CONTRACTED before any window — an
     * ordinary hash aggregate (map-side partials) collapses the table to
     * one row per (group, value) with the weights summed — so the keyed
-    * cumsum window shuffles at most |distinct values| rows per group,
-    * never the raw table. Without the contraction a low-cardinality
-    * group key (e.g. 3 flags over all of lineitem) funnels the whole
-    * table through 3 window tasks; with it the window input is bounded
-    * by the value domain (cents-quantized prices: ~10^5-10^6 rows)
-    * regardless of corpus size. The lower-median result is unchanged:
-    * ties already resolved on the inclusive tie-group-end cumsum, which
-    * is exactly the contracted row's cumulative weight. */
+    * cumsum shuffles at most |distinct values| rows per group, never
+    * the raw table. That bounds the window input by the VALUE DOMAIN —
+    * which is only a bound when the domain is bounded: over near-unique
+    * values (raw cents) the contraction is corpus-sized and a
+    * low-cardinality group key still funnels ~n/groups rows through
+    * single window tasks. `salt`/`saltMinRows` close that residual
+    * funnel via [[cumAndTot]]'s adaptive strategy pick — identical
+    * output under any setting; salt = 1 forces the direct-window
+    * plan, saltMinRows = 0 forces the salted one. The lower-median
+    * result is unchanged by contraction or salting: ties resolve on
+    * the inclusive tie-group-end cumsum, which is exactly the
+    * contracted row's cumulative weight. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                     weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                     weightCol: String, salt: Int = 16,
+                     saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
     val contracted = df
       .groupBy(col(groupCol), col(valueCol))
       .agg(sum(col(weightCol)).as("_w"))
-    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
-    contracted
-      .withColumn("_cum", sum(col("_w")).over(cum))
-      .withColumn("_tot", sum(col("_w")).over(all))
+    cumAndTot(contracted, groupCol, valueCol, salt, saltMinRows,
+        materialize = salt > 1)
       .filter(col("_cum") * 2 >= col("_tot"))
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("weighted_median"),
@@ -127,22 +205,25 @@ object Aggregations {
     *
     * Scale shape: the [[weightedMedian]] contraction discipline — one
     * corpus-contracting aggregate to (group, value, weight), a keyed
-    * cumsum window over the contraction, one conditional-min per
-    * percent in a single final aggregate. A 3-row group key never
-    * funnels the corpus through 3 window tasks. */
+    * cumsum over the contraction, one conditional-min per percent in a
+    * single final aggregate. The contraction bounds the cumsum by the
+    * VALUE DOMAIN — sufficient on its own only when the domain is
+    * bounded; over near-unique values the contraction is corpus-sized
+    * and a 3-value group key would still funnel ~n/3 rows per window
+    * task, so `salt`/`saltMinRows` (via [[cumAndTot]]'s adaptive
+    * strategy pick) split each group's cumsum across salt segments
+    * once the contraction is big enough for the funnel to dominate —
+    * identical output under any setting. */
   def percentileBands(df: DataFrame, groupCol: String, valueCol: String,
-                      percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                      percents: Seq[Int] = Seq(50, 90, 99),
+                      salt: Int = 16,
+                      saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       "percents must be in (0, 100]")
     val contracted = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_w"))
-    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
-    val cums = contracted
-      .withColumn("_cum", sum(col("_w")).over(cum))
-      .withColumn("_tot", sum(col("_w")).over(all))
+    val cums = cumAndTot(contracted, groupCol, valueCol, salt, saltMinRows,
+      materialize = salt > 1)
     val bands = percents.map(p =>
       min(when(col("_cum") * 100 >= lit(p) * col("_tot"), col(valueCol)))
         .as(s"p$p"))
@@ -175,24 +256,6 @@ object Aggregations {
       .orderBy(col(dayCol))
   }
 
-  /** Per-group winsorization stats: clamp an INTEGER value column at
-    * the group's discrete pLo/pHi percentiles and report how much was
-    * clamped — the robust-scaling step quality-score filters need
-    * before thresholding (a handful of 10 MB outlier docs otherwise
-    * drag a mean-based cutoff). Percentiles are the DISCRETE
-    * (type-1 / lower) quantile — the smallest v with
-    * 100·F(v) ≥ p·total — so every comparison is exact integer
-    * arithmetic and the result is bit-identical cross-engine (the
-    * interpolated quantile_cont would reintroduce float ulp).
-    *
-    * Scale shape: same contraction discipline as [[weightedMedian]] —
-    * the cumsum window runs over the (group, distinct value)
-    * contraction, never the raw table, so a cardinality-3 group key
-    * cannot funnel the corpus through 3 window tasks; the per-group
-    * threshold table (one row per group) broadcasts back onto the raw
-    * stream, which is clamped map-side and re-aggregated with map-side
-    * partials. Two corpus passes, both shuffle-bounded by the key
-    * domain. */
   /** Per-group robust outlier screen: lower median, MAD (median
     * absolute deviation, lower), and how many rows sit beyond
     * `k`·MAD of the median — the outlier detector that, unlike
@@ -215,29 +278,32 @@ object Aggregations {
     * on it, the deviation frame is the SAME contraction re-keyed by
     * |v − med| (weights summed — no second corpus scan), the MAD
     * cumsum runs on that, and the final stats aggregate the deviation
-    * contraction, never the raw rows. Every window rides the
+    * contraction, never the raw rows. Every cumsum rides the
     * [[weightedMedian]] contraction discipline (bounded by group ×
-    * value-domain cardinality); per-group scalars move as broadcast
-    * one-row-per-group frames. Both contractions are CHECKPOINTED:
-    * each has two structurally different consumers, and Spark's
-    * exchange reuse only dedups identical subplans — without the
-    * materialization the corpus scan ran three times (verified in the
-    * formatted plan), exactly the cost this shape exists to avoid.
-    * (The first formulation re-joined the raw table for deviations
-    * and again for the final count — three corpus-sized executions,
-    * ~4× slower at 6M rows, for identical output.) */
+    * value-domain cardinality) and, once past `saltMinRows`, the
+    * [[cumAndTot]] segment split — on near-unique values (raw price
+    * cents) the contraction is corpus-sized, and without the salt each
+    * median paid a ~n/groups single-task window sort, TWICE (this was
+    * the round-7 bench's one genuine scale-killer shape; identical
+    * output either way, pass salt = 1 for the direct windows).
+    * Per-group scalars move as broadcast one-row-per-group frames.
+    * Both contractions are CHECKPOINTED: each has multiple structurally
+    * different consumers, and Spark's exchange reuse only dedups
+    * identical subplans — without the materialization the corpus scan
+    * ran three times (verified in the formatted plan), exactly the
+    * cost this shape exists to avoid. (The first formulation re-joined
+    * the raw table for deviations and again for the final count —
+    * three corpus-sized executions, ~4× slower at 6M rows, for
+    * identical output.) Checkpoint lifetime is caller-owned — blocks
+    * free on ContextCleaner GC of the returned plan; see
+    * [[cumAndTot]]'s cluster caveat. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                  k: Int = 3, salt: Int = 16,
+                  saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cum = (ord: String) => Window.partitionBy(col(groupCol))
-      .orderBy(col(ord))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
     def lowerMedian(contracted: DataFrame, vCol: String, out: String) =
-      contracted
-        .withColumn("_cum", sum(col("_w")).over(cum(vCol)))
-        .withColumn("_tot", sum(col("_w")).over(all))
+      cumAndTot(contracted, groupCol, vCol, salt, saltMinRows,
+        materialize = false)
         .filter(col("_cum") * 2 >= col("_tot"))
         .groupBy(col(groupCol)).agg(min(col(vCol)).as(out))
     val c1 = df.groupBy(col(groupCol), col(valueCol))
@@ -263,17 +329,34 @@ object Aggregations {
           .as("pct_outliers"))
   }
 
+  /** Per-group winsorization stats: clamp an INTEGER value column at
+    * the group's discrete pLo/pHi percentiles and report how much was
+    * clamped — the robust-scaling step quality-score filters need
+    * before thresholding (a handful of 10 MB outlier docs otherwise
+    * drag a mean-based cutoff). Percentiles are the DISCRETE
+    * (type-1 / lower) quantile — the smallest v with
+    * 100·F(v) ≥ p·total — so every comparison is exact integer
+    * arithmetic and the result is bit-identical cross-engine (the
+    * interpolated quantile_cont would reintroduce float ulp).
+    *
+    * Scale shape: same contraction discipline as [[weightedMedian]] —
+    * the cumsum runs over the (group, distinct value) contraction,
+    * never the raw table, and `salt`/`saltMinRows` (via
+    * [[cumAndTot]]'s adaptive pick) keep even a corpus-sized
+    * contraction (near-unique values) from funneling through
+    * per-group single-task windows; the per-group
+    * threshold table (one row per group) broadcasts back onto the raw
+    * stream, which is clamped map-side and re-aggregated with map-side
+    * partials. Two corpus passes, both shuffle-bounded by the key
+    * domain. */
   def winsorizeStats(df: DataFrame, groupCol: String, valueCol: String,
-                     pLo: Int = 5, pHi: Int = 95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                     pLo: Int = 5, pHi: Int = 95,
+                     salt: Int = 16,
+                     saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
     val contracted = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_w"))
-    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col(groupCol))
-    val bounds = contracted
-      .withColumn("_cum", sum(col("_w")).over(cum))
-      .withColumn("_tot", sum(col("_w")).over(all))
+    val bounds = cumAndTot(contracted, groupCol, valueCol, salt, saltMinRows,
+        materialize = salt > 1)
       .groupBy(col(groupCol))
       .agg(
         min(when(col("_cum") * 100 >= lit(pLo) * col("_tot"),

@@ -84,10 +84,20 @@ object SkewJoin {
     * assumes the order values are not pathologically clustered —
     * timestamps and sequence ids, the common hot-group shapes, split
     * evenly. Appends `outCol`; `_lo/_hi/_seg` scratch columns are
-    * dropped. */
+    * dropped.
+    *
+    * `totCol` (optional) additionally appends the GROUP TOTAL of
+    * `valueCol` to every row — for free: the per-segment totals the
+    * offsets pass already aggregates sum to exactly the group total,
+    * so a second tiny window over the ≤-salt-rows-per-group offsets
+    * frame replaces what would otherwise be a separate whole-input
+    * aggregate plus a join (the median family needs cum AND total;
+    * computing the total separately cost the salted path an extra
+    * input scan + broadcast join per call). */
   def saltedCumSum(df: DataFrame, groupCol: String, orderCol: String,
                    valueCol: String, salt: Int = 16,
-                   outCol: String = "cum"): DataFrame = {
+                   outCol: String = "cum",
+                   totCol: Option[String] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
     import org.apache.spark.sql.expressions.Window
     val bounds = df.groupBy(col(groupCol))
@@ -104,10 +114,16 @@ object SkewJoin {
       .withColumn("_local", sum(col(valueCol)).over(wLocal))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_seg"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col(groupCol), col("_seg"))
+    val segTotals = local.groupBy(col(groupCol), col("_seg"))
       .agg(sum(col(valueCol)).as("_segtot"))
       .withColumn("_off", coalesce(sum(col("_segtot")).over(wOff), lit(0L)))
-      .select(col(groupCol), col("_seg"), col("_off"))
+    val offsets = totCol match {
+      case None => segTotals.select(col(groupCol), col("_seg"), col("_off"))
+      case Some(t) => segTotals
+        .withColumn(t, sum(col("_segtot"))
+          .over(Window.partitionBy(col(groupCol))))
+        .select(col(groupCol), col("_seg"), col("_off"), col(t))
+    }
     local.join(offsets, Seq(groupCol, "_seg"))
       .withColumn(outCol, col("_local") + col("_off"))
       .drop("_lo", "_hi", "_seg", "_local", "_off")

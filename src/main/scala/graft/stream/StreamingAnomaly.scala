@@ -73,12 +73,19 @@ object StreamingAnomaly {
       if (deltas.isEmpty) return Iterator.empty
 
       val known: Map[Long, Long] = buckets.iterator().toMap
-      // every bucket strictly below the known max is CLOSED (it was
-      // scored the moment a later bucket appeared) — its count is
-      // frozen, so a late delta for it is dropped even while the
-      // bucket is still retained as baseline history; merging it
-      // would silently shift future baselines away from what the
-      // already-emitted scores saw
+      // every bucket strictly below the known max is CLOSED — OBSERVED
+      // buckets were scored the moment a later bucket appeared, and
+      // NEVER-OBSERVED gap buckets are frozen-at-absent: both drop
+      // late deltas. For observed buckets, merging a late delta would
+      // silently shift future baselines away from what the
+      // already-emitted scores saw; gap buckets are frozen for
+      // CONSISTENCY of the baseline-contiguity rule (a gap bucket
+      // resurrected by late data would flip nearby closes from
+      // not-scored to scored depending on arrival order, making output
+      // replay-order-dependent). The cost: a region around a late-
+      // filled gap stays unscored until Trailing fresh buckets
+      // re-accumulate — the documented dense-stream assumption (see
+      // the class scaladoc's gap-semantics note).
       val frontier =
         if (known.isEmpty) Long.MinValue else known.keys.max
       val merged = deltas.foldLeft(known) { case (m, (b, d)) =>

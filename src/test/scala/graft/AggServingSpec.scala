@@ -170,15 +170,107 @@ class AggServingSpec extends SparkSpec {
     // the scale contract (q102 lesson): the keyed cumsum window's input
     // must be the (group, value) pre-aggregate — bounded by the value
     // domain — never the raw rows. Assert an Aggregate sits strictly
-    // below every Window in the optimized plan.
+    // below every Window in the optimized plan (salt = 1: the direct-
+    // window formulation; the salted default is gated separately below).
     val df = Seq(("a", 1L, 1L)).toDF("g", "v", "w")
-    val plan = Aggregations.weightedMedian(df, "g", "v", "w")
+    val plan = Aggregations.weightedMedian(df, "g", "v", "w", salt = 1)
       .queryExecution.optimizedPlan
     val windows = plan.collect { case w: W => w }
     assert(windows.nonEmpty, "expected a window in the plan")
     windows.foreach { w =>
       assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
         s"window input is not a contraction:\n$w")
+    }
+  }
+
+  // every Window in the SALTED median-family plan must be segment-
+  // bounded: either its partition spec includes the salt segment (the
+  // per-(group, seg) local cumsum — a hot group occupies `salt` tasks),
+  // or it runs over the (group, seg) segment-totals aggregate (≤ salt
+  // rows per group, the offsets pass). The round-7 scale-killer was
+  // exactly a window partitioned by a 3-value group key over a
+  // corpus-sized contraction — this gate makes that shape unplannable
+  // in the defaults.
+  private def assertSegmentBounded(
+      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => W}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: W => w }
+    assert(windows.nonEmpty, s"$what: expected windows in the plan")
+    windows.foreach { w =>
+      val saltedPartition =
+        w.partitionSpec.exists(_.references.exists(_.name == "_seg"))
+      val overSegmentTotals = w.child.collectFirst {
+        case a: Aggregate
+            if a.groupingExpressions.exists(
+              _.references.exists(_.name == "_seg")) => a
+      }.nonEmpty
+      assert(saltedPartition || overSegmentTotals,
+        s"$what: unsalted group-keyed window in the default plan:\n$w")
+    }
+  }
+
+  test("salted branch: no unsalted group-keyed window in the median family") {
+    import graft.ops.Aggregations
+    // saltMinRows = 0 forces the branch the adaptive pick takes once
+    // the contraction passes AdaptiveSaltRows — the regime the gate
+    // exists for (below the threshold the direct window's input is
+    // bounded by saltMinRows per construction, so the funnel is small)
+    val df = Seq(("a", 1L, 1L)).toDF("g", "v", "w")
+    assertSegmentBounded(
+      Aggregations.weightedMedian(df, "g", "v", "w", saltMinRows = 0),
+      "weightedMedian")
+    val vals = Seq(("a", 1L)).toDF("g", "v")
+    assertSegmentBounded(
+      Aggregations.percentileBands(vals, "g", "v", saltMinRows = 0),
+      "percentileBands")
+    assertSegmentBounded(
+      Aggregations.winsorizeStats(vals, "g", "v", saltMinRows = 0),
+      "winsorizeStats")
+    assertSegmentBounded(
+      Aggregations.madOutliers(vals, "g", "v", saltMinRows = 0),
+      "madOutliers")
+  }
+
+  test("adaptive pick: a small contraction keeps the direct window") {
+    import graft.ops.Aggregations
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => W}
+    // defaults on a tiny frame: the count lands under AdaptiveSaltRows
+    // and the plan must be the direct keyed window (no _seg anywhere)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L)).toDF("g", "v", "w")
+    val plan = Aggregations.weightedMedian(df, "g", "v", "w")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: W => w }
+    assert(windows.nonEmpty)
+    assert(!plan.toString.contains("_seg"),
+      "expected the direct window below the adaptive threshold")
+  }
+
+  test("salted median family equals the direct-window formulation row-for-row") {
+    import graft.ops.Aggregations
+    // adversarial frame: one hot group (near-unique values), one tiny
+    // group, heavy ties straddling would-be segment boundaries, and a
+    // constant-valued group (degenerate order range)
+    val rows =
+      (1L to 400L).map(i => ("hot", i * 7 % 401, 1L + i % 3)) ++
+      Seq(("tiny", 5L, 2L), ("tiny", 9L, 1L)) ++
+      Seq.fill(50)(("tied", 10L, 1L)) ++ Seq.fill(50)(("tied", 20L, 1L)) ++
+      Seq.fill(20)(("const", 42L, 3L))
+    val df = rows.toDF("g", "v", "w")
+    def sortedRows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(d.columns.map(col): _*).collect().toSeq
+    for (salt <- Seq(2, 16)) {
+      assert(sortedRows(Aggregations.weightedMedian(df, "g", "v", "w",
+          salt = salt, saltMinRows = 0)) ===
+        sortedRows(Aggregations.weightedMedian(df, "g", "v", "w", salt = 1)))
+      assert(sortedRows(Aggregations.percentileBands(df, "g", "v",
+          salt = salt, saltMinRows = 0)) ===
+        sortedRows(Aggregations.percentileBands(df, "g", "v", salt = 1)))
+      assert(sortedRows(Aggregations.winsorizeStats(df, "g", "v",
+          salt = salt, saltMinRows = 0)) ===
+        sortedRows(Aggregations.winsorizeStats(df, "g", "v", salt = 1)))
+      assert(sortedRows(Aggregations.madOutliers(df, "g", "v",
+          salt = salt, saltMinRows = 0)) ===
+        sortedRows(Aggregations.madOutliers(df, "g", "v", salt = 1)))
     }
   }
 }
