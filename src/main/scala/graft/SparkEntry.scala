@@ -487,6 +487,116 @@ object SparkEntry {
     "q145_cohort_value" -> ((s, d) =>
       graft.ops.Behavior.cohortValue(events(s, d))),
 
+    // ===== HLL++ profile accuracy gate ================================
+    // the last sketch path without a driver-visible correctness row
+    // gets one (the q136/q140 pattern): the approximate profile's
+    // exact-by-construction stats (n, min, max) must EQUAL the exact
+    // profile's, and its HLL++ distinct estimate must land within
+    // 5·rsd (= 10% at rsd 0.02, a 5-sigma margin — not a coin flip)
+    // of the exact count, per column. The oracle recomputes the exact
+    // stats and asserts the flag; estimator drift turns the row red.
+    // Mean parity is deliberately NOT in the flag: float-sum merge
+    // order could differ between the two jobs, and mean correctness is
+    // already oracle-checked directly via the mean_value column.
+    "q146_profile_sketch_check" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_partkey",
+        "l_suppkey")
+      val li = lineitem(s, d)
+      val ex = Profiling.profile(li, cols)
+        .select(col("column"), col("n"), col("n_null"),
+          col("n_distinct").as("nd_exact"), col("min_value"),
+          col("max_value"), col("mean_value"))
+      val ap = Profiling.profileApprox(li, cols, rsd = 0.02)
+        .select(col("column"), col("n").as("n_ap"),
+          col("n_distinct").as("nd_est"), col("min_value").as("min_ap"),
+          col("max_value").as("max_ap"))
+      ex.join(ap, "column")
+        .select(col("column"), col("n"), col("n_null"), col("nd_exact"),
+          col("min_value"), col("max_value"), col("mean_value"),
+          ((col("n_ap") === col("n")) &&
+            (col("min_ap") === col("min_value")) &&
+            (col("max_ap") === col("max_value")) &&
+            (abs(col("nd_est") - col("nd_exact")).cast("double") <=
+              greatest(lit(1.0), lit(0.10) * col("nd_exact"))))
+            .cast("long").as("sketch_within_bound"))
+        .orderBy(col("column"))
+    }),
+
+    // ===== salted equi-join parity (skew tier oracle row) =============
+    // the q140 planted-hot-key fixture (~90% of rows on key 10) joined
+    // against a tiny dim — with a DUPLICATED dim key so fan-out
+    // multiplicity is exercised — through the salted join, then rolled
+    // up per key. The oracle computes the same roll-up from the PLAIN
+    // join: a green row proves the salt spread+replicate+join is
+    // row-for-row equivalent under the driver hash, not just in the
+    // unit suite.
+    "q147_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val big = events(s, d).select(
+        least(pmod(col("user_id"), lit(100)), lit(10L)).as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val dim = s.range(11)
+        .select(col("id").as("dk"), (col("id") * 7 + 1).as("weight"))
+        .unionByName(Seq((10L, 999L)).toDF("dk", "weight"))
+      graft.ops.SkewJoin.saltedEquiJoin(big, dim, "k", "dk", salt = 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+          max(col("weight")).as("max_weight"))
+        .orderBy(col("k"))
+    }),
+
+    // ===== salted two-stage group sum (skew tier oracle row) ==========
+    // same planted hot key through saltedGroupSum; oracle = the plain
+    // single-stage GROUP BY sum
+    "q148_salted_group_sum" -> ((s, d) =>
+      graft.ops.SkewJoin.saltedGroupSum(
+        events(s, d).select(
+          least(pmod(col("user_id"), lit(100)), lit(10L)).as("k"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        "k", "cents", salt = 8)
+        .orderBy(col("k"))),
+
+    // ===== exact two-sample KS (weekend vs weekday values) ============
+    // the exact distribution-shift test over cents-quantized values;
+    // sup taken over integer cross-multiplied differences
+    "q149_ks_weekend" -> ((s, d) => {
+      val e = events(s, d).select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        pmod(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+          + 4, lit(7)).as("dow"))
+      Profiling.ksTest(e, "cents",
+        (col("dow") === 0 || col("dow") === 6).cast("int"))
+    }),
+
+    // ===== chi-square independence (event_type × day-of-week) =========
+    // empty grid cells folded in closed form (χ² = n + Σ[(o−e)²/e − e])
+    "q150_chi2_dow" -> ((s, d) =>
+      Profiling.chiSquare(
+        events(s, d).select(col("event_type"),
+          pmod(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+            + 4, lit(7)).as("dow")),
+        "event_type", "dow")),
+
+    // ===== per-user behavioral entropy histogram ======================
+    "q151_entropy_histogram" -> ((s, d) =>
+      graft.ops.Behavior.entropyHistogram(events(s, d))),
+
+    // ===== day-of-week seasonality profile ============================
+    "q152_dow_seasonality" -> ((s, d) =>
+      graft.ops.Behavior.dowSeasonality(events(s, d))),
+
+    // ===== largest-remainder stratified sample allocation =============
+    "q153_stratified_alloc" -> ((s, d) =>
+      Curation.stratifiedAllocation(documents(s, d), "lang", k = 100)),
+
+    // ===== cross-language vocabulary overlap matrix ===================
+    "q154_vocab_overlap" -> ((s, d) =>
+      T.vocabOverlap(documents(s, d))),
+
+    // ===== weekly growth accounting (new/retained/resurrected/churn) ==
+    "q155_activity_transitions" -> ((s, d) =>
+      graft.ops.Behavior.activityTransitions(events(s, d))),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -3496,6 +3606,208 @@ object SparkEntry {
         |             AS DOUBLE) * 100 / count(*), 4) AS pct_outliers
         |FROM d JOIN med USING (g) JOIN mad USING (g)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact per-column stats (the q36 CTE shape) + the literal
+    // invariant flag — the sketch estimate itself is engine-specific,
+    // so the oracle asserts the ACCURACY INVARIANT (the q136 pattern):
+    // a red row means the HLL++ estimate drifted past 5·rsd or the
+    // approx profile's exact stats diverged
+    "q146_profile_sketch_check" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS n_null,
+           | count(DISTINCT $c) AS nd_exact,
+           | floor(CAST(min($c) AS DOUBLE)*10000)/10000 AS min_value,
+           | floor(CAST(max($c) AS DOUBLE)*10000)/10000 AS max_value,
+           | floor(avg(CAST($c AS DOUBLE))*10000)/10000 AS mean_value,
+           | CAST(1 AS BIGINT) AS sketch_within_bound
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_partkey", "l_suppkey")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    // the PLAIN equi-join roll-up — equality proves the salted join's
+    // spread/replicate/drop round-trip exact
+    "q147_salted_join" ->
+      """WITH big AS (
+        |  SELECT least(user_id % 100, 10) AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |dim AS (
+        |  SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS dk),
+        |d2 AS (
+        |  SELECT dk, dk * 7 + 1 AS weight FROM dim
+        |  UNION ALL SELECT CAST(10 AS BIGINT), CAST(999 AS BIGINT))
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(weight) AS BIGINT) AS max_weight
+        |FROM big JOIN d2 ON k = dk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the plain single-stage GROUP BY sum the two-stage salted
+    // aggregation must reproduce exactly
+    "q148_salted_group_sum" ->
+      """SELECT least(user_id % 100, 10) AS k,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical value/side contraction, cumulative window over the
+    // distinct-value domain, integer cross-multiplied sup, one double
+    // division at the end
+    "q149_ks_weekend" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+        |           IN (0, 6) THEN 1 ELSE 0 END AS side
+        |  FROM events),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT v,
+        |    sum(w0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c0,
+        |    sum(w1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+        |    sum(w0) OVER () AS n0, sum(w1) OVER () AS n1
+        |  FROM c)
+        |SELECT CAST(max(n0) AS BIGINT) AS n_0, CAST(max(n1) AS BIGINT) AS n_1,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(round(CAST(max(abs(c0 * n1 - c1 * n0)) AS DOUBLE) * 1e6 /
+        |             (CAST(max(n0) AS DOUBLE) * max(n1)), 0) AS BIGINT)
+        |    AS ks_micro
+        |FROM m""".stripMargin,
+
+    // same closed form: χ² = n + Σ_observed[(o−e)²/e − e], terms
+    // nano-quantized before the sum
+    "q150_chi2_dow" ->
+      """WITH p AS (
+        |  SELECT event_type AS x,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS y
+        |  FROM events),
+        |j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+        |      FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT x, y, n,
+        |    CAST(round(((nxy - CAST(nx AS DOUBLE) * ny / n) *
+        |                (nxy - CAST(nx AS DOUBLE) * ny / n) /
+        |                (CAST(nx AS DOUBLE) * ny / n) -
+        |                CAST(nx AS DOUBLE) * ny / n) * 1e9, 0) AS BIGINT)
+        |      AS t_nano
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT)
+        |    AS dof,
+        |  CAST(max(n) * 1000000 + CAST(round(sum(t_nano) / 1e3, 0) AS BIGINT)
+        |       AS BIGINT) AS chi2_micro
+        |FROM t""".stripMargin,
+
+    // per-user H = ln N − (Σ n·ln n)/N with the n·ln n terms
+    // nano-quantized before the per-user sum (the q121 convention);
+    // entropy clamped at 0 against float noise before bucketing
+    "q151_entropy_histogram" ->
+      """WITH c AS (
+        |  SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT u, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CAST(round(n * ln(CAST(n AS DOUBLE)) * 1e9, 0)
+        |                  AS BIGINT)) AS BIGINT) AS s_nano
+        |  FROM c GROUP BY 1),
+        |h AS (
+        |  SELECT u, greatest(CAST(0 AS BIGINT),
+        |    CAST(round((ln(CAST(nn AS DOUBLE)) -
+        |                CAST(s_nano AS DOUBLE) / 1e9 / nn) * 1e6, 0)
+        |         AS BIGINT)) AS h_micro
+        |  FROM pu)
+        |SELECT h_micro // 10000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+        |  min(h_micro) AS min_h_micro, max(h_micro) AS max_h_micro
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // integer day/cents arithmetic; share and index are integer floor
+    // divisions into micro units
+    "q152_dow_seasonality" ->
+      """WITH e AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM d)
+        |SELECT dow, n_events, cents,
+        |  CAST(cents * 1000000 // tot AS BIGINT) AS share_micro,
+        |  CAST(cents * 7000000 // tot AS BIGINT) AS index_micro
+        |FROM d, t ORDER BY dow""".stripMargin,
+
+    // Hamilton largest-remainder allocation replayed: floors, then +1
+    // to the largest remainders (ties by lang), summing exactly to k
+    "q153_stratified_alloc" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |b AS (SELECT lang, n, CAST((100 * n) // tot AS BIGINT) AS base,
+        |        CAST((100 * n) % tot AS BIGINT) AS rem
+        |      FROM c, t),
+        |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM b),
+        |r AS (SELECT lang, n, base,
+        |        row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |      FROM b)
+        |SELECT lang, n,
+        |  CAST(base + CASE WHEN rk <= 100 - (SELECT sb FROM s)
+        |              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
+
+    // the q27 tokenization, per-group DISTINCT types, token-keyed
+    // pair join, integer micro Jaccard
+    "q154_vocab_overlap" ->
+      """WITH tk AS (
+        |  SELECT lang AS g,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |ty AS (SELECT DISTINCT g, token FROM tk),
+        |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ty GROUP BY 1),
+        |pr AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ty a JOIN ty b USING (token) WHERE a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM pr JOIN sz sa ON sa.g = pr.g_a JOIN sz sb ON sb.g = pr.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // distinct (user, week) contraction; lag/lead/min windows per user;
+    // churn only for weeks before the last observed (right-censoring)
+    "q155_activity_transitions" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk
+        |  FROM events),
+        |f AS (
+        |  SELECT u, wk,
+        |    lag(wk) OVER (PARTITION BY u ORDER BY wk) AS pw,
+        |    lead(wk) OVER (PARTITION BY u ORDER BY wk) AS nw,
+        |    min(wk) OVER (PARTITION BY u) AS fw
+        |  FROM uw),
+        |m AS (SELECT max(wk) AS max_wk FROM uw)
+        |SELECT wk AS week, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN pw = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN pw IS NOT NULL AND pw < wk - 1 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN wk < max_wk AND (nw IS NULL OR nw > wk + 1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_next
+        |FROM f, m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q23 quality, q90 entropy, and q86 novelty CTEs joined and
     // rolled up by lang; averages are integer floor divisions

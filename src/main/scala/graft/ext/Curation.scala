@@ -787,4 +787,44 @@ object Curation {
           .as("pct_at_risk"),
         col("min_combo_size"))
   }
+
+  /** Proportional stratified allocation of a sample budget across
+    * groups by the LARGEST-REMAINDER (Hamilton) method — the sampling
+    * design step before drawing a k-document training mix across
+    * languages/domains: each group gets floor(k·n_g/N) seats, and the
+    * k − Σ floors leftover seats go to the largest remainders
+    * (k·n_g mod N), ties broken by group key so the allocation is a
+    * pure function of the counts. Unlike independent per-group
+    * Bernoulli sampling, the allocations sum to EXACTLY k, and no
+    * group with n_g > 0 can be over-allocated past its ceiling.
+    * Feed the result to per-group top-`alloc` draws (the q111 A-Res
+    * pattern) for the actual sample.
+    *
+    * Determinism: pure integer arithmetic (k·n products, floor
+    * divisions, mod remainders) over exact counts. k·n_g must fit
+    * int64 (n_g ≤ 9·10¹⁵ at k = 1000; ANSI mode fails loudly past it).
+    *
+    * Scale: the corpus contracts to one row per group map-side; the
+    * remainder ranking is a single-partition window OVER THAT
+    * CONTRACTION (gate-legal — group-key cardinality, never rows).
+    * Output per group: (group, n, alloc). */
+  def stratifiedAllocation(df: DataFrame, groupCol: String,
+                           k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy()
+    val byRem = Window.orderBy(col("rem").desc, col(groupCol))
+    counts
+      .withColumn("_tot", sum(col("n")).over(tot))
+      .withColumn("base", expr(s"($k * n) div _tot"))
+      .withColumn("rem", expr(s"($k * n) % _tot"))
+      .withColumn("_spare",
+        lit(k.toLong) - sum(col("base")).over(tot))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col(groupCol), col("n"),
+        (col("base") + when(col("rk") <= col("_spare"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -217,6 +217,93 @@ object Profiling {
       .crossJoin(broadcast(found))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of side 0 and side 1 — the EXACT distribution-shift
+    * test (max |F₀(v) − F₁(v)| over the pooled support) that
+    * complements [[psiDrift]] (bucketed, approximate) when the answer
+    * has to be defensible: did this week's value distribution actually
+    * move? Takes an INTEGER value column (quantize first — the repo
+    * convention; for a truly unbounded domain quantize COARSER, which
+    * only lowers resolution, never validity).
+    *
+    * Determinism: the sup is taken over INTEGER cross-multiplied
+    * differences — |c₀·n₁ − c₁·n₀| as decimal(38,0), exact at any row
+    * count — and only the final max is divided once into micro units.
+    *
+    * Scale: one hash aggregate contracts the corpus to its distinct
+    * value domain with both sides' counts on the same row, so the
+    * cumulative window is VALUE-DOMAIN-sized; it is unpartitioned
+    * (gate-legal: directly over the contraction) because KS needs one
+    * global ordered pass — bounded by the quantized domain, never by
+    * rows. Output one row: (n_0, n_1, n_values, ks_micro). */
+  def ksTest(df: DataFrame, valueCol: String, sideCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(sideCol.cast("int").as("side"),
+        col(valueCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("w0"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("w1"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    c.withColumn("c0", sum(col("w0")).over(cum))
+      .withColumn("c1", sum(col("w1")).over(cum))
+      .withColumn("n0", sum(col("w0")).over(all))
+      .withColumn("n1", sum(col("w1")).over(all))
+      .select(col("n0"), col("n1"),
+        abs((col("c0") * col("n1")).cast("decimal(38,0)") -
+          (col("c1") * col("n0")).cast("decimal(38,0)")).as("d"))
+      .agg(max(col("n0")).as("n_0"), max(col("n1")).as("n_1"),
+        count(lit(1)).as("n_values"),
+        round(max(col("d")).cast("double") * 1e6 /
+          (max(col("n0")).cast("double") * max(col("n1"))))
+          .cast("long").as("ks_micro"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the hypothesis-test companion of [[mutualInfo]] (same
+    * cell contraction, a test statistic instead of an information
+    * measure): χ² = Σ (observed − expected)²/expected with
+    * expected = row·col margins / n, plus the degrees of freedom
+    * (|X|−1)(|Y|−1) the consumer needs to look the statistic up.
+    *
+    * EMPTY grid cells (observed 0, expected > 0) are NOT skipped: each
+    * contributes exactly its expected count e to χ², and since
+    * Σ_all_cells e = n, the whole statistic folds to the closed form
+    * χ² = n + Σ_observed[(o−e)²/e − e] — one pass over observed cells,
+    * no grid densification.
+    *
+    * Determinism: counts are exact integers; each observed cell's
+    * adjusted term is nano-quantized to BIGINT before the final sum
+    * (the q121/q133 convention), so aggregation order cannot move the
+    * hash.
+    *
+    * Scale: one (x, y) hash aggregate contracts the table map-side;
+    * margins are window sums OVER THE CONTRACTION; the final
+    * aggregate (including the two distinct margin counts) runs on
+    * |X|·|Y| cells. Cardinalities past ~10⁶ cells want the sketch
+    * tier, not an exact test. Output one row:
+    * (n, n_cells, dof, chi2_micro). */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val cells = joint
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    val e = col("nx").cast("double") * col("ny") / col("n")
+    cells
+      .select(col("x"), col("y"), col("nxy"), col("n"),
+        round(((col("nxy") - e) * (col("nxy") - e) / e - e) * 1e9)
+          .cast("long").as("t_nano"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        ((countDistinct(col("x")) - 1) * (countDistinct(col("y")) - 1))
+          .as("dof"),
+        (max(col("n")) * 1000000L +
+          round(sum(col("t_nano")) / 1e3).cast("long")).as("chi2_micro"))
+  }
+
   /** Pairwise Pearson correlation of numeric columns — the feature-
     * redundancy screen of a stats profile. One pass, one row out per
     * unordered column pair.

@@ -910,4 +910,48 @@ object TextAnalysis {
         (round(col("jsd_nano") / 1e3)).cast("long").as("jsd_micro"))
       .orderBy(col("grp"))
   }
+
+  /** Pairwise vocabulary overlap between document groups (languages,
+    * domains, snapshots): for every group pair, both vocabulary sizes,
+    * the shared-type count, and the Jaccard overlap — the corpus-mix
+    * diagnostic that says which "languages" are really transliterated
+    * twins, whether a domain is vocabulary-isolated, and how much
+    * cross-group token sharing a shared tokenizer can exploit.
+    *
+    * Determinism: set sizes and intersections are exact integer counts
+    * over DISTINCT (group, lowercased token) pairs; the Jaccard is an
+    * integer micro floor-division.
+    *
+    * Scale: ONE corpus tokenization contracts to the distinct
+    * (group, token) type table (checkpointed — it feeds the size
+    * aggregate and BOTH sides of the pair join, structurally different
+    * consumers, the q137 lesson); the pair join is TOKEN-keyed, so a
+    * token present in g groups yields g(g−1)/2 pair rows — bounded by
+    * |groups|² per token, never a doc-pair explosion; group sizes
+    * broadcast back onto the |groups|²-row result. */
+  def vocabOverlap(df: DataFrame, groupCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val types = df
+      .select(col(groupCol).as("g"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .distinct()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = types.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val a = types.select(col("g").as("g_a"), col("token"))
+    val b = types.select(col("g").as("g_b"), col("token"))
+    a.join(b, Seq("token"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))),
+        Seq("g_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("n_common * 1000000 div (n_a + n_b - n_common)")
+          .as("jaccard_micro"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
 }

@@ -541,4 +541,126 @@ object Behavior {
           .as("avg_lag_sec"))
       .orderBy(col("channel"))
   }
+
+  /** Per-user behavioral entropy, rolled up to a histogram — the
+    * diversity screen for engagement quality and bot triage: a user
+    * whose events are one type has entropy 0 (scripted scrapers, ping
+    * loops); organic users spread across types. H = ln N − (Σ n·ln n)/N
+    * in nats over the user's event-type distribution, reported as a
+    * bucket histogram (bucket = H_micro div `bucketMicros`, default
+    * 0.01 nat) with per-bucket user counts and the entropy range.
+    *
+    * Determinism: per-type counts are exact integers; each n·ln n term
+    * is nano-quantized BEFORE the per-user sum (the q121 convention),
+    * and the one ln/divide per user runs on exact integers — identical
+    * IEEE ops cross-engine.
+    *
+    * Scale: one (user, type) hash aggregate contracts the corpus
+    * map-side; the per-user fold aggregates ≤ |event types| rows per
+    * user; the histogram contracts users to ≤ a few dozen buckets. No
+    * windows, no skew surface (a power user still has ≤ |types| rows
+    * after the first aggregate). */
+  def entropyHistogram(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       bucketMicros: Long = 10000L): DataFrame = {
+    val perType = events.groupBy(col(userCol).as("u"),
+        col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+    val perUser = perType
+      .select(col("u"), col("n"),
+        round(col("n").cast("double") * log(col("n").cast("double")) * 1e9)
+          .cast("long").as("term_nano"))
+      .groupBy(col("u"))
+      .agg(sum(col("n")).as("nn"), sum(col("term_nano")).as("s_nano"))
+      .select(col("u"),
+        // clamped at 0: H is mathematically ≥ 0, but the nano-term
+        // rounding can land a single-type user at −1 micro, and Spark's
+        // `div` truncates toward zero while DuckDB's `//` floors — a
+        // negative micro value would bucket differently cross-engine
+        greatest(lit(0L),
+          round((log(col("nn").cast("double")) -
+            col("s_nano").cast("double") / 1e9 / col("nn")) * 1e6)
+            .cast("long")).as("h_micro"))
+    perUser
+      .groupBy(expr(s"h_micro div $bucketMicros").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("h_micro")).as("min_h_micro"),
+        max(col("h_micro")).as("max_h_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Day-of-week seasonality profile: per weekday, event count,
+    * cents-exact value mass, its share of the total, and the
+    * seasonality INDEX (share × 7 — 1e6 means "an average day", 2e6
+    * "twice an average day") that forecasting and anomaly baselines
+    * divide out before comparing days. Weekday 0 = Thursday epoch
+    * convention avoided: dow = (epoch_day + 4) mod 7 maps 0→Sunday …
+    * 6→Saturday, stated here so consumers don't guess.
+    *
+    * Determinism: integer day/cents arithmetic end-to-end; share and
+    * index are integer floor divisions into micro units.
+    *
+    * Scale: one hash aggregate to ≤ 7 rows; the total rides a window
+    * over that 7-row contraction (gate-legal). */
+  def dowSeasonality(events: DataFrame, tsCol: String = "ts",
+                     valueCol: String = "value"): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long")
+    val byDow = events
+      .select(pmod(day + 4, lit(7)).as("dow"),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    byDow
+      .withColumn("_tot", sum(col("cents")).over(Window.partitionBy()))
+      .select(col("dow"), col("n_events"), col("cents"),
+        expr("cents * 1000000 div _tot").as("share_micro"),
+        expr("cents * 7000000 div _tot").as("index_micro"))
+      .orderBy(col("dow"))
+  }
+
+  /** Weekly activity-transition audit: per ISO-agnostic epoch week
+    * (day div 7), how many users were active, and of those how many
+    * were NEW (first-ever week), RETAINED (also active the previous
+    * week), RESURRECTED (active before, but not the previous week),
+    * plus how many of the week's actives CHURNED (no activity the
+    * following week — only reported for weeks before the last observed
+    * week, where churn is not right-censored). The growth-accounting
+    * decomposition (new + retained + resurrected = active) every
+    * engagement dashboard reconciles.
+    *
+    * Determinism: pure integer week arithmetic over distinct
+    * (user, week) rows; counts are exact.
+    *
+    * Scale: the corpus contracts to distinct (user, week) map-side;
+    * the lag/lead/min windows partition BY USER over that contraction
+    * (≤ observed weeks per user — bounded and evenly spread, no
+    * low-cardinality funnel); the final aggregate contracts to
+    * calendar weeks. The global max week moves as a broadcast scalar,
+    * not a window. */
+  def activityTransitions(events: DataFrame, userCol: String = "user_id",
+                          tsCol: String = "ts"): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+      expr(s"CAST(floor(unix_timestamp($tsCol)) AS BIGINT) div 86400 div 7")
+        .as("wk")).distinct()
+    val byUser = Window.partitionBy(col("u")).orderBy(col("wk"))
+    val flagged = uw
+      .withColumn("prev", lag(col("wk"), 1).over(byUser))
+      .withColumn("next", lead(col("wk"), 1).over(byUser))
+      .withColumn("first", min(col("wk")).over(
+        Window.partitionBy(col("u"))))
+    val maxWk = uw.agg(max(col("wk")).as("max_wk"))
+    flagged.crossJoin(broadcast(maxWk))
+      .groupBy(col("wk").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("wk") === col("first"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("prev") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("wk") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        sum(when(col("wk") < col("max_wk") &&
+            (col("next").isNull || col("next") > col("wk") + 1), 1L)
+          .otherwise(0L)).as("n_churned_next"))
+      .orderBy(col("week"))
+  }
 }

@@ -275,4 +275,52 @@ class BehaviorSpec extends SparkSpec {
         r.getLong(3)).toMap
     assert(got === Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
   }
+
+  test("entropyHistogram: single-type user at H=0, uniform 2-type at ln 2") {
+    val ev = (Seq.fill(10)((1L, "a")) ++
+      Seq.fill(5)((2L, "a")) ++ Seq.fill(5)((2L, "b")))
+      .map { case (u, t) => (u, t, ts("1 10:00")) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.entropyHistogram(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ln 2 = 0.693147… → 693147 micro → centi-nat bucket 69
+    assert(got.toSeq === Seq((0L, 1L, 0L, 0L), (69L, 1L, 693147L, 693147L)))
+  }
+
+  test("dowSeasonality: integer shares and a 7-normalized index") {
+    // epoch day 0 = Thursday → dow 4; day 3 → Sunday → dow 0
+    def at(day: Long) = new Timestamp(day * 86400000L + 3600000L)
+    val ev = Seq(
+      (1L, "e", at(0), 1.0), (2L, "e", at(0), 1.0), (3L, "e", at(3), 3.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = Behavior.dowSeasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 300L, 600000L, 4200000L),
+      (4L, 2L, 200L, 400000L, 2800000L)))
+  }
+
+  test("activityTransitions: new/retained/resurrected/churn decomposition") {
+    // user A active weeks {0,1,3}; user B active week {1}; max week 3
+    def wk(w: Long) = new Timestamp(w * 7L * 86400000L + 1000L)
+    val ev = Seq(
+      (10L, "e", wk(0)), (10L, "e", wk(1)), (10L, "e", wk(3)),
+      (20L, "e", wk(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.activityTransitions(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      // week 0: A is new; A is active in week 1 → not churned
+      (0L, 1L, 1L, 0L, 0L, 0L),
+      // week 1: B new, A retained; both absent week 2 → both churn
+      (1L, 2L, 1L, 1L, 0L, 2L),
+      // week 3: A resurrected (gap over week 2); churn right-censored
+      (3L, 1L, 0L, 0L, 1L, 0L)))
+    // growth accounting reconciles: new + retained + resurrected = active
+    got.foreach { case (_, active, nw, ret, res, _) =>
+      assert(nw + ret + res === active)
+    }
+  }
 }

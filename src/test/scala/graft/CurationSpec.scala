@@ -414,4 +414,21 @@ class CurationSpec extends SparkSpec {
       BigDecimal(2.0 * 100 / 6).setScale(4,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("stratifiedAllocation: Hamilton floors + largest remainders, sums to k") {
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("doc_id", "lang")
+    // k=7 over 5/3/2 of 10: quotas 3.5/2.1/1.4 → floors 3/2/1, the one
+    // spare seat goes to the largest remainder (a)
+    val got = Curation.stratifiedAllocation(docs, "lang", k = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a", 5L, 4L), ("b", 3L, 2L), ("c", 2L, 1L)))
+    assert(got.map(_._3).sum === 7L)
+    // remainder tie: equal groups, one seat → group-key order decides
+    val tie = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
+    val t = Curation.stratifiedAllocation(tie, "lang", k = 1).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(t.toSeq === Seq(("a", 1L), ("b", 0L)))
+  }
 }

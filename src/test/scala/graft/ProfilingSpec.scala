@@ -221,4 +221,45 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_scored_buckets") === 2L)
     assert(r.getAs[Long]("psi_micro") === 274653L)
   }
+
+  test("ksTest: hand-computed sup over integer cross-differences") {
+    import graft.ext.Profiling
+    // side0 {1,2,3}, side1 {3,4}: D = max|c0·n1 − c1·n0| = 4 at v=2,
+    // ks = 4/(3·2) = 0.666667 → 666667 micro
+    val df = Seq((1L, 0), (2L, 0), (3L, 0), (3L, 1), (4L, 1))
+      .toDF("v", "side")
+    val r = Profiling.ksTest(df, "v", col("side")).collect().head
+    assert(r.getAs[Long]("n_0") === 3L)
+    assert(r.getAs[Long]("n_1") === 2L)
+    assert(r.getAs[Long]("n_values") === 4L)
+    assert(r.getAs[Long]("ks_micro") === 666667L)
+    // identical distributions → 0; disjoint → 1e6
+    val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("v", "side")
+    assert(Profiling.ksTest(same, "v", col("side")).collect()
+      .head.getAs[Long]("ks_micro") === 0L)
+    val disj = Seq((1L, 0), (2L, 1)).toDF("v", "side")
+    assert(Profiling.ksTest(disj, "v", col("side")).collect()
+      .head.getAs[Long]("ks_micro") === 1000000L)
+  }
+
+  test("chiSquare: independence gives 0; empty grid cells are counted") {
+    import graft.ext.Profiling
+    // perfectly independent 2×2 (all cells 5) → χ² = 0, dof = 1
+    val ind = (Seq.fill(5)(("a", 0)) ++ Seq.fill(5)(("a", 1)) ++
+      Seq.fill(5)(("b", 0)) ++ Seq.fill(5)(("b", 1))).toDF("x", "y")
+    val r = Profiling.chiSquare(ind, "x", "y").collect().head
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("n_cells") === 4L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("chi2_micro") === 0L)
+    // diagonal-only 2×2: observed cells (a,0)=2 and (b,1)=2, the two
+    // EMPTY cells each contribute their expected count 1 → χ² = 4
+    // (full-grid brute force), which the closed form must reproduce
+    val diag = (Seq.fill(2)(("a", 0)) ++ Seq.fill(2)(("b", 1)))
+      .toDF("x", "y")
+    val d = Profiling.chiSquare(diag, "x", "y").collect().head
+    assert(d.getAs[Long]("n_cells") === 2L)
+    assert(d.getAs[Long]("dof") === 1L)
+    assert(d.getAs[Long]("chi2_micro") === 4000000L)
+  }
 }

@@ -393,4 +393,18 @@ class TextScoringSpec extends SparkSpec {
       .collect().head.getAs[Long]("jsd_micro")
     assert(jsd > 0L && jsd < 693147L)
   }
+
+  test("vocabOverlap: pairwise type-set Jaccard across groups") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "red Blue"), (2L, "en", "blue green"),
+      (3L, "fr", "blue rouge"))
+      .toDF("doc_id", "lang", "text")
+    // en types {red, blue, green}, fr {blue, rouge} (case-folded);
+    // shared {blue} → jaccard 1/4 = 250000 micro
+    val got = TextAnalysis.vocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(("en", "fr", 3L, 2L, 1L, 250000L)))
+  }
 }
