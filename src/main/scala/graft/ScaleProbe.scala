@@ -593,6 +593,44 @@ object ScaleProbe {
         pmod(expr("xxhash64(id)"), lit(100000L)).as("v"))
       consume(Aggregations.madOutliers(mo, "g", "v"))
     }
+    // the adaptive-salt crossover (round-8 fix): NEAR-UNIQUE values
+    // over a 3-value group key — the contraction does NOT contract
+    // (~19M distinct of 30M rows), so the adaptive pick must take the
+    // salted branch; salt=1 pins the direct-window funnel (3 tasks
+    // sorting ~6M rows each, per median) for the wall-clock gap. On
+    // the BOUNDED domain above (100k values) the adaptive pick stays
+    // direct — same operator, both regimes witnessed.
+    val nearUnique = spark.range(30000000L).select(
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("g"),
+      pmod(expr("xxhash64(id)"), lit(30000000L)).as("v"))
+    timed("mad_outliers 30M/near-uniq adaptive") {
+      consume(Aggregations.madOutliers(nearUnique, "g", "v"))
+    }
+    timed("mad_outliers 30M/near-uniq direct") {
+      consume(Aggregations.madOutliers(nearUnique, "g", "v", salt = 1))
+    }
+    timed("weighted_median 30M/near-uniq adaptive") {
+      consume(Aggregations.weightedMedian(
+        nearUnique.withColumn("w", lit(1L)), "g", "v", "w"))
+    }
+    timed("weighted_median 30M/near-uniq direct") {
+      consume(Aggregations.weightedMedian(
+        nearUnique.withColumn("w", lit(1L)), "g", "v", "w", salt = 1))
+    }
+    // the q144 harness fix, scale-invariance witness: at ×30 corpus a
+    // 1/30 md5-keep sample holds the pair-set eval at ~the sf0.1 full
+    // cost (the exact reference side is quadratic in the SAMPLE, not
+    // the corpus — recall/precision on a uniform doc sample estimate
+    // the corpus numbers unbiasedly)
+    timed(s"pair_set_eval x$docReps/sample${docReps}") {
+      val sample = docs.filter(
+        pmod(TextAnalysis.md5Hash60(col("doc_id").cast("string")),
+          lit(docReps.toLong)) === 0)
+      consume(Dedup.pairSetEval(
+        Dedup.jaccardPairs(sample, threshold = 0.5, maxPostings = 1000),
+        Dedup.minhashPairs(sample, threshold = 0.5)))
+    }
     // the q135 shape fix, measured where EXPANSION dominates: at ×10
     // replication with cap 500 every base shingle's 10-copy posting
     // list survives the cap, so the full expansion pays C(10,2) pairs

@@ -597,6 +597,29 @@ object SparkEntry {
     "q155_activity_transitions" -> ((s, d) =>
       graft.ops.Behavior.activityTransitions(events(s, d))),
 
+    // ===== per-nation Gini of customer spend ==========================
+    // inequality of customer order totals within each nation — the
+    // keySkew closed form per group, cumsum via the adaptive-salted
+    // median-family discipline
+    "q156_gini_spend" -> ((s, d) => {
+      val spend = orders(s, d)
+        .join(customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)")
+          .as("cents"))
+        .select(col("c_nationkey"), col("cents"))
+      A.giniByGroup(spend, "c_nationkey", "cents")
+    }),
+
+    // ===== exact equal-width value histogram ==========================
+    "q157_price_histogram" -> ((s, d) =>
+      A.equiWidthHistogram(
+        lineitem(s, d).select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents")),
+        "cents", bins = 20)),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -3784,6 +3807,55 @@ object SparkEntry {
         |    AS jaccard_micro
         |FROM pr JOIN sz sa ON sa.g = pr.g_a JOIN sz sb ON sb.g = pr.g_b
         |ORDER BY g_a, g_b""".stripMargin,
+
+    // the keySkew closed form per nation: tie blocks of m customers at
+    // spend v ending at cumulative count cum contribute
+    // v·(m·cum − m(m−1)/2) to the rank-weighted sum
+    "q156_gini_spend" ->
+      """WITH spend AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey),
+        |c AS (SELECT c_nationkey, cents, CAST(count(*) AS BIGINT) AS m
+        |      FROM spend GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c_nationkey, cents, m,
+        |    sum(m) OVER (PARTITION BY c_nationkey ORDER BY cents
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(m) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM c)
+        |SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(cents * m) AS BIGINT) AS total,
+        |  CASE WHEN sum(cents * m) > 0 THEN
+        |    round(2.0 * CAST(sum(cents * (m * cum - (m * (m - 1)) // 2))
+        |                     AS DOUBLE) /
+        |          (CAST(max(n) AS DOUBLE) * CAST(sum(cents * m) AS DOUBLE)) -
+        |          CAST(max(n) + 1 AS DOUBLE) / max(n), 6)
+        |  END AS gini
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the saltedCumSum segment formula as bucket arithmetic; spine
+    // densification keeps exactly `bins` rows
+    "q157_price_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+        |cnt AS (
+        |  SELECT least(19, ((cents - lo) * 20) // (hi - lo + 1)) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v, b GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
+        |         lo AS blo, hi AS bhi
+        |  FROM b)
+        |SELECT spine.bin AS bin,
+        |  CAST(blo + (bin * (bhi - blo + 1)) // 20 AS BIGINT) AS lo,
+        |  CAST(blo + ((bin + 1) * (bhi - blo + 1)) // 20 - 1 AS BIGINT) AS hi,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine LEFT JOIN cnt USING (bin)
+        |ORDER BY bin""".stripMargin,
 
     // distinct (user, week) contraction; lag/lead/min windows per user;
     // churn only for weeks before the last observed (right-censoring)

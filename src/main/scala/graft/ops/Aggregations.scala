@@ -329,6 +329,85 @@ object Aggregations {
           .as("pct_outliers"))
   }
 
+  /** Per-group Gini concentration of an INTEGER value column — "how
+    * unequal is customer spend within each nation", the inequality
+    * screen for revenue concentration, data-source dominance, token
+    * ownership. G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over each group's
+    * ascending-ranked values; 0 = perfectly even, →1 = one member owns
+    * everything.
+    *
+    * No per-row ranking anywhere (the keySkew closed form, per group):
+    * all rows tied at value v collapse to one (group, v, m) contraction
+    * row, and a tie block of m members ending at inclusive cumulative
+    * count `cum` contributes v·(m·cum − m(m−1)/2) to Σ i·xᵢ — an
+    * arithmetic-series sum independent of intra-block order. The
+    * cumulative count rides [[cumAndTot]], so the per-group cumsum is
+    * adaptive-salted like the median family. Exact integer aggregate
+    * sums (decimal(38,0) for the rank-weighted sum — v·m·cum exceeds
+    * int64 around v ~ 10⁷ cents × n ~ 10⁹ rows; the PER-ROW product is
+    * bounded by v·m·cum ≤ ~9·10¹⁸ and ANSI mode fails loudly past it),
+    * one double expression at the end, rounded to 6 dp.
+    *
+    * Output per group: (group, n, total, gini). */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  valueCol: String, salt: Int = 16,
+                  saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
+    val contracted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_w"))
+    cumAndTot(contracted, groupCol, valueCol, salt,
+        saltMinRows, materialize = salt > 1)
+      .groupBy(col(groupCol))
+      .agg(max(col("_tot")).as("n"),
+        sum(col(valueCol) * col("_w")).as("total"),
+        sum((col(valueCol) *
+            (col("_w") * col("_cum") -
+              expr("(_w * (_w - 1)) div 2"))).cast("decimal(38,0)"))
+          .as("_iwsum"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("total") > 0,
+          round(lit(2.0) * col("_iwsum").cast("double") /
+            (col("n").cast("double") * col("total")) -
+            (col("n") + lit(1)).cast("double") / col("n"), 6))
+          .otherwise(lit(null).cast("double")).as("gini"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Exact equal-width histogram of an INTEGER value column: `bins`
+    * buckets spanning the observed [min, max], integer bucket
+    * arithmetic (bin = (v − lo)·bins div (hi − lo + 1), the
+    * saltedCumSum segment formula — no float edges, no boundary
+    * epsilon), each output row carrying its inclusive integer bounds.
+    * The exact companion of approx percentile sketches when the
+    * distribution itself is the deliverable (dashboards, drift
+    * baselines for [[graft.ext.Profiling.psiDrift]]).
+    *
+    * Scale: one row per input row map-side to (bin), one hash
+    * aggregate to ≤ `bins` rows; the global min/max is a 1-row
+    * broadcast. Empty bins are densified from the bins-sized spine so
+    * the output is always exactly `bins` rows (a histogram with holes
+    * reads as data, not absence). */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         bins: Int = 20): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val bounds = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val counts = df.crossJoin(broadcast(bounds))
+      .select(least(lit(bins - 1).cast("long"),
+        expr(s"(($valueCol - _lo) * $bins) div (_hi - _lo + 1)")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = bounds.select(
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
+        col("_lo"), col("_hi"))
+      .select(col("bin"),
+        (col("_lo") + expr(s"(bin * (_hi - _lo + 1)) div $bins")).as("lo"),
+        (col("_lo") +
+          expr(s"((bin + 1) * (_hi - _lo + 1)) div $bins") - 1).as("hi"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-group winsorization stats: clamp an INTEGER value column at
     * the group's discrete pLo/pHi percentiles and report how much was
     * clamped — the robust-scaling step quality-score filters need

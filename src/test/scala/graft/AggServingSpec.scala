@@ -273,4 +273,37 @@ class AggServingSpec extends SparkSpec {
         sortedRows(Aggregations.madOutliers(df, "g", "v", salt = 1)))
     }
   }
+
+  test("giniByGroup: equality at 0, concentration at (n-1)/n, tie blocks exact") {
+    import graft.ops.Aggregations
+    val df = (Seq.fill(4)(("eq", 5L)) ++
+      (Seq(0L, 0L, 0L, 10L).map(("conc", _))) ++
+      Seq(("tie", 1L), ("tie", 1L), ("tie", 3L))).toDF("g", "v")
+    val got = Aggregations.giniByGroup(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // conc: ranked 0,0,0,10 → G = 2·40/(4·10) − 5/4 = 0.75
+    // tie: ranked 1,1,3 → Σi·x = 12 → G = 24/15 − 4/3 = 0.266667
+    assert(got === Seq(
+      ("conc", 4L, 10L, 0.75), ("eq", 4L, 20L, 0.0),
+      ("tie", 3L, 5L, 0.266667)))
+  }
+
+  test("equiWidthHistogram: exact integer bounds, empty bins densified") {
+    import graft.ops.Aggregations
+    val df = Seq(0L, 19L).toDF("v")
+    val got = Aggregations.equiWidthHistogram(df, "v", bins = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 20)
+    assert(got.head === ((0L, 0L, 0L, 1L)))
+    assert(got.last === ((19L, 19L, 19L, 1L)))
+    assert(got.slice(1, 19).forall(_._4 === 0L))
+    // uneven width: [0, 9] over 4 bins → widths 3,2,3,2 (integer split)
+    val u = Seq(0L, 3L, 5L, 9L).toDF("v")
+    val g2 = Aggregations.equiWidthHistogram(u, "v", bins = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2.map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 1L), (2L, 4L), (5L, 6L), (7L, 9L)))
+    assert(g2.map(_._4).toSeq === Seq(1L, 1L, 1L, 1L))
+  }
 }
