@@ -92,6 +92,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // scale-run allowance: at 30× the dup-dense component chain's
+      // AQE-planned broadcast builds exceed the 1g default and killed
+      // warmShared (driver merges broadcast task results in local
+      // mode); harmless at sf0.1
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT_SIZE", "8g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -620,6 +620,20 @@ object SparkEntry {
             .as("cents")),
         "cents", bins = 20)),
 
+    // ===== per-lang top-3 document lengths WITH ties ==================
+    // dense_rank value semantics over the (lang, len) contraction
+    "q158_top_lengths_ties" -> ((s, d) =>
+      S.topKValuesWithTies(
+          documents(s, d).select(col("lang"),
+            length(col("text")).cast("long").as("len")),
+          "lang", "len", k = 3)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("len"), col("n_rows"))),
+
+    // ===== inter-event cadence histogram (log2-second buckets) ========
+    "q159_cadence_histogram" -> ((s, d) =>
+      graft.ops.Behavior.cadenceHistogram(events(s, d))),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -3856,6 +3870,41 @@ object SparkEntry {
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
         |FROM spine LEFT JOIN cnt USING (bin)
         |ORDER BY bin""".stripMargin,
+
+    // dense_rank over the (lang, len) contraction, value-tie semantics
+    "q158_top_lengths_ties" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, len, n_rows,
+        |    CAST(dense_rank() OVER (PARTITION BY lang ORDER BY len DESC)
+        |         AS BIGINT) AS "rank"
+        |  FROM c)
+        |SELECT lang, "rank", len, n_rows FROM r
+        |WHERE "rank" <= 3 ORDER BY lang, "rank"""".stripMargin,
+
+    // gaps over the sorted per-user epoch sequence (tie-invariant
+    // multiset); base-2 digit-count buckets — bin() and conv(_,10,2)
+    // render identical minimal binary strings, no float log2
+    "q159_cadence_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |g AS (
+        |  SELECT u, ep - lag(ep) OVER (PARTITION BY u ORDER BY ep) AS gap
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS bucket
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE 2 ** (bucket - 1) END AS BIGINT) AS lo_sec,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE 2 ** bucket - 1 END AS BIGINT) AS hi_sec,
+        |  CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // distinct (user, week) contraction; lag/lead/min windows per user;
     // churn only for weeks before the last observed (right-censoring)

@@ -618,6 +618,50 @@ object Behavior {
       .orderBy(col("dow"))
   }
 
+  /** Inter-event cadence histogram: the distribution of per-user gaps
+    * between consecutive events, in power-of-two second buckets — the
+    * activity-rhythm fingerprint that separates bots (sub-second
+    * metronomes), notification-driven users (minutes), and habitual
+    * ones (daily), and the empirical basis for choosing a session gap
+    * instead of folklore-30-minutes.
+    *
+    * Buckets are INTEGER-exact cross-engine: bucket = digit count of
+    * the gap in base 2 (length of `bin(gap)`/`conv(gap,10,2)` — both
+    * engines render identical binary strings), i.e. bucket b covers
+    * [2^(b−1), 2^b); gap 0 (same-second events) is bucket 0 by
+    * definition. No float log2 — a power-of-two boundary never lands
+    * on ln(x)/ln(2) ulp.
+    *
+    * Determinism under tied timestamps: gaps are differences of the
+    * SORTED per-user epoch sequence, which is invariant to the
+    * arbitrary order within a tie class — the gap multiset is
+    * identical however the engine breaks ties.
+    *
+    * Scale: the lag window partitions BY USER (high-cardinality,
+    * evenly spread); the histogram contracts to ≤ ~40 buckets
+    * map-side. Output: (bucket, lo_sec, hi_sec, n_gaps). */
+  def cadenceHistogram(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col("ep"))
+    val gaps = events
+      .select(col(userCol),
+        expr(s"CAST(floor(unix_timestamp($tsCol)) AS BIGINT)").as("ep"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+    gaps
+      .select(when(col("gap") === 0, lit(0))
+        .otherwise(length(conv(col("gap"), 10, 2))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .select(col("bucket").cast("long").as("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("CAST(pow(2, bucket - 1) AS BIGINT)")).as("lo_sec"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("CAST(pow(2, bucket) AS BIGINT) - 1")).as("hi_sec"),
+        col("n_gaps"))
+      .orderBy(col("bucket"))
+  }
+
   /** Weekly activity-transition audit: per ISO-agnostic epoch week
     * (day div 7), how many users were active, and of those how many
     * were NEW (first-ever week), RETAINED (also active the previous

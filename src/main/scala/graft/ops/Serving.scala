@@ -87,6 +87,33 @@ object Serving {
     df.orderBy(ordering: _*).limit(k)
   }
 
+  /** Per-group top-k with TIES (dense_rank ≤ k on a value): unlike
+    * [[topK]]'s row-limit semantics, every member of a tied value
+    * class survives — "top 3 longest document lengths per language,
+    * all docs at those lengths" — the semantics reports want when the
+    * value, not an arbitrary tiebreak, is the ranking key.
+    *
+    * Scale shape: ranks are computed on the (group, value) COUNT
+    * contraction, never the raw rows (dense_rank over raw rows ties
+    * with itself row-by-row and funnels each group's full row set
+    * through one window task; over the contraction the window input
+    * is value-domain-bounded) — the q102 contraction discipline
+    * applied to ranking. Output per surviving (group, value):
+    * (group, rank, value, n_rows). */
+  def topKValuesWithTies(df: DataFrame, groupCol: String,
+                         valueCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contracted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val byVal = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc)
+    contracted
+      .withColumn("rank", dense_rank().over(byVal))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(valueCol), col("n_rows"))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
   /** O5: distinct on a key subset (streaming_dashboard/app.py:142). */
   def distinctOn(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).dropDuplicates(cols)

@@ -229,6 +229,9 @@ class AggServingSpec extends SparkSpec {
     assertSegmentBounded(
       Aggregations.madOutliers(vals, "g", "v", saltMinRows = 0),
       "madOutliers")
+    assertSegmentBounded(
+      Aggregations.giniByGroup(vals, "g", "v", saltMinRows = 0),
+      "giniByGroup")
   }
 
   test("adaptive pick: a small contraction keeps the direct window") {
@@ -271,6 +274,9 @@ class AggServingSpec extends SparkSpec {
       assert(sortedRows(Aggregations.madOutliers(df, "g", "v",
           salt = salt, saltMinRows = 0)) ===
         sortedRows(Aggregations.madOutliers(df, "g", "v", salt = 1)))
+      assert(sortedRows(Aggregations.giniByGroup(df, "g", "v",
+          salt = salt, saltMinRows = 0)) ===
+        sortedRows(Aggregations.giniByGroup(df, "g", "v", salt = 1)))
     }
   }
 
@@ -305,5 +311,16 @@ class AggServingSpec extends SparkSpec {
     assert(g2.map(x => (x._2, x._3)).toSeq ===
       Seq((0L, 1L), (2L, 4L), (5L, 6L), (7L, 9L)))
     assert(g2.map(_._4).toSeq === Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("topKValuesWithTies: dense-rank value classes, ties kept whole") {
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 9L), ("a", 8L), ("a", 7L),
+      ("b", 5L)).toDF("g", "v")
+    val got = Serving.topKValuesWithTies(df, "g", "v", k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // a: value 10 (2 rows) rank 1, 9 rank 2, 8 rank 3; 7 cut
+    assert(got.toSeq === Seq(
+      ("a", 1, 10L, 2L), ("a", 2, 9L, 1L), ("a", 3, 8L, 1L),
+      ("b", 1, 5L, 1L)))
   }
 }

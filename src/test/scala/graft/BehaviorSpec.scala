@@ -323,4 +323,16 @@ class BehaviorSpec extends SparkSpec {
       assert(nw + ret + res === active)
     }
   }
+
+  test("cadenceHistogram: base-2 digit buckets over per-user sorted gaps") {
+    // user 1 eps: 0, 0, 1, 4, 20 → gaps 0, 1, 3, 16 → buckets 0, 1, 2, 5
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(0L, 0L, 1L, 4L, 20L).map(s => (1L, "e", at(s)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.cadenceHistogram(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, 1L), (1L, 1L, 1L, 1L), (2L, 2L, 3L, 1L),
+      (5L, 16L, 31L, 1L)))
+  }
 }
