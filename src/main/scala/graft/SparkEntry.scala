@@ -634,6 +634,62 @@ object SparkEntry {
     "q159_cadence_histogram" -> ((s, d) =>
       graft.ops.Behavior.cadenceHistogram(events(s, d))),
 
+    // ===== within-language length-percentile normalization ============
+    "q160_length_percentiles" -> ((s, d) =>
+      A.percentileNormalize(
+        documents(s, d).select(col("lang"),
+          length(col("text")).cast("long").as("len")),
+        "lang", "len")),
+
+    // ===== coverage-concentration curve (k domains per p% of rows) ====
+    // planted skew (the q140 least-clamp fixture: ~3/4 of docs land on
+    // one domain) so the curve has a real knee and tie blocks fire
+    "q161_domain_coverage" -> ((s, d) =>
+      Profiling.coverageK(
+        documents(s, d).select(
+          concat(lit("d"), least(pmod(col("doc_id"), lit(40L)), lit(10L)))
+            .as("domain")),
+        "domain")),
+
+    // ===== RFM segmentation cells =====================================
+    // recency/frequency/monetary quintiles per user, every threshold a
+    // DISCRETE within-population percentile via percentileNormalize
+    // (inclusive cume_dist — integer micro, no ntile row-order
+    // dependence), rolled up to (r, f, m) cells. Recency inverted
+    // (recent = high score); quintile = least(4, pct·5 div 1e6) + 1.
+    "q162_rfm_cells" -> ((s, d) => {
+      val day = expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+      val perUser = events(s, d)
+        .select(col("user_id").as("u"), day.as("dd"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("u"))
+        .agg(max(col("dd")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+      val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+      val base = perUser.crossJoin(broadcast(maxDay))
+        .select(col("u"), (col("max_day") - col("last_day")).as("r"),
+          col("f"), col("m"))
+        .withColumn("g", lit(1))
+      def quintile(dim: String): DataFrame =
+        A.percentileNormalize(base.select(col("g"), col(dim)), "g", dim)
+          .select(col(dim),
+            (least(expr("pct_micro * 5 div 1000000"), lit(4L)) + 1)
+              .as(s"${dim}_q"))
+      // no broadcast hints: the r/f maps are tiny but the m map is one
+      // row per DISTINCT monetary value (user-cardinality at scale) —
+      // AQE broadcasts the small sides at runtime and keeps the m join
+      // a value-keyed shuffle join when it isn't
+      base
+        .join(quintile("r"), Seq("r"))
+        .join(quintile("f"), Seq("f"))
+        .join(quintile("m"), Seq("m"))
+        .select(col("u"), (lit(6L) - col("r_q")).as("r_score"),
+          col("f_q").as("f_score"), col("m_q").as("m_score"), col("m"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("monetary_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -3870,6 +3926,102 @@ object SparkEntry {
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
         |FROM spine LEFT JOIN cnt USING (bin)
         |ORDER BY bin""".stripMargin,
+
+    // two-step integer quintiles mirrored exactly: pct_micro first
+    // (cum·1e6 // tot), then least(pct·5 // 1e6, 4) + 1 — NOT fused
+    // into one division, which rounds differently
+    "q162_rfm_cells" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM pu),
+        |base AS (SELECT u, max_day - last_day AS r, f, m FROM pu, mx),
+        |cr AS (SELECT r AS v, CAST(count(*) AS BIGINT) AS n
+        |       FROM base GROUP BY 1),
+        |wr AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |         * 1000000 // sum(n) OVER () AS pct FROM cr),
+        |rq AS (SELECT v, CAST(least(pct * 5 // 1000000, 4) + 1 AS BIGINT)
+        |         AS q FROM wr),
+        |cf AS (SELECT f AS v, CAST(count(*) AS BIGINT) AS n
+        |       FROM base GROUP BY 1),
+        |wf AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |         * 1000000 // sum(n) OVER () AS pct FROM cf),
+        |fq AS (SELECT v, CAST(least(pct * 5 // 1000000, 4) + 1 AS BIGINT)
+        |         AS q FROM wf),
+        |cm AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS n
+        |       FROM base GROUP BY 1),
+        |wm AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |         * 1000000 // sum(n) OVER () AS pct FROM cm),
+        |mq AS (SELECT v, CAST(least(pct * 5 // 1000000, 4) + 1 AS BIGINT)
+        |         AS q FROM wm)
+        |SELECT CAST(6 - rq.q AS BIGINT) AS r_score, fq.q AS f_score,
+        |  mq.q AS m_score, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(m) AS BIGINT) AS monetary_cents
+        |FROM base
+        |JOIN rq ON rq.v = base.r
+        |JOIN fq ON fq.v = base.f
+        |JOIN mq ON mq.v = base.m
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // inclusive cume_dist in integer micro over the (lang, len)
+    // contraction
+    "q160_length_percentiles" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, len, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY len
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS tot
+        |  FROM c)
+        |SELECT lang, len, n,
+        |  CAST(cum * 1000000 // tot AS BIGINT) AS pct_micro
+        |FROM w ORDER BY lang, len""".stripMargin,
+
+    // closed-form k@p over descending-count tie blocks:
+    // k = keys_before + ceil((target − rows_before)/cnt) in the first
+    // block reaching target = ceil(p·n/100)
+    "q161_domain_coverage" ->
+      """WITH dom AS (
+        |  SELECT 'd' || CAST(least(doc_id % 40, 10) AS VARCHAR) AS domain
+        |  FROM documents),
+        |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM dom GROUP BY 1),
+        |g AS (SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT cnt, m,
+        |    sum(cnt * m) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING)
+        |      AS cum_rows,
+        |    sum(m) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING)
+        |      AS cum_keys,
+        |    sum(cnt * m) OVER () AS n_rows,
+        |    sum(m) OVER () AS n_keys
+        |  FROM g),
+        |b AS (
+        |  SELECT cnt, m, cum_rows, cum_keys, n_rows, n_keys,
+        |    cum_rows - m * cnt AS rows_before,
+        |    cum_keys - m AS keys_before
+        |  FROM w)
+        |SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(max(n_keys) AS BIGINT) AS n_keys,
+        |  CAST(min(CASE WHEN cum_rows >= (50 * n_rows + 99) // 100
+        |    AND rows_before < (50 * n_rows + 99) // 100
+        |    THEN keys_before + (((50 * n_rows + 99) // 100)
+        |      - rows_before + cnt - 1) // cnt END) AS BIGINT) AS k50,
+        |  CAST(min(CASE WHEN cum_rows >= (90 * n_rows + 99) // 100
+        |    AND rows_before < (90 * n_rows + 99) // 100
+        |    THEN keys_before + (((90 * n_rows + 99) // 100)
+        |      - rows_before + cnt - 1) // cnt END) AS BIGINT) AS k90,
+        |  CAST(min(CASE WHEN cum_rows >= (99 * n_rows + 99) // 100
+        |    AND rows_before < (99 * n_rows + 99) // 100
+        |    THEN keys_before + (((99 * n_rows + 99) // 100)
+        |      - rows_before + cnt - 1) // cnt END) AS BIGINT) AS k99
+        |FROM b""".stripMargin,
 
     // dense_rank over the (lang, len) contraction, value-tie semantics
     "q158_top_lengths_ties" ->

@@ -615,12 +615,23 @@ object Dedup {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
     var rounds = 0
+    // every label-map join is PINNED shuffle_hash with the label side
+    // as build: checkpointed frames carry no reliable size statistics,
+    // and the planner's static fallback once chose the EDGE list as a
+    // broadcast build — ~200M rows at the 30× probe, an 8 GiB
+    // broadcast attempt that killed the job (the q18 merge-pin lesson,
+    // stats-miss variant). The hinted side is node-cardinality (one
+    // row per doc), so each partition's hash build is small; AQE may
+    // still legitimately demote it to a runtime broadcast when it
+    // measures small — the hint only forbids the planner from ever
+    // building the edge side.
     while (changed > 0) {
       val neigh = edges
-        .join(labels.select(col("id").as("u"), col("comp").as("ncomp")), Seq("u"))
+        .join(labels.select(col("id").as("u"), col("comp").as("ncomp"))
+          .hint("shuffle_hash"), Seq("u"))
         .groupBy(col("v").as("id"))
         .agg(min(col("ncomp")).as("nmin"))
-      val stepped = labels.join(neigh, Seq("id"), "left")
+      val stepped = labels.join(neigh.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           col("comp").as("prev"))
@@ -634,7 +645,7 @@ object Dedup {
       // plan re-reads a label-sized cache, never the edge join
       val map = stepped.select(col("id").as("comp"), col("comp").as("_jump"))
       def jump(m: DataFrame): DataFrame = m
-        .join(map, Seq("comp"), "left")
+        .join(map.hint("shuffle_hash"), Seq("comp"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("_jump"), col("comp"))).as("comp"),
           col("prev"))

@@ -112,6 +112,54 @@ object Profiling {
           .as("gini"))
   }
 
+  /** Coverage-concentration curve: the SMALLEST number of keys whose
+    * rows cover p% of the table, for each requested percent — "the top
+    * k50 domains own half the corpus" in one row. The planning twin of
+    * [[keySkew]]'s Gini: Gini says HOW unequal, k@p says WHERE to
+    * spend crawl/clean/quota budget.
+    *
+    * Exact and closed-form over tie blocks (no per-key ranking): keys
+    * tied at count c are interchangeable, so within the first
+    * descending-count block that reaches the target row mass,
+    * k = keys_before + ceil((target − rows_before)/c) — integer
+    * arithmetic throughout, target = ceil(p·n/100).
+    *
+    * Scale: per-key counts contract map-side; the cumulative windows
+    * run on the DISTINCT-COUNT-VALUE contraction, bounded by
+    * √(2·n_rows) (the [[keySkew]] argument — distinct positive counts
+    * sum past any budget). Output one row:
+    * (n_rows, n_keys, k<p1>, k<p2>, …). */
+  def coverageK(df: DataFrame, keyCol: String,
+                percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      "percents must be in (0, 100]")
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = counts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val desc = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cum = g
+      .withColumn("cum_rows", sum(col("cnt") * col("m")).over(desc))
+      .withColumn("cum_keys", sum(col("m")).over(desc))
+      .withColumn("n_rows", sum(col("cnt") * col("m")).over(all))
+      .withColumn("n_keys", sum(col("m")).over(all))
+      .withColumn("rows_before", col("cum_rows") - col("m") * col("cnt"))
+      .withColumn("keys_before", col("cum_keys") - col("m"))
+    // integer `div` via expr — the Column `/` operator is double
+    // division and would float the key count
+    val ks = percents.map { p =>
+      min(expr(
+        s"CASE WHEN cum_rows >= ($p * n_rows + 99) div 100 " +
+        s"AND rows_before < ($p * n_rows + 99) div 100 " +
+        s"THEN keys_before + ((($p * n_rows + 99) div 100) " +
+        s"- rows_before + cnt - 1) div cnt END")).as(s"k$p")
+    }
+    val aggs = Seq(max(col("n_keys")).as("n_keys")) ++ ks
+    cum.agg(max(col("n_rows")).as("n_rows"), aggs: _*)
+  }
+
   /** Pre-flight join-cardinality audit: the EXACT output row count a
     * key equi-join would produce — Σ over common keys of
     * cnt_left·cnt_right — plus the diagnostics that say WHY

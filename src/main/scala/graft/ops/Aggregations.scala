@@ -408,6 +408,33 @@ object Aggregations {
       .orderBy(col("bin"))
   }
 
+  /** Within-group percentile normalization: map every distinct
+    * (group, value) to its inclusive cumulative share of the group in
+    * micro units (cume_dist, exact integers) — the feature-scaling
+    * step that makes scores comparable ACROSS groups before mixing
+    * (a "good" doc length in code is not a good length in prose;
+    * percentile-normalize per language and one threshold works
+    * everywhere). Join the output back on (group, value) to tag raw
+    * rows.
+    *
+    * Output per distinct (group, value): (group, value, n,
+    * pct_micro = inclusive-rank share · 10⁶, integer floor division).
+    *
+    * Scale: the [[cumAndTot]] discipline — corpus contracts to
+    * (group, value) map-side, the cumsum is adaptive-salted, nothing
+    * downstream sees raw rows. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+                          valueCol: String, salt: Int = 16,
+                          saltMinRows: Long = AdaptiveSaltRows): DataFrame = {
+    val contracted = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_w"))
+    cumAndTot(contracted, groupCol, valueCol, salt, saltMinRows,
+        materialize = salt > 1)
+      .select(col(groupCol), col(valueCol), col("_w").as("n"),
+        expr("_cum * 1000000 div _tot").as("pct_micro"))
+      .orderBy(col(groupCol), col(valueCol))
+  }
+
   /** Per-group winsorization stats: clamp an INTEGER value column at
     * the group's discrete pLo/pHi percentiles and report how much was
     * clamped — the robust-scaling step quality-score filters need

@@ -323,4 +323,14 @@ class AggServingSpec extends SparkSpec {
       ("a", 1, 10L, 2L), ("a", 2, 9L, 1L), ("a", 3, 8L, 1L),
       ("b", 1, 5L, 1L)))
   }
+
+  test("percentileNormalize: inclusive cume_dist in integer micro") {
+    import graft.ops.Aggregations
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v")
+    val got = Aggregations.percentileNormalize(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 1L, 2L, 500000L), ("a", 2L, 1L, 750000L),
+      ("a", 3L, 1L, 1000000L)))
+  }
 }

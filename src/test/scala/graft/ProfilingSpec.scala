@@ -262,4 +262,21 @@ class ProfilingSpec extends SparkSpec {
     assert(d.getAs[Long]("dof") === 1L)
     assert(d.getAs[Long]("chi2_micro") === 4000000L)
   }
+
+  test("coverageK: closed-form k@p over tie blocks") {
+    import graft.ext.Profiling
+    // a×8, b×1, c×1: k50 = 1 (5 of a's 8), k90 = 2, k99 = 3
+    val df = (Seq.fill(8)("a") ++ Seq("b", "c")).toDF("k")
+    val r = Profiling.coverageK(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("k50") === 1L)
+    assert(r.getAs[Long]("k90") === 2L)
+    assert(r.getAs[Long]("k99") === 3L)
+    // tie block: x×5, y×5 — interchangeable keys, ceil split
+    val tie = (Seq.fill(5)("x") ++ Seq.fill(5)("y")).toDF("k")
+    val t = Profiling.coverageK(tie, "k").collect().head
+    assert(t.getAs[Long]("k50") === 1L)
+    assert(t.getAs[Long]("k90") === 2L)
+  }
 }
