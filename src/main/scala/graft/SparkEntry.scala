@@ -243,9 +243,14 @@ object SparkEntry {
         .orderBy(col("repaired_split"))),
 
     // ===== hard-negative mining (contrastive training pairs) ==========
-    "q113_hard_negatives" -> ((s, d) =>
-      Similarity.hardNegatives(embeddings(s, d), k = 3)
-        .orderBy(col("vec_id"), col("rk"))),
+    // √n IVF sizing (autoCentroids): the corpus-count action is one
+    // parquet metadata count; the oracle replays the same formula
+    "q113_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.hardNegatives(emb, k = 3,
+          nCentroids = Similarity.autoCentroids(emb.count()))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
 
     // ===== embedding whitening stats (per-dimension distribution) =====
     "q114_embed_dimstats" -> ((s, d) =>
@@ -690,6 +695,58 @@ object SparkEntry {
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
+    // ===== Kaplan-Meier user-lifetime survival curve ==================
+    // right-censoring-aware lifetime estimate; survival reported in
+    // exact log space (per-factor nano-quantized ln, the q107
+    // convention) — exp is left to the consumer
+    "q163_survival_curve" -> ((s, d) =>
+      graft.ops.Behavior.survivalCurve(events(s, d))),
+
+    // ===== Mann-Whitney U (weekend vs weekday values) =================
+    // the rank-based location-shift companion of q149's KS on the same
+    // cents/side derivation; 2U accumulated exactly in decimal(38,0)
+    "q164_mann_whitney" -> ((s, d) => {
+      val e = events(s, d).select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        pmod(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+          + 4, lit(7)).as("dow"))
+      Profiling.mannWhitney(e, "cents",
+        (col("dow") === 0 || col("dow") === 6).cast("int"))
+    }),
+
+    // ===== categorical effect sizes (event_type × day-of-week) ========
+    // Cramér's V + both Theil uncertainty coefficients on q150's cell
+    // contraction — dependence MAGNITUDE where χ² only gives existence
+    "q165_effect_sizes" -> ((s, d) =>
+      Profiling.effectSizes(
+        events(s, d).select(col("event_type"),
+          pmod(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+            + 4, lit(7)).as("dow")),
+        "event_type", "dow")),
+
+    // ===== lag-k autocorrelation of daily revenue =====================
+    "q166_revenue_acf" -> ((s, d) =>
+      A.dailyAcf(events(s, d))),
+
+    // ===== l-diversity audit ((event_type, dow) vs value bucket) ======
+    // the homogeneity-attack screen q124's k-anonymity misses: same
+    // event-table quasi-identifiers, value bucket as the sensitive
+    // attribute
+    "q167_l_diversity" -> ((s, d) =>
+      Curation.lDiversity(
+        events(s, d).select(col("event_type"),
+          pmod(expr("CAST(floor(unix_timestamp(ts)) AS BIGINT) div 86400")
+            + 4, lit(7)).as("dow"),
+          floor(col("value") / 10).cast("long").as("value_bucket")),
+        Seq("event_type", "dow"), "value_bucket")),
+
+    // ===== asymmetric containment near-dup pairs ======================
+    // |A∩B|/min(|A|,|B|) over the q17 posting machinery — catches
+    // short-doc-inside-long-doc subset relations Jaccard hides
+    "q168_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(documents(s, d), threshold = 0.8,
+        maxPostings = 1000)),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -887,9 +944,11 @@ object SparkEntry {
     // ===== extension tier: similarity search ============================
     // the IVF-blocked plan (equi-join on centroid buckets) — the exact
     // O(n²) `nearDupPairs` stays available as the small-n test yardstick
-    "q20_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairsBlocked(embeddings(s, d), threshold = 0.4,
-        nCentroids = 16)),
+    "q20_embed_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.nearDupPairsBlocked(emb, threshold = 0.4,
+        nCentroids = Similarity.autoCentroids(emb.count()))
+    }),
 
     "q21_ann_brute" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -1337,15 +1396,21 @@ object SparkEntry {
     // ===== semantic decontamination (embedding-level benchmark leak) ==
     // probe set = vec_id % 31 == 0 (the q49 split convention on the
     // embeddings table); blocking shares one IVF assignment
-    "q97_semantic_contamination" -> ((s, d) =>
-      Similarity.semanticContamination(embeddings(s, d),
-          probePred = col("vec_id") % 31 === 0, threshold = 0.4)
-        .orderBy(col("vec_id"))),
+    "q97_semantic_contamination" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.semanticContamination(emb,
+          probePred = col("vec_id") % 31 === 0, threshold = 0.4,
+          nCentroids = Similarity.autoCentroids(emb.count()))
+        .orderBy(col("vec_id"))
+    }),
 
     // ===== per-vector nearest-neighbor profile (novelty triage) =======
-    "q95_nn_novelty" -> ((s, d) =>
-      Similarity.nnWithinBlocks(embeddings(s, d))
-        .orderBy(col("vec_id"))),
+    "q95_nn_novelty" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.nnWithinBlocks(emb,
+          nCentroids = Similarity.autoCentroids(emb.count()))
+        .orderBy(col("vec_id"))
+    }),
 
     // ===== deterministic hash split (train/val/test) ===================
     "q44_hash_split" -> ((s, d) => {
@@ -1381,16 +1446,25 @@ object SparkEntry {
     // q38 is the exact-percentile yardstick; this is the single-pass
     // bounded-memory form you run at 100 TB. One sketch per group for
     // the price quantiles (array form), rank error ≤ n/accuracy — with
-    // accuracy 10⁶ >> n the sketch is EXACT and Spark's returned data
+    // accuracy 10⁶ ≥ n the sketch is EXACT and Spark's returned data
     // element coincides with DuckDB quantile_disc, so the oracle is a
-    // full hash check, not rows-only
+    // full hash check, not rows-only. The accuracy is TIERED on the
+    // corpus count: QuantileSummaries' compress cost scales with the
+    // sampled-buffer size (∝ accuracy·log n), so exact-tier 10⁶ past
+    // the oracle scales is a pure CPU tax with no consumer — a 30×
+    // ScaleUp probe measured 76.7 s at accuracy 10⁶ on 18M rows where
+    // the standard sketch tier (10⁴, rank error ≤ 0.01%·n) is the
+    // 100 TB posture. Correctness is driver-checked at sf ≤ 0.1
+    // (n ≤ 600k), always inside the exact tier.
     "q69_approx_quantiles" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val acc = if (li.count() <= 2000000L) 1000000 else 10000
       val pq = expr(
-        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 1000000)")
-      lineitem(s, d)
+        s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), $acc)")
+      li
         .groupBy(col("l_returnflag"))
         .agg(pq.as("pq"),
-          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("qty_median"),
+          expr(s"approx_percentile(l_quantity, 0.5, $acc)").as("qty_median"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"),
           element_at(col("pq"), 1).as("price_p25"),
@@ -1900,7 +1974,8 @@ object SparkEntry {
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |assigned AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,
@@ -1925,7 +2000,8 @@ object SparkEntry {
         |  SELECT vec_id, vec_id % 31 = 0 AS is_probe,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |assigned AS (
         |  SELECT vec_id, is_probe, v, c_id FROM (
         |    SELECT e.vec_id, e.is_probe, e.v, c.c_id,
@@ -1957,7 +2033,8 @@ object SparkEntry {
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |assigned AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,
@@ -2636,7 +2713,8 @@ object SparkEntry {
         |  SELECT vec_id, label,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |assigned AS (
         |  SELECT vec_id, label, v, c_id FROM (
         |    SELECT e.vec_id, e.label, e.v, c.c_id,
@@ -4081,6 +4159,232 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN wk < max_wk AND (nw IS NULL OR nw > wk + 1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_next
         |FROM f, m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q155's lifetimes re-aggregated as a product-limit estimator:
+    // reverse-cumulative risk sets over the duration contraction, KM
+    // factors nano-quantized in ln space before the cumulation
+    "q163_survival_curve" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk
+        |  FROM events),
+        |s AS (SELECT u, min(wk) AS fw, max(wk) AS lw FROM uw GROUP BY 1),
+        |m AS (SELECT max(wk) AS max_wk FROM uw),
+        |d AS (
+        |  SELECT lw - fw AS t,
+        |    CAST(sum(CASE WHEN lw < max_wk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(sum(CASE WHEN lw = max_wk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_censored
+        |  FROM s, m GROUP BY 1),
+        |r AS (
+        |  SELECT t, n_events, n_censored,
+        |    CAST(sum(n_events + n_censored) OVER
+        |      (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM d),
+        |tm AS (
+        |  SELECT t, n_at_risk, n_events, n_censored,
+        |    CASE WHEN n_events = 0 THEN 0
+        |         WHEN n_at_risk > n_events THEN
+        |           CAST(round(ln((n_at_risk - n_events) * 1.0 / n_at_risk)
+        |             * 1e9, 0) AS BIGINT)
+        |         ELSE NULL END AS term
+        |  FROM r),
+        |f AS (
+        |  SELECT t, n_at_risk, n_events, n_censored,
+        |    max(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed,
+        |    CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM tm)
+        |SELECT t AS duration_weeks, n_at_risk, n_events, n_censored,
+        |  CASE WHEN absorbed = 1 THEN NULL ELSE cum END AS ln_surv_nano
+        |FROM f ORDER BY duration_weeks""".stripMargin,
+
+    // q149's cents/side derivation, U from the strictly-below cumsum
+    // closed form (2U stays integral; HUGEINT mirrors decimal(38,0)),
+    // tie-corrected normal z in double at the very end
+    "q164_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7)
+        |           IN (0, 6) THEN 1 ELSE 0 END AS side
+        |  FROM events),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT v, a, b,
+        |    coalesce(CAST(sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS a_below,
+        |    sum(a) OVER () AS n0, sum(b) OVER () AS n1
+        |  FROM c),
+        |agg AS (
+        |  SELECT CAST(max(n0) AS BIGINT) AS n_0, CAST(max(n1) AS BIGINT)
+        |      AS n_1,
+        |    CAST(count(*) AS BIGINT) AS n_values,
+        |    sum(CAST(b AS HUGEINT) * (2 * a_below + a)) AS u2_b,
+        |    sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b)) AS ties
+        |  FROM m)
+        |SELECT n_0, n_1, n_values, u2_b,
+        |  CASE WHEN (CAST(n_0 AS DOUBLE) * n_1 / 12.0 *
+        |      ((CAST(n_0 AS DOUBLE) + n_1 + 1) - CAST(ties AS DOUBLE) /
+        |       ((CAST(n_0 AS DOUBLE) + n_1) *
+        |        (CAST(n_0 AS DOUBLE) + n_1 - 1)))) > 0
+        |    THEN CAST(round((CAST(u2_b AS DOUBLE) -
+        |        CAST(n_0 AS DOUBLE) * n_1) /
+        |      (2.0 * sqrt(CAST(n_0 AS DOUBLE) * n_1 / 12.0 *
+        |        ((CAST(n_0 AS DOUBLE) + n_1 + 1) - CAST(ties AS DOUBLE) /
+        |         ((CAST(n_0 AS DOUBLE) + n_1) *
+        |          (CAST(n_0 AS DOUBLE) + n_1 - 1))))) * 1e6, 0) AS BIGINT)
+        |    ELSE NULL END AS z_micro
+        |FROM agg""".stripMargin,
+
+    // q150's cell contraction; chi/MI/entropy terms nano-quantized per
+    // cell (the chiSquare/mutualInfo conventions), effect sizes from
+    // the exact integer sums
+    "q165_effect_sizes" ->
+      """WITH p AS (
+        |  SELECT event_type AS x,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS y
+        |  FROM events),
+        |j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+        |      FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT x, y, n,
+        |    CAST(round(((nxy - CAST(nx AS DOUBLE) * ny / n) *
+        |                (nxy - CAST(nx AS DOUBLE) * ny / n) /
+        |                (CAST(nx AS DOUBLE) * ny / n) -
+        |                CAST(nx AS DOUBLE) * ny / n) * 1e9, 0) AS BIGINT)
+        |      AS chi_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) * 1e9,
+        |      0) AS BIGINT) AS mi_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(nx AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hx_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(ny AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hy_nano
+        |  FROM m),
+        |a AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    count(DISTINCT x) AS kx, count(DISTINCT y) AS ky,
+        |    CAST(sum(chi_nano) AS BIGINT) AS chi_n,
+        |    CAST(sum(mi_nano) AS BIGINT) AS mi_n,
+        |    CAST(sum(hx_nano) AS BIGINT) AS hx_n,
+        |    CAST(sum(hy_nano) AS BIGINT) AS hy_n
+        |  FROM t)
+        |SELECT n, n_cells,
+        |  CASE WHEN least(kx, ky) > 1 AND (n + chi_n / 1e9) > 0
+        |    THEN round(sqrt((n + chi_n / 1e9) / n / (least(kx, ky) - 1)), 6)
+        |    ELSE NULL END AS cramers_v,
+        |  CASE WHEN hx_n > 0 THEN round(CAST(mi_n AS DOUBLE) / hx_n, 6)
+        |    ELSE NULL END AS theils_u_xy,
+        |  CASE WHEN hy_n > 0 THEN round(CAST(mi_n AS DOUBLE) / hy_n, 6)
+        |    ELSE NULL END AS theils_u_yx
+        |FROM a""".stripMargin,
+
+    // exact micro-integer daily sums; per-lag moments as HUGEINT
+    // (mirrors decimal(38,0)); Pearson per lag in double at the end
+    "q166_revenue_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT d.day + k.lag AS day, k.lag, d.v AS x
+        |  FROM daily d, (SELECT unnest(range(1, 8)) AS lag) k),
+        |p AS (
+        |  SELECT l.lag, l.x, daily.v AS y FROM l JOIN daily USING (day)),
+        |a AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) -
+        |             CAST(sx AS DOUBLE) * sx) > 0
+        |        AND (n_pairs * CAST(syy AS DOUBLE) -
+        |             CAST(sy AS DOUBLE) * sy) > 0
+        |    THEN CAST(round((n_pairs * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * sy) /
+        |      sqrt((n_pairs * CAST(sxx AS DOUBLE) -
+        |            CAST(sx AS DOUBLE) * sx) *
+        |           (n_pairs * CAST(syy AS DOUBLE) -
+        |            CAST(sy AS DOUBLE) * sy)) * 1e6, 0) AS BIGINT)
+        |    ELSE NULL END AS acf_micro
+        |FROM a ORDER BY lag""".stripMargin,
+
+    // q124's quasi-identifier grid with value_bucket as the sensitive
+    // attribute; within-combo entropy terms nano-quantized; 1098612286
+    // = round(ln(3)·1e9) − 3, the targetL=3 entropy gate with the
+    // per-term-quantization slack (see Curation.lDiversity)
+    "q167_l_diversity" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+        |    CAST(floor(value / 10) AS BIGINT) AS value_bucket
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, value_bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY 1, 2, 3),
+        |pc AS (
+        |  SELECT event_type, dow, value_bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type, dow) AS tot
+        |  FROM cells),
+        |combo AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS l_distinct,
+        |    CAST(max(tot) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / tot *
+        |      -ln(CAST(cnt AS DOUBLE) / tot) * 1e9, 0) AS BIGINT))
+        |      AS BIGINT) AS h_nano
+        |  FROM pc GROUP BY 1, 2)
+        |SELECT l_distinct, CAST(count(*) AS BIGINT) AS n_combos,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN h_nano < 1098612286 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_entropy_violations
+        |FROM combo GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q17 inverted index with the asymmetric denominator; emits
+    // both scores, filters on containment
+    "q168_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       floor(CAST(cnt AS DOUBLE)/least(sa.n, sb.n)*10000)/10000
+        |         AS containment,
+        |       floor(CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt)*10000)/10000
+        |         AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |WHERE CAST(cnt AS DOUBLE)/least(sa.n, sb.n) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the q23 quality, q90 entropy, and q86 novelty CTEs joined and
     // rolled up by lang; averages are integer floor divisions

@@ -788,6 +788,57 @@ object Curation {
         col("min_combo_size"))
   }
 
+  /** l-diversity audit over a quasi-identifier combination — the
+    * companion of [[kAnonymity]] for the attack k-anonymity misses:
+    * a combo can occur k times yet leak the sensitive attribute
+    * exactly, if all k rows SHARE it (homogeneity attack). A combo is
+    * l-diverse when its rows carry ≥ l distinct sensitive values;
+    * entropy l-diversity additionally requires the sensitive
+    * DISTRIBUTION within the combo to be spread (H ≥ ln l — a combo
+    * with 99 of value A and 1 of B is 2-distinct but barely diverse).
+    *
+    * Output is the distinct-l histogram plus the entropy gate: one row
+    * per observed l value — (l_distinct, n_combos, n_rows,
+    * n_entropy_violations) where a combo violates at `l` when its
+    * within-combo sensitive entropy (nano-quantized per term, the q107
+    * convention) falls below ln(targetL)·1e9 − targetL. The −targetL
+    * slack absorbs per-term quantization: a perfectly UNIFORM
+    * targetL-value combo has H = ln(targetL) exactly, but its ≤targetL
+    * rounded terms can sum up to targetL nanos short — without the
+    * slack the boundary case the gate exists to admit would be flagged
+    * (real entropy gaps are ~10⁸ nanos, so the slack changes no other
+    * verdict).
+    *
+    * Scale: one (quasi-combo, sensitive) count aggregate contracts the
+    * table map-side; per-combo rollup and the l histogram run on
+    * successive contractions. Nothing after the first shuffle is
+    * row-count-sized. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, targetL: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    val cells = df.groupBy(
+        (quasiCols.map(col) :+ col(sensitiveCol).as("_s")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val comboTot = Window.partitionBy(quasiCols.map(col): _*)
+    val perCombo = cells
+      .withColumn("_tot", sum(col("cnt")).over(comboTot))
+      .withColumn("_h_nano",
+        round(col("cnt").cast("double") / col("_tot") *
+          -log(col("cnt").cast("double") / col("_tot")) * 1e9)
+          .cast("long"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("l_distinct"), max(col("_tot")).as("n_rows"),
+        sum(col("_h_nano")).as("h_nano"))
+    perCombo
+      .groupBy(col("l_distinct"))
+      .agg(count(lit(1)).as("n_combos"), sum(col("n_rows")).as("n_rows"),
+        sum(when(col("h_nano") <
+            lit(math.round(math.log(targetL.toDouble) * 1e9) - targetL), 1L)
+          .otherwise(0L)).as("n_entropy_violations"))
+      .orderBy(col("l_distinct"))
+  }
+
   /** Proportional stratified allocation of a sample budget across
     * groups by the LARGEST-REMAINDER (Hamilton) method — the sampling
     * design step before drawing a k-document training mix across

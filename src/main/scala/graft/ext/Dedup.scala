@@ -346,6 +346,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** All pairs with shingle CONTAINMENT ≥ `threshold` — the asymmetric
+    * near-dup measure C(a,b) = |A∩B| / min(|A|, |B|) that catches what
+    * Jaccard structurally cannot: a short document embedded inside a
+    * long one (quote-with-commentary, article-plus-boilerplate,
+    * excerpt pages). A 200-shingle doc fully contained in a
+    * 4000-shingle doc scores Jaccard 0.05 — invisible at any sane
+    * threshold — but containment 1.0. Dedup pipelines run BOTH: Jaccard
+    * for same-size near-dups, containment for subset relations
+    * (then usually keep the longer doc).
+    *
+    * Same inverted-index machinery, caps, and scale shape as
+    * [[jaccardPairs]] (one posting build, map-side pair explosion,
+    * doc-cardinality size joins with the same shuffle_hash pins —
+    * the stats-miss-broadcast lesson applies verbatim); emits both
+    * scores so consumers can split "mutual near-dup" from "one-way
+    * subset". Worst-case quadratic like the exact Jaccard tier — the
+    * yardstick form; at 100 TB bound candidates with [[minhashPairs]]
+    * first (MinHash estimates Jaccard, not containment, so the
+    * LSH-candidates + exact-containment-verify composition is the
+    * scale path). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       maxPostings: Int = Int.MaxValue,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val posts = postingLists(docs, maxPostings, idCol, textCol,
+      checkpoint = true)
+    val sizes = posts.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = postingPairs(posts)
+    val c = col("cnt").cast("double") / least(col("na"), col("nb"))
+    val j = col("cnt").cast("double") /
+      (col("na") + col("nb") - col("cnt"))
+    inter
+      .join(sizes.select(col("id"), col("n").as("na")).hint("shuffle_hash"),
+        col("doc_a") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")).hint("shuffle_hash"),
+        col("doc_b") === col("id")).drop("id")
+      .filter(c >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        TextAnalysis.trunc4(c).as("containment"),
+        TextAnalysis.trunc4(j).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ===== MinHash + LSH =====================================================
 
   /** k-component MinHash signature: component i is

@@ -308,6 +308,69 @@ object Profiling {
           .cast("long").as("ks_micro"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the value
+    * distributions of side 0 and side 1 — the rank-based LOCATION-shift
+    * companion of [[ksTest]] (which is shape-sensitive): robust to
+    * outliers and any monotone transform of the values, the standard
+    * "did the median move?" test when normality can't be assumed. Takes
+    * an INTEGER value column (quantize first — the repo convention).
+    *
+    * Closed form over the value contraction, no per-row ranking: with
+    * per-value counts (a_v, b_v) and A_below(v) = Σ_{u<v} a_u,
+    * U_b = Σ_v b_v·(A_below(v) + a_v/2); doubled to keep it integral:
+    * 2·U_b = Σ_v b_v·(2·A_below + a_v), accumulated EXACTLY in
+    * decimal(38,0) (2U ≤ 2·n² overflows int64 past ~2·10⁹ rows). The
+    * normal approximation uses the tie-corrected variance
+    * σ² = (n₀n₁/12)·[(n+1) − Σ t_v(t_v²−1)/(n(n−1))], t_v = a_v+b_v —
+    * a handful of IEEE double ops on exact integers at the very end
+    * (the ksTest determinism recipe).
+    *
+    * Scale: identical shape to [[ksTest]] — one hash aggregate to the
+    * distinct-value domain, one unpartitioned cumulative window OVER
+    * THE CONTRACTION (gate-legal: bounded by the quantized domain,
+    * never by rows). Output one row:
+    * (n_0, n_1, n_values, u2_b, z_micro). */
+  def mannWhitney(df: DataFrame, valueCol: String,
+                  sideCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select(sideCol.cast("int").as("side"),
+        col(valueCol).as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+    val below = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val t = col("a") + col("b")
+    val withCum = c
+      .withColumn("a_below", coalesce(sum(col("a")).over(below), lit(0L)))
+      .withColumn("n0", sum(col("a")).over(all))
+      .withColumn("n1", sum(col("b")).over(all))
+    withCum
+      .select(col("n0"), col("n1"),
+        (col("b").cast("decimal(38,0)") *
+          (lit(2) * col("a_below") + col("a"))).as("u2_term"),
+        // tie term t(t²−1) as decimal: t ≤ n, cube overflows int64
+        // past t ~ 2·10⁶
+        (t.cast("decimal(38,0)") * t * t - t).as("tie_term"))
+      .agg(max(col("n0")).as("n_0"), max(col("n1")).as("n_1"),
+        count(lit(1)).as("n_values"),
+        sum(col("u2_term")).as("u2_b"),
+        sum(col("tie_term")).as("ties"))
+      .select(col("n_0"), col("n_1"), col("n_values"), col("u2_b"), {
+        val n0 = col("n_0").cast("double")
+        val n1 = col("n_1").cast("double")
+        val n = n0 + n1
+        val mean2 = n0 * n1 // 2·E[U] = n0·n1
+        val variance = n0 * n1 / 12.0d *
+          ((n + 1) - col("ties").cast("double") / (n * (n - 1)))
+        when(variance > 0,
+          round((col("u2_b").cast("double") - mean2) /
+            (lit(2.0d) * sqrt(variance)) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro")
+      })
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the hypothesis-test companion of [[mutualInfo]] (same
     * cell contraction, a test statistic instead of an information
@@ -565,6 +628,68 @@ object Profiling {
           round(col("mi_n") / sqrt(col("hx_n").cast("double") * col("hy_n")),
             6))
           .otherwise(lit(null).cast("double")).as("nmi"))
+  }
+
+  /** Categorical effect sizes: Cramér's V and both Theil uncertainty
+    * coefficients — the MAGNITUDE companions of [[chiSquare]] (which
+    * only answers "is there dependence?", inflating with n) on the
+    * same (x, y) cell contraction. V = √(χ²/n/min(|X|−1, |Y|−1)) ∈
+    * [0,1]; U(x|y) = MI/H(x) is the asymmetric "how much of x does y
+    * explain?" (and U(y|x) = MI/H(y)) — the pair a dataset-design
+    * audit wants when deciding whether `source` is a proxy for `lang`.
+    *
+    * Determinism: χ² via the empty-cell-folding closed form
+    * χ² = n + Σ_observed[(o−e)²/e − e] and MI/H terms nano-quantized
+    * per cell before summing (the [[chiSquare]]/[[mutualInfo]]
+    * conventions verbatim — both statistics are sums over the SAME
+    * cell frame, so one pass yields all of them).
+    *
+    * Scale: one (x, y) hash aggregate contracts the table map-side;
+    * margins are window sums over the |X|·|Y|-cell contraction;
+    * nothing downstream sees row counts. Output one row:
+    * (n, n_cells, cramers_v, theils_u_xy, theils_u_yx). */
+  def effectSizes(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val cells = joint
+      .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    val dbl = (c: Column) => c.cast("double")
+    val e = dbl(col("nx")) * dbl(col("ny")) / dbl(col("n"))
+    val chiTerm = (dbl(col("nxy")) - e) * (dbl(col("nxy")) - e) / e - e
+    val miTerm = dbl(col("nxy")) / dbl(col("n")) *
+      log(dbl(col("nxy")) * dbl(col("n")) / (dbl(col("nx")) * dbl(col("ny"))))
+    val hxTerm = dbl(col("nxy")) / dbl(col("n")) *
+      -log(dbl(col("nx")) / dbl(col("n")))
+    val hyTerm = dbl(col("nxy")) / dbl(col("n")) *
+      -log(dbl(col("ny")) / dbl(col("n")))
+    cells
+      .select(col("n"),
+        round(chiTerm * 1e9).cast("long").as("chi_nano"),
+        round(miTerm * 1e9).cast("long").as("mi_nano"),
+        round(hxTerm * 1e9).cast("long").as("hx_nano"),
+        round(hyTerm * 1e9).cast("long").as("hy_nano"),
+        col("x"), col("y"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        countDistinct(col("x")).as("kx"),
+        countDistinct(col("y")).as("ky"),
+        sum(col("chi_nano")).as("chi_n"), sum(col("mi_nano")).as("mi_n"),
+        sum(col("hx_nano")).as("hx_n"), sum(col("hy_nano")).as("hy_n"))
+      .select(col("n"), col("n_cells"), {
+        val chi2 = col("n").cast("double") + col("chi_n") / 1e9
+        val minDim = least(col("kx"), col("ky")).cast("double") - 1
+        when(minDim > 0 && chi2 > 0,
+          round(sqrt(chi2 / col("n") / minDim), 6))
+          .otherwise(lit(null).cast("double")).as("cramers_v")
+      },
+        when(col("hx_n") > 0,
+          round(col("mi_n").cast("double") / col("hx_n"), 6))
+          .otherwise(lit(null).cast("double")).as("theils_u_xy"),
+        when(col("hy_n") > 0,
+          round(col("mi_n").cast("double") / col("hy_n"), 6))
+          .otherwise(lit(null).cast("double")).as("theils_u_yx"))
   }
 
   private def unpivot(one: DataFrame, cols: Seq[String]): DataFrame = {

@@ -225,13 +225,35 @@ object Similarity {
           .as("norm_ratio"): _*)
   }
 
+  /** IVF list sizing: `max(floor, ceil(4·√n))` centroid buckets for an
+    * n-vector corpus — the inverted-file heuristic (FAISS guidance is
+    * nlist in [4√n, 16√n]). With c·√n buckets the expected bucket size
+    * is √n/c, so a within-bucket self-join costs Σ bucket² ≈ n^1.5/c
+    * instead of the n²/nlist a FIXED list count degrades to as the
+    * corpus grows (a 30× ScaleUp probe measured the fixed-16 ANN family
+    * at 110-155× wall for 30× data; √n-family sizing restores the n^1.5
+    * envelope). Assignment is n × nlist dot products — also n^1.5, but
+    * through [[graft.functions.IvfTopCentroids]]'s primitive loop its
+    * per-candidate cost is ~60× below the pair join's row cost, so the
+    * measured optimum sits at the join-light end (30× probe, 60k
+    * vectors: whole-op 11.7 s at 1·√n vs 8.1 s at 4·√n). At extreme
+    * scale train centroids on a sample ([[kmeansCentroids]]) and keep
+    * this count formula.
+    *
+    * Deterministic in the corpus ROW COUNT only, so a cross-engine
+    * oracle reproduces it as `greatest(floor, ceil(4·sqrt(count(*))))`
+    * — both engines take IEEE-double sqrt of an exact integer, the ×4
+    * is exact (power of two), and ceil of a perfect-square sqrt is
+    * exact in IEEE 754, so the counts can never disagree. */
+  def autoCentroids(n: Long, floor: Int = 16, mult: Int = 4): Int =
+    math.max(floor, math.ceil(mult * math.sqrt(n.toDouble)).toInt)
+
   /** IVF (inverted-file) index: `nCentroids` seed centroids picked
     * deterministically (smallest ids — at corpus scale swap in a k-means
     * sample; the index structure is identical), every vector assigned to
-    * its nearest centroid by cosine. Returns (id, v, nrm, centroid_id).
-    * One broadcast of the centroid set + one hash aggregate — no
-    * iteration. The assignment similarity is rounded to 6 dp before the
-    * argmax (same convention as `bruteTopK`) so the argmax — and
+    * its top-`nAssign` centroids by cosine. Returns (id, v, nrm,
+    * centroid_id). The assignment similarity is rounded to 6 dp before
+    * the argmax (same convention as `bruteTopK`) so the argmax — and
     * therefore every bucket — is reproducible bit-for-bit by another
     * engine. `nAssign` > 1 indexes every vector into its top-n centroid
     * buckets (multi-assignment — the index-side analogue of query-side
@@ -239,43 +261,36 @@ object Similarity {
     * then caught whenever any of their buckets overlap, at n× index
     * size.
     *
-    * Scale: the nCentroids-way candidate blowup from the broadcast join
-    * collapses in the MAP-SIDE partial aggregate (max_by argmax for
-    * nAssign=1; a bounded sorted k-struct array for nAssign>1), so the
-    * exchange carries one row per vector — never the n×k blowup a
-    * ranking window would shuffle (the `kmeansCentroids` pattern). */
+    * Scale: the centroid set is collected to the driver and shipped
+    * into the scoring expression as a plan constant
+    * ([[graft.functions.IvfTopCentroids]] — the MLlib-KMeans
+    * broadcast-model shape). That collect is BOUNDED by construction:
+    * √n centroids × dim ≈ 16 MB at 10⁹ vectors — a model, not data
+    * (the one sanctioned driver-collect class). Each vector is then
+    * scored in ONE projection with no per-(vector, centroid) row: the
+    * previous broadcast-join + map-side-argmax formulation was
+    * semantically identical but materialized n × nCentroids joined
+    * rows, each copying both embedding arrays — at √n centroids that
+    * n^1.5 row traffic measured 34 s of a 46 s operator (30× probe);
+    * the expression does the same GFLOP in ~0.4 s. Triggers one small
+    * Spark job at PLAN TIME (the centroid collect) — same eagerness
+    * class as the documented checkpoint sites. */
   def ivfAssign(emb: DataFrame, nCentroids: Int, nAssign: Int = 1,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val centroids = e.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val denom = col("nrm") * col("cn")
-    val sim = when(denom === 0.0, 0.0)
-      .otherwise(dot(col("v"), col("cv")) / denom)
-    val joined = e.join(broadcast(centroids), lit(true))
-      .withColumn("_sim", round(sim, 6))
-    if (nAssign == 1) {
-      // ties on _sim break to the smallest c_id, like the old window rank
-      joined.groupBy(col("id"))
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          max_by(col("c_id"),
-            struct(col("_sim"), (-col("c_id")).as("_nc"))).as("centroid_id"))
-        .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
-    } else {
-      // bounded top-n: collect the ≤ nCentroids candidates per vector,
-      // sort (sim desc, c_id asc) via the (-sim, c_id) struct order,
-      // keep nAssign — the buffer is k pairs of (double, long), merged
-      // map-side, so the exchange still carries one row per vector
-      val top = slice(array_sort(collect_list(
-        struct((-col("_sim")).as("_ns"), col("c_id")))), 1, nAssign)
-      joined.groupBy(col("id"))
-        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-          top.as("_top"))
-        .select(col("id"), col("v"), col("nrm"),
-          explode(col("_top.c_id")).as("centroid_id"))
-    }
+    // the centroid model: norms computed by the SAME Spark expressions
+    // the old join used, so collected values are bit-identical to what
+    // the joined rows carried
+    val centroids = e.orderBy(col("id")).limit(nCentroids).collect()
+    val ids = centroids.map(_.getLong(0))
+    val cvs = centroids.map(_.getSeq[Double](1).toArray)
+    val cns = centroids.map(_.getDouble(2))
+    e.withColumn("centroid_id",
+        explode(graft.functions.VectorFunctions.ivf_top_centroids(
+          col("v"), col("nrm"), ids, cvs, cns, nAssign)))
+      .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
   }
 
   /** IVF approximate top-k: rank centroids per query, probe the

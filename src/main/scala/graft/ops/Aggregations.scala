@@ -479,4 +479,58 @@ object Aggregations {
         sum(least(greatest(col(valueCol), col("lo")), col("hi"))
           .cast("long")).as("winsorized_sum"))
   }
+
+  /** Lag-k autocorrelation of a daily metric series, k = 1..maxLag —
+    * the weekly-cycle / momentum detector ([[graft.ops.Behavior.dowSeasonality]]
+    * shows WHICH day is high; this shows whether the series remembers
+    * itself, e.g. acf(7) ≫ acf(1) = a strong weekly cycle). Each lag's
+    * coefficient is the Pearson correlation of the series with itself
+    * shifted k days, computed over the overlapping day pairs (the
+    * standard sample-ACF-with-per-lag-renormalization variant — robust
+    * to missing days because pairing is by CALENDAR day, not row
+    * offset: a gap day simply produces no pair at any lag it touches).
+    *
+    * Determinism: per-day values are exact micro-integer sums; every
+    * per-lag moment (Σx, Σy, Σxy, Σx², Σy²) accumulates as
+    * decimal(38,0) — cross-products of micro values overflow int64 at
+    * ~10⁴-dollar days — and the correlation is a handful of IEEE
+    * double ops per lag on exact integers (the corrMatrix recipe).
+    *
+    * Scale: ONE day-keyed hash aggregate contracts the corpus to its
+    * calendar span; the lag expansion (explode ×maxLag) and
+    * day+k self-join run on that contraction (≤ 365·maxLag rows/year)
+    * — nothing after the first aggregate sees row counts. Output one
+    * row per lag: (lag, n_pairs, acf_micro). */
+  def dailyAcf(events: DataFrame, tsCol: String = "ts",
+               valueCol: String = "value", maxLag: Int = 7): DataFrame = {
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400)
+      .cast("long").as("day")
+    val daily = events
+      .select(day, round(col(valueCol) * 1e6).cast("long").as("vm"))
+      .groupBy(col("day")).agg(sum(col("vm")).as("v"))
+    val lagged = daily
+      .select(col("day"), col("v"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+      .select((col("day") + col("lag")).as("day"), col("lag"),
+        col("v").as("x"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    lagged.join(daily.withColumnRenamed("v", "y"), Seq("day"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("lag"), col("n_pairs"), {
+        val n = col("n_pairs").cast("double")
+        val d = (c: Column) => c.cast("double")
+        val cov = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+        val vx = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+        val vy = n * d(col("syy")) - d(col("sy")) * d(col("sy"))
+        when(vx > 0 && vy > 0,
+          round(cov / sqrt(vx * vy) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("acf_micro")
+      })
+      .orderBy(col("lag"))
+  }
 }

@@ -707,4 +707,66 @@ object Behavior {
           .otherwise(0L)).as("n_churned_next"))
       .orderBy(col("week"))
   }
+
+  /** Kaplan–Meier survival curve over user lifetimes — the
+    * right-censoring-aware answer to "how long do users stay?" that a
+    * naive lifetime histogram gets wrong (users still active at the
+    * observation edge haven't finished their lifetime; dropping them
+    * biases short, counting them as churned biases the hazard).
+    * Lifetime = last-active week − first-active week; a user is an
+    * observed CHURN if their last week precedes the corpus's last week,
+    * CENSORED otherwise (the q155 right-censoring convention). The
+    * product-limit estimator S(t) = Π_{s≤t} (1 − d_s/n_s) is reported
+    * in log space: `ln_surv_nano` = Σ nano-quantized ln((n_s−d_s)/n_s)
+    * — each factor is the ln of an exact rational, quantized BEFORE
+    * the sum (the q107 convention), so the running product is an exact
+    * integer cumulation and aggregation order can't move the hash
+    * (exp(ln_surv_nano/1e9) recovers S(t); the exp is left to the
+    * consumer because cross-engine exp is not bit-pinned). If some
+    * duration absorbs its whole risk set (d_t = n_t, S hits exactly 0,
+    * ln = −∞), that row and all later ones report null.
+    *
+    * Scale: one distinct (user, week) contraction (exchanges
+    * proportional to weekly-active-users, the [[retention]] shape),
+    * one per-user min/max aggregate, then everything — risk sets via a
+    * reverse cumulative window, the KM cumulation — runs on the
+    * DURATION contraction (≤ the corpus's week span in rows), so the
+    * unpartitioned windows are gate-legal: bounded by the calendar,
+    * never by users. Output one row per observed duration:
+    * (duration_weeks, n_at_risk, n_events, n_censored, ln_surv_nano). */
+  def survivalCurve(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+      expr(s"CAST(floor(unix_timestamp($tsCol)) AS BIGINT) div 86400 div 7")
+        .as("wk")).distinct()
+    val spans = uw.groupBy(col("u"))
+      .agg(min(col("wk")).as("fw"), max(col("wk")).as("lw"))
+    val maxWk = uw.agg(max(col("wk")).as("max_wk"))
+    val durs = spans.crossJoin(broadcast(maxWk))
+      .groupBy((col("lw") - col("fw")).as("t"))
+      .agg(sum(when(col("lw") < col("max_wk"), 1L).otherwise(0L))
+          .as("n_events"),
+        sum(when(col("lw") === col("max_wk"), 1L).otherwise(0L))
+          .as("n_censored"))
+    val atRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(atRisk))
+      .withColumn("term_nano",
+        when(col("n_events") === 0, 0L)
+          .when(col("n_at_risk") > col("n_events"),
+            round(log((col("n_at_risk") - col("n_events"))
+              .cast("double") / col("n_at_risk")) * 1e9).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("absorbed",
+        max(when(col("term_nano").isNull, 1).otherwise(0)).over(cum))
+      .select(col("t").as("duration_weeks"), col("n_at_risk"),
+        col("n_events"), col("n_censored"),
+        when(col("absorbed") === 1, lit(null).cast("long"))
+          .otherwise(sum(col("term_nano")).over(cum)).as("ln_surv_nano"))
+      .orderBy(col("duration_weeks"))
+  }
 }

@@ -333,4 +333,33 @@ class AggServingSpec extends SparkSpec {
       ("a", 1L, 2L, 500000L), ("a", 2L, 1L, 750000L),
       ("a", 3L, 1L, 1000000L)))
   }
+
+  test("dailyAcf: 1.0 on a linear ramp, calendar pairing skips gap days") {
+    import graft.ops.Aggregations
+    // one event per day, value = day index → every lag correlates
+    // exactly 1 (y is a constant shift of x over the overlap)
+    val ramp = (0 until 12).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L), dd.toDouble))
+      .toDF("ts", "value")
+    val got = Aggregations.dailyAcf(ramp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 7)
+    got.foreach { case (lag, nPairs, acf) =>
+      assert(nPairs === 12L - lag)
+      assert(acf === 1000000L, s"lag $lag")
+    }
+    // constant series → zero variance → null coefficient
+    val const = (0 until 5).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L), 3.0)).toDF("ts", "value")
+    Aggregations.dailyAcf(const, maxLag = 2).collect()
+      .foreach(r => assert(r.isNullAt(2)))
+    // a missing calendar day produces no pair at any lag it touches
+    val gappy = Seq(0, 1, 3).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L), dd.toDouble))
+      .toDF("ts", "value")
+    val g = Aggregations.dailyAcf(gappy, maxLag = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) === 1L) // only (0,1) — day 2 absent kills (2,3)
+    assert(g(2L) === 1L) // only (1,3)
+  }
 }

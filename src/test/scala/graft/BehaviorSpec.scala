@@ -335,4 +335,46 @@ class BehaviorSpec extends SparkSpec {
       (0L, 0L, 0L, 1L), (1L, 1L, 1L, 1L), (2L, 2L, 3L, 1L),
       (5L, 16L, 31L, 1L)))
   }
+
+  test("survivalCurve: hand-computed KM risk sets and log-survival") {
+    // durations: u1 weeks {0,1} → t=1 churn; u2 {0} → t=0 churn;
+    // u3 {0,2} → t=2 censored; u4 {2} → t=0 censored (max week = 2)
+    def wk(w: Long) = new Timestamp(w * 7L * 86400000L + 1000L)
+    val ev = Seq(
+      (1L, "e", wk(0)), (1L, "e", wk(1)),
+      (2L, "e", wk(0)),
+      (3L, "e", wk(0)), (3L, "e", wk(2)),
+      (4L, "e", wk(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.survivalCurve(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // t=0: risk 4, 1 churn (u2), 1 censored (u4) → S factor 3/4
+    assert(got(0L).getLong(1) === 4L)
+    assert(got(0L).getLong(2) === 1L)
+    assert(got(0L).getLong(3) === 1L)
+    val t0 = math.round(math.log(3.0 / 4.0) * 1e9)
+    assert(got(0L).getLong(4) === t0)
+    // t=1: risk 2, 1 churn (u1) → cumulative factor ×1/2
+    assert(got(1L).getLong(1) === 2L)
+    assert(got(1L).getLong(4) === t0 + math.round(math.log(0.5) * 1e9))
+    // t=2: risk 1, censored only — survival unchanged
+    assert(got(2L).getLong(2) === 0L)
+    assert(got(2L).getLong(4) === got(1L).getLong(4))
+  }
+
+  test("survivalCurve: a fully-absorbed risk set nulls S from there on") {
+    // u1 {0} churn t=0; u2 {0,1} churn t=1 (risk set 1, all churn);
+    // u3 {2} censored t=0 keeps max week at 2
+    def wk(w: Long) = new Timestamp(w * 7L * 86400000L + 1000L)
+    val ev = Seq(
+      (1L, "e", wk(0)),
+      (2L, "e", wk(0)), (2L, "e", wk(1)),
+      (3L, "e", wk(2)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.survivalCurve(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got(0L).isNullAt(4)) // S > 0 at t=0
+    assert(got(1L).getLong(1) === 1L && got(1L).getLong(2) === 1L)
+    assert(got(1L).isNullAt(4)) // d = n ⇒ S hits 0 ⇒ ln undefined
+  }
 }

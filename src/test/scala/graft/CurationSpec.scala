@@ -431,4 +431,22 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(2)))
     assert(t.toSeq === Seq(("a", 1L), ("b", 0L)))
   }
+
+  test("lDiversity: l histogram, homogeneous and skewed combos flagged") {
+    // combo q=1: sensitive {s,s,s} → l=1, H=0 (violation)
+    // combo q=2: sensitive {a,b,c} uniform → l=3, H=ln3 — the exact
+    //   boundary the quantization slack must ADMIT
+    // combo q=3: {a×8, b, c} → l=3 but H≈0.76 < ln3 (violation)
+    val rows =
+      Seq.fill(3)((1L, "s")) ++
+      Seq((2L, "a"), (2L, "b"), (2L, "c")) ++
+      (Seq.fill(8)((3L, "a")) ++ Seq((3L, "b"), (3L, "c")))
+    val df = rows.toDF("q", "s")
+    val got = Curation.lDiversity(df, Seq("q"), "s", targetL = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 3L, 1L),    // the homogeneous combo
+      (3L, 2L, 13L, 1L)))  // uniform-3 passes, skewed-3 violates
+  }
 }

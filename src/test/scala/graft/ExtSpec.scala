@@ -100,6 +100,25 @@ class ExtSpec extends SparkSpec {
     assert(got.find(p => p._1 == 1L && p._2 == 4L).get._3 === 1.0)
   }
 
+  test("containment pairs catches a short doc embedded in a long one") {
+    import spark.implicits._
+    // doc 1's two shingles are a strict subset of doc 2's six:
+    // containment 2/min(2,6) = 1.0, jaccard 2/6 ≈ 0.3333 — invisible
+    // to the jaccard screen at any usual threshold
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0, 0.3333)))
+    // the same corpus yields NO jaccard pair at 0.5 — the asymmetric
+    // measure exists precisely for this shape
+    assert(Dedup.jaccardPairs(corpus, 0.5).collect().isEmpty)
+  }
+
   test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(real, 0.5).collect()

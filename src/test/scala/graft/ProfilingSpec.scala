@@ -279,4 +279,49 @@ class ProfilingSpec extends SparkSpec {
     assert(t.getAs[Long]("k50") === 1L)
     assert(t.getAs[Long]("k90") === 2L)
   }
+
+  test("mannWhitney: hand-computed 2U and tie-corrected z") {
+    import graft.ext.Profiling
+    // side0 {1,2,2}, side1 {2,3}: per-value (a,b): 1→(1,0), 2→(2,1),
+    // 3→(0,1). 2U_b = 1·(2·1+2) + 1·(2·3+0) = 10; ties Σt³−t = 24;
+    // z = (10 − 3·2) / (2·√(3·2/12·((5+1) − 24/(5·4)))) = 4/(2·√2.4)
+    val df = Seq((1L, 0), (2L, 0), (2L, 0), (2L, 1), (3L, 1))
+      .toDF("v", "side")
+    val r = Profiling.mannWhitney(df, "v", col("side")).collect().head
+    assert(r.getAs[Long]("n_0") === 3L)
+    assert(r.getAs[Long]("n_1") === 2L)
+    assert(r.getAs[Long]("n_values") === 3L)
+    assert(r.getDecimal(3).longValueExact() === 10L)
+    assert(r.getAs[Long]("z_micro") ===
+      math.round(4.0 / (2.0 * math.sqrt(2.4)) * 1e6))
+    // identical distributions → 2U = n0·n1, z = 0
+    val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("v", "side")
+    val s = Profiling.mannWhitney(same, "v", col("side")).collect().head
+    assert(s.getDecimal(3).longValueExact() === 4L)
+    assert(s.getAs[Long]("z_micro") === 0L)
+    // all values tied → zero variance → null z
+    val const = Seq((5L, 0), (5L, 0), (5L, 1)).toDF("v", "side")
+    assert(Profiling.mannWhitney(const, "v", col("side")).collect()
+      .head.isNullAt(4))
+  }
+
+  test("effectSizes: V and U are 1 on identity, 0/null on independence") {
+    import graft.ext.Profiling
+    // y = x exactly → Cramér's V = 1, both Theil U = 1
+    val dep = (Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "b")))
+      .toDF("x", "y")
+    val d = Profiling.effectSizes(dep, "x", "y").collect().head
+    assert(d.getAs[Long]("n") === 10L)
+    assert(d.getAs[Long]("n_cells") === 2L)
+    assert(d.getAs[Double]("cramers_v") === 1.0)
+    assert(math.abs(d.getAs[Double]("theils_u_xy") - 1.0) < 1e-5)
+    assert(math.abs(d.getAs[Double]("theils_u_yx") - 1.0) < 1e-5)
+    // perfectly independent uniform 2×2 → χ² = 0 ⇒ V null, U = 0
+    val ind = (Seq.fill(5)(("a", 0)) ++ Seq.fill(5)(("a", 1)) ++
+      Seq.fill(5)(("b", 0)) ++ Seq.fill(5)(("b", 1))).toDF("x", "y")
+    val i = Profiling.effectSizes(ind, "x", "y").collect().head
+    assert(i.isNullAt(2)) // chi2 = 0 → no positive V
+    assert(i.getAs[Double]("theils_u_xy") === 0.0)
+    assert(i.getAs[Double]("theils_u_yx") === 0.0)
+  }
 }
