@@ -747,6 +747,21 @@ object SparkEntry {
       Dedup.containmentPairs(documents(s, d), threshold = 0.8,
         maxPostings = 1000)),
 
+    // ===== embedding isotropy: offset-pair cosine histogram ===========
+    "q169_cos_histogram" -> ((s, d) =>
+      Similarity.pairCosineHistogram(embeddings(s, d))),
+
+    // ===== STL-lite daily trend/residual decomposition ================
+    // exact ×7-scaled integers — no division, no div-vs-floor trap
+    "q170_trend_residual" -> ((s, d) =>
+      A.trendResidual(events(s, d))),
+
+    // ===== deterministic round-robin training order ===================
+    // closed-form global position over the broadcast count vector —
+    // no corpus-wide row_number window
+    "q171_interleave" -> ((s, d) =>
+      Curation.interleaveOrder(documents(s, d))),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -1609,9 +1624,18 @@ object SparkEntry {
     // ===== SemDeDup: semantic dedup via trained-centroid blocking ======
     // k-means clusters (the q53 trajectory) are the blocking scheme;
     // within each cluster, lower-id neighbors above tau eliminate
-    "q75_semantic_dedup" -> ((s, d) =>
-      Similarity.semanticDedup(embeddings(s, d), k = 8, iters = 2,
-        tau = 0.35).orderBy(col("vec_id"))),
+    // k sized to the corpus (autoCentroids, floor 8): SemDeDup's one
+    // wide op is the within-cluster self-join (Σ nᵢ² over cluster
+    // sizes), and a FIXED k degrades it to n²/k as the corpus grows —
+    // the scaladoc's own "size k to the corpus" contract, now wired.
+    // The oracle replays the identical trajectory via the same
+    // expression LIMIT
+    "q75_semantic_dedup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.semanticDedup(emb,
+        k = Similarity.autoCentroids(emb.count(), floor = 8),
+        iters = 2, tau = 0.35).orderBy(col("vec_id"))
+    }),
 
     // ===== tf-idf top-3 keywords per document ==========================
     "q54_tfidf" -> ((s, d) =>
@@ -4358,6 +4382,69 @@ object SparkEntry {
         |    AS BIGINT) AS n_entropy_violations
         |FROM combo GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // deterministic (id, id+17) pairing, 6-exact micro cosine, then
+    // the q157 integer-exact equi-width histogram over the pair frame
+    "q169_cos_histogram" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT CAST(round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |      ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END * 1e6,
+        |      0) AS BIGINT) AS cm
+        |  FROM en a JOIN en b ON b.id = a.id + 17),
+        |b AS (SELECT min(cm) AS lo, max(cm) AS hi FROM p),
+        |cnt AS (
+        |  SELECT least(19, ((cm - lo) * 20) // (hi - lo + 1)) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p, b GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
+        |         lo AS blo, hi AS bhi
+        |  FROM b)
+        |SELECT spine.bin AS bin,
+        |  CAST(blo + (bin * (bhi - blo + 1)) // 20 AS BIGINT) AS lo,
+        |  CAST(blo + ((bin + 1) * (bhi - blo + 1)) // 20 - 1 AS BIGINT) AS hi,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine LEFT JOIN cnt USING (bin)
+        |ORDER BY bin""".stripMargin,
+
+    // calendar-framed ±3-day RANGE window over the daily contraction;
+    // full-neighborhood gate; exact ×7-scaled integers
+    "q170_trend_residual" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS v_micro
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, v_micro,
+        |    count(*) OVER f AS n7,
+        |    CAST(sum(v_micro) OVER f AS BIGINT) AS s7
+        |  FROM daily
+        |  WINDOW f AS (ORDER BY day
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day, v_micro,
+        |  CASE WHEN n7 = 7 THEN s7 END AS sum7_micro,
+        |  CASE WHEN n7 = 7 THEN v_micro * 7 - s7 END AS resid_x7_micro
+        |FROM w ORDER BY day""".stripMargin,
+
+    // the closed-form global position equals row_number over
+    // (src_rank, source) − 1: rows before (k, s) = all rows of rank
+    // < k plus this round's earlier sources still alive
+    "q171_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank,
+        |  CAST(row_number() OVER (ORDER BY src_rank, source, doc_id) - 1
+        |    AS BIGINT) AS global_pos
+        |FROM r ORDER BY global_pos""".stripMargin,
+
     // the q17 inverted index with the asymmetric denominator; emits
     // both scores, filters on containment
     "q168_containment_pairs" ->
@@ -5656,7 +5743,8 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c0 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
+        |c0 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id
+        |   LIMIT greatest(8, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
         |s1 AS (
         |  SELECT en.id, en.v, c.c_id,
         |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0

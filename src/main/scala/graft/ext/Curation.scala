@@ -839,6 +839,48 @@ object Curation {
       .orderBy(col("l_distinct"))
   }
 
+  /** Deterministic round-robin training order across sources — the
+    * data-ORDERING step after mixing decides data proportions
+    * ([[mixSample]]/[[temperatureSample]] decide WHAT; this decides the
+    * sequence): interleaving sources 1-by-1 prevents the long
+    * same-source runs that concentration-of-gradient makes training
+    * sensitive to, and doing it deterministically makes the epoch
+    * order reproducible and resumable at any position. Row r of the
+    * output is source s's rank-k document where sources rotate each
+    * round; when a source exhausts, the remaining sources close ranks.
+    *
+    * The global position is a CLOSED FORM over the per-source count
+    * vector — pos(s, k) = Σ_s' min(k−1, cnt_s') + |{s' < s : cnt_s' ≥ k}|
+    * (full rounds before round k, plus this round's earlier sources
+    * still alive) — NOT a global row_number window: the counts frame is
+    * source-cardinality and broadcasts, so no task ever sees a
+    * corpus-wide ordered partition. Verified identical to the
+    * row_number-over-(rank, source) formulation in the spec.
+    *
+    * Output: (doc_id, source, src_rank, global_pos), global_pos dense
+    * in [0, n). */
+  def interleaveOrder(docs: DataFrame, sourceCol: String = "source",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col(idCol), col(sourceCol).as("_src"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("_src")).orderBy(col(idCol))).cast("long"))
+    val counts = ranked.groupBy(col("_src").as("_s2"))
+      .agg(count(lit(1)).as("_cnt"))
+    // pos = Σ_s' min(k−1, cnt_s') + #{s' < s alive at round k}: the
+    // per-row aggregate folds over the broadcast count vector
+    ranked.crossJoin(broadcast(counts
+        .agg(collect_list(struct(col("_s2"), col("_cnt"))).as("_cv"))))
+      .select(col(idCol), col("_src").as(sourceCol), col("src_rank"),
+        (aggregate(col("_cv"),
+          lit(0L),
+          (acc, x) => acc + least(col("src_rank") - 1, x.getField("_cnt")) +
+            when(x.getField("_s2") < col("_src") &&
+              x.getField("_cnt") >= col("src_rank"), 1L).otherwise(0L)))
+          .as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
   /** Proportional stratified allocation of a sample budget across
     * groups by the LARGEST-REMAINDER (Hamilton) method — the sampling
     * design step before drawing a k-document training mix across

@@ -450,22 +450,61 @@ object Profiling {
     // 60M rows vs 6.8 s after this change — a 40× hot-loop tax for
     // exactness the product never needed, plus enough tenured garbage
     // to slow the NEXT query by 10× on GC alone.)
-    val q = cols.map(c =>
-      round(col(c).cast("double") * 1e4).cast("long").as(c))
+    // ARITHMETIC quantization, not round(): Spark's double round runs
+    // BigDecimal.valueOf per VALUE (shortest-decimal-string HALF_UP) —
+    // measured ~7 s of an 18M-row × 4-column pass on the conversions
+    // alone. floor(y+0.5) (mirrored for negatives) is half-away-from-
+    // zero — DuckDB round's actual semantics, so if anything CLOSER to
+    // the oracle than Spark's string-based round; the two can only
+    // disagree where y sits within one double ulp of a .5 boundary,
+    // which price-like inputs (≤ 2 decimal digits, so y = x·10⁴ lands
+    // at multiples of 100 up to float error) never produce.
+    val q = cols.map { c =>
+      val y = col(c).cast("double") * 1e4
+      when(y >= 0, floor(y + 0.5)).otherwise(-floor(-y + 0.5))
+        .cast("long").as(c)
+    }
+    // TWO-LEVEL EXACT ACCUMULATION: the straightforward
+    // sum(product.cast(decimal)) pays a per-row Decimal conversion +
+    // non-primitive add for every one of the 2c + c(c−1)/2 moments —
+    // measured ~20 s for 18M rows × 4 columns (30× probe), all of it
+    // decimal overhead, none of it arithmetic. Instead each int64
+    // product is split into (hi, lo) = (p div 2³¹, p % 2³¹) — an exact
+    // identity for Spark's truncating div/% pair, signs included — and
+    // summed as plain codegen LONGS per hash bucket; the 2³¹-weighted
+    // decimal reconstruction then runs over the `buckets`-row frame,
+    // not the corpus. Exactness bound: per-bucket long sums stay inside
+    // int64 while rows/bucket ≤ ~2·10⁹ (hi, |q| ≤ 3.03·10⁹ each) —
+    // n ≤ ~2·10¹² rows at the default 1024 buckets, and ANSI mode
+    // fails loudly past it (raise `buckets`, same remedy family as the
+    // value-magnitude bound above).
+    val buckets = 1024
+    val half = 1L << 31
     val base = df.select(q: _*)
+      .withColumn("_b", pmod(xxhash64(cols.map(col): _*), lit(buckets)))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs =
-      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
-      cols.flatMap { c => Seq(
-        sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
-        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c"))
-      } ++
-      pairs.map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}__$b")
-      }
-    val one = base.agg(aggs.head, aggs.tail: _*)
+    // self-products (the ss_ moments) ride the same hi/lo split
+    val prods = cols.map(c => (c, c)) ++ pairs
+    def hiN(a: String, b: String) = s"_hi_${a}__$b"
+    def loN(a: String, b: String) = s"_lo_${a}__$b"
+    val partial = base.groupBy(col("_b")).agg(
+      count(lit(1)).as("_n"),
+      (cols.map(c => sum(col(c)).as(s"_s_$c")) ++
+        prods.flatMap { case (a, b) => Seq(
+          sum(expr(s"($a * $b) div $half")).as(hiN(a, b)),
+          sum(expr(s"($a * $b) % $half")).as(loN(a, b)))
+        }): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def rebuild(a: String, b: String) =
+      sum(dec(col(hiN(a, b)))) * half + sum(dec(col(loN(a, b))))
+    val finals =
+      Seq(sum(dec(col("_n"))).as("n")) ++
+      cols.map(c => sum(dec(col(s"_s_$c"))).as(s"s_$c")) ++
+      cols.map(c => rebuild(c, c).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => rebuild(a, b).as(s"sp_${a}__$b") }
+    val one = partial.agg(finals.head, finals.tail: _*)
     val rows = pairs.map { case (a, b) =>
       val n = col("n").cast("double")
       def d(name: String) = col(name).cast("double")

@@ -525,6 +525,39 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Corpus isotropy diagnostic: the distribution of cosine similarity
+    * over deterministic offset pairs (vector i vs vector i+offset) as
+    * an equi-width histogram in micro units, plus what it's FOR — a
+    * collapsed or anisotropic embedding space (mean pairwise cosine far
+    * above 0, the Ethayarajh-style "all vectors share a dominant
+    * direction" pathology) makes every downstream cosine threshold
+    * (near-dup tau, ANN recall, contamination) quietly meaningless, so
+    * this is the first chart an embedding-quality report shows. Offset
+    * pairing of an arbitrary id space stands in for uniform random
+    * pairs WITHOUT an RNG: ids carry no geometric meaning, so (i, i+17)
+    * is as unstructured as a seeded shuffle and exactly reproducible by
+    * another engine.
+    *
+    * Scale: one id-keyed equi-join (the offset is folded into the join
+    * key — never a cross join), one cosine per pair, then
+    * [[graft.ops.Aggregations.equiWidthHistogram]]'s integer-exact
+    * bucketing over the bins-sized contraction. Everything after the
+    * join is bins-sized. */
+  def pairCosineHistogram(emb: DataFrame, offset: Long = 17,
+                          bins: Int = 20, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val b = e.select((col("id") - offset).as("id"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    val denom = col("nrm") * col("bn")
+    val cos = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("bv")) / denom)
+    val pairs = e.join(b, Seq("id"))
+      .select(round(cos * 1e6).cast("long").as("cos_micro"))
+    graft.ops.Aggregations.equiWidthHistogram(pairs, "cos_micro", bins)
+  }
+
   /** Deterministic spherical k-means (Lloyd's iterations) — how the IVF
     * centroids of `ivfAssign` get TRAINED rather than seeded. Seeds are
     * the `k` smallest-id vectors (no RNG state); each iteration assigns
@@ -535,13 +568,20 @@ object Similarity {
     * so another engine replays the exact trajectory. Clusters that lose
     * all members keep their previous centroid. Returns (c_id, cv).
     *
-    * Scale: centroids are broadcast (k rows) — the corpus never
-    * shuffles for assignment; the mean update aggregates through the
-    * `VectorMean` typed Aggregator, whose partial buffers (one
-    * sum-vector per cluster per partition) are the only shuffled bytes.
-    * The input projection is localCheckpoint'd once since every
-    * iteration rescans it; per-iteration centroid frames are
-    * checkpointed to cut the growing lineage. */
+    * Scale: each iteration's centroid frame (k × dim — a bounded
+    * MODEL) is collected to the driver and shipped back inside the
+    * [[graft.functions.IvfTopCentroids]] scoring expression, so
+    * assignment is ONE projection per iteration with no
+    * per-(vector, centroid) row (the ivfAssign lesson: the previous
+    * broadcast-join + map-side-argmax was semantically identical but
+    * materialized n×k joined rows copying the embedding arrays — mild
+    * at k=8, the whole operator's cost at corpus-sized k). The mean
+    * update aggregates through the `VectorMean` typed Aggregator,
+    * whose partial buffers (one sum-vector per cluster per partition)
+    * are the only shuffled bytes. The input projection is
+    * localCheckpoint'd once since every iteration rescans it;
+    * per-iteration centroid frames are checkpointed (and collected —
+    * same eagerness class) to cut the growing lineage. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
@@ -553,20 +593,17 @@ object Similarity {
     var cents = e.orderBy(col("id")).limit(k)
       .select(col("id").as("c_id"), col("v").as("cv"))
     (0 until iters).foreach { _ =>
-      val withNorm = cents.withColumn("cn", norm(col("cv")))
-      val denom = col("nrm") * col("cn")
-      val sim = when(denom === 0.0, 0.0)
-        .otherwise(dot(col("v"), col("cv")) / denom)
-      // argmax via max_by, not a window rank: the k-way candidate
-      // blowup from the broadcast join collapses in the map-side
-      // partial aggregate, so only one (id, best) row per vector
-      // reaches the exchange — a window would shuffle all n×k rows
-      val assigned = e.join(broadcast(withNorm), lit(true))
-        .withColumn("_sim", round(sim, 6))
-        .groupBy(col("id"))
-        .agg(max_by(struct(col("c_id"), col("v")),
-          struct(col("_sim"), (-col("c_id")).as("_nc"))).as("best"))
-        .select(col("best.c_id").as("c_id"), col("best.v").as("v"))
+      // centroid norms from the SAME Spark expression the scoring
+      // convention defines, collected WITH the model so the expression
+      // sees bit-identical values
+      val model = cents.withColumn("cn", norm(col("cv"))).collect()
+      val ids = model.map(_.getLong(0))
+      val cvs = model.map(_.getSeq[Double](1).toArray)
+      val cns = model.map(_.getDouble(2))
+      val assigned = e.select(
+        element_at(graft.functions.VectorFunctions.ivf_top_centroids(
+          col("v"), col("nrm"), ids, cvs, cns, 1), 1).as("c_id"),
+        col("v"))
       val means = assigned.groupBy(col("c_id"))
         .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
         .select(col("c_id"), transform(col("mv"), x => round(x, 6)).as("mv"))
@@ -601,28 +638,23 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cents = kmeansCentroids(emb, k, iters, idCol, vecCol)
-      .withColumn("cn", norm(col("cv")))
+    // trained model collected once (k × dim, bounded) and scored per
+    // vector in one projection — no n×k join rows, no id rejoin (the
+    // kmeansCentroids/ivfAssign lesson). Checkpointed because three
+    // consumers follow (both self-join sides + the verdict join) —
+    // without it the whole training+assignment pipeline re-executes
+    // per consumer.
+    val model = kmeansCentroids(emb, k, iters, idCol, vecCol)
+      .withColumn("cn", norm(col("cv"))).collect()
+    val ids = model.map(_.getLong(0))
+    val cvs = model.map(_.getSeq[Double](1).toArray)
+    val cns = model.map(_.getDouble(2))
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val denom = col("nrm") * col("cn")
-    val sim = when(denom === 0.0, 0.0)
-      .otherwise(dot(col("v"), col("cv")) / denom)
-    // map-side argmax over the broadcast k-way blowup (the
-    // kmeansCentroids pattern — one row per vector reaches the
-    // exchange), carrying ONLY the winning centroid id: dragging the
-    // vector itself through the n×k partial aggregate buffers measured
-    // ~4× slower at probe scale; the vector rejoins on the id key
-    // afterwards. Checkpointed because three consumers follow (both
-    // self-join sides + the verdict join) — without it the whole
-    // training+assignment pipeline re-executes per consumer.
-    val best = e.join(broadcast(cents), lit(true))
-      .withColumn("_sim", round(sim, 6))
-      .groupBy(col("id"))
-      .agg(max_by(col("c_id"),
-        struct(col("_sim"), (-col("c_id")).as("_nc"))).as("cluster"))
-    val assigned = e.join(best, Seq("id"))
-      .select(col("id"), col("cluster"), col("v"), col("nrm"))
+    val assigned = e.select(col("id"),
+        element_at(graft.functions.VectorFunctions.ivf_top_centroids(
+          col("v"), col("nrm"), ids, cvs, cns, 1), 1).as("cluster"),
+        col("v"), col("nrm"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val pd = col("a.nrm") * col("b.nrm")
     val psim = when(pd === 0.0, 0.0)

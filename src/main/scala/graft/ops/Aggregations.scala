@@ -501,6 +501,47 @@ object Aggregations {
     * day+k self-join run on that contraction (≤ 365·maxLag rows/year)
     * — nothing after the first aggregate sees row counts. Output one
     * row per lag: (lag, n_pairs, acf_micro). */
+  /** STL-lite daily decomposition: centered 7-day moving-average trend
+    * and the residual against it — the trend-aware anomaly view that
+    * complements [[graft.ops.Behavior.rateAnomaly]] (trailing z-score,
+    * reacts to level shifts) and [[graft.ops.Behavior.dowSeasonality]]
+    * (which day is high): a slow ramp is TREND here, not seven
+    * consecutive anomalies. The window is CALENDAR-framed (RANGE over
+    * epoch day, ±3), so a missing day shrinks the neighborhood instead
+    * of silently pulling in a week-old value, and the trend is only
+    * emitted where the full 7-day neighborhood exists (edges and
+    * gap-adjacent days report null trend/residual rather than a
+    * partial-window estimate that would read as an anomaly).
+    *
+    * Determinism: daily sums are exact micro integers, and the trend
+    * is reported as the raw 7-day SUM with the residual ×7 (resid_x7 =
+    * 7·v − sum7) — all exact integer arithmetic, NO division at all:
+    * Spark's `div` truncates while DuckDB's `//` floors (they diverge
+    * on negative sums — the q151 lesson), and a double mean loses
+    * exactness past 2⁵³. Divide by 7 (or 7·10⁶) at the consumer.
+    *
+    * Scale: one day-keyed hash aggregate contracts the corpus to its
+    * calendar span; the RANGE window runs unpartitioned OVER THE
+    * CONTRACTION (gate-legal — bounded by the calendar, never rows).
+    * Output per day: (day, v_micro, sum7_micro, resid_x7_micro). */
+  def trendResidual(events: DataFrame, tsCol: String = "ts",
+                    valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400)
+      .cast("long").as("day")
+    val daily = events
+      .select(day, round(col(valueCol) * 1e6).cast("long").as("vm"))
+      .groupBy(col("day")).agg(sum(col("vm")).as("v_micro"))
+    val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    daily
+      .withColumn("_n7", count(lit(1)).over(w))
+      .withColumn("sum7_micro",
+        when(col("_n7") === 7, sum(col("v_micro")).over(w)))
+      .select(col("day"), col("v_micro"), col("sum7_micro"),
+        (col("v_micro") * 7 - col("sum7_micro")).as("resid_x7_micro"))
+      .orderBy(col("day"))
+  }
+
   def dailyAcf(events: DataFrame, tsCol: String = "ts",
                valueCol: String = "value", maxLag: Int = 7): DataFrame = {
     val day = floor(floor(unix_timestamp(col(tsCol))) / 86400)

@@ -362,4 +362,36 @@ class AggServingSpec extends SparkSpec {
     assert(g(1L) === 1L) // only (0,1) — day 2 absent kills (2,3)
     assert(g(2L) === 1L) // only (1,3)
   }
+
+  test("trendResidual: full-neighborhood gate, exact x7 residual, gap-aware") {
+    import graft.ops.Aggregations
+    // days 0..8, value = day → trend exists only for days 3..5; a
+    // linear ramp has residual 0 there (7·v = Σ neighborhood)
+    val ramp = (0 until 9).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L), dd.toDouble))
+      .toDF("ts", "value")
+    val got = Aggregations.trendResidual(ramp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 9)
+    assert(got(0L).isNullAt(2) && got(2L).isNullAt(2)) // edges gated
+    (3L to 5L).foreach { dd =>
+      assert(got(dd).getLong(2) === dd * 7L * 1000000L)
+      assert(got(dd).getLong(3) === 0L, s"day $dd")
+    }
+    // a spike inside a flat series: resid_x7 = 7·(v+spike) − (7·v+spike)
+    // = 6·spike at the spike day, −spike at gated-in neighbors
+    val spiky = (0 until 9).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L),
+        if (dd == 4) 11.0 else 1.0)).toDF("ts", "value")
+    val s = Aggregations.trendResidual(spiky).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(s(4L).getLong(3) === 6L * 10000000L)
+    assert(s(3L).getLong(3) === -10000000L)
+    // a missing day un-gates every neighborhood it touches
+    val gappy = Seq(0, 1, 2, 3, 5, 6, 7, 8).map(dd =>
+      (new Timestamp(dd * 86400000L + 1000L), 1.0)).toDF("ts", "value")
+    Aggregations.trendResidual(gappy).collect().foreach { r =>
+      assert(r.isNullAt(2), s"day ${r.getLong(0)} should be gated")
+    }
+  }
 }

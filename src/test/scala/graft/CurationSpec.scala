@@ -432,6 +432,19 @@ class CurationSpec extends SparkSpec {
     assert(t.toSeq === Seq(("a", 1L), ("b", 0L)))
   }
 
+  test("interleaveOrder: closed-form position equals round-robin order") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("doc_id", "source")
+    val got = Curation.interleaveOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // rounds: (a1 b4 c6) (a2 b5) (a3) — c exhausts, others close ranks
+    assert(got.toSeq === Seq(
+      (1L, "a", 1L, 0L), (4L, "b", 1L, 1L), (6L, "c", 1L, 2L),
+      (2L, "a", 2L, 3L), (5L, "b", 2L, 4L), (3L, "a", 3L, 5L)))
+    // positions are dense in [0, n) — the row_number equivalence
+    assert(got.map(_._4).sorted.toSeq === (0L until 6L))
+  }
+
   test("lDiversity: l histogram, homogeneous and skewed combos flagged") {
     // combo q=1: sensitive {s,s,s} → l=1, H=0 (violation)
     // combo q=2: sensitive {a,b,c} uniform → l=3, H=ln3 — the exact

@@ -119,6 +119,21 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(corpus, 0.5).collect().isEmpty)
   }
 
+  test("pairCosineHistogram: offset pairs land in the exact integer bins") {
+    // ids 0..16 are e0; their +17 partners are e0 (even i → cos 1) or
+    // e1 (odd i → cos 0): 9 pairs at 1e6, 8 at 0 → bins 19 and 0
+    val vecs = (0 until 17).map(i => (i.toLong, Array(1.0f, 0.0f))) ++
+      (0 until 17).map(i =>
+        (i + 17L, if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pairCosineHistogram(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.size === 20)
+    assert(got(0L) === 8L)
+    assert(got(19L) === 9L)
+    assert(got.values.sum === 17L)
+  }
+
   test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(real, 0.5).collect()
