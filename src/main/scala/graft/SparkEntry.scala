@@ -762,6 +762,57 @@ object SparkEntry {
     "q171_interleave" -> ((s, d) =>
       Curation.interleaveOrder(documents(s, d))),
 
+    // ===== CDC merge-apply (MERGE INTO semantics) =====================
+    // synthetic ordered change batch over the customer snapshot:
+    // updates (%7, seq 2), deletes (%13, seq 3 — beats the update on
+    // %91 keys), inserts (key+1e6 for %11, seq 1); latest-wins fold
+    "q172_cdc_apply" -> ((s, d) => {
+      val base = customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val ups = base.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("U").as("op"), lit(2L).as("seq"),
+          col("c_name"), round(col("c_acctbal") + 100, 2).as("c_acctbal"))
+      val dels = base.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), lit("D").as("op"), lit(3L).as("seq"),
+          lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"))
+      val ins = base.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("U").as("op"), lit(1L).as("seq"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+      graft.ops.Scd.applyCdc(base, ups.unionByName(dels).unionByName(ins),
+          "c_custkey", "seq", "op", Seq("c_name", "c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ===== C4/Gopher-style sequential filter funnel ===================
+    // per-rule attrition report over the q23 quality metrics; the
+    // cascade is one corpus pass (first-failing-rule conditional)
+    "q173_filter_funnel" -> ((s, d) =>
+      Curation.filterFunnel(T.withQuality(documents(s, d)), Seq(
+        "min_tokens_10" -> (col("n_tokens") >= 10),
+        "max_chars_5000" -> (col("n_chars_obs") <= 5000),
+        "punct_ratio_le_10pct" -> (col("punct_ratio") <= 0.10),
+        "stop_ratio_ge_1pct" -> (col("stop_ratio") >= 0.01)))),
+
+    // ===== ORC sink + scan round-trip =================================
+    // lineitem projection written to ORC and read back; the aggregate
+    // must hash-match the oracle computed from the PARQUET truth —
+    // proving the second lake format preserves values end-to-end
+    "q174_orc_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_" +
+        Integer.toHexString(d.hashCode)
+      graft.io.Sinks.orcDir(lineitem(s, d).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice")), out)
+      graft.io.Sources.orcDir(s, out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ===== LSH dedup-pair recall/precision eval =======================
     // MinHash-LSH candidates (q18 parameters, OracleHash) scored
     // against the exact capped-jaccard reference (q17 parameters) —
@@ -4430,6 +4481,96 @@ object SparkEntry {
         |  CASE WHEN n7 = 7 THEN s7 END AS sum7_micro,
         |  CASE WHEN n7 = 7 THEN v_micro * 7 - s7 END AS resid_x7_micro
         |FROM w ORDER BY day""".stripMargin,
+
+    // same synthetic change batch; latest-wins via row_number over
+    // (seq DESC, D-flag DESC, op DESC); full outer + delete filter
+    "q172_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, 'U' AS op, 2 AS seq, c_name,
+        |         round(c_acctbal + 100, 2) AS c_acctbal
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', 3, NULL, NULL
+        |  FROM base WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'U', 1, 'NEW ' || c_name, 0.0
+        |  FROM base WHERE c_custkey % 11 = 0),
+        |latest AS (
+        |  SELECT c_custkey, op, c_name, c_acctbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC, (op = 'D') DESC, op DESC) AS rk
+        |    FROM ch) WHERE rk = 1)
+        |SELECT c_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END
+        |    AS c_name,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END
+        |    AS c_acctbal
+        |FROM base b FULL OUTER JOIN latest l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the q23 metric CTEs, a first-failing-rule conditional per doc,
+    // then the funnel arithmetic over the 4-row rules frame
+    "q173_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT n_tokens, n_chars_obs,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |ff AS (
+        |  SELECT CASE WHEN NOT (n_tokens >= 10) THEN 0
+        |              WHEN NOT (n_chars_obs <= 5000) THEN 1
+        |              WHEN NOT (punct_ratio <= 0.10) THEN 2
+        |              WHEN NOT (stop_ratio >= 0.01) THEN 3
+        |              ELSE -1 END AS ffi
+        |  FROM ratios),
+        |counts AS (SELECT ffi, CAST(count(*) AS BIGINT) AS n
+        |           FROM ff GROUP BY 1),
+        |rules AS (SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'min_tokens_10'),
+        |  (CAST(1 AS BIGINT), 'max_chars_5000'),
+        |  (CAST(2 AS BIGINT), 'punct_ratio_le_10pct'),
+        |  (CAST(3 AS BIGINT), 'stop_ratio_ge_1pct'))
+        |  AS t(rule_idx, rule_name)),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt
+        |        FROM counts),
+        |j AS (
+        |  SELECT rule_idx, rule_name,
+        |    CAST(coalesce(n, 0) AS BIGINT) AS n_rejected
+        |  FROM rules LEFT JOIN counts ON rule_idx = ffi)
+        |SELECT rule_idx, rule_name,
+        |  CAST(tt - coalesce(sum(n_rejected) OVER (ORDER BY rule_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_evaluated,
+        |  n_rejected,
+        |  CAST(tt - coalesce(sum(n_rejected) OVER (ORDER BY rule_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    - n_rejected AS BIGINT) AS n_surviving
+        |FROM j, tot ORDER BY rule_idx""".stripMargin,
+
+    // the ORC round-trip's oracle reads the PARQUET truth — a value
+    // mismatch anywhere in the write/read path fails the hash
+    "q174_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the closed-form global position equals row_number over
     // (src_rank, source) − 1: rows before (k, s) = all rows of rank

@@ -839,6 +839,52 @@ object Curation {
       .orderBy(col("l_distinct"))
   }
 
+  /** Sequential quality-filter funnel (the C4/Gopher-rules report): an
+    * ORDERED list of per-document predicates applied as a cascade —
+    * each rule only sees the survivors of the previous one — with the
+    * per-rule evaluated/rejected/surviving counts a curation run
+    * reports ("URL filter killed 8%, then length killed 31% of what
+    * remained, …"). The report is what makes a filter set tunable:
+    * without per-rule attrition, a 60% total kill rate is a mystery.
+    *
+    * Scale: the cascade is ONE corpus pass — each doc's
+    * first-failing-rule index is a single nested conditional, so rule
+    * ordering costs nothing extra — contracted to ≤ rules+1 counts
+    * map-side; the funnel arithmetic (cumulative attrition) runs on
+    * the rules-sized frame (gate-legal window). Output one row per
+    * rule: (rule_idx, rule_name, n_evaluated, n_rejected,
+    * n_surviving). */
+  def filterFunnel(docs: DataFrame,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val firstFail = rules.zipWithIndex.foldRight(lit(-1): Column) {
+      case (((_, pred), i), acc) => when(!pred, lit(i)).otherwise(acc)
+    }
+    val counts = docs.select(firstFail.as("_ff"))
+      .groupBy(col("_ff")).agg(count(lit(1)).as("_n"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val ruleFrame = rules.zipWithIndex
+      .map { case ((name, _), i) => (i.toLong, name) }
+      .toDF("rule_idx", "rule_name")
+    val w = Window.orderBy(col("rule_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // corpus total includes the full-survivor bucket (_ff = −1) the
+    // rule join deliberately drops — a separate 1-row broadcast
+    val total = counts.agg(coalesce(sum(col("_n")), lit(0L)).as("_tot"))
+    broadcast(ruleFrame)
+      .join(counts, col("rule_idx") === col("_ff"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_rejected", coalesce(col("_n"), lit(0L)))
+      .withColumn("n_evaluated",
+        col("_tot") - coalesce(sum(col("n_rejected")).over(w), lit(0L)))
+      .select(col("rule_idx"), col("rule_name"), col("n_evaluated"),
+        col("n_rejected"),
+        (col("n_evaluated") - col("n_rejected")).as("n_surviving"))
+      .orderBy(col("rule_idx"))
+  }
+
   /** Deterministic round-robin training order across sources — the
     * data-ORDERING step after mixing decides data proportions
     * ([[mixSample]]/[[temperatureSample]] decide WHAT; this decides the

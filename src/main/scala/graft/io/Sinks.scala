@@ -30,6 +30,13 @@ object Sinks {
       .parquet(out)
   }
 
+  /** ORC sink (overwrite) — the columnar-lake counterpart of the
+    * parquet sink for ORC-standardized estates; same dynamic-overwrite
+    * partitioning is available through the generic writer when needed.
+    * Round-trip vs the parquet truth proven by q174. */
+  def orcDir(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").orc(out)
+
   /** S7: single-file CSV with header (pipeline_batch.py:223-237) — a
     * deliberate coalesce(1) bottleneck for the dashboard consumer; keep
     * it out of large outputs. */

@@ -54,6 +54,13 @@ object Sources {
   def parquetDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** ORC dataset scan — the second columnar lake format a Spark-native
+    * engine is expected to ingest (native vectorized reader; same
+    * pushdown/pruning surface as parquet — `Explain` shows
+    * PushedFilters on ORC scans too). Round-trip proven by q174. */
+  def orcDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** S11: newest CSV in a directory by modification time → DataFrame
     * (the batch dashboard's latest-file pick, dashboard/app.py:10-15). */
   def latestCsv(spark: SparkSession, dir: String): Option[DataFrame] = {

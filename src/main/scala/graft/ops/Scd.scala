@@ -74,4 +74,45 @@ object Scd {
       .filter(col("valid_from") <= col("at") &&
         (col("valid_to").isNull || col("at") < col("valid_to")))
       .drop("at")
+
+  /** CDC merge-apply (the MERGE INTO / upsert primitive): fold a batch
+    * of keyed change events — inserts/updates ('U') and deletes ('D'),
+    * ordered by `seqCol` — into a base snapshot, producing the next
+    * snapshot. Where [[scd2]] KEEPS history, this applies it: the
+    * nightly "apply the day's CDC feed to the dimension" step every
+    * warehouse pipeline has. Per key, only the LATEST change (max
+    * seqCol, ties broken by preferring 'D' then the op string — a pure
+    * function of the data) decides: latest 'U' upserts the row's
+    * payload columns, latest 'D' removes the key; keys untouched by
+    * the batch pass through unchanged. An 'earlier U, later D'
+    * sequence deletes — order within the batch matters and is honored.
+    *
+    * Columns: `payloadCols` are the attribute columns carried by both
+    * the base and the changes; the output schema is (key, payload...).
+    *
+    * Scale: one max_by aggregate contracts the change batch to one row
+    * per touched key (map-side partial), then ONE full-outer join on
+    * the key. The base never shuffles more than once, and a typical
+    * changes-≪-base batch broadcasts (AQE decides from measured size —
+    * no hint, since a backfill batch can exceed the base). */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               seqCol: String, opCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val latest = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct((col(opCol).as("_op") +:
+          payloadCols.map(c => col(c).as(s"_p_$c"))): _*),
+        // 'D' sorts above 'U' at equal seq: a delete observed at the
+        // same sequence number as an update must win deterministically
+        struct(col(seqCol), (col(opCol) === "D").cast("int"), col(opCol)))
+        .as("_ch"))
+      .select(col(keyCol) +: col("_ch._op").as("_op") +:
+        payloadCols.map(c => col(s"_ch._p_$c").as(s"_c_$c")): _*)
+    base.join(latest, Seq(keyCol), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(keyCol) +: payloadCols.map(c =>
+        when(col("_op").isNotNull, col(s"_c_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
 }

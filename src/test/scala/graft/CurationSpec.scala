@@ -432,6 +432,24 @@ class CurationSpec extends SparkSpec {
     assert(t.toSeq === Seq(("a", 1L), ("b", 0L)))
   }
 
+  test("filterFunnel: sequential attrition — each rule sees prior survivors") {
+    val docs = Seq((0, 0), (1, 0), (1, 1), (2, 0)).toDF("x", "y")
+    val got = Curation.filterFunnel(docs, Seq(
+        "x_pos" -> (col("x") >= 1), "y_pos" -> (col("y") >= 1)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, "x_pos", 4L, 1L, 3L),   // (0,0) fails here
+      (1L, "y_pos", 3L, 2L, 1L)))  // (1,0) and (2,0) fail here
+    // everything-fails-rule-0 still reports later rules with 0 evaluated
+    val none = Seq((0, 0), (0, 1)).toDF("x", "y")
+    val z = Curation.filterFunnel(none, Seq(
+        "x_pos" -> (col("x") >= 1), "y_pos" -> (col("y") >= 1)))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(z.toSeq === Seq((2L, 2L), (0L, 0L)))
+  }
+
   test("interleaveOrder: closed-form position equals round-robin order") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
       (6L, "c")).toDF("doc_id", "source")

@@ -15,6 +15,21 @@ import graft.ops.{Aggregations, Cleansing}
   */
 class GoldenRetailSpec extends SparkSpec {
 
+  test("ORC sink + scan round-trips values and schema exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val df = Seq((1L, "a", 1.25), (2L, "b", -3.5), (3L, null, 0.0))
+      .toDF("id", "s", "v")
+    Sinks.orcDir(df, dir)
+    val back = Sources.orcDir(spark, dir)
+    // names + types survive; nullability widens on read (ORC files,
+    // like parquet, don't carry Spark's non-null markers)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("generator → cleanse → aggregate pipeline is deterministic and consistent") {
     val dir = java.nio.file.Files.createTempDirectory("retail").toString
     Retail.writeCsvDays(spark, dir, LocalDate.of(2025, 1, 1),

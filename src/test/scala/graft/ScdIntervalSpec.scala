@@ -107,6 +107,25 @@ class ScdIntervalSpec extends SparkSpec {
     assert(at8.isEmpty)
   }
 
+  test("applyCdc: latest-wins upserts, deletes, inserts, passthrough") {
+    val base = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "U", 1L, "A2"), (1L, "D", 2L, null), // later delete wins
+      (2L, "U", 5L, "B2"),                      // plain update
+      (4L, "U", 1L, "Dnew"),                    // insert
+      (5L, "D", 1L, null))                      // delete of absent key
+      .toDF("k", "op", "seq", "v")
+    val got = Scd.applyCdc(base, changes, "k", "seq", "op", Seq("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((2L, "B2"), (3L, "C"), (4L, "Dnew")))
+    // same-seq U/D tie resolves to the delete, deterministically
+    val tie = Seq((3L, "U", 7L, "C2"), (3L, "D", 7L, null))
+      .toDF("k", "op", "seq", "v")
+    val t = Scd.applyCdc(base, tie, "k", "seq", "op", Seq("v"))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(t.toSeq === Seq(1L, 2L))
+  }
+
   test("intervalJoin honors [start, end) bounds across bucket spans") {
     val facts = Seq(
       (1L, 999L), (2L, 1000L), (3L, 5000L), (4L, 7199L), (5L, 7200L))
