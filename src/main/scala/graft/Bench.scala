@@ -90,6 +90,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // ObjectHashAggregate (udaf paths: capped_collect, mg_summary,
+      // vector_mean) falls back to SORT-BASED aggregation past 128
+      // distinct keys per task — a full per-task sort for aggregates
+      // whose buffers here are tiny (<=64 doubles / <=capacity map
+      // entries). 4096 keys x ~2 KB stays well inside task memory and
+      // keeps the hash path for the 980-cluster kmeans and 2048-bucket
+      // postings aggregates.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // scale-run allowance: at 30× the dup-dense component chain's

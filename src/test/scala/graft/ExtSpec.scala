@@ -119,6 +119,41 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(corpus, 0.5).collect().isEmpty)
   }
 
+  test("ivfAssign kernel equals the broadcast-join argmax formulation") {
+    import graft.ext.Similarity.{asDouble, dot, norm}
+    // deterministic pseudo-random-ish vectors: enough spread that
+    // centroid ranking exercises real ties and near-ties
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    for (nAssign <- Seq(1, 2, 3)) {
+      val got = Similarity.ivfAssign(emb, nCentroids = 7, nAssign = nAssign)
+        .select(col("id"), col("centroid_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: the pre-kernel formulation — broadcast join + 6dp
+      // round + (sim DESC, c_id ASC) rank — replayed literally
+      val e = emb.select(col("vec_id").as("id"),
+          asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val c = e.orderBy(col("id")).limit(7)
+        .select(col("id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val denom = col("nrm") * col("cn")
+      val sim = when(denom === 0.0, 0.0)
+        .otherwise(dot(col("v"), col("cv")) / denom)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(round(sim, 6).desc, col("c_id"))
+      val want = e.join(broadcast(c), expr("true"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nAssign)
+        .select(col("id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"nAssign=$nAssign")
+    }
+  }
+
   test("pairCosineHistogram: offset pairs land in the exact integer bins") {
     // ids 0..16 are e0; their +17 partners are e0 (even i → cos 1) or
     // e1 (odd i → cos 0): 9 pairs at 1e6, 8 at 0 → bins 19 and 0
