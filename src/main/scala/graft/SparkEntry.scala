@@ -796,6 +796,24 @@ object SparkEntry {
         "punct_ratio_le_10pct" -> (col("punct_ratio") <= 0.10),
         "stop_ratio_ge_1pct" -> (col("stop_ratio") >= 0.01)))),
 
+    // ===== blocked containment pairs (the q168 SCALE path) ============
+    // rare-shingle blocking + exact verify: candidates from each doc's
+    // 8 rarest (df ≤ 64) shingles, scores exact over the capped
+    // universe — recall gated by q176
+    "q175_containment_blocked" -> ((s, d) =>
+      Dedup.containmentPairsBlocked(documents(s, d), threshold = 0.8)),
+
+    // ===== blocked-containment recall/precision gate ==================
+    // q144's eval pattern on a deterministic md5-keep quarter sample:
+    // blocked pairs scored against the exact containment reference
+    "q176_containment_recall" -> ((s, d) => {
+      val docs = documents(s, d).filter(
+        pmod(T.md5Hash60(col("doc_id").cast("string")), lit(4)) === 0)
+      Dedup.pairSetEval(
+        Dedup.containmentPairs(docs, threshold = 0.8, maxPostings = 1000),
+        Dedup.containmentPairsBlocked(docs, threshold = 0.8))
+    }),
+
     // ===== ORC sink + scan round-trip =================================
     // lineitem projection written to ORC and read back; the aggregate
     // must hash-match the oracle computed from the PARQUET truth —
@@ -4563,6 +4581,98 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    - n_rejected AS BIGINT) AS n_surviving
         |FROM j, tot ORDER BY rule_idx""".stripMargin,
+
+    // rare-shingle blocking replayed literally: df ranks, per-doc
+    // 8 rarest (df ≤ 64, ties by shingle string), candidate join,
+    // exact per-pair intersection over the capped universe
+    "q175_containment_blocked" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |dfq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY 1),
+        |uni AS (SELECT sh0.doc_id, sh0.s, dfq.df
+        |        FROM sh0 JOIN dfq USING (s) WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY 1),
+        |rare AS (SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY df, s) AS rk
+        |    FROM uni WHERE df <= 64) WHERE rk <= 8),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.da, c.db, count(*) AS cnt FROM cand c
+        |  JOIN uni ua ON ua.doc_id = c.da
+        |  JOIN uni ub ON ub.doc_id = c.db AND ub.s = ua.s
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  floor(CAST(cnt AS DOUBLE)/least(sa.n, sb.n)*10000)/10000
+        |    AS containment,
+        |  floor(CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt)*10000)/10000
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE CAST(cnt AS DOUBLE)/least(sa.n, sb.n) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // both pipelines on the md5-keep quarter sample, then the q144
+    // eval tail (null-guarded ratios)
+    "q176_containment_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) % 4 = 0),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |dfq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY 1),
+        |uni AS (SELECT sh0.doc_id, sh0.s, dfq.df
+        |        FROM sh0 JOIN dfq USING (s) WHERE df <= 1000),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY 1),
+        |interx AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM uni a JOIN uni b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT doc_a, doc_b FROM interx
+        |  JOIN sizes sa ON sa.doc_id = interx.doc_a
+        |  JOIN sizes sb ON sb.doc_id = interx.doc_b
+        |  WHERE CAST(cnt AS DOUBLE)/least(sa.n, sb.n) >= 0.8),
+        |rare AS (SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY df, s) AS rk
+        |    FROM uni WHERE df <= 64) WHERE rk <= 8),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |interb AS (
+        |  SELECT c.da, c.db, count(*) AS cnt FROM cand c
+        |  JOIN uni ua ON ua.doc_id = c.da
+        |  JOIN uni ub ON ub.doc_id = c.db AND ub.s = ua.s
+        |  GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM interb
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE CAST(cnt AS DOUBLE)/least(sa.n, sb.n) >= 0.8),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate FROM bl),
+        |com AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+        |        FROM ex JOIN bl USING (doc_a, doc_b))
+        |SELECT n_exact, n_candidate, n_common,
+        |  CASE WHEN n_exact > 0 THEN
+        |    CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_exact, 0) AS BIGINT)
+        |  END AS recall_micro,
+        |  CASE WHEN n_candidate > 0 THEN
+        |    CAST(round(CAST(n_common AS DOUBLE) * 1e6 / n_candidate, 0)
+        |         AS BIGINT)
+        |  END AS precision_micro
+        |FROM ne, nl, com""".stripMargin,
 
     // the ORC round-trip's oracle reads the PARQUET truth — a value
     // mismatch anywhere in the write/read path fails the hash

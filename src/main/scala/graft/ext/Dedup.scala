@@ -390,6 +390,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The SCALE path for containment dedup: rare-shingle blocking +
+    * exact verify. MinHash-LSH cannot serve here — its collision
+    * probability tracks JACCARD, and the pairs containment exists to
+    * catch (short doc inside long doc) have LOW Jaccard by
+    * construction. The observation that replaces it: if
+    * C(a,b) = |A∩B|/|A| ≥ τ for the smaller doc A, then A shares ≥
+    * τ·|A| of its shingles with B — so unless A's k RAREST shingles
+    * all fall in its un-shared (1−τ) tail, at least one rare shingle
+    * of A is also in B, and the pair surfaces from a join keyed on
+    * rare shingles. Rarity makes the join bounded: blocking shingles
+    * are restricted to global document frequency ≤ `maxDf`, so a
+    * blocking key fans out to ≤ maxDf docs (≤ maxDf² pairs), and each
+    * doc contributes only its `kRare` rarest (ties broken by the
+    * shingle string — deterministic). A doc whose every shingle is
+    * commoner than maxDf (pure boilerplate) gets no candidates —
+    * those are the exact-dup/boilerplate tier's job, not a
+    * containment screen's.
+    *
+    * Verification is EXACT on the candidates (per-pair intersection
+    * via an id-then-(id, shingle) join — volume Σ_pairs |A|, linear
+    * in candidates × doc size), over the same maxPostings-capped
+    * universe as [[containmentPairs]], so every emitted score equals
+    * the exact operator's for that pair; only RECALL is approximate,
+    * and q176 gates it against the exact pair set the q144 way.
+    * Output schema matches [[containmentPairs]]. */
+  def containmentPairsBlocked(docs: DataFrame, threshold: Double,
+                              kRare: Int = 8, maxDf: Long = 64,
+                              maxPostings: Int = 1000,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRowsFast(docs, 3, idCol, textCol)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    // capped universe (q17/q168 semantics) — THREE consumers (sizes,
+    // rare pick, both verify sides), so materialize once
+    val uni = sh.join(dfreq.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("_df") <= maxPostings)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sizes = uni.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val rare = uni.filter(col("_df") <= maxDf)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("_df"), col("sh"))))
+      .filter(col("_rk") <= kRare)
+      .select(col("sh"), col("id"))
+    val cand = rare.as("ra").join(rare.as("rb"),
+        col("ra.sh") === col("rb.sh") && col("ra.id") < col("rb.id"))
+      .select(col("ra.id").as("a"), col("rb.id").as("b"))
+      .distinct()
+    val inter = cand
+      .join(uni.select(col("id").as("a"), col("sh")), Seq("a"))
+      .join(uni.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    val c = col("cnt").cast("double") / least(col("na"), col("nb"))
+    val j = col("cnt").cast("double") /
+      (col("na") + col("nb") - col("cnt"))
+    inter
+      .join(sizes.select(col("id"), col("n").as("na")).hint("shuffle_hash"),
+        col("a") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")).hint("shuffle_hash"),
+        col("b") === col("id")).drop("id")
+      .filter(c >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        TextAnalysis.trunc4(c).as("containment"),
+        TextAnalysis.trunc4(j).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ===== MinHash + LSH =====================================================
 
   /** k-component MinHash signature: component i is

@@ -169,6 +169,31 @@ class ExtSpec extends SparkSpec {
     assert(got.values.sum === 17L)
   }
 
+  test("blocked containment recalls the exact pairs on the fixture corpus") {
+    // the planted subset pair from the containment test must surface
+    // through rare-shingle blocking with the identical score
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsBlocked(corpus, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // real corpus: blocked recall vs the exact reference
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.containmentPairs(real, 0.8, maxPostings = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.containmentPairsBlocked(real, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & blocked).size.toDouble / exact.size
+    assert(recall >= 0.8, s"blocked containment recall $recall too low")
+    // exact-verify property: no false positives relative to exact
+    assert((blocked -- exact).isEmpty,
+      "blocked emitted a pair the exact screen rejects")
+  }
+
   test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(real, 0.5).collect()
