@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, LinkGraph, Multimodal, Profiling, Retrieval, Similarity, TextAnalysis => T}
+import graft.ext.{Curation, Dedup, Linkage, LinkGraph, Multimodal, Profiling, Retrieval, Similarity, TextAnalysis => T}
 import graft.ops.{Aggregations => A, Cleansing => C, Serving => S}
 import graft.Tables._
 
@@ -813,6 +813,59 @@ object SparkEntry {
         Dedup.containmentPairs(docs, threshold = 0.8, maxPostings = 1000),
         Dedup.containmentPairsBlocked(docs, threshold = 0.8))
     }),
+
+    // ===== flat-PQ ADC top-k (compressed linear scan) =================
+    // L2-normalized vectors PQ-encoded to 16 subspaces x 32 codes
+    // (80-bit codes); queries rank the corpus by integer-micro LUT
+    // sums — the FAISS IndexPQ semantics on the q21 query set
+    "q177_pq_adc" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        m = 16, dsub = 4, kCodes = 32, iters = 1)
+    }),
+
+    // ===== PQ-ADC recall@k gate ======================================
+    // measured recall of the compressed scan against the exact cosine
+    // yardstick — the q122 pattern for the PQ tier
+    "q178_pq_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.bruteTopK(emb, q, k = 5),
+        Similarity.pqAdcTopK(emb, q, k = 5,
+          m = 16, dsub = 4, kCodes = 32, iters = 1))
+    }),
+
+    // ===== blocked fuzzy name matching (record linkage) ===============
+    // distinct-name domain, shared-token blocking (df-capped), exact
+    // Levenshtein verify at <= 2 — the match dictionary tier
+    "q179_fuzzy_names" -> ((s, d) =>
+      Linkage.fuzzyNameMatches(part(s, d), maxDist = 2,
+        nameCol = "p_name")),
+
+    // ===== fuzzy-match canonicalization ===============================
+    // every part re-keyed to the lexicographic min of its REACHABLE
+    // match cluster (components fixpoint over the q179 dictionary)
+    "q180_canonical_names" -> ((s, d) => {
+      val p = part(s, d)
+      Linkage.canonicalizeNames(p.select(col("p_partkey"), col("p_name")),
+          Linkage.fuzzyNameMatches(p, maxDist = 2, nameCol = "p_name"),
+          nameCol = "p_name")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ===== two-sided CUSUM changepoint screen =========================
+    // sustained mean-shift detection over daily event value in exact
+    // integer micros; the recursion runs as two cumulative windows
+    // via S_t = C_t - min(0, prefix-min C)
+    "q181_cusum" -> ((s, d) =>
+      A.cusumChangepoints(events(s, d))),
+
+    // ===== per-(type, day) time-weighted average (TWAP) ===============
+    // each observation holds until the next; integer-second weights,
+    // decimal(38,0) numerator, positive-domain integral division
+    "q182_twap" -> ((s, d) =>
+      A.timeWeightedAvg(events(s, d))),
 
     // ===== ORC sink + scan round-trip =================================
     // lineitem projection written to ORC and read back; the aggregate
@@ -4673,6 +4726,271 @@ object SparkEntry {
         |         AS BIGINT)
         |  END AS precision_micro
         |FROM ne, nl, com""".stripMargin,
+
+    // the full PQ trajectory replayed on L2-normalized 6-dp vectors
+    // (q58's CTE chain at m=16/dsub=4/k=32), then the ADC tail: a
+    // per-query (sub, code) -> micro-distance LUT joined to the codes,
+    // integer-exact m-term sums, rank by (adist, cid)
+    "q177_pq_adc" ->
+      """WITH e0 AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |e AS (SELECT id, v0 AS v FROM e0),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 32),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub)),
+        |codes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |qsubs AS (SELECT id AS qid, sub, sv FROM subs WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS dm
+        |  FROM qsubs q JOIN c1 c USING (sub)),
+        |ad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id
+        |  GROUP BY 1, 2)
+        |SELECT qid, cid, adist, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM ad)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q177 CTEs + the q21 raw-cosine brute yardstick, joined into
+    // the q122 recall tail — the PQ tier's measured-accuracy row
+    "q178_pq_recall" ->
+      """WITH e0 AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |e AS (SELECT id, v0 AS v FROM e0),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 32),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub)),
+        |codes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |qsubs AS (SELECT id AS qid, sub, sv FROM subs WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS dm
+        |  FROM qsubs q JOIN c1 c USING (sub)),
+        |ad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id
+        |  GROUP BY 1, 2),
+        |approx AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM ad)
+        |  WHERE rank <= 5),
+        |qq AS (SELECT id AS qid, v0 AS qv FROM e0 WHERE id < 10),
+        |scored_b AS (
+        |  SELECT qq.qid, c.id AS cid,
+        |         round(list_cosine_similarity(qq.qv, c.v0), 6) AS cos_sim
+        |  FROM qq, e0 c WHERE qq.qid <> c.id),
+        |exact AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT exact.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM exact JOIN approx USING (qid, cid) GROUP BY 1),
+        |ne AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM exact GROUP BY 1)
+        |SELECT ne.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+        |    AS recall
+        |FROM ne LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
+
+    // shared-token blocking over the distinct p_name domain replayed
+    // literally (df-capped token table, byte-order pairing), exact
+    // classic-DP Levenshtein in both engines
+    "q179_fuzzy_names" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL),
+        |tok0 AS (
+        |  SELECT nm, unnest(list_filter(string_split_regex(nm, '\s+'),
+        |                                x -> x <> '')) AS t
+        |  FROM n),
+        |dfq AS (SELECT t, count(*) AS df FROM tok0 GROUP BY 1),
+        |tok AS (SELECT tok0.nm, tok0.t FROM tok0 JOIN dfq USING (t)
+        |        WHERE df <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.nm < b.nm)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // the q179 dictionary closed under reachability (the q43 recursive
+    // CTE on names), then every part row re-keyed to its cluster min
+    "q180_canonical_names" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL),
+        |tok0 AS (
+        |  SELECT nm, unnest(list_filter(string_split_regex(nm, '\s+'),
+        |                                x -> x <> '')) AS t
+        |  FROM n),
+        |dfq AS (SELECT t, count(*) AS df FROM tok0 GROUP BY 1),
+        |tok AS (SELECT tok0.nm, tok0.t FROM tok0 JOIN dfq USING (t)
+        |        WHERE df <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.nm < b.nm),
+        |m AS (SELECT name_a, name_b FROM cand
+        |      WHERE levenshtein(name_a, name_b) <= 2),
+        |edges AS (
+        |  SELECT name_a AS u, name_b AS v FROM m
+        |  UNION ALL SELECT name_b, name_a FROM m),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |lab AS (SELECT id, min(comp) AS canon FROM reach GROUP BY id)
+        |SELECT p_partkey, p_name,
+        |       coalesce(lab.canon, p_name) AS canonical_name
+        |FROM part LEFT JOIN lab ON lab.id = p_name
+        |ORDER BY p_partkey""".stripMargin,
+
+    // the closed prefix form of the CUSUM recursion replayed in exact
+    // BIGINT micros: mu/kappa by positive-domain floor division, two
+    // cumulative windows over the unique-day frame
+    "q181_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |par AS (
+        |  SELECT CAST(sum(v) // count(*) AS BIGINT) AS mu,
+        |         CAST((sum(v) // count(*)) // 20 AS BIGINT) AS kappa
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, v, kappa,
+        |    CAST(sum(v - mu - kappa) OVER (ORDER BY day) AS BIGINT) AS cp,
+        |    CAST(sum(mu - kappa - v) OVER (ORDER BY day) AS BIGINT) AS cn
+        |  FROM daily, par),
+        |s AS (
+        |  SELECT day, v, kappa,
+        |    cp - least(0, min(cp) OVER (ORDER BY day)) AS s_pos,
+        |    cn - least(0, min(cn) OVER (ORDER BY day)) AS s_neg
+        |  FROM c)
+        |SELECT day, v AS v_micro,
+        |  CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+        |  CAST(CASE WHEN s_pos > kappa * 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS flag_up,
+        |  CAST(CASE WHEN s_neg > kappa * 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS flag_down
+        |FROM s ORDER BY day""".stripMargin,
+
+    // hold-until-next durations via lead() with a day-end default,
+    // HUGEINT numerator mirroring the decimal(38,0) sum, floor division
+    "q182_twap" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         event_id AS id,
+        |         CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, day, vm,
+        |    coalesce(lead(ep) OVER (PARTITION BY event_type, day
+        |                            ORDER BY ep, id),
+        |             (day + 1) * 86400) - ep AS dur
+        |  FROM b)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(dur) AS BIGINT) AS active_seconds,
+        |  CAST(sum(CAST(vm AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+        |    AS twa_micro
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the ORC round-trip's oracle reads the PARQUET truth — a value
     // mismatch anywhere in the write/read path fails the hash

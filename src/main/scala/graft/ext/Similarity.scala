@@ -693,30 +693,32 @@ object Similarity {
                iters: Int = 1,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (subs, cents) = pqCore(vecs, m, dsub, k, iters)
+    pqAssignCore(subs, cents)
+      .select(col("id").as(idCol), col("sub"), col("best.c_id").as("code"))
+  }
+
+  /** PQ training core over a prepared (id, v: array<double>) frame:
+    * returns the checkpointed subvector frame and the final codebooks
+    * (sub, c_id, cv). Shared by [[pqEncode]] and [[pqAdcTopK]] so the
+    * trajectory (seeds, 6-dp argmin/means, empty-code carry) stays
+    * byte-identical between the code dump and the search path. */
+  private def pqCore(vecs: DataFrame, m: Int, dsub: Int, k: Int,
+                     iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
       "m, dsub, k must be positive and iters non-negative")
-    val subs = emb
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val subs = vecs
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val seeds = emb.select(col(idCol).as("id"))
-      .orderBy(col("id")).limit(k)
+    val seeds = vecs.select(col("id")).orderBy(col("id")).limit(k)
     var cents = subs.join(broadcast(seeds), "id")
       .select(col("sub"), col("id").as("c_id"), col("sv").as("cv"))
-    def dist2 = round(
-      dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
-        dot(col("cv"), col("cv")), 6)
-    def assign(cb: DataFrame) =
-      subs.join(broadcast(cb), "sub")
-        .withColumn("_d", dist2)
-        .groupBy(col("id"), col("sub"))
-        .agg(min_by(struct(col("c_id"), col("sv")),
-          struct(col("_d"), col("c_id"))).as("best"))
     (0 until iters).foreach { _ =>
-      val means = assign(cents)
+      val means = pqAssignCore(subs, cents)
         .select(col("sub"), col("best.c_id").as("c_id"),
           col("best.sv").as("sv"))
         .groupBy(col("sub"), col("c_id"))
@@ -728,8 +730,85 @@ object Similarity {
           coalesce(col("mv"), col("cv")).as("cv"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
-    assign(cents)
-      .select(col("id").as(idCol), col("sub"), col("best.c_id").as("code"))
+    (subs, cents)
+  }
+
+  /** Nearest-code assignment per (id, sub): 6-dp-rounded L2 argmin,
+    * ties to the smallest code, collapsed map-side via min_by. */
+  private def pqAssignCore(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = round(
+      dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+        dot(col("cv"), col("cv")), 6)
+    subs.join(broadcast(cents), "sub")
+      .withColumn("_d", dist2)
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("c_id"), col("sv")),
+        struct(col("_d"), col("c_id"))).as("best"))
+  }
+
+  /** Flat-PQ ADC top-k search (FAISS `IndexPQ` semantics, Jégou et al.
+    * TPAMI 2011 §IV): vectors are PQ-encoded to `m` codes, and each
+    * query ranks the corpus by an Asymmetric L2 Distance — the sum
+    * over subspaces of a per-query lookup table ‖q_sub − codeword‖²,
+    * computed once per (query, subspace, code) and never touching the
+    * corpus floats again. On unit-norm embeddings (this corpus —
+    * checked by the q178 gate against the cosine yardstick) L2 order
+    * IS cosine order; unnormalized corpora get plain L2-NN, the
+    * IndexPQ contract.
+    *
+    * Determinism: training replays [[pqEncode]]'s raw-vector
+    * trajectory exactly; LUT entries are exact integer micro² squared
+    * distances — every element is pinned to a BIGINT micro via
+    * `floor(x·1e6 + 0.5)` (bit-identical across engines, the
+    * `quantizeInt8` convention — a 6-dp `round` here flipped on
+    * boundary values downstream of differently-accumulated norms)
+    * before any arithmetic, so the per-pair m-term sum is order-free
+    * across engines; ranking ties break on the candidate id.
+    *
+    * Scale: this is the compressed linear scan — the point at 100 TB
+    * is that the scan reads m bytes per vector (32× less I/O than
+    * 64-dim float32) and the per-pair cost is m integer adds off a
+    * broadcast LUT (n_q·m·k rows — kilobytes), not a 64-dim float dot.
+    * The ×m pre-aggregation rows collapse map-side (partial sum before
+    * the exchange), so the shuffle is one skinny (qid, cid, adist) row
+    * per surviving pair. For sub-linear candidate generation compose
+    * with [[ivfAssign]] blocking exactly as [[ivfTopK]] does — ADC
+    * then ranks cells' candidates instead of the full corpus. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 8, dsub: Int = 8, kCodes: Int = 8,
+                iters: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (subs, cents) = pqCore(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      m, dsub, kCodes, iters)
+    val codes = pqAssignCore(subs, cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+    val qsubs = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("v"))
+      .select(col("qid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    // exact integer micro² per LUT entry; the HOF runs interpreted,
+    // but only over n_q·m·k LUT rows
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    val lut = qsubs.join(broadcast(cents), "sub")
+      .select(col("qid"), col("sub"), col("c_id"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("dm"))
+    val adist = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("c_id"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("dm")).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("cid"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Per-label embedding outliers: the `k` vectors per label FURTHEST
@@ -785,11 +864,18 @@ object Similarity {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding",
                 scheme: Dedup.HashScheme = Dedup.FastHash): DataFrame = {
-    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("qid"), col("cid"))
-    val approx = annTopK(corpus, queries, k, bits, tables, idCol, vecCol,
-        scheme)
-      .select(col("qid"), col("cid"))
+    recallAtK(
+      bruteTopK(corpus, queries, k, idCol, vecCol),
+      annTopK(corpus, queries, k, bits, tables, idCol, vecCol, scheme))
+  }
+
+  /** Per-query recall of an approximate top-k result set against the
+    * exact one — both frames keyed (qid, cid). Pure pair-set
+    * arithmetic on the already-skinny rankings; shared by
+    * [[annRecall]] and the PQ-ADC gate. */
+  def recallAtK(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+    val exact = exactTopK.select(col("qid"), col("cid"))
+    val approx = approxTopK.select(col("qid"), col("cid"))
     val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))

@@ -574,4 +574,102 @@ object Aggregations {
       })
       .orderBy(col("lag"))
   }
+
+  /** Two-sided CUSUM changepoint screen over a daily value series
+    * (Page 1954): S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − κ)) accumulates
+    * sustained upward drift, S⁻ₜ the mirrored downward form, and a day
+    * flags when its statistic crosses h = `hMult`·κ — the
+    * mean-shift detector a level-based z-score (q115) misses, because
+    * small persistent shifts never clear a per-day threshold but sum
+    * without bound in S.
+    *
+    * The recursion is NOT a window sum, but it has a closed prefix
+    * form: with Cₜ = Σ_{j≤t} (xⱼ − μ − κ) and C₀ = 0,
+    * S⁺ₜ = Cₜ − min(0, min_{j≤t} Cⱼ) — two cumulative windows, no
+    * sequential fold. Everything is exact BIGINT micros (the q166
+    * contraction: per-day sums of round(value·1e6)); μ is the global
+    * daily mean via positive-domain floor division (truncation ≡
+    * floor there, the engine-parity rule) and κ = μ/`kDen` the
+    * allowance, so both engines replay the trajectory exactly.
+    *
+    * Scale: one corpus pass builds the daily contraction; μ/κ ride a
+    * 1-row broadcast; the two cumulative windows run over the
+    * calendar-bounded daily frame (years × 365 rows — the gapFillDays
+    * argument), so the single-task window is bounded by the calendar,
+    * never the corpus. */
+  def cusumChangepoints(events: DataFrame, tsCol: String = "ts",
+                        valueCol: String = "value",
+                        kDen: Int = 20, hMult: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kDen > 0 && hMult > 0, "kDen and hMult must be positive")
+    val day = floor(floor(unix_timestamp(col(tsCol))) / 86400)
+      .cast("long").as("day")
+    val daily = events
+      .select(day, round(col(valueCol) * 1e6).cast("long").as("vm"))
+      .groupBy(col("day")).agg(sum(col("vm")).as("v"))
+    val par = daily.agg(expr("sum(v) div count(1)").as("mu"))
+      .select(col("mu"), expr(s"mu div $kDen").as("kappa"))
+    val cum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily.crossJoin(broadcast(par))
+      .select(col("day"), col("v"), col("kappa"),
+        sum(col("v") - col("mu") - col("kappa")).over(cum).as("cp"),
+        sum(col("mu") - col("kappa") - col("v")).over(cum).as("cn"))
+    c.select(col("day"), col("v").as("v_micro"),
+        (col("cp") - least(lit(0L), min(col("cp")).over(cum))).as("s_pos"),
+        (col("cn") - least(lit(0L), min(col("cn")).over(cum))).as("s_neg"),
+        col("kappa"))
+      .select(col("day"), col("v_micro"), col("s_pos"), col("s_neg"),
+        when(col("s_pos") > col("kappa") * hMult, 1L).otherwise(0L)
+          .as("flag_up"),
+        when(col("s_neg") > col("kappa") * hMult, 1L).otherwise(0L)
+          .as("flag_down"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-(group, day) time-weighted average of an irregular event
+    * series (TWAP): each observation holds until the next one in its
+    * (group, day) partition, the last until day end; the interval
+    * before a day's first observation carries no value. The metric an
+    * arithmetic mean gets wrong whenever sampling is bursty —
+    * a price sampled 100× during a spike must not count 100×.
+    *
+    * Determinism: weights are integer seconds from epoch arithmetic,
+    * values integer micros, the numerator an exact decimal(38,0) sum,
+    * and the final division is integral `div` on a positive domain
+    * (floor ≡ truncate there, ≡ DuckDB `//`). Observation order within
+    * a tie is pinned by the id column (tied observations get zero
+    * duration except the last — deterministic in every engine).
+    *
+    * Scale: one pass; the only exchange is the (group, day) window +
+    * aggregate — the same key partitioning for both, so Catalyst runs
+    * them on one shuffle. Per-(group, day) task size is the day's
+    * observation count for that group; a corpus-scale hot group rides
+    * the [[graft.ops.SkewJoin]] salting the median family uses. */
+  def timeWeightedAvg(events: DataFrame, groupCol: String = "event_type",
+                      tsCol: String = "ts", valueCol: String = "value",
+                      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(
+      col(groupCol).as("grp"),
+      floor(floor(unix_timestamp(col(tsCol))) / 86400).cast("long").as("day"),
+      floor(unix_timestamp(col(tsCol))).cast("long").as("ep"),
+      col(idCol).as("id"),
+      round(col(valueCol) * 1e6).cast("long").as("vm"))
+    val w = Window.partitionBy(col("grp"), col("day"))
+      .orderBy(col("ep"), col("id"))
+    val dur = base
+      .withColumn("dur",
+        coalesce(lead(col("ep"), 1).over(w), (col("day") + 1) * 86400L)
+          - col("ep"))
+    dur.groupBy(col("grp").as(groupCol), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur")).as("active_seconds"),
+        sum(col("vm").cast("decimal(38,0)")
+          * col("dur").cast("decimal(38,0)")).as("_num"))
+      .select(col(groupCol), col("day"), col("n_events"),
+        col("active_seconds"),
+        expr("_num div active_seconds").as("twa_micro"))
+      .orderBy(col(groupCol), col("day"))
+  }
 }

@@ -394,4 +394,34 @@ class AggServingSpec extends SparkSpec {
       assert(r.isNullAt(2), s"day ${r.getLong(0)} should be gated")
     }
   }
+
+  test("cusumChangepoints: closed prefix form equals the literal recursion; shift flags") {
+    // 20 flat days at 100.0 then 10 days shifted to 130.0 — a +30%
+    // sustained mean shift the per-day z-score would not clear
+    val rows = (0 until 30).map { i =>
+      (Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        if (i < 20) 100.0 else 130.0)
+    }.toDF("ts", "value")
+    val got = Aggregations.cusumChangepoints(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 30)
+    // replay the literal recursion S_t = max(0, S_{t-1} + y_t) on the
+    // same integer micros and the same mu/kappa derivation
+    val vs = got.map(_._2)
+    val mu = vs.sum / vs.length
+    val kappa = mu / 20
+    var sPos = 0L; var sNeg = 0L
+    got.zip(vs).foreach { case ((_, _, gp, gn, fu, fd), v) =>
+      sPos = math.max(0L, sPos + (v - mu - kappa))
+      sNeg = math.max(0L, sNeg + (mu - kappa - v))
+      assert(gp === sPos, "S+ mismatch")
+      assert(gn === sNeg, "S- mismatch")
+      assert(fu === (if (sPos > kappa * 4) 1L else 0L))
+      assert(fd === (if (sNeg > kappa * 4) 1L else 0L))
+    }
+    // the shift is eventually flagged, and never before it happens
+    assert(got.take(20).forall(_._5 === 0L), "false alarm pre-shift")
+    assert(got.drop(20).exists(_._5 === 1L), "shift never flagged")
+  }
 }
