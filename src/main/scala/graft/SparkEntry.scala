@@ -4375,7 +4375,7 @@ object SparkEntry {
         |    sum(CAST(b AS HUGEINT) * (2 * a_below + a)) AS u2_b,
         |    sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b)) AS ties
         |  FROM m)
-        |SELECT n_0, n_1, n_values, u2_b,
+        |SELECT n_0, n_1, n_values, CAST(u2_b AS BIGINT) AS u2_b,
         |  CASE WHEN (CAST(n_0 AS DOUBLE) * n_1 / 12.0 *
         |      ((CAST(n_0 AS DOUBLE) + n_1 + 1) - CAST(ties AS DOUBLE) /
         |       ((CAST(n_0 AS DOUBLE) + n_1) *

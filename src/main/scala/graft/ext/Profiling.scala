@@ -357,7 +357,11 @@ object Profiling {
         count(lit(1)).as("n_values"),
         sum(col("u2_term")).as("u2_b"),
         sum(col("tie_term")).as("ties"))
-      .select(col("n_0"), col("n_1"), col("n_values"), col("u2_b"), {
+      // 2U accumulates exactly in decimal(38,0); the OUTPUT is cast to
+      // long by the giniByGroup convention (2U ≤ n²/2 fits int64 up to
+      // n ≈ 4·10⁹ rows — past that, widen the output type, not the sum)
+      .select(col("n_0"), col("n_1"), col("n_values"),
+        col("u2_b").cast("long").as("u2_b"), {
         val n0 = col("n_0").cast("double")
         val n1 = col("n_1").cast("double")
         val n = n0 + n1

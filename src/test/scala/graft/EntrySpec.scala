@@ -33,8 +33,11 @@ class EntrySpec extends SparkSpec {
   // measured against the exact ranking); q123's cosine ranker scores
   // the corpus against ONE broadcast query vector (a filter on a
   // unique id, just not provable as maxRows==1 to the optimizer).
+  // q178 re-runs the same bruteTopK yardstick as q122 — the exact
+  // ranking the PQ/ADC recall is measured against — over a 10-vector
+  // broadcast query sample (bounded by the sample, never the corpus).
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf",
-    "q122_ann_recall", "q123_rrf_fusion")
+    "q122_ann_recall", "q123_rrf_fusion", "q178_pq_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
