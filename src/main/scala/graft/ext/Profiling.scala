@@ -299,8 +299,11 @@ object Profiling {
       .withColumn("n0", sum(col("w0")).over(all))
       .withColumn("n1", sum(col("w1")).over(all))
       .select(col("n0"), col("n1"),
-        abs((col("c0") * col("n1")).cast("decimal(38,0)") -
-          (col("c1") * col("n0")).cast("decimal(38,0)")).as("d"))
+        // cast BEFORE multiplying (the oracle's HUGEINT shape) — an
+        // int64 product of c·n overflows past ~3·10⁹ rows/side and a
+        // post-hoc cast can't undo it
+        abs(col("c0").cast("decimal(38,0)") * col("n1") -
+          col("c1").cast("decimal(38,0)") * col("n0")).as("d"))
       .agg(max(col("n0")).as("n_0"), max(col("n1")).as("n_1"),
         count(lit(1)).as("n_values"),
         round(max(col("d")).cast("double") * 1e6 /

@@ -385,7 +385,10 @@ object Aggregations {
     * aggregate to ≤ `bins` rows; the global min/max is a 1-row
     * broadcast. Empty bins are densified from the bins-sized spine so
     * the output is always exactly `bins` rows (a histogram with holes
-    * reads as data, not absence). */
+    * reads as data, not absence). When bins exceeds the value range
+    * (hi − lo + 1), the surplus bins have an empty integer span — they
+    * emit (null, null, 0), never inverted hi < lo bounds; an empty
+    * input yields `bins` such rows. */
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          bins: Int = 20): DataFrame = {
     require(bins > 0, "bins must be positive")
@@ -395,13 +398,24 @@ object Aggregations {
       .select(least(lit(bins - 1).cast("long"),
         expr(s"(($valueCol - _lo) * $bins) div (_hi - _lo + 1)")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    // the EXACT inverse of the assignment formula: bin b holds offsets
+    // o with b = o·bins div range, i.e. o ∈ [⌈b·range/bins⌉,
+    // ⌈(b+1)·range/bins⌉ − 1] — ceil, NOT floor (a floor spine drifts
+    // off the assignment partition whenever bins ∤ range, claiming
+    // bounds that exclude values actually counted in the bin)
+    val rawLo = col("_lo") +
+      expr(s"(bin * (_hi - _lo + 1) + ${bins - 1}) div $bins")
+    val rawHi = col("_lo") +
+      expr(s"((bin + 1) * (_hi - _lo + 1) + ${bins - 1}) div $bins") - 1
     val spine = bounds.select(
         explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
         col("_lo"), col("_hi"))
       .select(col("bin"),
-        (col("_lo") + expr(s"(bin * (_hi - _lo + 1)) div $bins")).as("lo"),
-        (col("_lo") +
-          expr(s"((bin + 1) * (_hi - _lo + 1)) div $bins") - 1).as("hi"))
+        // a bin whose integer span is empty (bins > range) gets null
+        // bounds, not inverted ones; null _lo/_hi (empty input) stays
+        // null through the comparison
+        when(rawHi >= rawLo, rawLo).as("lo"),
+        when(rawHi >= rawLo, rawHi).as("hi"))
     spine.join(counts, Seq("bin"), "left")
       .select(col("bin"), col("lo"), col("hi"),
         coalesce(col("n"), lit(0L)).as("n"))

@@ -80,12 +80,16 @@ object Scd {
     * ordered by `seqCol` — into a base snapshot, producing the next
     * snapshot. Where [[scd2]] KEEPS history, this applies it: the
     * nightly "apply the day's CDC feed to the dimension" step every
-    * warehouse pipeline has. Per key, only the LATEST change (max
-    * seqCol, ties broken by preferring 'D' then the op string — a pure
-    * function of the data) decides: latest 'U' upserts the row's
-    * payload columns, latest 'D' removes the key; keys untouched by
-    * the batch pass through unchanged. An 'earlier U, later D'
-    * sequence deletes — order within the batch matters and is honored.
+    * warehouse pipeline has. Per key, only the LATEST change decides,
+    * under a TOTAL order that is a pure function of the data: max
+    * seqCol, ties broken by preferring 'D', then the op string, then
+    * the payload values themselves (field by field, nulls smallest) —
+    * so equal-seq same-op duplicates with different payloads resolve
+    * deterministically instead of by partition arrival order. Latest
+    * 'U' upserts the row's payload columns, latest 'D' removes the
+    * key; keys untouched by the batch pass through unchanged. An
+    * 'earlier U, later D' sequence deletes — order within the batch
+    * matters and is honored.
     *
     * Columns: `payloadCols` are the attribute columns carried by both
     * the base and the changes; the output schema is (key, payload...).
@@ -104,8 +108,15 @@ object Scd {
         struct((col(opCol).as("_op") +:
           payloadCols.map(c => col(c).as(s"_p_$c"))): _*),
         // 'D' sorts above 'U' at equal seq: a delete observed at the
-        // same sequence number as an update must win deterministically
-        struct(col(seqCol), (col(opCol) === "D").cast("int"), col(opCol)))
+        // same sequence number as an update must win deterministically;
+        // payload values are the FINAL tiebreak (nulls smallest — the
+        // oracle mirrors with DESC NULLS LAST) so equal-seq same-op
+        // duplicates can't resolve by partition arrival order
+        struct((col(seqCol).as("_s") +:
+          (col(opCol) === "D").cast("int").as("_d") +:
+          col(opCol).as("_o") +:
+          payloadCols.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"_t$i") }): _*))
         .as("_ch"))
       .select(col(keyCol) +: col("_ch._op").as("_op") +:
         payloadCols.map(c => col(s"_ch._p_$c").as(s"_c_$c")): _*)

@@ -304,13 +304,38 @@ class AggServingSpec extends SparkSpec {
     assert(got.head === ((0L, 0L, 0L, 1L)))
     assert(got.last === ((19L, 19L, 19L, 1L)))
     assert(got.slice(1, 19).forall(_._4 === 0L))
-    // uneven width: [0, 9] over 4 bins → widths 3,2,3,2 (integer split)
+    // uneven width: [0, 9] over 4 bins → widths 3,2,3,2 (integer
+    // split) — the ceil spine is the exact inverse of the assignment
+    // formula (o·4 div 10: offsets 0-2, 3-4, 5-7, 8-9)
     val u = Seq(0L, 3L, 5L, 9L).toDF("v")
     val g2 = Aggregations.equiWidthHistogram(u, "v", bins = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(g2.map(x => (x._2, x._3)).toSeq ===
-      Seq((0L, 1L), (2L, 4L), (5L, 6L), (7L, 9L)))
+      Seq((0L, 2L), (3L, 4L), (5L, 7L), (8L, 9L)))
     assert(g2.map(_._4).toSeq === Seq(1L, 1L, 1L, 1L))
+    // every value is INSIDE its claimed bin bounds (the consistency
+    // the floor spine violated: value 2 would count in a bin claiming
+    // [0, 1])
+    val u2 = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L).toDF("v")
+    val g2b = Aggregations.equiWidthHistogram(u2, "v", bins = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g2b.map(_._3).sum === 10L)
+    assert(g2b.forall { case (lo, hi, n) => n === hi - lo + 1 })
+    // bins > value range: surplus bins have an EMPTY integer span —
+    // null bounds and zero count, never inverted hi < lo
+    val narrow = Seq(10L, 11L, 12L).toDF("v")
+    val g3 = Aggregations.equiWidthHistogram(narrow, "v", bins = 5)
+      .collect()
+    assert(g3.length === 5)
+    val spans = g3.map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    // every value lands in a real span; empty spans carry no counts
+    assert(spans.collect { case (Some(l), Some(h), _) => h - l + 1 }.sum
+      === 3L)
+    assert(spans.forall { case (l, h, n) =>
+      (l.isDefined && h.isDefined && h.get >= l.get) ||
+        (l.isEmpty && h.isEmpty && n === 0L) })
+    assert(spans.map(_._3).sum === 3L)
   }
 
   test("topKValuesWithTies: dense-rank value classes, ties kept whole") {

@@ -291,13 +291,13 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_0") === 3L)
     assert(r.getAs[Long]("n_1") === 2L)
     assert(r.getAs[Long]("n_values") === 3L)
-    assert(r.getDecimal(3).longValueExact() === 10L)
+    assert(r.getAs[Long]("u2_b") === 10L)
     assert(r.getAs[Long]("z_micro") ===
       math.round(4.0 / (2.0 * math.sqrt(2.4)) * 1e6))
     // identical distributions → 2U = n0·n1, z = 0
     val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("v", "side")
     val s = Profiling.mannWhitney(same, "v", col("side")).collect().head
-    assert(s.getDecimal(3).longValueExact() === 4L)
+    assert(s.getAs[Long]("u2_b") === 4L)
     assert(s.getAs[Long]("z_micro") === 0L)
     // all values tied → zero variance → null z
     val const = Seq((5L, 0), (5L, 0), (5L, 1)).toDF("v", "side")

@@ -124,6 +124,14 @@ class ScdIntervalSpec extends SparkSpec {
     val t = Scd.applyCdc(base, tie, "k", "seq", "op", Seq("v"))
       .orderBy("k").collect().map(_.getLong(0))
     assert(t.toSeq === Seq(1L, 2L))
+    // same-seq same-op duplicates resolve by payload (max wins, nulls
+    // smallest) — a total order, not partition arrival order
+    val dup = Seq((2L, "U", 9L, "Bx"), (2L, "U", 9L, "By"),
+      (3L, "U", 9L, null.asInstanceOf[String]), (3L, "U", 9L, "Ca"))
+      .toDF("k", "op", "seq", "v")
+    val d = Scd.applyCdc(base, dup, "k", "seq", "op", Seq("v"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(d.toSeq === Seq((1L, "A"), (2L, "By"), (3L, "Ca")))
   }
 
   test("intervalJoin honors [start, end) bounds across bucket spans") {
