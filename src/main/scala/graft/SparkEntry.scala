@@ -805,13 +805,21 @@ object SparkEntry {
 
     // ===== blocked-containment recall/precision gate ==================
     // q144's eval pattern on a deterministic md5-keep quarter sample:
-    // blocked pairs scored against the exact containment reference
+    // blocked pairs scored against the exact containment reference.
+    // HARD gate: recall below the floor throws (a red verify row, not
+    // a quietly lower number) — the pick-vs-postings blocking measures
+    // 1.0 here; the floor leaves headroom only for the documented
+    // all-picks-in-unshared-tail residual
     "q176_containment_recall" -> ((s, d) => {
       val docs = documents(s, d).filter(
         pmod(T.md5Hash60(col("doc_id").cast("string")), lit(4)) === 0)
-      Dedup.pairSetEval(
+      val ev = Dedup.pairSetEval(
         Dedup.containmentPairs(docs, threshold = 0.8, maxPostings = 1000),
         Dedup.containmentPairsBlocked(docs, threshold = 0.8))
+      ev.filter(coalesce(assert_true(
+        col("recall_micro").isNull || col("recall_micro") >= 950000L,
+        lit("blocked-containment recall below the 0.95 gate")),
+        lit(true)))
     }),
 
     // ===== flat-PQ ADC top-k (compressed linear scan) =================
@@ -872,8 +880,17 @@ object SparkEntry {
     // must hash-match the oracle computed from the PARQUET truth —
     // proving the second lake format preserves values end-to-end
     "q174_orc_roundtrip" -> ((s, d) => {
+      // keyed by data dir AND this JVM's Spark app id: concurrent
+      // bench + verify runs over the same data dir must not write into
+      // (or read from) each other's round-trip output
       val out = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_" +
-        Integer.toHexString(d.hashCode)
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out))
+      }
       graft.io.Sinks.orcDir(lineitem(s, d).select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity"), col("l_extendedprice")), out)
       graft.io.Sources.orcDir(s, out)
@@ -1878,6 +1895,48 @@ object SparkEntry {
         .select(col("doc_id"), col("text_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    // ===== retrieve-then-rerank: feature rerank over the q123 fusion ==
+    // the cross-encoder SLOT with a deterministic linear scorer: RRF
+    // top-20 candidates re-scored by min-max-normalized (bm25, cosine,
+    // doc-length) integer features at weights 50/30/20
+    "q183_feature_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val bm = T.bm25TopK(docs,
+        terms = Seq("spark", "join", "vector"), k = 100)
+      val bmRank = bm.withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = embeddings(s, d)
+      val cosTop = Similarity.bruteTopK(emb,
+        emb.filter(col("vec_id") === 0), k = 100)
+      val fused = Retrieval.rrf(
+        Seq(bmRank, cosTop.select(col("cid").as("id"), col("rank"))),
+        c = 60, topK = 20)
+      Retrieval.featureRerank(fused, Seq(
+        (bm.select(col("doc_id").as("id"), col("bm25_micro")),
+          "bm25_micro", 50L),
+        (cosTop.select(col("cid").as("id"),
+          round(col("cos_sim") * 1e6).cast("long").as("cos_micro")),
+          "cos_micro", 30L),
+        (docs.select(col("doc_id").as("id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "n_tokens", 20L)),
+        topK = 10)
+    }),
+
+    // ===== watermark-dedup batch twin (greedy horizon anchors) ========
+    // dropDuplicatesWithinWatermark's deterministic batch semantics on
+    // (user_id) at a 6-hour horizon: first event kept, events within
+    // the horizon of the last kept one dropped — pointer doubling over
+    // the per-key next-past-horizon map
+    "q184_horizon_dedup" -> ((s, d) =>
+      Dedup.dedupWithinHorizon(
+          events(s, d).select(col("user_id"),
+            expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("ep")),
+          Seq("user_id"), "ep", horizonSec = 21600L)
+        .orderBy(col("user_id"), col("ep"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2121,7 +2180,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
-        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
         |assigned AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,
@@ -2147,7 +2206,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
-        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
         |assigned AS (
         |  SELECT vec_id, is_probe, v, c_id FROM (
         |    SELECT e.vec_id, e.is_probe, e.v, c.c_id,
@@ -2180,7 +2239,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
-        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
         |assigned AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,
@@ -2860,7 +2919,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
-        |     LIMIT greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
         |assigned AS (
         |  SELECT vec_id, label, v, c_id FROM (
         |    SELECT e.vec_id, e.label, e.v, c.c_id,
@@ -4130,7 +4189,8 @@ object SparkEntry {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the saltedCumSum segment formula as bucket arithmetic; spine
-    // densification keeps exactly `bins` rows
+    // densification keeps exactly `bins` rows; empty-span bins (bins >
+    // value range) null their bounds — mirrors equiWidthHistogram
     "q157_price_histogram" ->
       """WITH v AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
@@ -4143,12 +4203,19 @@ object SparkEntry {
         |spine AS (
         |  SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
         |         lo AS blo, hi AS bhi
-        |  FROM b)
-        |SELECT spine.bin AS bin,
-        |  CAST(blo + (bin * (bhi - blo + 1)) // 20 AS BIGINT) AS lo,
-        |  CAST(blo + ((bin + 1) * (bhi - blo + 1)) // 20 - 1 AS BIGINT) AS hi,
+        |  FROM b),
+        |sp2 AS (
+        |  SELECT bin,
+        |    CAST(blo + (bin * (bhi - blo + 1) + 19) // 20 AS BIGINT)
+        |      AS lo0,
+        |    CAST(blo + ((bin + 1) * (bhi - blo + 1) + 19) // 20 - 1
+        |      AS BIGINT) AS hi0
+        |  FROM spine)
+        |SELECT sp2.bin AS bin,
+        |  CASE WHEN hi0 >= lo0 THEN lo0 END AS lo,
+        |  CASE WHEN hi0 >= lo0 THEN hi0 END AS hi,
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
-        |FROM spine LEFT JOIN cnt USING (bin)
+        |FROM sp2 LEFT JOIN cnt USING (bin)
         |ORDER BY bin""".stripMargin,
 
     // two-step integer quintiles mirrored exactly: pct_micro first
@@ -4525,12 +4592,19 @@ object SparkEntry {
         |spine AS (
         |  SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS bin,
         |         lo AS blo, hi AS bhi
-        |  FROM b)
-        |SELECT spine.bin AS bin,
-        |  CAST(blo + (bin * (bhi - blo + 1)) // 20 AS BIGINT) AS lo,
-        |  CAST(blo + ((bin + 1) * (bhi - blo + 1)) // 20 - 1 AS BIGINT) AS hi,
+        |  FROM b),
+        |sp2 AS (
+        |  SELECT bin,
+        |    CAST(blo + (bin * (bhi - blo + 1) + 19) // 20 AS BIGINT)
+        |      AS lo0,
+        |    CAST(blo + ((bin + 1) * (bhi - blo + 1) + 19) // 20 - 1
+        |      AS BIGINT) AS hi0
+        |  FROM spine)
+        |SELECT sp2.bin AS bin,
+        |  CASE WHEN hi0 >= lo0 THEN lo0 END AS lo,
+        |  CASE WHEN hi0 >= lo0 THEN hi0 END AS hi,
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
-        |FROM spine LEFT JOIN cnt USING (bin)
+        |FROM sp2 LEFT JOIN cnt USING (bin)
         |ORDER BY bin""".stripMargin,
 
     // calendar-framed ±3-day RANGE window over the daily contraction;
@@ -4554,7 +4628,8 @@ object SparkEntry {
         |FROM w ORDER BY day""".stripMargin,
 
     // same synthetic change batch; latest-wins via row_number over
-    // (seq DESC, D-flag DESC, op DESC); full outer + delete filter
+    // (seq DESC, D-flag DESC, op DESC, payload DESC NULLS LAST — the
+    // applyCdc total order); full outer + delete filter
     "q172_cdc_apply" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_acctbal FROM customer),
@@ -4571,7 +4646,8 @@ object SparkEntry {
         |latest AS (
         |  SELECT c_custkey, op, c_name, c_acctbal FROM (
         |    SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |      ORDER BY seq DESC, (op = 'D') DESC, op DESC) AS rk
+        |      ORDER BY seq DESC, (op = 'D') DESC, op DESC,
+        |        c_name DESC NULLS LAST, c_acctbal DESC NULLS LAST) AS rk
         |    FROM ch) WHERE rk = 1)
         |SELECT c_custkey,
         |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END
@@ -4636,8 +4712,10 @@ object SparkEntry {
         |FROM j, tot ORDER BY rule_idx""".stripMargin,
 
     // rare-shingle blocking replayed literally: df ranks, per-doc
-    // 8 rarest (df ≤ 64, ties by shingle string), candidate join,
-    // exact per-pair intersection over the capped universe
+    // 8 rarest (df ≤ 64, ties by shingle string) probing the FULL
+    // eligible posting lists (pick-vs-postings), candidates
+    // normalized (least, greatest), exact per-pair intersection over
+    // the capped universe
     "q175_containment_blocked" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -4654,8 +4732,10 @@ object SparkEntry {
         |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
         |      ORDER BY df, s) AS rk
         |    FROM uni WHERE df <= 64) WHERE rk <= 8),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |rall AS (SELECT doc_id, s FROM uni WHERE df <= 64),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS da,
+        |                greatest(a.doc_id, b.doc_id) AS db
+        |  FROM rare a JOIN rall b ON a.s = b.s AND a.doc_id <> b.doc_id),
         |inter AS (
         |  SELECT c.da, c.db, count(*) AS cnt FROM cand c
         |  JOIN uni ua ON ua.doc_id = c.da
@@ -4701,8 +4781,10 @@ object SparkEntry {
         |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
         |      ORDER BY df, s) AS rk
         |    FROM uni WHERE df <= 64) WHERE rk <= 8),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |rall AS (SELECT doc_id, s FROM uni WHERE df <= 64),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS da,
+        |                greatest(a.doc_id, b.doc_id) AS db
+        |  FROM rare a JOIN rall b ON a.s = b.s AND a.doc_id <> b.doc_id),
         |interb AS (
         |  SELECT c.da, c.db, count(*) AS cnt FROM cand c
         |  JOIN uni ua ON ua.doc_id = c.da
@@ -6313,7 +6395,7 @@ object SparkEntry {
         |  FROM embeddings),
         |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |c0 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id
-        |   LIMIT greatest(8, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT))),
+        |   LIMIT least(100000, greatest(8, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
         |s1 AS (
         |  SELECT en.id, en.v, c.c_id,
         |    round(CASE WHEN en.nrm * sqrt(list_dot_product(c.cv, c.cv)) = 0
@@ -6693,5 +6775,119 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_flagged
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // the full q123 CTE chain to the fused top-20, then the rerank
+    // tail: per-feature candidate probe, integer min-max to [0, 1e6]
+    // ((fv-lo)*1e6 // (hi-lo), constant feature -> 0), weighted sum
+    // contracted from contribution rows, rank ties on id
+    "q183_feature_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |hits AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |per AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM hits h JOIN dfq d USING (token) CROSS JOIN g),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+        |  FROM per GROUP BY doc_id
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+        |bmr AS (
+        |  SELECT doc_id AS id, row_number() OVER (
+        |    ORDER BY bm25_micro DESC, doc_id) AS rank
+        |  FROM bmtop),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cscored AS (
+        |  SELECT e.vec_id AS cid,
+        |         round(list_cosine_similarity(q0.qv, e.v), 6) AS cos_sim
+        |  FROM e, q0 WHERE e.vec_id <> 0),
+        |cosr AS (
+        |  SELECT cid AS id, rank FROM (
+        |    SELECT cid, row_number() OVER (
+        |      ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM cscored)
+        |  WHERE rank <= 100),
+        |u AS (
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS contrib
+        |  FROM bmr
+        |  UNION ALL
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) FROM cosr),
+        |f AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_rankers,
+        |         CAST(sum(contrib) AS BIGINT) AS rrf_micro
+        |  FROM u GROUP BY 1),
+        |fused AS (
+        |  SELECT id FROM (
+        |    SELECT id, row_number() OVER (
+        |      ORDER BY rrf_micro DESC, id) AS rank
+        |    FROM f) WHERE rank <= 20),
+        |bmf AS (SELECT fused.id, bm25_micro AS fv
+        |        FROM fused JOIN bmtop ON bmtop.doc_id = fused.id),
+        |bmb AS (SELECT min(fv) AS lo, max(fv) AS hi FROM bmf),
+        |cosf AS (SELECT fused.id,
+        |           CAST(round(cos_sim * 1e6, 0) AS BIGINT) AS fv
+        |         FROM fused JOIN cosr ON cosr.id = fused.id
+        |         JOIN cscored ON cscored.cid = fused.id),
+        |cosb AS (SELECT min(fv) AS lo, max(fv) AS hi FROM cosf),
+        |lenf AS (SELECT fused.id, dl AS fv
+        |         FROM fused JOIN base ON base.doc_id = fused.id),
+        |lenb AS (SELECT min(fv) AS lo, max(fv) AS hi FROM lenf),
+        |contrib AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS c FROM fused
+        |  UNION ALL
+        |  SELECT id, 50 * coalesce(
+        |    (fv - lo) * 1000000 // nullif(hi - lo, 0), 0) FROM bmf, bmb
+        |  UNION ALL
+        |  SELECT id, 30 * coalesce(
+        |    (fv - lo) * 1000000 // nullif(hi - lo, 0), 0) FROM cosf, cosb
+        |  UNION ALL
+        |  SELECT id, 20 * coalesce(
+        |    (fv - lo) * 1000000 // nullif(hi - lo, 0), 0) FROM lenf, lenb),
+        |rr AS (SELECT id, CAST(sum(c) AS BIGINT) AS rerank_micro
+        |       FROM contrib GROUP BY 1)
+        |SELECT id, rerank_micro, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY rerank_micro DESC, id) AS BIGINT) AS rank
+        |  FROM rr)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // the greedy horizon chain replayed as a recursive CTE: f(t) from
+    // the same per-key RANGE window, anchors = orbit of each key's
+    // first event under f
+    "q184_horizon_dedup" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT DISTINCT user_id AS k,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |fm AS (
+        |  SELECT k, t, min(t) OVER (PARTITION BY k ORDER BY t
+        |    RANGE BETWEEN 21601 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM ev),
+        |chain AS (
+        |  SELECT k, min(t) AS t FROM ev GROUP BY k
+        |  UNION ALL
+        |  SELECT fm.k, fm.nxt AS t FROM chain
+        |  JOIN fm ON fm.k = chain.k AND fm.t = chain.t
+        |  WHERE fm.nxt IS NOT NULL)
+        |SELECT k AS user_id, t AS ep FROM chain ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -241,6 +241,81 @@ object Dedup {
       .join(seen.select(col("text_hash")), Seq("text_hash"), "left_anti")
   }
 
+  /** Batch twin of Structured Streaming's `dropDuplicatesWithinWatermark`
+    * (cf. [[graft.stream.Sessionize.dedupWithinWatermark]]): per key,
+    * GREEDY anchor selection over event time — the first event is
+    * kept, every event within `horizonSec` of the last KEPT event is
+    * dropped, and the first event beyond the horizon is kept and
+    * becomes the new anchor. This is the strongest deterministic
+    * refinement of the streaming contract ("two duplicates closer
+    * than the delay never both survive"), so a batch backfill
+    * produces a superset-free, replayable baseline the streaming path
+    * converges to. Returns the surviving (keyCols..., tsCol) rows;
+    * re-attach payloads by joining back and electing a representative
+    * (the applyCdc total-order convention).
+    *
+    * The greedy chain is a prefix-dependent recurrence no single
+    * window pass can express. It IS one window pass + pointer
+    * DOUBLING (the q43 connected-components discipline): a
+    * per-key RANGE window computes f(t) = the first event past
+    * t + horizon, and the kept set is the orbit of each key's first
+    * event under f — grown as R ← R ∪ f^(2ⁱ)(R) while squaring
+    * f^(2ⁱ) ← f^(2ⁱ)∘f^(2ⁱ), which reaches chains of length L in
+    * ⌈log₂ L⌉ rounds, not L.
+    *
+    * Scale: the input contracts to distinct (key, ts) before
+    * anything iterates; every round is two equi-joins on (key, ts)
+    * over that contraction plus one count action, each round's
+    * frames localCheckpoint'd to cut lineage (the connected-
+    * components discipline). Horizon state never exists as rows —
+    * the RANGE frame reads it off the sort order map-side. */
+  def dedupWithinHorizon(df: DataFrame, keyCols: Seq[String],
+                         tsCol: String, horizonSec: Long): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinHorizon needs key columns")
+    require(horizonSec >= 0, "horizon must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val lvl = StorageLevel.MEMORY_AND_DISK_SER
+    val ev = df.select(struct(keyCols.map(col): _*).as("_k"),
+        col(tsCol).cast("long").as("_t"))
+      .distinct()
+    val fw = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      .rangeBetween(horizonSec + 1, Window.unboundedFollowing)
+    // f(t): first event strictly past the horizon of t (null at chain end)
+    var m = ev.withColumn("_nxt", min(col("_t")).over(fw))
+      .localCheckpoint(true, lvl)
+    var reach = ev.groupBy(col("_k")).agg(min(col("_t")).as("_t"))
+      .localCheckpoint(true, lvl)
+    var size = reach.count()
+    var grown = true
+    var rounds = 0
+    while (grown && rounds < 64) { // 64 ⇒ chains to 2⁶⁴ — unreachable
+      val stepped = reach.join(m, Seq("_k", "_t"))
+        .filter(col("_nxt").isNotNull)
+        .select(col("_k"), col("_nxt").as("_t"))
+      val next = reach.unionAll(stepped).distinct()
+        .localCheckpoint(true, lvl)
+      val nextSize = next.count()
+      grown = nextSize > size
+      if (grown) {
+        reach = next
+        size = nextSize
+        // square the jump map: f^(2i)(t) = f^i(f^i(t))
+        m = m.as("x").join(
+            m.select(col("_k").as("_k2"), col("_t").as("_t2"),
+              col("_nxt").as("_n2")).as("y"),
+            col("x._k") === col("_k2") && col("x._nxt") === col("_t2"),
+            "left")
+          .select(col("x._k").as("_k"), col("x._t").as("_t"),
+            col("_n2").as("_nxt"))
+          .localCheckpoint(true, lvl)
+      }
+      rounds += 1
+    }
+    reach.select(keyCols.map(k => col(s"_k.$k").as(k)) :+
+      col("_t").as(tsCol): _*)
+  }
+
   // ===== exact n-gram Jaccard ==============================================
 
   /** Capped posting lists of the word-3-gram inverted index: one row
@@ -399,14 +474,25 @@ object Dedup {
     * τ·|A| of its shingles with B — so unless A's k RAREST shingles
     * all fall in its un-shared (1−τ) tail, at least one rare shingle
     * of A is also in B, and the pair surfaces from a join keyed on
-    * rare shingles. Rarity makes the join bounded: blocking shingles
-    * are restricted to global document frequency ≤ `maxDf`, so a
-    * blocking key fans out to ≤ maxDf docs (≤ maxDf² pairs), and each
-    * doc contributes only its `kRare` rarest (ties broken by the
-    * shingle string — deterministic). A doc whose every shingle is
-    * commoner than maxDf (pure boilerplate) gets no candidates —
-    * those are the exact-dup/boilerplate tier's job, not a
-    * containment screen's.
+    * rare shingles. The candidate join is PICK-vs-POSTINGS, not
+    * pick-vs-pick: each doc's `kRare` rarest shingles (ties broken by
+    * the shingle string — deterministic) probe the FULL posting lists
+    * of blocking-eligible shingles (global document frequency ≤
+    * `maxDf`), so a pair (A ⊆ B) surfaces whenever ANY of A's picks
+    * is present in B at all — B's own picks are irrelevant. (A
+    * pick-vs-pick self-join would silently drop pairs whose shared
+    * rare shingle falls outside the longer doc's top-kRare list.)
+    * Rarity keeps the join bounded: a blocking key fans out to ≤
+    * maxDf postings on the probe side, so each pick generates ≤ maxDf
+    * candidates and a doc generates ≤ kRare·maxDf. The residual
+    * recall gap is exactly: pairs where ALL kRare of the smaller
+    * doc's rarest eligible shingles fall in its un-shared tail, whose
+    * size is < (1−τ)·|A| — vanishing for τ near 1 or kRare large
+    * relative to (1−τ)·|A|, and measured (not assumed) by the q176
+    * gate, which hard-fails below its floor. A doc whose every
+    * shingle is commoner than maxDf (pure boilerplate) gets no
+    * candidates — those are the exact-dup/boilerplate tier's job, not
+    * a containment screen's.
     *
     * Verification is EXACT on the candidates (per-pair intersection
     * via an id-then-(id, shingle) join — volume Σ_pairs |A|, linear
@@ -435,9 +521,16 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("_df"), col("sh"))))
       .filter(col("_rk") <= kRare)
       .select(col("sh"), col("id"))
-    val cand = rare.as("ra").join(rare.as("rb"),
-        col("ra.sh") === col("rb.sh") && col("ra.id") < col("rb.id"))
-      .select(col("ra.id").as("a"), col("rb.id").as("b"))
+    // probe side: FULL posting lists of eligible shingles (not the
+    // per-doc picks) — the pick-vs-postings shape the scaladoc
+    // guarantee requires; pairs normalized (least, greatest) so a hit
+    // from either direction dedups to one candidate
+    val rareAll = uni.filter(col("_df") <= maxDf)
+      .select(col("sh"), col("id"))
+    val cand = rare.as("ra").join(rareAll.as("rb"),
+        col("ra.sh") === col("rb.sh") && col("ra.id") =!= col("rb.id"))
+      .select(least(col("ra.id"), col("rb.id")).as("a"),
+        greatest(col("ra.id"), col("rb.id")).as("b"))
       .distinct()
     val inter = cand
       .join(uni.select(col("id").as("a"), col("sh")), Seq("a"))

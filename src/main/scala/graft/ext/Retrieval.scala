@@ -44,4 +44,61 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .orderBy(col("rank"))
   }
+
+  /** Second-stage feature rerank over a fused candidate list — the
+    * cross-encoder SLOT of a retrieve-then-rerank stack with a
+    * deterministic linear scorer standing in for the model (no model
+    * runtime in this environment; the Spark-side plumbing — candidate
+    * join, per-feature normalization, weighted fusion, re-rank — is
+    * the real, tested part; swap the scorer for a batched model UDF
+    * without touching the shape). Each feature is an INTEGER column
+    * keyed by id (quantize first — the repo convention); features are
+    * min-max normalized to [0, 10⁶] OVER THE CANDIDATE SET (integer
+    * floor division, so reranking is scale-free like RRF but keeps
+    * score MAGNITUDE information RRF throws away), then summed with
+    * integer weights. A candidate missing from a feature frame
+    * contributes 0 for it (the RRF missing-id convention); a feature
+    * constant across candidates normalizes to 0 for all.
+    *
+    * Determinism: all-integer pipeline — (f − lo)·10⁶ div (hi − lo)
+    * is exact and reduce-order-free; ties break on id. Feature span
+    * must fit (hi − lo)·10⁶ in int64: span < 9·10¹².
+    *
+    * Scale: candidates are a top-K list (K ~ 10¹-10²) materialized
+    * once (several consumers — one probe per feature); each feature
+    * frame is probed by a BROADCAST candidate join (the corpus-sized
+    * work stays inside the feature producers), bounds are a 1-row
+    * broadcast back, and the final rank window runs over the
+    * ≤ (features+1)·K contribution rows contracted by one hash
+    * aggregate — the rrf plan shape exactly. */
+  def featureRerank(candidates: DataFrame,
+                    features: Seq[(DataFrame, String, Long)],
+                    topK: Int = 10,
+                    idCol: String = "id"): DataFrame = {
+    require(features.nonEmpty, "featureRerank needs at least one feature")
+    import org.apache.spark.storage.StorageLevel
+    val cand = candidates.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val zero = cand.select(col("id"), lit(0L).as("contrib"))
+    val contribs = features.map { case (f, featCol, weight) =>
+      val fj = f.select(col(idCol).as("id"),
+          col(featCol).cast("long").as("f"))
+        .join(broadcast(cand), Seq("id"))
+      val b = fj.agg(min(col("f")).as("_lo"), max(col("f")).as("_hi"))
+      // LEFT against the 1-row bounds frame per the empty-frame
+      // convention (cf. Scd.asOf): zero candidates with this feature
+      // must yield zero rows, not annihilate the plan
+      fj.join(broadcast(b), lit(true), "left")
+        .select(col("id"),
+          (lit(weight) * coalesce(
+            expr("(f - _lo) * 1000000 div nullif(_hi - _lo, 0)"),
+            lit(0L))).as("contrib"))
+    }
+    val scored = (zero +: contribs).reduce(_.unionAll(_))
+      .groupBy(col("id")).agg(sum(col("contrib")).as("rerank_micro"))
+    val w = Window.orderBy(col("rerank_micro").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy(col("rank"))
+  }
 }

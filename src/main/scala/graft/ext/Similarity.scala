@@ -241,12 +241,23 @@ object Similarity {
     * this count formula.
     *
     * Deterministic in the corpus ROW COUNT only, so a cross-engine
-    * oracle reproduces it as `greatest(floor, ceil(4·sqrt(count(*))))`
+    * oracle reproduces it as
+    * `least(100000, greatest(floor, ceil(4·sqrt(count(*)))))`
     * — both engines take IEEE-double sqrt of an exact integer, the ×4
     * is exact (power of two), and ceil of a perfect-square sqrt is
-    * exact in IEEE 754, so the counts can never disagree. */
+    * exact in IEEE 754, so the counts can never disagree.
+    *
+    * Capped at [[MaxCentroids]] = 10⁵ — the ivfAssign driver-model
+    * ceiling (≈500 MB of centroid floats at dim=512). √n sizing hits
+    * the cap at n ≈ 6·10⁸ with mult=4; beyond it cells simply grow, or
+    * switch to two-level IVF (see [[ivfAssign]]'s scale note). */
   def autoCentroids(n: Long, floor: Int = 16, mult: Int = 4): Int =
-    math.max(floor, math.ceil(mult * math.sqrt(n.toDouble)).toInt)
+    math.min(MaxCentroids,
+      math.max(floor, math.ceil(mult * math.sqrt(n.toDouble)).toInt))
+
+  /** Hard cap on any driver-collected centroid model — see
+    * [[autoCentroids]] and [[ivfAssign]]. */
+  val MaxCentroids: Int = 100000
 
   /** IVF (inverted-file) index: `nCentroids` seed centroids picked
     * deterministically (smallest ids — at corpus scale swap in a k-means
@@ -266,7 +277,15 @@ object Similarity {
     * ([[graft.functions.IvfTopCentroids]] — the MLlib-KMeans
     * broadcast-model shape). That collect is BOUNDED by construction:
     * √n centroids × dim ≈ 16 MB at 10⁹ vectors — a model, not data
-    * (the one sanctioned driver-collect class). Each vector is then
+    * (the one sanctioned driver-collect class). DRIVER-MODEL CEILING:
+    * the allowance is 10⁵ centroids ≈ 500 MB of driver heap at
+    * dim=512 float64 (√n sizing reaches it at n = 10¹⁰ vectors) —
+    * past that, CAP nCentroids at 10⁵ and accept larger cells, or go
+    * two-level IVF (√(√n)-way coarse quantizer assigns to a shard,
+    * each shard trains its own √-sized fine codebook — both levels
+    * stay inside the allowance at any realistic n). Callers that size
+    * adaptively (q34's √n) must clamp with `math.min(1e5.toInt, …)`
+    * once corpora approach 10¹⁰. Each vector is then
     * scored in ONE projection with no per-(vector, centroid) row: the
     * previous broadcast-join + map-side-argmax formulation was
     * semantically identical but materialized n × nCentroids joined

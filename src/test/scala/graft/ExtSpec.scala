@@ -169,6 +169,37 @@ class ExtSpec extends SparkSpec {
     assert(got.values.sum === 17L)
   }
 
+  test("dedupWithinHorizon: greedy anchors, inclusive horizon, " +
+      "per-key chains, doubling reaches long chains") {
+    import graft.ext.Dedup
+    // key a, horizon 10: keep 0; drop 5, 10 (≤ 0+10); keep 11; drop 21
+    // (≤ 11+10, the INCLUSIVE boundary); keep 40. key b independent.
+    val ev = Seq(("a", 0L), ("a", 5L), ("a", 10L), ("a", 11L),
+      ("a", 21L), ("a", 40L), ("b", 100L), ("b", 105L))
+      .toDF("k", "t")
+    val got = Dedup.dedupWithinHorizon(ev, Seq("k"), "t", 10L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 0L), ("a", 11L), ("a", 40L),
+      ("b", 100L)))
+    // duplicate (key, ts) rows contract before the chain
+    val dup = Seq(("a", 0L), ("a", 0L), ("a", 30L)).toDF("k", "t")
+    assert(Dedup.dedupWithinHorizon(dup, Seq("k"), "t", 10L)
+      .count() === 2L)
+    // a 21-anchor chain needs 5 doubling rounds (2^5 > 21), not 21
+    val long = (0L to 20L).map(i => ("c", i * 11L)).toDF("k", "t")
+    val lg = Dedup.dedupWithinHorizon(long, Seq("k"), "t", 10L)
+      .orderBy("t").collect().map(_.getLong(1))
+    assert(lg.toSeq === (0L to 20L).map(_ * 11L))
+    // composite key: chains are per (k1, k2)
+    val comp = Seq(("a", 1L, 0L), ("a", 2L, 5L), ("a", 1L, 5L))
+      .toDF("k1", "k2", "t")
+    val cg = Dedup.dedupWithinHorizon(comp, Seq("k1", "k2"), "t", 10L)
+      .orderBy("k2", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cg.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 5L)))
+  }
+
   test("blocked containment recalls the exact pairs on the fixture corpus") {
     // the planted subset pair from the containment test must surface
     // through rare-shingle blocking with the identical score
@@ -188,7 +219,10 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     val recall = (exact & blocked).size.toDouble / exact.size
-    assert(recall >= 0.8, s"blocked containment recall $recall too low")
+    // pick-vs-postings blocking: a pair escapes only when ALL kRare of
+    // the smaller doc's rarest eligible shingles fall in its unshared
+    // tail — hold the same 0.95 floor the q176 verify gate hard-fails
+    assert(recall >= 0.95, s"blocked containment recall $recall too low")
     // exact-verify property: no false positives relative to exact
     assert((blocked -- exact).isEmpty,
       "blocked emitted a pair the exact screen rejects")

@@ -30,4 +30,30 @@ class RetrievalSpec extends SparkSpec {
     assert(got.length === 5)
     assert(got.map(_.getLong(0)).toSeq === (1L to 5L))
   }
+
+  test("featureRerank: integer min-max per feature, missing = 0, " +
+      "constant feature = 0, ties on id") {
+    val cand = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // f1 spans [10, 30]: norms 0 / 500000 / 1000000; id 4 missing → 0
+    val f1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "s")
+    // f2 constant over candidates → all norms 0 (hi == lo)
+    val f2 = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)).toDF("id", "s")
+    val got = Retrieval.featureRerank(cand,
+        Seq((f1, "s", 2L), (f2, "s", 5L)), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (3L, 2000000L, 1L), (2L, 1000000L, 2L),
+      (1L, 0L, 3L), (4L, 0L, 4L))) // 0-score tie → lower id first
+  }
+
+  test("featureRerank: non-candidate feature rows are ignored") {
+    val cand = Seq(1L, 2L).toDF("id")
+    // id 99 would widen the bounds to [0, 100] if not excluded
+    val f = Seq((1L, 40L), (2L, 60L), (99L, 0L), (98L, 100L))
+      .toDF("id", "s")
+    val got = Retrieval.featureRerank(cand, Seq((f, "s", 1L)), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounds over candidates only: [40, 60] → 0 and 1e6
+    assert(got.toSeq === Seq((2L, 1000000L), (1L, 0L)))
+  }
 }
