@@ -1937,6 +1937,32 @@ object SparkEntry {
             expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").as("ep")),
           Seq("user_id"), "ep", horizonSec = 21600L)
         .orderBy(col("user_id"), col("ep"))),
+
+    // ===== IVF-blocked ADC top-k (the IndexIVFPQ shape) ===============
+    // q34's cell blocking × q177's compressed scoring: queries rank
+    // only their 4 probed cells' vectors, by the same 16×32-codebook
+    // integer LUT — the sub-linear + compressed 100 TB ANN plan
+    "q185_ivfpq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
+        iters = 1)
+    }),
+
+    // ===== IVF-ADC blocking-loss gate =================================
+    // q185's recall against the FLAT ADC scan (q177) — isolates the
+    // cell-boundary truncation from quantization loss, which q178
+    // already measures
+    "q186_ivfpq_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.pqAdcTopK(emb, q, k = 5,
+          m = 16, dsub = 4, kCodes = 32, iters = 1),
+        Similarity.ivfPqTopK(emb, q, k = 5,
+          nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
+          iters = 1))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -6889,5 +6915,211 @@ object SparkEntry {
         |  JOIN fm ON fm.k = chain.k AND fm.t = chain.t
         |  WHERE fm.nxt IS NOT NULL)
         |SELECT k AS user_id, t AS ep FROM chain ORDER BY 1, 2""".stripMargin,
+
+    // q177's full PQ training replay + q34's IVF cell/probe blocks;
+    // candidates filtered to probed cells BEFORE the code join, then
+    // the same integer LUT tail
+    "q185_ivfpq" ->
+      """WITH e0 AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |e AS (SELECT id, v0 AS v FROM e0),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 32),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub)),
+        |codes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |qsubs AS (SELECT id AS qid, sub, sv FROM subs WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS dm
+        |  FROM qsubs q JOIN c1 c USING (sub)),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT qid, c_id FROM (
+        |    SELECT q.qid, ivc.c_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 4),
+        |cand AS (SELECT p.qid, cl.id FROM probes p
+        |         JOIN cells cl ON cl.c_id = p.c_id),
+        |ad AS (
+        |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co
+        |  JOIN cand ON cand.id = co.id
+        |  JOIN lut l ON l.qid = cand.qid AND l.sub = co.sub
+        |            AND l.c_id = co.code
+        |  WHERE cand.qid <> co.id
+        |  GROUP BY 1, 2)
+        |SELECT qid, cid, adist, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM ad)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q185 training/blocking CTEs, both the FLAT and the BLOCKED
+    // ADC rankings, then the q178 recall tail (flat scan = reference)
+    "q186_ivfpq_recall" ->
+      """WITH e0 AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |e AS (SELECT id, v0 AS v FROM e0),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 32),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub)),
+        |codes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |qsubs AS (SELECT id AS qid, sub, sv FROM subs WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS dm
+        |  FROM qsubs q JOIN c1 c USING (sub)),
+        |adf AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id
+        |  GROUP BY 1, 2),
+        |flat AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adf)
+        |  WHERE rank <= 5),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT qid, c_id FROM (
+        |    SELECT q.qid, ivc.c_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 4),
+        |cand AS (SELECT p.qid, cl.id FROM probes p
+        |         JOIN cells cl ON cl.c_id = p.c_id),
+        |adb AS (
+        |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co
+        |  JOIN cand ON cand.id = co.id
+        |  JOIN lut l ON l.qid = cand.qid AND l.sub = co.sub
+        |            AND l.c_id = co.code
+        |  WHERE cand.qid <> co.id
+        |  GROUP BY 1, 2),
+        |blocked AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adb)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT flat.qid, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM flat JOIN blocked USING (qid, cid) GROUP BY 1),
+        |ne AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM flat GROUP BY 1)
+        |SELECT ne.qid, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
+        |    AS recall
+        |FROM ne LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
   )
 }

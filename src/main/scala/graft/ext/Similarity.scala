@@ -830,6 +830,96 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-blocked ADC top-k search — [[ivfTopK]]'s cell blocking
+    * composed with [[pqAdcTopK]]'s compressed scoring (the FAISS
+    * `IndexIVFPQ` shape, Jégou et al. TPAMI 2011 §V, minus residual
+    * encoding: codes are trained on the raw vectors so one codebook
+    * serves both the flat and the blocked scan, and the q177/q185
+    * oracles share one training replay — residual PQ buys recall at
+    * the cost of a per-cell-recentred trajectory; documented
+    * trade-off, not an oversight). Queries rank ONLY the vectors in
+    * their `nProbe` nearest cells, by the same exact integer-micro²
+    * LUT sums as the flat scan.
+    *
+    * Determinism: cell assignment and probe choice replay ivfTopK's
+    * 6-dp-rounded cosine with smallest-centroid-id ties; LUT and ADC
+    * sums are pqAdcTopK's exact integers; ranking ties on candidate
+    * id.
+    *
+    * Scale: THE 100 TB ANN shape — sub-linear candidate generation
+    * (nProbe/nCentroids of the corpus) × compressed per-candidate
+    * cost (m one-byte codes off a broadcast LUT, never the floats).
+    * The cell filter runs BEFORE the ×m code expansion (an equi-join
+    * of the id→cell contraction against the broadcast probe list), so
+    * unprobed cells never produce code rows; the per-(query, cand)
+    * m-term sum collapses map-side exactly as in pqAdcTopK. Recall
+    * loss vs the flat scan is cell-boundary truncation — measure with
+    * [[recallAtK]] against [[pqAdcTopK]] (isolating blocking loss)
+    * or [[bruteTopK]] (total loss), the q178 pattern. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, dsub: Int = 8, kCodes: Int = 8,
+                iters: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (subs, cents) = pqCore(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      m, dsub, kCodes, iters)
+    val codes = pqAssignCore(subs, cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+    val cells = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+      .select(col("id"), col("centroid_id"))
+    // probe choice: ivfTopK's block verbatim (6-dp cosine, ties on c_id)
+    val centroids = corpus
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(col("c_id")).limit(nCentroids)
+    val q = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cdenom = col("qn") * col("cn")
+    val csim = when(cdenom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / cdenom)
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("_csim").desc, col("c_id"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("_csim", round(csim, 6))
+      .withColumn("_crk", row_number().over(cw))
+      .filter(col("_crk") <= nProbe)
+      .select(col("qid"), col("c_id").as("centroid_id"))
+    // LUT: pqAdcTopK's exact integer micro² entries (n_q·m·k rows)
+    val qsubs = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("v"))
+      .select(col("qid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    val lut = qsubs.join(broadcast(cents), "sub")
+      .select(col("qid").as("lqid"), col("sub").as("lsub"),
+        col("c_id").as("lcode"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("dm"))
+    // cell filter FIRST (id→cell vs broadcast probes), THEN the ×m
+    // code expansion — unprobed cells never produce code rows
+    val cand = cells.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("id"))
+    val adist = codes.join(cand, Seq("id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("sub") === col("lsub") &&
+          col("code") === col("lcode"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("dm")).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("cid"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-label embedding outliers: the `k` vectors per label FURTHEST
     * (lowest cosine) from their own label's centroid — the
     * embedding-space quality filter of a labeled training set (CLIP-

@@ -37,10 +37,12 @@ class EntrySpec extends SparkSpec {
   // ranking the PQ/ADC recall is measured against — over a 10-vector
   // broadcast query sample (bounded by the sample, never the corpus).
   // q183 reranks q123's fusion and inherits its single-query-vector
-  // cosine ranking (the same one-broadcast-row scan).
+  // cosine ranking (the same one-broadcast-row scan). q185/q186
+  // inherit q34's probe block — the broadcast crossJoin against the
+  // LIMIT-nCentroids frame (a bounded model, never the corpus).
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf",
     "q122_ann_recall", "q123_rrf_fusion", "q178_pq_recall",
-    "q183_feature_rerank")
+    "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -253,6 +253,34 @@ class ExtSpec extends SparkSpec {
     adc.unpersist()
   }
 
+  test("IVF-blocked ADC: candidates stay in probed cells, results are " +
+      "a subset-ranking of the flat scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val blocked = Similarity.ivfPqTopK(emb, q, k = 5,
+      nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
+      iters = 1).cache()
+    val rows = blocked.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // per-query ranks are contiguous from 1 (cells can hold < k
+    // candidates, so a query may return fewer than k rows)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    // blocked results carry the SAME adist the flat scan assigns —
+    // blocking filters candidates, it never changes scores
+    val flat = Similarity.pqAdcTopK(emb, q, k = Int.MaxValue,
+        m = 16, dsub = 4, kCodes = 32, iters = 1)
+      .select(col("qid"), col("cid"), col("adist").as("flat_adist"))
+    val joined = blocked.join(flat, Seq("qid", "cid"))
+    assert(joined.count() === rows.length.toLong,
+      "a blocked result is missing from the flat ranking")
+    assert(joined.filter(col("adist") =!= col("flat_adist")).count() === 0L,
+      "blocking changed an ADC score")
+    blocked.unpersist()
+  }
+
   test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.jaccardPairs(real, 0.5).collect()

@@ -241,6 +241,47 @@ class SessionizeSpec extends SparkSpec {
     assert(spark.table(name).count() === 2)
   }
 
+  test("dropDuplicatesWithinWatermark survivors are a subset of the " +
+      "batch twin's (greedy horizon anchors)") {
+    // The streaming contract: duplicates closer than the delay NEVER
+    // both survive; state may outlive the delay (up to watermark lag),
+    // so streaming may drop MORE. The batch twin (dedupWithinHorizon)
+    // drops EXACTLY the within-horizon events — so stream-survivors ⊆
+    // twin-survivors, and both always keep each key's first event.
+    def ts(s: Long) = new java.sql.Timestamp(1735725600000L + s * 1000L)
+    val d = 10L // seconds, both the streaming delay and batch horizon
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val name = s"deduptwin_${System.nanoTime()}"
+    val q = Sessionize.dedupWithinWatermark(
+        input.toDF().toDF("k", "ts", "v"), Seq("k"),
+        watermark = s"$d seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(Seq((1L, ts(0), 1.0), (1L, ts(5), 1.0))) // dup < d
+      q.processAllAvailable()
+      // 25 s: past the horizon of 0, but state for key 1 is still live
+      // (watermark −5 s < expiry 10 s) → streaming drops, twin keeps
+      input.addData(Seq((1L, ts(25), 1.0)))
+      q.processAllAvailable()
+      // 100 s: state evicted (watermark 15 s > expiry) → both keep
+      input.addData(Seq((1L, ts(100), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => r.getTimestamp(1).getTime / 1000).toSet
+    val batch = Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(25)), (1L, ts(100)))
+      .toDF("k", "ts")
+      .select(col("k"), (col("ts").cast("long")).as("ep"))
+    val twin = graft.ext.Dedup
+      .dedupWithinHorizon(batch, Seq("k"), "ep", d)
+      .collect().map(_.getLong(1)).toSet
+    val base = 1735725600L
+    assert(twin === Set(base, base + 25, base + 100)) // 5 s dup dropped
+    assert(streamed.subsetOf(twin))
+    assert(streamed.contains(base)) // first event survives both paths
+  }
+
   test("built-in session_window streams with a watermark and matches batch") {
     import org.apache.spark.sql.functions._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
