@@ -24,6 +24,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** q174's registered shutdown-delete hooks, one per output path per
+    * JVM (bench iterations re-invoke the query lambda). */
+  private val orcRtHooked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** TPC-H-style revenue expression used in several queries. */
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
@@ -885,12 +890,15 @@ object SparkEntry {
       // (or read from) each other's round-trip output
       val out = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_" +
         Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      // one hook per path per JVM — bench iterations re-invoke this
+      // lambda and must not pile up duplicate hook threads
+      if (orcRtHooked.putIfAbsent(out, java.lang.Boolean.TRUE) == null)
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(out))
         }
-        rm(new java.io.File(out))
-      }
       graft.io.Sinks.orcDir(lineitem(s, d).select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity"), col("l_extendedprice")), out)
       graft.io.Sources.orcDir(s, out)
@@ -1902,15 +1910,22 @@ object SparkEntry {
     // doc-length) integer features at weights 50/30/20
     "q183_feature_rerank" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
       val docs = documents(s, d)
+      // the two first-stage rankers are ≤100-row frames with TWO
+      // consumers each (the fusion and the feature probe) — without
+      // the materialization featureRerank's eager candidate
+      // checkpoint replays both corpus scans a second time
       val bm = T.bm25TopK(docs,
-        terms = Seq("spark", "join", "vector"), k = 100)
+          terms = Seq("spark", "join", "vector"), k = 100)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val bmRank = bm.withColumn("rank", row_number().over(
           Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
         .select(col("doc_id").as("id"), col("rank"))
       val emb = embeddings(s, d)
       val cosTop = Similarity.bruteTopK(emb,
-        emb.filter(col("vec_id") === 0), k = 100)
+          emb.filter(col("vec_id") === 0), k = 100)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val fused = Retrieval.rrf(
         Seq(bmRank, cosTop.select(col("cid").as("id"), col("rank"))),
         c = 60, topK = 20)

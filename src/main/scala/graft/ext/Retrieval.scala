@@ -58,7 +58,9 @@ object Retrieval {
     * score MAGNITUDE information RRF throws away), then summed with
     * integer weights. A candidate missing from a feature frame
     * contributes 0 for it (the RRF missing-id convention); a feature
-    * constant across candidates normalizes to 0 for all.
+    * frame with multiple rows per id contracts to max(f) (enforced —
+    * duplicates would otherwise skew bounds and double-count); a
+    * feature constant across candidates normalizes to 0 for all.
     *
     * Determinism: all-integer pipeline — (f − lo)·10⁶ div (hi − lo)
     * is exact and reduce-order-free; ties break on id. Feature span
@@ -81,9 +83,13 @@ object Retrieval {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val zero = cand.select(col("id"), lit(0L).as("contrib"))
     val contribs = features.map { case (f, featCol, weight) =>
+      // contract to ONE row per candidate id (max — deterministic,
+      // order-free): a feature frame that wasn't pre-aggregated would
+      // otherwise skew the bounds AND double-count contributions
       val fj = f.select(col(idCol).as("id"),
           col(featCol).cast("long").as("f"))
         .join(broadcast(cand), Seq("id"))
+        .groupBy(col("id")).agg(max(col("f")).as("f"))
       val b = fj.agg(min(col("f")).as("_lo"), max(col("f")).as("_hi"))
       // LEFT against the 1-row bounds frame per the empty-frame
       // convention (cf. Scd.asOf): zero candidates with this feature

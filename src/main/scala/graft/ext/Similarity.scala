@@ -312,6 +312,36 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"), col("centroid_id"))
   }
 
+  /** Per-query probe selection shared by [[ivfTopK]] and
+    * [[ivfPqTopK]] — rank the nCentroids smallest-id seed centroids
+    * per query by 6-dp-rounded cosine (the ivfAssign reproducibility
+    * convention: probe choice must replay bit-for-bit in the
+    * cross-engine oracle; ties on c_id) and keep nProbe. ONE shared
+    * body so a rounding/tie change can never desynchronize the exact
+    * and compressed scans. Returns (qid, qv, qn, centroid_id). */
+  private def ivfProbes(corpus: DataFrame, queries: DataFrame,
+                        nCentroids: Int, nProbe: Int,
+                        idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(col("c_id")).limit(nCentroids)
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cdenom = col("qn") * col("cn")
+    val csim = when(cdenom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / cdenom)
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("_csim").desc, col("c_id"))
+    q.join(broadcast(centroids), lit(true))
+      .withColumn("_csim", round(csim, 6))
+      .withColumn("_crk", row_number().over(cw))
+      .filter(col("_crk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"),
+        col("c_id").as("centroid_id"))
+  }
+
   /** IVF approximate top-k: rank centroids per query, probe the
     * `nProbe` nearest centroid buckets, exact cosine re-rank inside the
     * probed buckets only. The candidate join is an equi-join on
@@ -323,24 +353,8 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
-    val centroids = corpus
-      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .orderBy(col("c_id")).limit(nCentroids)
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    // rank centroids per query, keep nProbe
-    val cdenom = col("qn") * col("cn")
-    val csim = when(cdenom === 0.0, 0.0)
-      .otherwise(dot(col("qv"), col("cv")) / cdenom)
-    val cw = Window.partitionBy(col("qid")).orderBy(col("_csim").desc, col("c_id"))
-    // 6 dp rounding before ranking, like ivfAssign: probe choice must be
-    // reproducible bit-for-bit by the cross-engine oracle
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("_csim", round(csim, 6))
-      .withColumn("_crk", row_number().over(cw))
-      .filter(col("_crk") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), col("c_id").as("centroid_id"))
+    val probes = ivfProbes(corpus, queries, nCentroids, nProbe,
+      idCol, vecCol)
     // candidates = vectors in probed buckets; exact re-rank
     val denom = col("qn") * col("nrm")
     val sim = when(denom === 0.0, 0.0)
@@ -765,6 +779,33 @@ object Similarity {
         struct(col("_d"), col("c_id"))).as("best"))
   }
 
+  /** Per-(query, subspace, codeword) ADC lookup table shared by
+    * [[pqAdcTopK]] and [[ivfPqTopK]]: exact integer micro² squared
+    * distances — every element pinned to a BIGINT micro via
+    * `floor(x·1e6 + 0.5)` BEFORE any arithmetic (bit-identical across
+    * engines; a 6-dp `round` here flipped boundary values downstream
+    * of differently-accumulated norms), so the per-pair m-term sum is
+    * order-free. ONE shared body so a quantization change can never
+    * desynchronize the flat and blocked scans. The HOF runs
+    * interpreted, but only over the n_q·m·k LUT rows (kilobytes).
+    * Returns (qid, sub, c_id, dm). */
+  private def pqLut(queries: DataFrame, cents: DataFrame,
+                    m: Int, dsub: Int,
+                    idCol: String, vecCol: String): DataFrame = {
+    val qsubs = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("v"))
+      .select(col("qid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    qsubs.join(broadcast(cents), "sub")
+      .select(col("qid"), col("sub"), col("c_id"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("dm"))
+  }
+
   /** Flat-PQ ADC top-k search (FAISS `IndexPQ` semantics, Jégou et al.
     * TPAMI 2011 §IV): vectors are PQ-encoded to `m` codes, and each
     * query ranks the corpus by an Asymmetric L2 Distance — the sum
@@ -804,20 +845,7 @@ object Similarity {
       m, dsub, kCodes, iters)
     val codes = pqAssignCore(subs, cents)
       .select(col("id"), col("sub"), col("best.c_id").as("code"))
-    val qsubs = queries
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("v"))
-      .select(col("qid"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
-    // exact integer micro² per LUT entry; the HOF runs interpreted,
-    // but only over n_q·m·k LUT rows
-    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
-    val lut = qsubs.join(broadcast(cents), "sub")
-      .select(col("qid"), col("sub"), col("c_id"),
-        aggregate(
-          zip_with(col("sv"), col("cv"),
-            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
-          lit(0L), (acc, x) => acc + x).as("dm"))
+    val lut = pqLut(queries, cents, m, dsub, idCol, vecCol)
     val adist = codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("c_id"))
       .filter(col("qid") =!= col("id"))
@@ -870,38 +898,14 @@ object Similarity {
       .select(col("id"), col("sub"), col("best.c_id").as("code"))
     val cells = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
       .select(col("id"), col("centroid_id"))
-    // probe choice: ivfTopK's block verbatim (6-dp cosine, ties on c_id)
-    val centroids = corpus
-      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .orderBy(col("c_id")).limit(nCentroids)
-    val q = queries
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val cdenom = col("qn") * col("cn")
-    val csim = when(cdenom === 0.0, 0.0)
-      .otherwise(dot(col("qv"), col("cv")) / cdenom)
-    val cw = Window.partitionBy(col("qid"))
-      .orderBy(col("_csim").desc, col("c_id"))
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("_csim", round(csim, 6))
-      .withColumn("_crk", row_number().over(cw))
-      .filter(col("_crk") <= nProbe)
-      .select(col("qid"), col("c_id").as("centroid_id"))
-    // LUT: pqAdcTopK's exact integer micro² entries (n_q·m·k rows)
-    val qsubs = queries
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("v"))
-      .select(col("qid"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
-    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
-    val lut = qsubs.join(broadcast(cents), "sub")
+    // probe choice and LUT are the SHARED bodies (ivfProbes / pqLut):
+    // the flat and blocked scans cannot drift apart by construction
+    val probes = ivfProbes(corpus, queries, nCentroids, nProbe,
+        idCol, vecCol)
+      .select(col("qid"), col("centroid_id"))
+    val lut = pqLut(queries, cents, m, dsub, idCol, vecCol)
       .select(col("qid").as("lqid"), col("sub").as("lsub"),
-        col("c_id").as("lcode"),
-        aggregate(
-          zip_with(col("sv"), col("cv"),
-            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
-          lit(0L), (acc, x) => acc + x).as("dm"))
+        col("c_id").as("lcode"), col("dm"))
     // cell filter FIRST (id→cell vs broadcast probes), THEN the ×m
     // code expansion — unprobed cells never produce code rows
     val cand = cells.join(broadcast(probes), Seq("centroid_id"))
