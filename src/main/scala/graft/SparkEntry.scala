@@ -1970,13 +1970,9 @@ object SparkEntry {
     // already measures
     "q186_ivfpq_recall" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val q = emb.filter(col("vec_id") < 10)
-      Similarity.recallAtK(
-        Similarity.pqAdcTopK(emb, q, k = 5,
-          m = 16, dsub = 4, kCodes = 32, iters = 1),
-        Similarity.ivfPqTopK(emb, q, k = 5,
-          nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
-          iters = 1))
+      Similarity.pqAdcBlockingRecall(emb, emb.filter(col("vec_id") < 10),
+        k = 5, nCentroids = 16, nProbe = 4, m = 16, dsub = 4,
+        kCodes = 32, iters = 1)
     }),
   )
 

@@ -924,6 +924,64 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Blocking-loss eval of [[ivfPqTopK]] against [[pqAdcTopK]] from
+    * ONE shared training pass — semantically identical to
+    * `recallAtK(pqAdcTopK(…), ivfPqTopK(…))` (asserted in ExtSpec)
+    * but trains the codebooks and encodes the corpus once instead of
+    * twice, matching the oracle, which shares one training replay
+    * across both rankings. The result isolates CELL TRUNCATION loss:
+    * both rankings use the same codes and LUT, so any rank-k
+    * difference comes from candidates outside the probed cells.
+    *
+    * Scale: training and encoding (the dominant cost at eval corpus
+    * sizes) run once; codes are checkpointed for the two ranking
+    * consumers; everything else is the flat/blocked tails unchanged. */
+  def pqAdcBlockingRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                          nCentroids: Int = 16, nProbe: Int = 4,
+                          m: Int = 8, dsub: Int = 8, kCodes: Int = 8,
+                          iters: Int = 1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val (subs, cents) = pqCore(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+      m, dsub, kCodes, iters)
+    val codes = pqAssignCore(subs, cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val lut = pqLut(queries, cents, m, dsub, idCol, vecCol)
+    def rank(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("cid"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"))
+    }
+    val flat = rank(codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("c_id"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("dm")).as("adist")))
+    val cells = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+      .select(col("id"), col("centroid_id"))
+    val probes = ivfProbes(corpus, queries, nCentroids, nProbe,
+        idCol, vecCol)
+      .select(col("qid"), col("centroid_id"))
+    val lutR = lut.select(col("qid").as("lqid"), col("sub").as("lsub"),
+      col("c_id").as("lcode"), col("dm"))
+    val cand = cells.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("id"))
+    val blocked = rank(codes.join(cand, Seq("id"))
+      .join(broadcast(lutR),
+        col("qid") === col("lqid") && col("sub") === col("lsub") &&
+          col("code") === col("lcode"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("dm")).as("adist")))
+    recallAtK(flat, blocked)
+  }
+
   /** Per-label embedding outliers: the `k` vectors per label FURTHEST
     * (lowest cosine) from their own label's centroid — the
     * embedding-space quality filter of a labeled training set (CLIP-

@@ -278,6 +278,19 @@ class ExtSpec extends SparkSpec {
       "a blocked result is missing from the flat ranking")
     assert(joined.filter(col("adist") =!= col("flat_adist")).count() === 0L,
       "blocking changed an ADC score")
+    // the one-training eval composition equals the two-operator form
+    val composed = Similarity.pqAdcBlockingRecall(emb, q, k = 5,
+        nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
+        iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val twoOp = Similarity.recallAtK(
+        Similarity.pqAdcTopK(emb, q, k = 5,
+          m = 16, dsub = 4, kCodes = 32, iters = 1),
+        Similarity.ivfPqTopK(emb, q, k = 5,
+          nCentroids = 16, nProbe = 4, m = 16, dsub = 4, kCodes = 32,
+          iters = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(composed.toSeq === twoOp.toSeq)
     blocked.unpersist()
   }
 

@@ -56,4 +56,16 @@ class RetrievalSpec extends SparkSpec {
     // bounds over candidates only: [40, 60] → 0 and 1e6
     assert(got.toSeq === Seq((2L, 1000000L), (1L, 0L)))
   }
+
+  test("featureRerank: duplicate feature rows per id contract to max, " +
+      "never double-count") {
+    val cand = Seq(1L, 2L).toDF("id")
+    // id 1 appears twice: an un-preaggregated frame must behave as
+    // max(10, 50) = 50, not sum or bound-skewing duplicates
+    val f = Seq((1L, 10L), (1L, 50L), (2L, 30L)).toDF("id", "s")
+    val got = Retrieval.featureRerank(cand, Seq((f, "s", 1L)), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounds [30, 50]: id 1 → 1e6, id 2 → 0
+    assert(got.toSeq === Seq((1L, 1000000L), (2L, 0L)))
+  }
 }
