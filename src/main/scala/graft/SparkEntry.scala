@@ -1974,6 +1974,51 @@ object SparkEntry {
         k = 5, nCentroids = 16, nProbe = 4, m = 16, dsub = 4,
         kCodes = 32, iters = 1)
     }),
+
+    // ===== bloom-pruned fact-to-dim join ==============================
+    // the InjectRuntimeFilter shape as an explicit operator: the dim
+    // key set becomes a one-row bloom scalar subquery; might_contain
+    // kills non-matching lineitem rows BEFORE the join shuffle. Result
+    // is row-identical to the plain inner join (bloom has no false
+    // negatives; false positives die in the exact join).
+    "q187_bloom_pruned_join" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.ops.RuntimeFilters.bloomPrunedJoin(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          dim, "l_orderkey", "o_orderkey")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(rev), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("yr"))
+    }),
+
+    // ===== z-order layout skipping profile ============================
+    // the Morton-curve file-layout math (io.Layout) as a verifiable
+    // query: bucket customers on (custkey, acctbal-cents), interleave
+    // to a z-value, cut the curve into 16 equal-width "files", report
+    // each file's min/max on BOTH dimensions — the footer-stats
+    // rectangles a z-ordered write produces. Every file's span is a
+    // fraction of the domain on both axes, which is the data-skipping
+    // property (LayoutSpec asserts it against a plain sort).
+    "q188_zorder_profile" -> ((s, d) => {
+      val cust = customer(s, d).select(
+        col("c_custkey").cast("long").as("ck"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal"))
+      val withZ = graft.io.Layout.withZValue(cust, "ck", "bal",
+        bits = 16, outCol = "zv")
+      val zmax = withZ.agg(max(col("zv")).as("_zmax"))
+      withZ.join(broadcast(zmax))
+        .withColumn("file",
+          floor(col("zv") * 16 / (col("_zmax") + 1)).cast("long"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+          min(col("bal")).as("bal_lo"), max(col("bal")).as("bal_hi"))
+        .orderBy(col("file"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -1986,6 +2031,14 @@ object SparkEntry {
     * corpus word counts → spaced symbol strings → per-iteration pair
     * counts (p_i), elected merge (b_i), merged vocab (v_i). Returned
     * WITHOUT the leading WITH so callers can append their own CTEs. */
+  /** Morton-interleave SQL for the q188 oracle: bit i of `a` → 2i+1,
+    * bit i of `b` → 2i (the exact expression io.Layout.zValue builds
+    * as Columns). */
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""p$i AS (
@@ -7132,5 +7185,44 @@ object SparkEntry {
         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ne.n_exact, 6)
         |    AS recall
         |FROM ne LEFT JOIN hits h USING (qid) ORDER BY qid""".stripMargin,
+
+    // the bloom prefilter is semantics-preserving (exact join follows),
+    // so the oracle is the plain inner join
+    "q187_bloom_pruned_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same integer bucket + Morton interleave + equal-z-width file cut
+    // as io.Layout (identical IEEE double division both sides)
+    "q188_zorder_profile" ->
+      s"""WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |bounds AS (
+        |  SELECT min(ck) AS loA, max(ck) AS hiA,
+        |         min(bal) AS loB, max(bal) AS hiB FROM cust),
+        |bucketed AS (
+        |  SELECT ck, bal,
+        |    CASE WHEN hiA <= loA THEN 0 ELSE
+        |      CAST(floor(((ck - loA) * 65536) / (hiA - loA + 1)) AS BIGINT)
+        |    END AS ba,
+        |    CASE WHEN hiB <= loB THEN 0 ELSE
+        |      CAST(floor(((bal - loB) * 65536) / (hiB - loB + 1)) AS BIGINT)
+        |    END AS bb
+        |  FROM cust, bounds),
+        |z AS (SELECT ck, bal,
+        |        ${zInterleaveSql("ba", "bb", 16)} AS zv
+        |      FROM bucketed),
+        |zm AS (SELECT max(zv) AS zmax FROM z)
+        |SELECT CAST(floor(zv * 16 / (zmax + 1)) AS BIGINT) AS file,
+        |  count(*) AS n_rows, min(ck) AS ck_lo, max(ck) AS ck_hi,
+        |  min(bal) AS bal_lo, max(bal) AS bal_hi
+        |FROM z, zm GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -15,6 +15,21 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to `ScalarSubquery` construction: wraps a 1-row/1-column
+  * DataFrame as a scalar-subquery expression usable inside another
+  * DataFrame's filter — the exact shape Spark's own InjectRuntimeFilter
+  * uses for its bloom build side. The planner executes the subquery
+  * once (SubqueryExec, result broadcast to every task) instead of
+  * planning a 1-row cross join. */
+object SubqueryBridge {
+  def scalarExpr(df: org.apache.spark.sql.DataFrame): Expression = {
+    val plan = df.queryExecution.analyzed
+    require(plan.output.length == 1,
+      s"scalar subquery needs exactly 1 column, got ${plan.output.length}")
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(plan)
+  }
+}
+
 /** Bridge to `Observation.getOrEmpty` (`private[sql]`): a NON-blocking
   * metrics read (bounded 100 ms internal wait), unlike the public
   * `get` which blocks forever when the backing action never posts
