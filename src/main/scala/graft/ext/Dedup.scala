@@ -273,11 +273,19 @@ object Dedup {
                          tsCol: String, horizonSec: Long): DataFrame = {
     require(keyCols.nonEmpty, "dedupWithinHorizon needs key columns")
     require(horizonSec >= 0, "horizon must be non-negative")
+    // keys are re-extracted from the working struct via col("_k.<name>"),
+    // so a dotted key name would silently resolve to a nested field
+    require(keyCols.forall(!_.contains(".")),
+      s"dedupWithinHorizon key columns must not contain dots: $keyCols")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val lvl = StorageLevel.MEMORY_AND_DISK_SER
+    // null timestamps carry no event time to anchor on — excluded, the
+    // dropDuplicatesWithinWatermark convention (a null-ts row never
+    // enters streaming state either)
     val ev = df.select(struct(keyCols.map(col): _*).as("_k"),
         col(tsCol).cast("long").as("_t"))
+      .filter(col("_t").isNotNull)
       .distinct()
     val fw = Window.partitionBy(col("_k")).orderBy(col("_t"))
       .rangeBetween(horizonSec + 1, Window.unboundedFollowing)

@@ -90,11 +90,16 @@ object Retrieval {
           col(featCol).cast("long").as("f"))
         .join(broadcast(cand), Seq("id"))
         .groupBy(col("id")).agg(max(col("f")).as("f"))
-      val b = fj.agg(min(col("f")).as("_lo"), max(col("f")).as("_hi"))
-      // LEFT against the 1-row bounds frame per the empty-frame
-      // convention (cf. Scd.asOf): zero candidates with this feature
-      // must yield zero rows, not annihilate the plan
-      fj.join(broadcast(b), lit(true), "left")
+      // bounds as whole-frame window aggregates so fj's upstream plan
+      // executes ONCE (a separate bounds aggregate + rejoin consumed
+      // fj twice, replaying the feature producer's scan per feature).
+      // The unpartitioned window is SAFE HERE ONLY because fj is the
+      // candidate-set contraction (≤ K rows — EntrySpec's window gate
+      // allowlists this shape over contractions).
+      val wAll = Window.partitionBy()
+      fj.select(col("id"), col("f"),
+          min(col("f")).over(wAll).as("_lo"),
+          max(col("f")).over(wAll).as("_hi"))
         .select(col("id"),
           (lit(weight) * coalesce(
             expr("(f - _lo) * 1000000 div nullif(_hi - _lo, 0)"),

@@ -736,18 +736,24 @@ object Similarity {
     * returns the checkpointed subvector frame and the final codebooks
     * (sub, c_id, cv). Shared by [[pqEncode]] and [[pqAdcTopK]] so the
     * trajectory (seeds, 6-dp argmin/means, empty-code carry) stays
-    * byte-identical between the code dump and the search path. */
+    * byte-identical between the code dump and the search path.
+    * `seedOffset` skips that many smallest-id rows before taking the
+    * `k` seed vectors — [[residualPqBuild]] sets it to nCentroids so
+    * seeds are never the (~zero) residuals of the coarse centroids
+    * themselves, which would waste codebook entries on duplicates. */
   private def pqCore(vecs: DataFrame, m: Int, dsub: Int, k: Int,
-                     iters: Int): (DataFrame, DataFrame) = {
+                     iters: Int, seedOffset: Int = 0): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
       "m, dsub, k must be positive and iters non-negative")
+    require(seedOffset >= 0, "seedOffset must be non-negative")
     val subs = vecs
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val seeds = vecs.select(col("id")).orderBy(col("id")).limit(k)
+    val seeds = vecs.select(col("id")).orderBy(col("id"))
+      .offset(seedOffset).limit(k)
     var cents = subs.join(broadcast(seeds), "id")
       .select(col("sub"), col("id").as("c_id"), col("sv").as("cv"))
     (0 until iters).foreach { _ =>
@@ -936,8 +942,10 @@ object Similarity {
     * encoding: codes are trained on the raw vectors so one codebook
     * serves both the flat and the blocked scan, and the q177/q185
     * oracles share one training replay — residual PQ buys recall at
-    * the cost of a per-cell-recentred trajectory; documented
-    * trade-off, not an oversight). Queries rank ONLY the vectors in
+    * the cost of a per-cell-recentred trajectory; that path is
+    * implemented as [[residualPqBuild]]/[[residualPqSearch]], with
+    * the measured uplift gated by [[residualUpliftStats]]).
+    * Queries rank ONLY the vectors in
     * their `nProbe` nearest cells, by the same exact integer-micro²
     * LUT sums as the flat scan.
     *
@@ -1000,6 +1008,166 @@ object Similarity {
       pqAdcSearch(index, queries, k, idCol, vecCol),
       ivfPqSearch(index, corpus, queries, k, nCentroids, nProbe,
         idCol, vecCol))
+
+  /** A trained RESIDUAL-encoded IVF-PQ index (the full FAISS
+    * `IndexIVFPQ` shape, Jégou et al. TPAMI 2011 §V — the recall
+    * uplift [[ivfPqTopK]]'s scaladoc documents as its trade-off):
+    * vectors are coarse-quantized into `nCentroids` IVF cells and the
+    * PQ codebooks are trained on RESIDUALS r = v − μ(cell) rather than
+    * the raw vectors. The recentring vector μ is the cell's MEMBER
+    * MEAN — exactly what a trained coarse quantizer converges to —
+    * NOT the deterministic seed vector that names the cell: cells stay
+    * the cheap smallest-id-seed assignment (shared with the raw index,
+    * so q190's uplift comparison holds candidates fixed), while
+    * recentring is optimal for those cells (E‖v−μ‖² = within-cell
+    * variance ≤ E‖v‖², guaranteed — recentring on the unit seed
+    * vector instead MEASURED ‖r‖ ≈ 1.21 > ‖v‖ on this corpus and made
+    * recall WORSE). Smaller residual spread means the same code
+    * budget (m × kCodes) resolves finer — that is the uplift. The
+    * price: ADC lookup tables become per-(query, probed cell) — the
+    * query's residual differs per cell — so no flat compressed scan
+    * exists; search is inherently cell-blocked.
+    *
+    * `recenter` is the (c_id, mv) per-cell mean frame (6-dp rounded —
+    * the k-means trajectory convention), `codes` the residual-encoded
+    * corpus (id, sub, code), `cents` the residual codebooks. */
+  final case class ResidualPqIndex(m: Int, dsub: Int, nCentroids: Int,
+                                   codes: DataFrame, cents: DataFrame,
+                                   recenter: DataFrame)
+
+  /** Train a [[ResidualPqIndex]]: coarse-assign every vector to its
+    * IVF cell ([[ivfAssign]] — 6-dp-rounded cosine argmax, smallest-id
+    * ties), compute each cell's member mean (round 6 dp per dimension,
+    * the k-means convention), subtract it element-wise (exact IEEE
+    * double subtraction, replayable by any engine), then run the
+    * standard PQ trajectory ([[pqCore]]: 6-dp L2 argmin/means,
+    * empty-code carry) on the residual vectors. Seeds are the
+    * residuals of the `kCodes` smallest-id vectors AFTER skipping the
+    * first `nCentroids` ids — the skipped ids are the cell-naming
+    * seeds whose residuals cluster near zero and would waste codebook
+    * diversity.
+    *
+    * Scale: identical to [[pqBuild]] plus one nCentroids-row mean
+    * aggregate (vector_mean partial buffers are all that shuffles)
+    * and a broadcast join of the recentring frame — never a corpus
+    * shuffle; the residual subtraction is one zip_with per row, the
+    * same construction-tier cost class as the subvector slicing. */
+  def residualPqBuild(corpus: DataFrame, nCentroids: Int = 16,
+                      m: Int = 8, dsub: Int = 8, kCodes: Int = 8,
+                      iters: Int = 1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): ResidualPqIndex = {
+    import org.apache.spark.storage.StorageLevel
+    require(nCentroids > 0, "nCentroids must be positive")
+    // (id, v, nrm, centroid_id) — consumed twice (means + residuals)
+    val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val recenter = assigned.groupBy(col("centroid_id"))
+      .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
+      .select(col("centroid_id").as("c_id"),
+        transform(col("mv"), x => round(x, 6)).as("mv"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val resid = assigned
+      .join(broadcast(recenter), col("centroid_id") === col("c_id"))
+      .select(col("id"),
+        zip_with(col("v"), col("mv"), (a, b) => a - b).as("v"))
+    val (subs, cents) = pqCore(resid, m, dsub, kCodes, iters,
+      seedOffset = nCentroids)
+    val codes = pqAssignCore(subs, cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    ResidualPqIndex(m, dsub, nCentroids, codes, cents, recenter)
+  }
+
+  /** Residual-ADC top-k over a prebuilt [[ResidualPqIndex]] — the
+    * [[ivfPqSearch]] plan with per-(query, cell) LUTs: for each of the
+    * query's `nProbe` probed cells, the LUT quantizes the QUERY
+    * RESIDUAL q − c(cell) against the residual codebooks (exact
+    * integer micro² sums, the [[pqLut]] convention), and candidates in
+    * that cell are ranked by the m-term LUT sum of their codes. The
+    * LUT is n_q × nProbe × m × kCodes rows — still kilobytes,
+    * broadcast. Cell filtering runs before the ×m code expansion
+    * exactly as in [[ivfPqSearch]]; determinism (probe choice, argmin
+    * ties, integer sums, rank ties on cid) is unchanged. */
+  def residualPqSearch(index: ResidualPqIndex, corpus: DataFrame,
+                       queries: DataFrame, k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(corpus, index.nCentroids, 1, idCol, vecCol)
+      .select(col("id"), col("centroid_id"))
+    val probes = ivfProbes(corpus, queries, index.nCentroids, nProbe,
+      idCol, vecCol)
+    // per-(query, probed cell) residual, sliced into subvectors. A
+    // probed cell with no members has no recentring mean (and no
+    // candidates either) — the inner join drops it consistently.
+    val qres = probes
+      .join(broadcast(index.recenter), col("centroid_id") === col("c_id"))
+      .select(col("qid"), col("centroid_id"),
+        zip_with(col("qv"), col("mv"), (a, b) => a - b).as("rv"))
+    val m = index.m
+    val dsub = index.dsub
+    val qsubs = qres.select(col("qid"), col("centroid_id"), posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("rv"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    val lut = qsubs.join(broadcast(index.cents), "sub")
+      .select(col("qid").as("lqid"), col("centroid_id").as("lcell"),
+        col("sub").as("lsub"), col("c_id").as("lcode"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("dm"))
+    val cand = cells
+      .join(broadcast(probes.select(col("qid"), col("centroid_id"))),
+        Seq("centroid_id"))
+      .select(col("qid"), col("centroid_id"), col("id"))
+    val adist = index.codes.join(cand, Seq("id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") && col("centroid_id") === col("lcell") &&
+          col("sub") === col("lsub") && col("code") === col("lcode"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id").as("cid"))
+      .agg(sum(col("dm")).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("cid"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Residual-vs-raw quantization uplift at EQUAL code budget, against
+    * the exact cosine yardstick (the q178 convention), as ONE
+    * reduce-order-free integer row: both blocked scans share the same
+    * coarse quantizer, probes and (m × kCodes) budget, so any recall
+    * difference is purely the residual re-centring. Emits
+    * (n_q, sum_hits_res, sum_hits_plain, mean_recall_res_micro,
+    * mean_recall_plain_micro, res_ge_plain) — integer micro means via
+    * exact div, never a float average (engine-stable). */
+  def residualUpliftStats(resIndex: ResidualPqIndex, plainIndex: PqIndex,
+                          corpus: DataFrame, queries: DataFrame, k: Int,
+                          nCentroids: Int, nProbe: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
+    val res = recallAtK(exact,
+      residualPqSearch(resIndex, corpus, queries, k, nProbe, idCol, vecCol))
+    val plain = recallAtK(exact,
+      ivfPqSearch(plainIndex, corpus, queries, k, nCentroids, nProbe,
+        idCol, vecCol))
+    res.select(col("qid"), col("n_hits").as("hr"))
+      .join(plain.select(col("qid"), col("n_hits").as("hp")), Seq("qid"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(col("hr")).as("sum_hits_res"),
+        sum(col("hp")).as("sum_hits_plain"))
+      .select(col("n_q"), col("sum_hits_res"), col("sum_hits_plain"),
+        expr(s"sum_hits_res * 1000000 div (n_q * $k)")
+          .as("mean_recall_res_micro"),
+        expr(s"sum_hits_plain * 1000000 div (n_q * $k)")
+          .as("mean_recall_plain_micro"),
+        (col("sum_hits_res") >= col("sum_hits_plain")).cast("long")
+          .as("res_ge_plain"))
+  }
 
   /** Per-label embedding outliers: the `k` vectors per label FURTHEST
     * (lowest cosine) from their own label's centroid — the

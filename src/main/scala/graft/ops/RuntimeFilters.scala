@@ -70,4 +70,88 @@ object RuntimeFilters {
     ColumnBridge.column(new BloomFilterMightContain(
       SubqueryBridge.scalarExpr(bloom),
       ColumnBridge.expression(xxhash64(key))))
+
+  /** Bloom sizing derived from the BUILD side — the fix for the
+    * fixed-default failure mode: a 10⁹-key dim at the 1M/8.4M-bit
+    * default saturates the filter (fpp → 1) and the "pruned" join
+    * silently degrades to a pass-through scan + full shuffle. ONE
+    * exact distinct count over the build keys (a dim-sized aggregate —
+    * the build side is the SMALL side by definition; same plan-time
+    * eagerness class as the IVF centroid collect) sets
+    * expectedItems = n and numBits = n × bitsPerKey, clamped to
+    * [64, maxBits]. At the default 8 bits/key the fpp stays ≈3% at any
+    * build cardinality until maxBits caps it — past maxBits/bitsPerKey
+    * keys the filter degrades again, which is exactly what
+    * [[observedFpp]]'s gate exists to turn red (fall back to a
+    * semi-join there).
+    *
+    * `maxBits` defaults to Spark's own runtime-bloom ceiling
+    * (spark.sql.optimizer.runtime.bloomFilter.maxNumBits = 2²⁶ =
+    * 8 MB): BloomFilterAggregate REJECTS larger filters unless that
+    * conf is raised, so a bigger default would throw at plan time. */
+  def adaptiveBloomSizing(build: DataFrame, key: String,
+                          bitsPerKey: Int = 8,
+                          maxBits: Long = 67108864L): (Long, Long) = {
+    require(bitsPerKey > 0, "bitsPerKey must be positive")
+    val n = math.max(1L,
+      build.select(col(key)).where(col(key).isNotNull).distinct().count())
+    (n, math.min(maxBits, math.max(64L, n * bitsPerKey)))
+  }
+
+  /** [[bloomPrunedJoin]] with the bloom sized from the dim side via
+    * [[adaptiveBloomSizing]] — the always-safe form. */
+  def bloomPrunedJoinAdaptive(fact: DataFrame, dim: DataFrame,
+                              factKey: String, dimKey: String,
+                              bitsPerKey: Int = 8,
+                              maxBits: Long = 67108864L): DataFrame = {
+    val (n, bits) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
+    prunedByBloom(fact, keyBloom(dim, dimKey, n, bits), factKey)
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** Measured bloom quality — the observability half of adaptive
+    * sizing: builds the bloom over `dim` exactly as
+    * [[bloomPrunedJoinAdaptive]] would, evaluates it on every fact
+    * row, and compares against EXACT membership (one left join on the
+    * distinct dim keys), emitting one row:
+    *
+    *  - `n_fact` fact rows, `n_match` with a true dim match,
+    *    `n_nonmatch` without one (all exact — oracle-computable);
+    *  - `n_false_pass`: non-matching rows the bloom passed anyway;
+    *  - `observed_fpp_micro` = n_false_pass·10⁶ / n_nonmatch;
+    *  - `design_fpp_micro`: the standard (1 − e^(−kn/m))^k for the
+    *    sizing actually used (k = Spark's optimalNumOfHashFunctions).
+    *
+    * A deployment gates on observed ≤ c × design (the q136
+    * sketch-gate pattern): saturation — too many keys for the bits,
+    * the silent-degradation mode — blows observed fpp far past design
+    * and turns the gate red instead of quietly shipping a useless
+    * filter. Cost: one pass over fact + the dim-key contraction join —
+    * this is a MEASUREMENT op, run on a sample or sidecar, not spliced
+    * into the hot join. */
+  def observedFpp(fact: DataFrame, dim: DataFrame,
+                  factKey: String, dimKey: String,
+                  bitsPerKey: Int = 8,
+                  maxBits: Long = 67108864L): DataFrame = {
+    val (n, m) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
+    // Spark's BloomFilterImpl: k = max(1, round(m/n · ln 2))
+    val k = math.max(1L, math.round(m.toDouble / n * math.log(2.0)))
+    val designFppMicro = math.round(1e6 *
+      math.pow(1.0 - math.exp(-k.toDouble * n / m), k.toDouble))
+    val bloom = keyBloom(dim, dimKey, n, m)
+    val dimKeys = dim.select(col(dimKey).as("_dk")).distinct()
+    fact
+      .withColumn("_pass", mightContainKey(bloom, col(factKey)))
+      .join(dimKeys, col(factKey) === col("_dk"), "left")
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("_dk").isNotNull, 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("_dk").isNull, 1L).otherwise(0L)).as("n_nonmatch"),
+        sum(when(col("_dk").isNull && col("_pass"), 1L).otherwise(0L))
+          .as("n_false_pass"))
+      .select(col("n_fact"), col("n_match"), col("n_nonmatch"),
+        col("n_false_pass"),
+        expr("coalesce(n_false_pass * 1000000 div nullif(n_nonmatch, 0), 0)")
+          .as("observed_fpp_micro"),
+        lit(designFppMicro).as("design_fpp_micro"))
+  }
 }

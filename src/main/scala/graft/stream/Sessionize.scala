@@ -216,4 +216,73 @@ object Sessionize {
                            watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream↔batch horizon-dedup parity probe, as a DETERMINISTIC batch
+    * result (registered as the q193 oracle row): a planted one-key
+    * scenario runs through a REAL [[dedupWithinWatermark]] streaming
+    * query (memory source and sink, fixed batch boundaries — the only
+    * thing streaming semantics depend on), its survivors are compared
+    * against the batch twin ([[graft.ext.Dedup.dedupWithinHorizon]]),
+    * and each planted event comes back as
+    * (ep_off, in_stream, in_twin, contract_ok).
+    *
+    * The scenario pins BOTH halves of the contract
+    * (SessionizeSpec proves them; this query turns a violation into a
+    * red verify row): events 0 s and 5 s (dup inside the 10 s
+    * horizon — second dropped by both paths); 25 s (past the
+    * horizon of its predecessor, but streaming state is still live
+    * because the watermark lags — STREAM drops, twin keeps: the
+    * documented stream ⊆ twin divergence); 100 s (state evicted —
+    * both keep). `contract_ok` = in_stream ≤ in_twin per event, plus
+    * the first event present in both.
+    *
+    * Scale note: this is a semantics GATE on a planted fixture, not a
+    * data-path operator — the corpus-scale horizon dedup is
+    * [[graft.ext.Dedup.dedupWithinHorizon]] (q184); the streaming
+    * deployment path is e2e-tested in SessionizeSpec/StreamingSpec. */
+  def horizonParityProbe(spark: SparkSession,
+                         base: Long = 1735725600L,
+                         horizonSec: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val offsets = Seq(0L, 5L, 25L, 100L)
+    val batches = Seq(Seq(0L, 5L), Seq(25L), Seq(100L))
+    def tsOf(off: Long) = new java.sql.Timestamp((base + off) * 1000L)
+    // a 4-row planted stream on the caller's shuffle-partition count
+    // pays state-store init × partitions × microbatch (measured 11 s
+    // of a 1.5 s probe at local[32]); an isolated session pins the
+    // stream's state to ONE partition without touching caller conf
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    val input = MemoryStream[(Long, java.sql.Timestamp)](ss)
+    val name = s"graft_hz_parity_${java.lang.System.nanoTime()}"
+    val q = dedupWithinWatermark(
+        input.toDF().toDF("k", "ts"), Seq("k"),
+        watermark = s"$horizonSec seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    val streamed =
+      try {
+        batches.foreach { b =>
+          input.addData(b.map(off => (1L, tsOf(off))))
+          q.processAllAvailable()
+        }
+        ss.table(name).collect()
+          .map(_.getTimestamp(1).getTime / 1000L - base).toSet
+      } finally {
+        q.stop()
+        ss.catalog.dropTempView(name)
+      }
+    val planted = offsets.map(off => (1L, base + off)).toDF("k", "ep")
+    val twin = graft.ext.Dedup
+      .dedupWithinHorizon(planted, Seq("k"), "ep", horizonSec)
+      .collect().map(_.getLong(1) - base).toSet
+    offsets.map { off =>
+      val inS = if (streamed(off)) 1L else 0L
+      val inT = if (twin(off)) 1L else 0L
+      val ok = (inS <= inT) && (off != offsets.head || (inS == 1L && inT == 1L))
+      (off, inS, inT, if (ok) 1L else 0L)
+    }.toDF("ep_off", "in_stream", "in_twin", "contract_ok")
+      .orderBy(col("ep_off"))
+  }
 }

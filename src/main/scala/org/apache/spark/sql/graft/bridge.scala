@@ -20,7 +20,24 @@ object ColumnBridge {
   * DataFrame's filter — the exact shape Spark's own InjectRuntimeFilter
   * uses for its bloom build side. The planner executes the subquery
   * once (SubqueryExec, result broadcast to every task) instead of
-  * planning a 1-row cross join. */
+  * planning a 1-row cross join.
+  *
+  * VERSION NOTE: built and tested against Spark 4.1 (the classpath at
+  * /opt/spark/jars). `ScalarSubquery`'s constructor shape and the
+  * `ExpressionUtils` access point are internal API — re-verify both on
+  * any Spark upgrade (BridgeSpec covers the contract).
+  *
+  * Attaching the SAME DataFrame to MULTIPLE predicates of one query is
+  * safe: each call allocates a fresh `ScalarSubquery` expression (its
+  * own exprId), and each attachment's subquery plan is planned
+  * independently (canonically-equal instances are additionally
+  * collapsed to one execution by the physical ReuseSubquery rule).
+  * The subquery plan's internal attribute ids never leak into the
+  * outer plan — the expression's output is its scalar VALUE, not the
+  * plan's attributes — so no re-analysis or exprId rewrite is needed.
+  * RuntimeFilterSpec's double-attach test pins the contract: one bloom
+  * frame filtering two different key columns of one query, both
+  * predicates present in the physical plan, no true match lost. */
 object SubqueryBridge {
   def scalarExpr(df: org.apache.spark.sql.DataFrame): Expression = {
     val plan = df.queryExecution.analyzed

@@ -200,6 +200,21 @@ class ExtSpec extends SparkSpec {
     assert(cg.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 5L)))
   }
 
+  test("dedupWithinHorizon rejects dotted keys and ignores null " +
+      "timestamps") {
+    import graft.ext.Dedup
+    val ev = Seq(("a", Some(0L)), ("a", None), ("a", Some(5L)),
+      ("a", Some(11L))).toDF("k", "t")
+    // dotted key names would silently resolve as struct-field paths
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWithinHorizon(ev, Seq("k.x"), "t", 10L)
+    }
+    // the null-ts row neither anchors nor extends any chain
+    val got = Dedup.dedupWithinHorizon(ev, Seq("k"), "t", 10L)
+      .orderBy("t").collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(0L, 11L))
+  }
+
   test("blocked containment recalls the exact pairs on the fixture corpus") {
     // the planted subset pair from the containment test must surface
     // through rare-shingle blocking with the identical score
@@ -292,6 +307,49 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(composed.toSeq === twoOp.toSeq)
     blocked.unpersist()
+  }
+
+  test("residual IVF-PQ: shape, candidates stay in probed cells, and " +
+      "equal-budget recall uplift over raw-vector codes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val resIdx = Similarity.residualPqBuild(emb, nCentroids = 16,
+      m = 16, dsub = 4, kCodes = 32, iters = 1)
+    val top = Similarity.residualPqSearch(resIdx, emb, q, k = 5,
+      nProbe = 4).cache()
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)),
+      "a query returned itself")
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    // determinism: an independent rebuild replays the exact ranking
+    val again = Similarity.residualPqSearch(
+        Similarity.residualPqBuild(emb, nCentroids = 16, m = 16,
+          dsub = 4, kCodes = 32, iters = 1), emb, q, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // candidate containment: every residual result must come from the
+    // plain blocked scan's candidate set (same cells, same probes)
+    val plainIdx = Similarity.pqBuild(emb, m = 16, dsub = 4,
+      kCodes = 32, iters = 1)
+    val plainAll = Similarity.ivfPqSearch(plainIdx, emb, q,
+        k = Int.MaxValue, nCentroids = 16, nProbe = 4)
+      .select(col("qid"), col("cid"))
+    assert(top.select(col("qid"), col("cid"))
+      .join(plainAll, Seq("qid", "cid"), "left_anti").count() === 0L,
+      "residual ranking surfaced a candidate outside the probed cells")
+    // the equal-budget uplift row: residual codes must not rank WORSE
+    // than raw codes against the exact yardstick (the q190 gate)
+    val st = Similarity.residualUpliftStats(resIdx, plainIdx, emb, q,
+      k = 5, nCentroids = 16, nProbe = 4).collect()(0)
+    assert(st.getAs[Long]("n_q") === 10L)
+    assert(st.getAs[Long]("res_ge_plain") === 1L,
+      s"residual recall ${st.getAs[Long]("mean_recall_res_micro")} " +
+        s"below raw ${st.getAs[Long]("mean_recall_plain_micro")}")
+    top.unpersist()
   }
 
   test("minhash LSH recalls the exact jaccard pairs and estimates their similarity") {

@@ -73,4 +73,26 @@ class LayoutSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("skippingComparison: z-order prunes on both axes, a plain sort " +
+      "only on its own") {
+    // 64x64 grid with b decorrelated from a via a multiplicative hash
+    val grid = (0L until 4096L)
+      .map(i => (i, (i * 2654435761L) % 4096L)).toDF("a", "b")
+    val out = Layout.skippingComparison(grid, "a", "b",
+        aProbe = (100L, 200L), bProbe = (100L, 200L),
+        bits = 12, numFiles = 16)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (zn, za, zb) = out("zorder")
+    val (sn, sa, sb) = out("sorted_a")
+    assert(zn === 16L && sn === 16L)
+    // plain a-sort: the a-probe (2.5% of the domain) hits ~1 file, but
+    // every file spans the whole b domain -> b-probe reads everything
+    assert(sa <= 2L, s"sorted_a a_probe_files=$sa")
+    assert(sb === 16L, s"sorted_a b_probe_files=$sb")
+    // z-order: bounded on BOTH axes — each probe skips most files
+    assert(za < 16L && zb < 16L, s"zorder a=$za b=$zb")
+    assert(zb < sb, "z-order must beat the sort on the scattered axis")
+  }
 }

@@ -282,6 +282,16 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.contains(base)) // first event survives both paths
   }
 
+  test("horizonParityProbe pins the stream-vs-twin contract as rows") {
+    val rows = Sessionize.horizonParityProbe(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 1L, 1L, 1L),    // first event survives both
+      (5L, 0L, 0L, 1L),    // in-horizon dup dropped by both
+      (25L, 0L, 1L, 1L),   // still-live state: stream drops, twin keeps
+      (100L, 1L, 1L, 1L))) // state evicted: both keep
+  }
+
   test("built-in session_window streams with a watermark and matches batch") {
     import org.apache.spark.sql.functions._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
