@@ -49,12 +49,36 @@ object SparkEntry {
     * the process (Bench/Verify are one-shot mains). */
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedComponents(s: SparkSession, d: String): DataFrame =
+  private def sharedComponents(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
     componentsMemo.computeIfAbsent((s, d), _ => {
       val pairs = Dedup.coShinglePairs(documents(s, d), minShared = 2,
         maxPostings = 1000)
       Dedup.components(pairs).localCheckpoint(true)
     })
+  }
+
+  /** Memo hygiene (ADVICE r10): the static memo maps hold SparkSession
+    * and checkpointed-DataFrame references, which a long-lived JVM that
+    * cycles sessions would retain forever. The first memo insert per
+    * session registers ONE listener that drops that session's entries
+    * when its application ends (Bench/Verify are one-shot mains, so
+    * this is belt-and-braces for library embedders). */
+  private val evictionHooked =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+  private def hookEviction(s: SparkSession): Unit =
+    if (evictionHooked.putIfAbsent(s, java.lang.Boolean.TRUE) == null)
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          componentsMemo.keySet.removeIf(k => k._1 eq s)
+          oldLabelsMemo.keySet.removeIf(k => k._1 eq s)
+          pqIndexMemo.keySet.removeIf(k => k._1 eq s)
+          residualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
+          evictionHooked.remove(s)
+          ()
+        }
+      })
 
   /** q135's "previous crawl" labelling: components over the old-batch
     * (id % 7 ≠ 0) corpus. In a real incremental deployment this is
@@ -67,12 +91,14 @@ object SparkEntry {
     * its actual deployment cost; the rebuild runs once in warmup. */
   private val oldLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def q135OldLabels(s: SparkSession, d: String): DataFrame =
+  private def q135OldLabels(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
     oldLabelsMemo.computeIfAbsent((s, d), _ =>
       Dedup.components(Dedup.coShinglePairs(
           documents(s, d).filter(pmod(col("doc_id"), lit(7)) =!= 0),
           minShared = 2, maxPostings = 1000))
         .localCheckpoint(true))
+  }
 
   /** One trained PQ index per (session, dir): q177/q178/q185/q186 all
     * search the SAME 16-subspace × 32-code index over `embeddings` —
@@ -89,10 +115,27 @@ object SparkEntry {
     * run. */
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
-  private def sharedPqIndex(s: SparkSession, d: String): Similarity.PqIndex =
+  private def sharedPqIndex(s: SparkSession, d: String): Similarity.PqIndex = {
+    hookEviction(s)
     pqIndexMemo.computeIfAbsent((s, d), _ =>
       Similarity.pqBuild(embeddings(s, d), m = 16, dsub = 4,
         kCodes = 32, iters = 1))
+  }
+
+  /** One residual-encoded index per (session, dir) — q189/q190 share
+    * it exactly as q177/q178/q185/q186 share [[sharedPqIndex]]; SAME
+    * coarse geometry (16 cells) and code budget (16 × 32) as the
+    * shared raw-vector index so q190's uplift comparison is
+    * equal-budget by construction. */
+  private val residualPqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.ResidualPqIndex]()
+  private def sharedResidualPqIndex(s: SparkSession,
+                                    d: String): Similarity.ResidualPqIndex = {
+    hookEviction(s)
+    residualPqIndexMemo.computeIfAbsent((s, d), _ =>
+      Similarity.residualPqBuild(embeddings(s, d), nCentroids = 16,
+        m = 16, dsub = 4, kCodes = 32, iters = 1))
+  }
 
   /** Eagerly builds the shared component labelling for `d` (no-op when
     * already memoised). Bench calls this during warmup so the first
@@ -102,6 +145,8 @@ object SparkEntry {
     sharedComponents(s, d)
     q135OldLabels(s, d)
     sharedPqIndex(s, d)
+    sharedResidualPqIndex(s, d)
+    ()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2039,6 +2084,71 @@ object SparkEntry {
           min(col("bal")).as("bal_lo"), max(col("bal")).as("bal_hi"))
         .orderBy(col("file"))
     }),
+
+    // ===== residual-encoded IVF-PQ (the FULL IndexIVFPQ shape) ========
+    // PQ codebooks trained on v − c(v) per-cell residuals (Jégou §V) —
+    // q185's blocked scan with per-(query, cell) LUTs; same 16-cell
+    // coarse geometry and 16×32 code budget as the shared raw index
+    "q189_residual_ivfpq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.residualPqSearch(sharedResidualPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+    }),
+
+    // ===== residual-vs-raw recall uplift gate =========================
+    // equal code budget, same coarse cells/probes, measured against
+    // the exact cosine yardstick — the q178/q186 eval pattern; any
+    // drift in either ranking or the uplift flag reds the row
+    "q190_residual_uplift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.residualUpliftStats(sharedResidualPqIndex(s, d),
+        sharedPqIndex(s, d), emb, emb.filter(col("vec_id") < 10),
+        k = 5, nCentroids = 16, nProbe = 4)
+    }),
+
+    // ===== bloom observed-fpp gate ====================================
+    // adaptive sizing from the dim side + measured false-pass rate vs
+    // the design fpp: the silent-saturation mode (fpp → 1) becomes a
+    // red row. Exact membership counts are the oracle side; the
+    // bloom-dependent flag is pinned to 1 (the q136 invariant style) —
+    // observed > 2×design (min 0.1% floor for tiny non-match samples)
+    // or a design fpp past 10% (bits exhausted) flips it.
+    "q191_bloom_fpp" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.RuntimeFilters.observedFpp(
+          lineitem(s, d).select(col("l_orderkey")), dim,
+          "l_orderkey", "o_orderkey")
+        .select(col("n_fact"), col("n_match"), col("n_nonmatch"),
+          (col("observed_fpp_micro") <=
+              greatest(col("design_fpp_micro") * 2, lit(1000L)) &&
+            col("design_fpp_micro") <= lit(100000L)).cast("long")
+            .as("fpp_within_bound"))
+    }),
+
+    // ===== z-order vs plain-sort data-skipping decision metric ========
+    // q188 profiles the rectangles; this emits the number the layout
+    // choice is made on — files overlapping a one-dimension probe,
+    // both layouts: a ck-sort answers ck probes from ~1 file but reads
+    // EVERYTHING for bal probes; z-order pays ~√files on either axis
+    "q192_zorder_skipping" -> ((s, d) => {
+      val cust = customer(s, d).select(
+        col("c_custkey").cast("long").as("ck"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal"))
+      graft.io.Layout.skippingComparison(cust, "ck", "bal",
+        aProbe = (1L, 100L), bProbe = (0L, 100000L),
+        bits = 16, numFiles = 16)
+    }),
+
+    // ===== stream↔batch horizon-dedup parity gate =====================
+    // the SessionizeSpec contract as a red-able verify row: a REAL
+    // dropDuplicatesWithinWatermark stream over the planted one-key
+    // scenario vs the q184 batch twin; in_stream is pinned by the
+    // oracle (q136 invariant style), in_twin replayed by a recursive
+    // greedy chain — semantics drift on either path reds the row
+    "q193_horizon_parity" -> ((s, d) =>
+      graft.stream.Sessionize.horizonParityProbe(s)),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2058,6 +2168,140 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
       .mkString(" + ")
+
+  /** Shared CTE prefix for the residual IVF-PQ oracles (q189/q190):
+    * double-cast embeddings, the 16 smallest-id coarse centroids, cell
+    * assignment (6-dp cosine argmax), the query set, its top-4 probed
+    * cells, and the probed-candidate list — the q185 block conventions
+    * verbatim. Returned WITHOUT the leading WITH. */
+  private def ivfCommonCtes: String =
+    """e AS (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 16),
+      |cells AS (
+      |  SELECT id, c_id FROM (
+      |    SELECT e.id, ivc.c_id,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+      |               DESC, ivc.c_id) AS rk
+      |    FROM e CROSS JOIN ivc)
+      |  WHERE rk = 1),
+      |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+      |probes AS (
+      |  SELECT qid, c_id FROM (
+      |    SELECT q.qid, ivc.c_id,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+      |               DESC, ivc.c_id) AS crk
+      |    FROM qiv q CROSS JOIN ivc)
+      |  WHERE crk <= 4),
+      |cand AS (SELECT p.qid, p.c_id AS cell, cl.id FROM probes p
+      |         JOIN cells cl ON cl.c_id = p.c_id)""".stripMargin
+
+  /** One generic PQ training + encode replay over a (id, <vecExpr>)
+    * frame named `src` whose vector column is `vcol`, with CTE names
+    * prefixed `p` — the q185 trajectory text (seeds with an OFFSET,
+    * one 6-dp L2 Lloyd iteration with empty-code carry, final argmin
+    * encode). Emits `<p>codes(id, sub, code)` and `<p>c1(sub, c_id,
+    * cv)`. */
+  private def pqTrainCtes(p: String, src: String, vcol: String,
+                          seedOffset: Int): String = {
+    val off = if (seedOffset > 0) s" OFFSET $seedOffset" else ""
+    s"""${p}subs AS (
+       |  SELECT id, s AS sub, $vcol[(s*4+1):(s*4+4)] AS sv
+       |  FROM $src, UNNEST(range(0, 16)) AS u(s)),
+       |${p}seeds AS (SELECT id FROM $src ORDER BY id LIMIT 32$off),
+       |${p}c0 AS (
+       |  SELECT sub, id AS c_id, sv AS cv FROM ${p}subs
+       |  WHERE id IN (SELECT id FROM ${p}seeds)),
+       |${p}d1 AS (
+       |  SELECT ${p}subs.id, ${p}subs.sub, c.c_id, ${p}subs.sv,
+       |         round(list_dot_product(${p}subs.sv, ${p}subs.sv)
+       |           - 2*list_dot_product(${p}subs.sv, c.cv)
+       |           + list_dot_product(c.cv, c.cv), 6) AS d
+       |  FROM ${p}subs JOIN ${p}c0 c USING (sub)),
+       |${p}a1 AS (
+       |  SELECT id, sub, c_id, sv FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM ${p}d1)
+       |  WHERE rk = 1),
+       |${p}m1 AS (
+       |  SELECT sub, c_id, i - 1 AS dim,
+       |         round(sum(sv[i]) / count(*), 6) AS mval
+       |  FROM ${p}a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+       |${p}c1m AS (
+       |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+       |  FROM ${p}m1 GROUP BY 1, 2),
+       |${p}c1 AS (
+       |  SELECT * FROM ${p}c1m
+       |  UNION ALL
+       |  SELECT ${p}c0.sub, ${p}c0.c_id, ${p}c0.cv FROM ${p}c0
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}c1m
+       |                    WHERE ${p}c1m.sub = ${p}c0.sub
+       |                      AND ${p}c1m.c_id = ${p}c0.c_id)),
+       |${p}d2 AS (
+       |  SELECT ${p}subs.id, ${p}subs.sub, c.c_id,
+       |         round(list_dot_product(${p}subs.sv, ${p}subs.sv)
+       |           - 2*list_dot_product(${p}subs.sv, c.cv)
+       |           + list_dot_product(c.cv, c.cv), 6) AS d
+       |  FROM ${p}subs JOIN ${p}c1 c USING (sub)),
+       |${p}codes AS (
+       |  SELECT id, sub, c_id AS code FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM ${p}d2)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** The exact integer-micro² LUT entry expression (the pqLut/q185
+    * convention) between subvector columns `q.sv` and `c.cv`. */
+  private val lutDmSql: String =
+    """CAST(list_sum(list_transform(range(1, 5), i ->
+      |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+      |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+      |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+      |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT)""".stripMargin
+
+  /** Residual-side CTEs (on top of [[ivfCommonCtes]]): per-cell
+    * member-mean recentring vectors (6-dp rounded — the k-means
+    * convention), per-vector residuals, PQ trained on them with
+    * OFFSET-16 seeds (the residualPqBuild convention — the cell-naming
+    * seeds' residuals cluster near zero and are skipped),
+    * per-(query, probed cell) residual LUTs, and the blocked ADC rows
+    * `adr(qid, cid, adist)`. */
+  private def residualAdcCtes: String =
+    s"""rcent AS (
+       |  SELECT c_id, list(mval ORDER BY dim) AS mv FROM (
+       |    SELECT cl.c_id, i AS dim, round(avg(e.v[i]), 6) AS mval
+       |    FROM e JOIN cells cl ON cl.id = e.id,
+       |      UNNEST(range(1, 65)) AS u(i)
+       |    GROUP BY 1, 2) GROUP BY 1),
+       |res AS (
+       |  SELECT e.id, list_transform(range(1, 65), i -> e.v[i] - m.mv[i]) AS rv
+       |  FROM e JOIN cells cl ON cl.id = e.id
+       |  JOIN rcent m ON m.c_id = cl.c_id),
+       |${pqTrainCtes("r", "res", "rv", seedOffset = 16)},
+       |qres AS (
+       |  SELECT p.qid, p.c_id AS cell,
+       |         list_transform(range(1, 65), i -> q.qv[i] - m.mv[i]) AS rv
+       |  FROM probes p JOIN qiv q ON q.qid = p.qid
+       |  JOIN rcent m ON m.c_id = p.c_id),
+       |rqsubs AS (
+       |  SELECT qid, cell, s AS sub, rv[(s*4+1):(s*4+4)] AS sv
+       |  FROM qres, UNNEST(range(0, 16)) AS u(s)),
+       |rlut AS (
+       |  SELECT q.qid, q.cell, q.sub, c.c_id,
+       |    $lutDmSql AS dm
+       |  FROM rqsubs q JOIN rc1 c USING (sub)),
+       |adr AS (
+       |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+       |  FROM rcodes co
+       |  JOIN cand ON cand.id = co.id
+       |  JOIN rlut l ON l.qid = cand.qid AND l.cell = cand.cell
+       |             AND l.sub = co.sub AND l.c_id = co.code
+       |  WHERE cand.qid <> co.id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -7244,5 +7488,175 @@ object SparkEntry {
         |  count(*) AS n_rows, min(ck) AS ck_lo, max(ck) AS ck_hi,
         |  min(bal) AS bal_lo, max(bal) AS bal_hi
         |FROM z, zm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full residual replay: coarse cells → residuals → PQ training on
+    // residuals (OFFSET-16 seeds) → per-(query, cell) residual LUTs →
+    // blocked ADC ranking
+    "q189_residual_ivfpq" ->
+      s"""WITH $ivfCommonCtes,
+        |$residualAdcCtes
+        |SELECT qid, cid, adist, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM adr)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q189 residual chain + the q185 raw-vector chain (equal code
+    // budget, shared cells/probes/candidates) + the q21 exact cosine
+    // yardstick, reduced to ONE integer row — recall drift on either
+    // ranking, or the uplift flag flipping, reds the row
+    "q190_residual_uplift" ->
+      s"""WITH $ivfCommonCtes,
+        |$residualAdcCtes,
+        |${pqTrainCtes("p", "e", "v", seedOffset = 0)},
+        |pqsubs AS (SELECT id AS qid, sub, sv FROM psubs WHERE id < 10),
+        |plut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    $lutDmSql AS dm
+        |  FROM pqsubs q JOIN pc1 c USING (sub)),
+        |adp AS (
+        |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM pcodes co
+        |  JOIN cand ON cand.id = co.id
+        |  JOIN plut l ON l.qid = cand.qid AND l.sub = co.sub
+        |             AND l.c_id = co.code
+        |  WHERE cand.qid <> co.id
+        |  GROUP BY 1, 2),
+        |rtop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adr)
+        |  WHERE rank <= 5),
+        |ptop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adp)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hr AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN rtop USING (qid, cid) GROUP BY 1),
+        |hp AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN ptop USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(hr.h, 0)) AS BIGINT) AS sum_hits_res,
+        |         CAST(sum(coalesce(hp.h, 0)) AS BIGINT) AS sum_hits_plain
+        |  FROM ne LEFT JOIN hr ON hr.qid = ne.qid
+        |  LEFT JOIN hp ON hp.qid = ne.qid)
+        |SELECT n_q, sum_hits_res, sum_hits_plain,
+        |  CAST(sum_hits_res * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_res_micro,
+        |  CAST(sum_hits_plain * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_plain_micro,
+        |  CAST(sum_hits_res >= sum_hits_plain AS BIGINT) AS res_ge_plain
+        |FROM agg""".stripMargin,
+
+    // exact membership counts; the bloom-dependent gate flag is pinned
+    // to 1 (the q136 invariant convention) — saturation or an fpp
+    // blow-out flips the Spark side and reds the row
+    "q191_bloom_fpp" ->
+      """WITH f AS (SELECT l_orderkey AS k FROM lineitem),
+        |d AS (SELECT DISTINCT o_orderkey AS dk FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT CAST(count(*) AS BIGINT) AS n_fact,
+        |  CAST(sum(CASE WHEN d.dk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(sum(CASE WHEN d.dk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonmatch,
+        |  CAST(1 AS BIGINT) AS fpp_within_bound
+        |FROM f LEFT JOIN d ON d.dk = f.k""".stripMargin,
+
+    // same integer bucket/interleave math as q188, both file layouts,
+    // probe-rectangle overlap counts — the full skipping replay
+    "q192_zorder_skipping" ->
+      s"""WITH cust AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+        |  FROM customer),
+        |bounds AS (
+        |  SELECT min(ck) AS loA, max(ck) AS hiA,
+        |         min(bal) AS loB, max(bal) AS hiB FROM cust),
+        |based AS (
+        |  SELECT ck AS a, bal AS b,
+        |    CASE WHEN hiA <= loA THEN 0 ELSE
+        |      CAST(floor(((ck - loA) * 65536) / (hiA - loA + 1)) AS BIGINT)
+        |    END AS ba,
+        |    CASE WHEN hiB <= loB THEN 0 ELSE
+        |      CAST(floor(((bal - loB) * 65536) / (hiB - loB + 1)) AS BIGINT)
+        |    END AS bb
+        |  FROM cust, bounds),
+        |z AS (SELECT a, b, ba,
+        |        ${zInterleaveSql("ba", "bb", 16)} AS zv
+        |      FROM based),
+        |zm AS (SELECT max(zv) AS zmax FROM z),
+        |zf AS (
+        |  SELECT CAST(floor(zv * 16 / (zmax + 1)) AS BIGINT) AS file,
+        |    min(a) AS a_lo, max(a) AS a_hi,
+        |    min(b) AS b_lo, max(b) AS b_hi
+        |  FROM z, zm GROUP BY 1),
+        |sf AS (
+        |  SELECT CAST(floor(ba * 16 / 65536) AS BIGINT) AS file,
+        |    min(a) AS a_lo, max(a) AS a_hi,
+        |    min(b) AS b_lo, max(b) AS b_hi
+        |  FROM based GROUP BY 1),
+        |zp AS (
+        |  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN a_lo <= 100 AND a_hi >= 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a_probe_files,
+        |    CAST(sum(CASE WHEN b_lo <= 100000 AND b_hi >= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_probe_files
+        |  FROM zf),
+        |sp AS (
+        |  SELECT 'sorted_a' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN a_lo <= 100 AND a_hi >= 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a_probe_files,
+        |    CAST(sum(CASE WHEN b_lo <= 100000 AND b_hi >= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_probe_files
+        |  FROM sf)
+        |SELECT * FROM zp UNION ALL SELECT * FROM sp
+        |ORDER BY layout DESC""".stripMargin,
+
+    // the twin side replayed by the q184 recursive greedy chain over
+    // the planted scenario; the stream side pinned to the
+    // dropDuplicatesWithinWatermark semantics SessionizeSpec proves
+    // ({0, 100}: the 25 s event dies to still-live state — the
+    // documented stream ⊆ twin divergence)
+    "q193_horizon_parity" ->
+      """WITH RECURSIVE evk AS (
+        |  SELECT 1 AS k, CAST(off AS BIGINT) AS t
+        |  FROM (VALUES (0), (5), (25), (100)) AS v(off)),
+        |fm AS (
+        |  SELECT k, t, min(t) OVER (PARTITION BY k ORDER BY t
+        |    RANGE BETWEEN 11 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM evk),
+        |chain AS (
+        |  SELECT k, min(t) AS t FROM evk GROUP BY k
+        |  UNION ALL
+        |  SELECT fm.k, fm.nxt AS t FROM chain
+        |  JOIN fm ON fm.k = chain.k AND fm.t = chain.t
+        |  WHERE fm.nxt IS NOT NULL),
+        |twin AS (SELECT DISTINCT t FROM chain),
+        |stream AS (
+        |  SELECT CAST(off AS BIGINT) AS t
+        |  FROM (VALUES (0), (100)) AS s(off))
+        |SELECT e.t AS ep_off,
+        |  CAST(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_stream,
+        |  CAST(CASE WHEN w.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_twin,
+        |  CAST(1 AS BIGINT) AS contract_ok
+        |FROM evk e
+        |LEFT JOIN stream s ON s.t = e.t
+        |LEFT JOIN twin w ON w.t = e.t
+        |ORDER BY ep_off""".stripMargin,
   )
 }

@@ -40,9 +40,13 @@ class EntrySpec extends SparkSpec {
   // cosine ranking (the same one-broadcast-row scan). q185/q186
   // inherit q34's probe block — the broadcast crossJoin against the
   // LIMIT-nCentroids frame (a bounded model, never the corpus).
+  // q189/q190 inherit the same probe block (residual search shares
+  // ivfProbes verbatim); q190 additionally re-runs the q178 bruteTopK
+  // yardstick over the 10-vector broadcast query sample.
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf",
     "q122_ann_recall", "q123_rrf_fusion", "q178_pq_recall",
-    "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall")
+    "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall",
+    "q189_residual_ivfpq", "q190_residual_uplift")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
