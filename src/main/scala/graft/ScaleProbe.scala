@@ -685,6 +685,35 @@ object ScaleProbe {
         .filter(pmod(col("doc_a"), lit(10)) === 0 ||
           pmod(col("doc_b"), lit(10)) === 0))
     }
+
+    // ===== round-11 additions ==========================================
+    // skipping decision metric over a SCALED fact projection (q192's
+    // registered table is the unscaled customer dim): the cost model is
+    // the shared bucket projection + two 16-group hash aggregates —
+    // should scale linearly with one pass over the input
+    timed(s"zorder_skipping x$eventReps") {
+      consume(graft.io.Layout.skippingComparison(
+        events.select(col("user_id").cast("long").as("uid"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        "uid", "cents", aProbe = (1L, 50L), bProbe = (0L, 10000L)))
+    }
+    // two-level IVF search at 30x corpus (the beyond-driver-cap path)
+    timed(s"ivf_two_level x$docReps") {
+      consume(Similarity.ivfTopK2(emb,
+        emb.filter(col("vec_id") < 10), k = 5,
+        n1 = 8, n2 = 4, p1 = 3, p2 = 2))
+    }
+    // bloom-pruned SALTED join: replicated lineitem vs the urgent dim
+    timed("bloom_skew_join x30li") {
+      val li = Tables.lineitem(spark, sfDir)
+        .crossJoin(spark.range(30).toDF("rep"))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      consume(graft.ops.RuntimeFilters.bloomPrunedSkewJoin(
+        li, dim, "l_orderkey", "o_orderkey", salt = 8))
+    }
     spark.stop()
   }
 }

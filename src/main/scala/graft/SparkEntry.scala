@@ -2149,6 +2149,36 @@ object SparkEntry {
     // greedy chain — semantics drift on either path reds the row
     "q193_horizon_parity" -> ((s, d) =>
       graft.stream.Sessionize.horizonParityProbe(s)),
+
+    // ===== bloom-pruned SALTED fact-to-dim join =======================
+    // q187's runtime filter composed with SkewJoin salting — the
+    // hot-key fact case: might_contain kills non-matching rows BEFORE
+    // the salted exchange, survivors spread over 8 sub-keys. Result is
+    // row-identical to the plain join (both pieces spec-verified), so
+    // the oracle is q187's
+    "q194_bloom_skew_join" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.ops.RuntimeFilters.bloomPrunedSkewJoin(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          dim, "l_orderkey", "o_orderkey", salt = 8)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(rev), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("yr"))
+    }),
+
+    // ===== two-level (hierarchical) IVF top-k =========================
+    // the beyond-driver-cap ANN path ivfAssign documents: 8 level-1
+    // seed cells × 4 join-side level-2 lists each; queries probe 3
+    // cells × 2 lists, exact re-rank inside the probed lists only
+    "q195_ivf_two_level" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfTopK2(emb, emb.filter(col("vec_id") < 10), k = 5,
+        n1 = 8, n2 = 4, p1 = 3, p2 = 2)
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -7658,5 +7688,81 @@ object SparkEntry {
         |LEFT JOIN stream s ON s.t = e.t
         |LEFT JOIN twin w ON w.t = e.t
         |ORDER BY ep_off""".stripMargin,
+
+    // bloom prefilter + salting are BOTH semantics-preserving, so the
+    // oracle is the plain inner join (q187's)
+    "q194_bloom_skew_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full two-level replay: level-1 cells (8 seeds) → per-cell
+    // id-ordered level-2 seed election (4 each) → join-side level-2
+    // argmax → hierarchical probes (3 cells × 2 lists) → exact re-rank
+    "q195_ivf_two_level" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
+        |cells1 AS (
+        |  SELECT id, c_id AS cell1 FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |seeds2 AS (
+        |  SELECT cell1, s_id, sv FROM (
+        |    SELECT cl.cell1, e.id AS s_id, e.v AS sv,
+        |           row_number() OVER (PARTITION BY cl.cell1
+        |             ORDER BY e.id) AS rk
+        |    FROM e JOIN cells1 cl ON cl.id = e.id)
+        |  WHERE rk <= 4),
+        |cells2 AS (
+        |  SELECT id, cell2 FROM (
+        |    SELECT cl.id, s.s_id AS cell2,
+        |           row_number() OVER (PARTITION BY cl.id
+        |             ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+        |               DESC, s.s_id) AS rk
+        |    FROM cells1 cl JOIN e ON e.id = cl.id
+        |    JOIN seeds2 s ON s.cell1 = cl.cell1)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |probes1 AS (
+        |  SELECT qid, cell1 FROM (
+        |    SELECT q.qid, ivc.c_id AS cell1,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 3),
+        |probes2 AS (
+        |  SELECT qid, cell2 FROM (
+        |    SELECT p.qid, s.s_id AS cell2,
+        |           row_number() OVER (PARTITION BY p.qid, p.cell1
+        |             ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6)
+        |               DESC, s.s_id) AS qrk
+        |    FROM probes1 p JOIN qiv q ON q.qid = p.qid
+        |    JOIN seeds2 s ON s.cell1 = p.cell1)
+        |  WHERE qrk <= 2),
+        |scored AS (
+        |  SELECT p.qid, c2.id AS cid,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        |  FROM probes2 p
+        |  JOIN cells2 c2 ON c2.cell2 = p.cell2
+        |  JOIN qiv q ON q.qid = p.qid
+        |  JOIN e ON e.id = c2.id
+        |  WHERE p.qid <> c2.id)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -342,6 +342,120 @@ object Similarity {
         col("c_id").as("centroid_id"))
   }
 
+  /** Two-level IVF assignment — the beyond-the-driver-cap path the
+    * [[ivfAssign]] scaladoc documents (past [[MaxCentroids]] lists,
+    * go hierarchical): level 1 assigns every vector to one of `n1`
+    * deterministic seed cells via the broadcast driver model exactly
+    * as [[ivfAssign]]; level 2 re-quantizes WITHIN each level-1 cell
+    * against the cell's own `n2` smallest-id members, entirely
+    * JOIN-SIDE — no level-2 driver model ever exists, so driver-held
+    * state stays n1 rows while the effective list count is n1 × n2
+    * (10⁵ × 10⁵ = 10¹⁰ lists inside the allowance). Returns
+    * (id, v, nrm, cell1, cell2) — cell2 is the chosen level-2 seed's
+    * global id.
+    *
+    * Determinism: both levels round cosine to 6 dp before the argmax
+    * with ties to the smallest seed id (the library convention);
+    * level-2 seeds are elected by a per-cell id-ordered row_number —
+    * corpus-cardinality partitions, no funneling.
+    *
+    * Scale: the level-2 seed frame is n1·n2 rows keyed by cell1 — at
+    * probe scale AQE broadcasts it and the only exchange is the
+    * per-id argmax collapse; at full scale it exceeds broadcast and
+    * the plan is two bounded exchanges (corpus by cell1, then by id),
+    * with the ×n2 candidate fan-out collapsed map-side by the partial
+    * max_by before either shuffle moves it. Never an all-pairs
+    * product. */
+  def ivfAssign2(emb: DataFrame, n1: Int, n2: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(n2 > 0, "n2 must be positive")
+    // consumed twice (seed election + assignment) — materialize once
+    val l1 = ivfAssign(emb, n1, 1, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "cell1")
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val seeds2 = l1.withColumn("_rk",
+        row_number().over(Window.partitionBy(col("cell1")).orderBy(col("id"))))
+      .filter(col("_rk") <= n2)
+      .select(col("cell1"), col("id").as("s_id"), col("v").as("sv"),
+        col("nrm").as("sn"))
+    val denom = col("nrm") * col("sn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("sv")) / denom)
+    l1.join(seeds2, Seq("cell1"))
+      .select(col("id"), col("v"), col("nrm"), col("cell1"), col("s_id"),
+        round(sim, 6).as("_s"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("cell1"), col("s_id")),
+        struct(col("_s"), (-col("s_id")).as("_t"))).as("b"))
+      .select(col("id"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+        col("b.cell1").as("cell1"), col("b.s_id").as("cell2"))
+  }
+
+  /** Two-level IVF approximate top-k: probe `p1` level-1 cells, then
+    * `p2` level-2 lists INSIDE each probed cell, exact cosine re-rank
+    * of the probed lists' members only — [[ivfTopK]] with a
+    * hierarchical probe so candidate volume scales with p1·p2 fine
+    * lists out of n1·n2, while no single quantizer model exceeds the
+    * driver allowance. The candidate join is an equi-join on cell2
+    * (list-bounded shuffle); level-2 probe ranking runs over the
+    * p1-probed cells' seed frames only (a (qid, cell1)-keyed
+    * contraction). Same determinism conventions as [[ivfTopK]]. */
+  def ivfTopK2(corpus: DataFrame, queries: DataFrame, k: Int,
+               n1: Int = 8, n2: Int = 4, p1: Int = 3, p2: Int = 2,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val l1 = ivfAssign(corpus, n1, 1, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "cell1")
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val seeds2 = l1.withColumn("_rk",
+        row_number().over(Window.partitionBy(col("cell1")).orderBy(col("id"))))
+      .filter(col("_rk") <= n2)
+      .select(col("cell1"), col("id").as("s_id"), col("v").as("sv"),
+        col("nrm").as("sn"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // corpus-side level-2 assignment (map-side-collapsed argmax)
+    val sden = col("nrm") * col("sn")
+    val ssim = when(sden === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("sv")) / sden)
+    val assigned2 = l1.join(seeds2, Seq("cell1"))
+      .select(col("id"), col("cell1"), col("s_id"), round(ssim, 6).as("_s"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell1"), col("s_id")),
+        struct(col("_s"), (-col("s_id")).as("_t"))).as("b"))
+      .select(col("id"), col("b.cell1").as("cell1"), col("b.s_id").as("cell2"))
+      .join(l1.select(col("id"), col("v"), col("nrm")), Seq("id"))
+    // query-side probes: p1 level-1 cells, then p2 lists per cell
+    val probes1 = ivfProbes(corpus, queries, n1, p1, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "cell1")
+    val qden = col("qn") * col("sn")
+    val qsim = when(qden === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("sv")) / qden)
+    val w2 = Window.partitionBy(col("qid"), col("cell1"))
+      .orderBy(col("_qs").desc, col("s_id"))
+    val probes2 = probes1.join(seeds2, Seq("cell1"))
+      .withColumn("_qs", round(qsim, 6))
+      .withColumn("_qrk", row_number().over(w2))
+      .filter(col("_qrk") <= p2)
+      .select(col("qid"), col("qv"), col("qn"), col("s_id").as("cell2"))
+    // exact re-rank of the probed lists' members
+    val denom = col("qn") * col("nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("v")) / denom)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    assigned2.join(broadcast(probes2), Seq("cell2"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cid"), round(sim, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF approximate top-k: rank centroids per query, probe the
     * `nProbe` nearest centroid buckets, exact cosine re-rank inside the
     * probed buckets only. The candidate join is an equi-join on

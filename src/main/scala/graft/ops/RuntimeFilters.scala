@@ -109,6 +109,29 @@ object RuntimeFilters {
       .join(dim, col(factKey) === col(dimKey))
   }
 
+  /** [[bloomPrunedJoinAdaptive]] composed with
+    * [[SkewJoin.saltedEquiJoin]] — the salted-fact case: the bloom
+    * predicate kills non-matching fact rows BEFORE the salted
+    * exchange (a codegen'd filter at the scan, exactly as in
+    * [[prunedByBloom]]), and the survivors — now dominated by the hot
+    * matching keys that made salting necessary — spread over `salt`
+    * sub-keys instead of funneling one reducer. Order matters: salt
+    * first and the bloom filter would run after the ×salt dim
+    * replication's join, shipping every non-matching fact row through
+    * the exchange it exists to avoid. Row-identical to the plain
+    * inner join (bloom: no false negatives, false positives die in
+    * the exact join; salting: row-for-row equivalent — both
+    * spec-verified). */
+  def bloomPrunedSkewJoin(fact: DataFrame, dim: DataFrame,
+                          factKey: String, dimKey: String,
+                          salt: Int = 16, bitsPerKey: Int = 8,
+                          maxBits: Long = 67108864L): DataFrame = {
+    val (n, bits) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
+    SkewJoin.saltedEquiJoin(
+      prunedByBloom(fact, keyBloom(dim, dimKey, n, bits), factKey),
+      dim, factKey, dimKey, salt)
+  }
+
   /** Measured bloom quality — the observability half of adaptive
     * sizing: builds the bloom over `dim` exactly as
     * [[bloomPrunedJoinAdaptive]] would, evaluates it on every fact

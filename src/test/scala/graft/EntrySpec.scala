@@ -42,11 +42,14 @@ class EntrySpec extends SparkSpec {
   // LIMIT-nCentroids frame (a bounded model, never the corpus).
   // q189/q190 inherit the same probe block (residual search shares
   // ivfProbes verbatim); q190 additionally re-runs the q178 bruteTopK
-  // yardstick over the 10-vector broadcast query sample.
+  // yardstick over the 10-vector broadcast query sample. q195's
+  // level-1 probe is the same broadcast crossJoin against the
+  // LIMIT-n1 seed frame.
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf",
     "q122_ann_recall", "q123_rrf_fusion", "q178_pq_recall",
     "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall",
-    "q189_residual_ivfpq", "q190_residual_uplift")
+    "q189_residual_ivfpq", "q190_residual_uplift",
+    "q195_ivf_two_level")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -309,6 +309,42 @@ class ExtSpec extends SparkSpec {
     blocked.unpersist()
   }
 
+  test("two-level IVF: blocking never changes a score, level-2 lists " +
+      "are in-cell seeds, ranks contiguous") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val got = Similarity.ivfTopK2(emb, q, k = 5,
+      n1 = 8, n2 = 4, p1 = 3, p2 = 2).cache()
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)),
+      "a query returned itself")
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    // hierarchical blocking filters candidates, never changes scores:
+    // every result's cos_sim must equal the brute ranking's score
+    val brute = Similarity.bruteTopK(emb, q, k = Int.MaxValue)
+      .select(col("qid"), col("cid"), col("cos_sim").as("bs"))
+    val j = got.join(brute, Seq("qid", "cid"))
+    assert(j.count() === rows.length.toLong,
+      "a two-level result is missing from the brute ranking")
+    assert(j.filter(col("cos_sim") =!= col("bs")).count() === 0L,
+      "two-level blocking changed a score")
+    // assignment invariant: every vector's level-2 list head is a
+    // member of the vector's own level-1 cell
+    val a2 = Similarity.ivfAssign2(emb, 8, 4)
+      .select(col("id"), col("cell1"), col("cell2"))
+      .cache()
+    val seedCells = a2.select(col("id").as("cell2"),
+      col("cell1").as("seed_cell1"))
+    assert(a2.join(seedCells, Seq("cell2"))
+      .filter(col("cell1") =!= col("seed_cell1")).count() === 0L,
+      "a level-2 seed lives outside its vector's level-1 cell")
+    a2.unpersist()
+    got.unpersist()
+  }
+
   test("residual IVF-PQ: shape, candidates stay in probed cells, and " +
       "equal-budget recall uplift over raw-vector codes") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

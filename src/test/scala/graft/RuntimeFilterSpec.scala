@@ -95,6 +95,25 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned === plain)
   }
 
+  test("bloomPrunedSkewJoin: row-identical to the plain join, bloom " +
+      "filter present, salt columns dropped") {
+    val fact = (1L to 3000L).map(i => (i % 97, i)).toDF("fk", "payload")
+    val dim = Seq((3L, "a"), (11L, "b"), (42L, "c")).toDF("dk", "attr")
+    val skewed = RuntimeFilters.bloomPrunedSkewJoin(
+      fact, dim, "fk", "dk", salt = 4)
+    val got = skewed.select("fk", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(got.nonEmpty && got === want)
+    assert(!skewed.columns.contains("_salt"))
+    val plan = skewed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("observedFpp: exact counts, fpp near design under adaptive " +
       "sizing, saturation surfaces in design_fpp") {
     val fact = (1L to 20000L).toDF("k")
