@@ -2179,6 +2179,27 @@ object SparkEntry {
       Similarity.ivfTopK2(emb, emb.filter(col("vec_id") < 10), k = 5,
         n1 = 8, n2 = 4, p1 = 3, p2 = 2)
     }),
+
+    // ===== pre-flight join STRATEGY audit =============================
+    // q137's exact cardinality stats folded into the decision ladder a
+    // join planner runs (broadcast / bloom_ / _salted), two audited
+    // join shapes: lineitem⋈urgent-orders (selective probe → bloom)
+    // and lineitem⋈orders (full match → plain shuffle). The broadcast
+    // row limit is pinned to 1000 so the non-broadcast branches are
+    // exercised at test scale
+    "q196_join_advisor" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"))
+      def audit(dim: DataFrame, name: String) =
+        Profiling.joinStrategyAudit(li, dim, "l_orderkey", "o_orderkey",
+            broadcastRowLimit = 1000L)
+          .select(lit(name).as("join_name") +:
+            Profiling.auditCols.map(col): _*)
+      audit(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), "li_urgent")
+        .unionAll(audit(orders(s, d).select(col("o_orderkey")),
+          "li_orders"))
+        .orderBy(col("join_name"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -7764,5 +7785,58 @@ object SparkEntry {
         |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same exact contraction arithmetic as q137 + the decision CASE
+    // ladder, replayed for both audited join shapes
+    "q196_join_advisor" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+        |  FROM lineitem GROUP BY 1),
+        |cru AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |cra AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+        |  FROM orders GROUP BY 1),
+        |au AS (
+        |  SELECT 'li_urgent' AS join_name,
+        |    (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) FROM cl) AS n_left,
+        |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM cru) AS n_right,
+        |    CAST(count(*) AS BIGINT) AS n_keys_common,
+        |    CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS out_rows,
+        |    CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_out,
+        |    CAST(coalesce(sum(cl), 0) AS BIGINT) AS matched_left,
+        |    CAST(coalesce(sum(cr), 0) AS BIGINT) AS matched_right
+        |  FROM cl JOIN cru USING (k)
+        |  UNION ALL
+        |  SELECT 'li_orders' AS join_name,
+        |    (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) FROM cl),
+        |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM cra),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(cl * cr), 0) AS BIGINT),
+        |    CAST(coalesce(max(cl * cr), 0) AS BIGINT),
+        |    CAST(coalesce(sum(cl), 0) AS BIGINT),
+        |    CAST(coalesce(sum(cr), 0) AS BIGINT)
+        |  FROM cl JOIN cra USING (k)),
+        |derived AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN n_left >= n_right
+        |      THEN coalesce(matched_left * 1000000 // nullif(n_left, 0), 0)
+        |      ELSE coalesce(matched_right * 1000000 // nullif(n_right, 0), 0)
+        |    END AS BIGINT) AS probe_match_micro,
+        |    CAST(coalesce(max_key_out * 1000000 // nullif(out_rows, 0), 0)
+        |      AS BIGINT) AS skew_micro
+        |  FROM au)
+        |SELECT join_name, n_left, n_right, n_keys_common, out_rows,
+        |  max_key_out, matched_left, matched_right, probe_match_micro,
+        |  skew_micro,
+        |  CASE WHEN least(n_left, n_right) <= 1000 THEN 'broadcast'
+        |    ELSE (CASE WHEN probe_match_micro < 500000 THEN 'bloom_'
+        |            ELSE '' END)
+        |      || 'shuffle'
+        |      || (CASE WHEN skew_micro > 100000 THEN '_salted'
+        |            ELSE '' END)
+        |  END AS strategy
+        |FROM derived ORDER BY join_name""".stripMargin,
   )
 }

@@ -218,6 +218,84 @@ object Profiling {
         col("max_key_out"))
   }
 
+  /** Pre-flight join STRATEGY audit — [[joinCardinality]]'s stats
+    * folded into the decision a 100 TB join planner actually makes,
+    * as one deterministic row. The derivation ladder (all exact
+    * integer arithmetic, oracle-replayable):
+    *
+    *  1. the smaller side fits the broadcast budget → `broadcast`
+    *     (no shuffle at all; skew is irrelevant to a broadcast-hash
+    *     probe);
+    *  2. else `shuffle`, prefixed `bloom_` when under half the
+    *     LARGER side's rows have a matching key (the
+    *     [[graft.ops.RuntimeFilters.bloomPrunedJoin]] win condition:
+    *     most probe rows die before the exchange), and suffixed
+    *     `_salted` when one key contributes more than
+    *     `skewLimitMicro` of the join output (the
+    *     [[graft.ops.SkewJoin.saltedEquiJoin]] condition — AQE's
+    *     skew split has the same trigger shape at runtime; this is
+    *     the plan-ahead form).
+    *
+    * Emits (n_left, n_right, n_keys_common, out_rows, max_key_out,
+    * matched_left, matched_right, probe_match_micro, skew_micro,
+    * strategy). Thresholds are parameters: `broadcastRowLimit` is a
+    * ROW proxy for spark.sql.autoBroadcastJoinThreshold's byte budget
+    * (callers translate via their row width), pinned small in tests
+    * to exercise the non-broadcast branches.
+    *
+    * Scale: identical cost shape to [[joinCardinality]] — two
+    * map-side-combined key contractions, one key-cardinality join,
+    * decimal(38,0) row-scaled sums. */
+  /** [[joinStrategyAudit]]'s output column names, in order — the reuse
+    * seam for callers prefixing a label column before a union. */
+  val auditCols: Seq[String] = Seq("n_left", "n_right", "n_keys_common",
+    "out_rows", "max_key_out", "matched_left", "matched_right",
+    "probe_match_micro", "skew_micro", "strategy")
+
+  def joinStrategyAudit(left: DataFrame, right: DataFrame,
+                        keyL: String, keyR: String,
+                        broadcastRowLimit: Long = 10000000L,
+                        skewLimitMicro: Long = 100000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cl = left.groupBy(col(keyL).as("k")).agg(count(lit(1)).as("cl"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val cr = right.groupBy(col(keyR).as("k")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val ltot = cl.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"))
+    val rtot = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"))
+    val common = cl.join(cr, Seq("k"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)"))
+          .cast("long"), lit(0L)).as("out_rows"),
+        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_out"),
+        coalesce(sum(col("cl")), lit(0L)).as("matched_left"),
+        coalesce(sum(col("cr")), lit(0L)).as("matched_right"))
+    val probeMatch = expr(
+      """CASE WHEN n_left >= n_right
+        |  THEN coalesce(matched_left * 1000000 div nullif(n_left, 0), 0)
+        |  ELSE coalesce(matched_right * 1000000 div nullif(n_right, 0), 0)
+        |END""".stripMargin)
+    val skew = expr(
+      "coalesce(max_key_out * 1000000 div nullif(out_rows, 0), 0)")
+    common.join(broadcast(ltot), lit(true), "left")
+      .join(broadcast(rtot), lit(true), "left")
+      .withColumn("probe_match_micro", probeMatch)
+      .withColumn("skew_micro", skew)
+      .withColumn("strategy",
+        when(least(col("n_left"), col("n_right")) <= broadcastRowLimit,
+          lit("broadcast"))
+        .otherwise(concat(
+          when(col("probe_match_micro") < 500000L, lit("bloom_"))
+            .otherwise(lit("")),
+          lit("shuffle"),
+          when(col("skew_micro") > skewLimitMicro, lit("_salted"))
+            .otherwise(lit("")))))
+      .select(col("n_left"), col("n_right"), col("n_keys_common"),
+        col("out_rows"), col("max_key_out"), col("matched_left"),
+        col("matched_right"), col("probe_match_micro"),
+        col("skew_micro"), col("strategy"))
+  }
+
   /** Heavy-hitter audit via the Misra-Gries mergeable summary
     * ([[graft.functions.SketchAggregates.mg_summary]]): one
     * O(capacity)-state pass finds the candidate set, a second pass

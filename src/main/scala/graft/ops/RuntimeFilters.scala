@@ -151,11 +151,15 @@ object RuntimeFilters {
     * and turns the gate red instead of quietly shipping a useless
     * filter. Cost: one pass over fact + the dim-key contraction join —
     * this is a MEASUREMENT op, run on a sample or sidecar, not spliced
-    * into the hot join. */
+    * into the hot join; at 100 TB set `factSampleMod` for a
+    * deterministic ~1/mod fact-side hash sample (the fpp RATE is
+    * estimated unbiasedly; counts become sample counts). */
   def observedFpp(fact: DataFrame, dim: DataFrame,
                   factKey: String, dimKey: String,
                   bitsPerKey: Int = 8,
-                  maxBits: Long = 67108864L): DataFrame = {
+                  maxBits: Long = 67108864L,
+                  factSampleMod: Long = 1L): DataFrame = {
+    require(factSampleMod >= 1L, "factSampleMod must be >= 1")
     val (n, m) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
     // Spark's BloomFilterImpl: k = max(1, round(m/n · ln 2))
     val k = math.max(1L, math.round(m.toDouble / n * math.log(2.0)))
@@ -163,7 +167,18 @@ object RuntimeFilters {
       math.pow(1.0 - math.exp(-k.toDouble * n / m), k.toDouble))
     val bloom = keyBloom(dim, dimKey, n, m)
     val dimKeys = dim.select(col(dimKey).as("_dk")).distinct()
-    fact
+    // the 100 TB sidecar mode: a deterministic ~1/mod hash-keep of the
+    // fact side (xxhash64 of the key with a salt uncorrelated to the
+    // bloom's own xxhash64(key) hash — sampling on the raw key hash
+    // would bias the sample toward one region of the bloom's domain).
+    // The fpp RATE estimates the full-table rate unbiasedly; counts
+    // are sample counts, documented by the caller's mod.
+    val sampled =
+      if (factSampleMod == 1L) fact
+      else fact.where(
+        pmod(xxhash64(col(factKey), lit("fpp_sample")),
+          lit(factSampleMod)) === 0L)
+    sampled
       .withColumn("_pass", mightContainKey(bloom, col(factKey)))
       .join(dimKeys, col(factKey) === col("_dk"), "left")
       .agg(count(lit(1)).as("n_fact"),

@@ -117,4 +117,31 @@ class AnalyticsPropertySpec extends SparkSpec {
       got.foreach { case (_, nr, _, _) => assert(nr >= 1L && nr <= 2L) }
     }
   }
+
+  test("dedupWithinHorizon equals the sequential greedy fold on random " +
+      "event sets (the pointer-doubling correctness property)") {
+    val evGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 60L)))
+    def greedy(ts: Seq[Long], horizon: Long): Seq[Long] = {
+      val sorted = ts.distinct.sorted
+      sorted.foldLeft(List.empty[Long]) { (kept, t) =>
+        kept match {
+          case last :: _ if t - last <= horizon => kept
+          case _ => t :: kept
+        }
+      }.reverse
+    }
+    (1L to 8L).foreach { seed =>
+      val rows = sample(evGen, seed)
+      val horizon = seed % 3 * 7L // 0, 7, 14 — includes the degenerate 0
+      val got = Dedup.dedupWithinHorizon(rows.toDF("k", "t"),
+          Seq("k"), "t", horizon)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = rows.groupBy(_._1).map { case (k, kts) =>
+        k -> greedy(kts.map(_._2), horizon)
+      }
+      assert(got === want, s"seed $seed horizon $horizon")
+    }
+  }
 }

@@ -324,4 +324,33 @@ class ProfilingSpec extends SparkSpec {
     assert(i.getAs[Double]("theils_u_xy") === 0.0)
     assert(i.getAs[Double]("theils_u_yx") === 0.0)
   }
+
+  test("joinStrategyAudit: broadcast, bloom, and salted branches fire " +
+      "on their trigger shapes") {
+    import graft.ext.Profiling
+    // hot key 1 x4000 + 6000 unmatched keys; right side 100 unique keys
+    val left = ((1 to 4000).map(_ => 1L) ++
+      (10001L to 16000L)).toDF("lk")
+    val right = (1L to 100L).toDF("rk")
+    // small right under the row limit -> broadcast, everything else moot
+    val b = Profiling.joinStrategyAudit(left, right, "lk", "rk",
+      broadcastRowLimit = 1000L).collect().head
+    assert(b.getAs[String]("strategy") === "broadcast")
+    // force the shuffle path: matched 4000/10000 = 0.4 < 0.5 -> bloom_;
+    // one key contributes 4000/4000 = 100% of output -> _salted
+    val s = Profiling.joinStrategyAudit(left, right, "lk", "rk",
+      broadcastRowLimit = 10L).collect().head
+    assert(s.getAs[Long]("n_left") === 10000L)
+    assert(s.getAs[Long]("n_right") === 100L)
+    assert(s.getAs[Long]("out_rows") === 4000L)
+    assert(s.getAs[Long]("max_key_out") === 4000L)
+    assert(s.getAs[Long]("probe_match_micro") === 400000L)
+    assert(s.getAs[Long]("skew_micro") === 1000000L)
+    assert(s.getAs[String]("strategy") === "bloom_shuffle_salted")
+    // full-match unskewed shape -> plain shuffle
+    val even = (1L to 100L).flatMap(k => Seq(k, k)).toDF("lk")
+    val p = Profiling.joinStrategyAudit(even, right, "lk", "rk",
+      broadcastRowLimit = 10L).collect().head
+    assert(p.getAs[String]("strategy") === "shuffle")
+  }
 }
