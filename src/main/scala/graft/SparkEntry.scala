@@ -24,10 +24,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** q174's registered shutdown-delete hooks, one per output path per
-    * JVM (bench iterations re-invoke the query lambda). */
+  /** Registered shutdown-delete hooks for queries that write tmp
+    * artifacts (q174's ORC round-trip, q197's PQ-index round-trip) —
+    * one per output path per JVM (bench iterations re-invoke the
+    * query lambdas). */
   private val orcRtHooked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Register a JVM-shutdown recursive delete for `out`, once per
+    * path (the q174 pattern, shared by every tmp-writing query). */
+  private def hookTmpDelete(out: String): Unit =
+    if (orcRtHooked.putIfAbsent(out, java.lang.Boolean.TRUE) == null) {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(out))
+      }
+      ()
+    }
 
   /** TPC-H-style revenue expression used in several queries. */
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -955,15 +970,7 @@ object SparkEntry {
       // (or read from) each other's round-trip output
       val out = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_" +
         Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
-      // one hook per path per JVM — bench iterations re-invoke this
-      // lambda and must not pile up duplicate hook threads
-      if (orcRtHooked.putIfAbsent(out, java.lang.Boolean.TRUE) == null)
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(out))
-        }
+      hookTmpDelete(out)
       graft.io.Sinks.orcDir(lineitem(s, d).select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity"), col("l_extendedprice")), out)
       graft.io.Sources.orcDir(s, out)
@@ -2200,6 +2207,34 @@ object SparkEntry {
           "li_orders"))
         .orderBy(col("join_name"))
     }),
+
+    // ===== PQ index persistence round-trip ============================
+    // the FAISS write_index/read_index lifecycle: the shared q177
+    // index saved to parquet, reloaded, and searched — results must be
+    // BIT-IDENTICAL to the in-session index, so the oracle is q177's
+    // flat-ADC replay verbatim
+    "q197_pq_index_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_pq_idx_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      hookTmpDelete(out)
+      Similarity.savePqIndex(sharedPqIndex(s, d), out)
+      Similarity.pqAdcSearch(Similarity.loadPqIndex(s, out),
+        embeddings(s, d).filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // ===== PQ incremental add (frozen codebooks) ======================
+    // FAISS add(): codebooks train on the 80% base (vec_id % 5 != 0),
+    // the 20% delta encodes against the FROZEN codebooks — no retrain
+    // — and search runs over the combined codes; the oracle trains on
+    // the base subset and encodes everything with those centroids
+    "q198_pq_index_add" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val grown = Similarity.pqIndexAdd(
+        Similarity.pqBuild(emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          m = 16, dsub = 4, kCodes = 32, iters = 1),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+      Similarity.pqAdcSearch(grown, emb.filter(col("vec_id") < 10), k = 5)
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2417,7 +2452,14 @@ object SparkEntry {
        |  FROM enc$iters)""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // q197 searches a SAVED + RELOADED copy of the q177 index — the
+    // round-trip must be bit-identical, so its oracle IS q177's flat
+    // ADC replay (aliased below the literal map)
+    oracleSqlBase +
+      ("q197_pq_index_roundtrip" -> oracleSqlBase("q177_pq_adc"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -7838,5 +7880,49 @@ object SparkEntry {
         |            ELSE '' END)
         |  END AS strategy
         |FROM derived ORDER BY join_name""".stripMargin,
+
+    // codebooks trained on the 80% base only (the frozen-codebook add
+    // contract), every vector — base AND delta — encoded against
+    // those centroids, then the q177 flat-ADC tail
+    "q198_pq_index_add" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eb AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+        |${pqTrainCtes("p", "eb", "v", seedOffset = 0)},
+        |dsubs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)
+        |  WHERE id % 5 = 0),
+        |dd2 AS (
+        |  SELECT dsubs.id, dsubs.sub, c.c_id,
+        |         round(list_dot_product(dsubs.sv, dsubs.sv)
+        |           - 2*list_dot_product(dsubs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM dsubs JOIN pc1 c USING (sub)),
+        |dcodes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM dd2)
+        |  WHERE rk = 1),
+        |codes AS (SELECT * FROM pcodes UNION ALL SELECT * FROM dcodes),
+        |qsubs AS (
+        |  SELECT id AS qid, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)
+        |  WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    $lutDmSql AS dm
+        |  FROM qsubs q JOIN pc1 c USING (sub)),
+        |ad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id
+        |  GROUP BY 1, 2)
+        |SELECT qid, cid, adist, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM ad)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -958,6 +958,62 @@ object Similarity {
     PqIndex(m, dsub, codes, cents)
   }
 
+  /** Persist a [[PqIndex]] as three parquet dirs under `dir`
+    * (`codes/`, `cents/`, `meta/`) — the missing half of the FAISS
+    * train→add→search lifecycle: at 100 TB the build (multiple
+    * corpus passes) runs ONCE in a training job, and every serving
+    * job [[loadPqIndex]]s the artifact instead of retraining. Codes
+    * are the corpus-sized table (write dominates); codebooks and the
+    * 1-row geometry frame are kilobytes. */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((index.m, index.dsub)).toDF("m", "dsub")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a [[savePqIndex]] artifact back. Codes load as a plain
+    * parquet scan (lazy — serving reads ARE the deployment shape;
+    * callers that search many batches in one session may
+    * localCheckpoint). Search results over a loaded index are
+    * bit-identical to the in-session build: codes and codebooks are
+    * exact integers/doubles, and parquet round-trips both exactly. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    PqIndex(meta.getAs[Int]("m"), meta.getAs[Int]("dsub"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/cents"))
+  }
+
+  /** FAISS `add()` semantics: encode `delta` vectors with the index's
+    * FROZEN codebooks — no retraining — and append their codes. The
+    * serve-time growth path for a streaming corpus: assignment is the
+    * same broadcast-codebook argmin as the build's final pass (one
+    * projection + map-side min_by over the delta only), so adding N
+    * rows costs O(N), never a corpus pass. Quantization error for
+    * delta vectors is measured against the TRAINING distribution —
+    * retrain when a drift gate (the q116/q136 pattern) says the delta
+    * no longer looks like the training corpus. */
+  def pqIndexAdd(index: PqIndex, delta: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): PqIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val m = index.m
+    val dsub = index.dsub
+    val subs = delta
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    val newCodes = pqAssignCore(subs, index.cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+    index.copy(codes = index.codes.unionAll(newCodes)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
+  }
+
   /** Flat ADC ranking tail over a prebuilt [[PqIndex]] — the
     * compressed linear scan of [[pqAdcTopK]] minus the build. */
   def pqAdcSearch(index: PqIndex, queries: DataFrame, k: Int,

@@ -309,6 +309,45 @@ class ExtSpec extends SparkSpec {
     blocked.unpersist()
   }
 
+  test("PqIndex persistence + frozen-codebook add: round-trip search " +
+      "bit-identical, add covers every id without retraining") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val idx = Similarity.pqBuild(base, m = 16, dsub = 4, kCodes = 32,
+      iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      Similarity.savePqIndex(idx, dir)
+      val loaded = Similarity.loadPqIndex(spark, dir)
+      assert(loaded.m === 16 && loaded.dsub === 4)
+      def dump(i: Similarity.PqIndex) =
+        Similarity.pqAdcSearch(i, q, k = 5).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(dump(loaded) === dump(idx),
+        "reloaded index search diverged from the in-session index")
+      // frozen-codebook add: codebooks untouched, every corpus id coded
+      val grown = Similarity.pqIndexAdd(idx, delta)
+      val centsBefore = idx.cents.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      val centsAfter = grown.cents.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSet
+      assert(centsAfter === centsBefore, "add retrained the codebooks")
+      assert(grown.codes.select(col("id")).distinct().count() ===
+        emb.count())
+      // delta encodes reproduce a from-scratch assignment vs the same
+      // frozen codebooks: re-adding yields identical codes
+      val again = Similarity.pqIndexAdd(idx, delta)
+      val g = grown.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val a = again.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(g === a)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("two-level IVF: blocking never changes a score, level-2 lists " +
       "are in-cell seeds, ranks contiguous") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
