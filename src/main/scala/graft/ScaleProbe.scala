@@ -703,6 +703,29 @@ object ScaleProbe {
         emb.filter(col("vec_id") < 10), k = 5,
         n1 = 8, n2 = 4, p1 = 3, p2 = 2))
     }
+    // PQ index lifecycle at 30x: persist + reload + search, then a
+    // frozen-codebook delta add (the q197/q198 deployment shapes)
+    if (only.forall(_.split(",").exists("pq_lifecycle".contains))) {
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val q = emb.filter(col("vec_id") < 10)
+      val idx = Similarity.pqBuild(base, m = 16, dsub = 4, kCodes = 32,
+        iters = 1)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pq30").toString
+      timed(s"pq_lifecycle save+load+search x$docReps") {
+        Similarity.savePqIndex(idx, dir)
+        consume(Similarity.pqAdcSearch(
+          Similarity.loadPqIndex(spark, dir), q, k = 5))
+      }
+      timed(s"pq_lifecycle add+search x$docReps") {
+        consume(Similarity.pqAdcSearch(
+          Similarity.pqIndexAdd(idx, delta), q, k = 5))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+
     // bloom-pruned SALTED join: replicated lineitem vs the urgent dim
     timed("bloom_skew_join x30li") {
       val li = Tables.lineitem(spark, sfDir)
