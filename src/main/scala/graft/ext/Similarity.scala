@@ -1014,6 +1014,56 @@ object Similarity {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
   }
 
+  /** Quantization-drift statistics — the retrain trigger for
+    * [[pqIndexAdd]]: per cohort (e.g. the training base vs an added
+    * delta), the mean ADC reconstruction error of each vector's codes
+    * against its own subvectors, in exact integer micro² (the
+    * [[pqLut]] convention, so the numbers are reduce-order-free and
+    * cross-engine exact). Codebooks quantize the TRAINING
+    * distribution; when added data drifts, its reconstruction error
+    * rises relative to the base — gate on
+    * `mean_err(delta) ≤ c × mean_err(base)` and retrain when it
+    * trips (the q116/q136 drift-gate pattern applied to the index).
+    *
+    * Emits one row per cohort: (cohort, n_vecs, sum_err,
+    * mean_err) — mean via exact integer division.
+    *
+    * Scale: one pass over `vectors` (subvector explode ×m), an
+    * equi-join against the skinny codes on (id, sub), a broadcast
+    * codebook join, map-side-combined integer sums — the shuffle is
+    * one row per id, then per cohort. */
+  def pqDriftStats(index: PqIndex, vectors: DataFrame, cohort: Column,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val m = index.m
+    val dsub = index.dsub
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    val subs = vectors
+      .select(col(idCol).as("id"), cohort.as("cohort"),
+        asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("cohort"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    val cents = index.cents.select(col("sub").as("csub"),
+      col("c_id"), col("cv"))
+    val err = subs
+      .join(index.codes, Seq("id", "sub"))
+      .join(broadcast(cents),
+        col("sub") === col("csub") && col("code") === col("c_id"))
+      .select(col("id"), col("cohort"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("e2"))
+    err.groupBy(col("id"), col("cohort"))
+      .agg(sum(col("e2")).as("err"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("sum_err"))
+      .select(col("cohort"), col("n_vecs"), col("sum_err"),
+        expr("sum_err div n_vecs").as("mean_err"))
+      .orderBy(col("cohort"))
+  }
+
   /** Flat ADC ranking tail over a prebuilt [[PqIndex]] — the
     * compressed linear scan of [[pqAdcTopK]] minus the build. */
   def pqAdcSearch(index: PqIndex, queries: DataFrame, k: Int,

@@ -348,6 +348,30 @@ class ExtSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("pqDriftStats: cohort counts partition the corpus, same-" +
+      "distribution delta stays near the base error") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val grown = Similarity.pqIndexAdd(
+      Similarity.pqBuild(base, m = 16, dsub = 4, kCodes = 32, iters = 1),
+      delta)
+    val rows = Similarity.pqDriftStats(grown, emb,
+        when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
+          .otherwise(lit("base")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("base", "delta"))
+    assert(rows("base")._1 === base.count())
+    assert(rows("delta")._1 === delta.count())
+    assert(rows("base")._3 > 0L && rows("delta")._3 > 0L)
+    // one synthetic distribution feeds both cohorts: the frozen-
+    // codebook delta must not reconstruct materially worse than the
+    // training base (the retrain gate's green state)
+    assert(rows("delta")._3 <= 2L * rows("base")._3,
+      s"delta drift ${rows("delta")._3} vs base ${rows("base")._3}")
+  }
+
   test("two-level IVF: blocking never changes a score, level-2 lists " +
       "are in-cell seeds, ranks contiguous") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
