@@ -91,6 +91,7 @@ object SparkEntry {
           pqIndexMemo.keySet.removeIf(k => k._1 eq s)
           residualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           grownPqIndexMemo.keySet.removeIf(k => k._1 eq s)
+          grownResidualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           evictionHooked.remove(s)
           ()
         }
@@ -170,6 +171,27 @@ object SparkEntry {
     })
   }
 
+  /** The q202 GROWN residual index — the q198 shape on the residual
+    * lifecycle: coarse seeds, cell means and residual codebooks all
+    * train on the 80% base (vec_id % 5 ≠ 0); the 20% delta
+    * coarse-assigns to the frozen seeds, recentres on the frozen
+    * means and encodes against the frozen codebooks. Built once per
+    * (session, dir), like the other index memos. */
+  private val grownResidualPqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.ResidualPqIndex]()
+  private def sharedGrownResidualPqIndex(s: SparkSession,
+                                         d: String): Similarity.ResidualPqIndex = {
+    hookEviction(s)
+    grownResidualPqIndexMemo.computeIfAbsent((s, d), _ => {
+      val emb = embeddings(s, d)
+      Similarity.residualPqIndexAdd(
+        Similarity.residualPqBuild(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          nCentroids = 16, m = 16, dsub = 4, kCodes = 32, iters = 1),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+    })
+  }
+
   /** Eagerly builds the shared component labelling for `d` (no-op when
     * already memoised). Bench calls this during warmup so the first
     * alphabetical consumer (q110) doesn't absorb the whole five-query
@@ -180,6 +202,7 @@ object SparkEntry {
     sharedPqIndex(s, d)
     sharedResidualPqIndex(s, d)
     sharedGrownPqIndex(s, d)
+    sharedGrownResidualPqIndex(s, d)
     ()
   }
 
@@ -2117,7 +2140,7 @@ object SparkEntry {
     // coarse geometry and 16×32 code budget as the shared raw index
     "q189_residual_ivfpq" -> ((s, d) => {
       val emb = embeddings(s, d)
-      Similarity.residualPqSearch(sharedResidualPqIndex(s, d), emb,
+      Similarity.residualPqSearch(sharedResidualPqIndex(s, d),
         emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
     }),
 
@@ -2264,6 +2287,75 @@ object SparkEntry {
         when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
           .otherwise(lit("base")))
     }),
+
+    // ===== two-level IVF recall gate ==================================
+    // q195's hierarchical search measured against the exact cosine
+    // yardstick as ONE integer row (the q186/q190 standard: blocking
+    // loss measured, not claimed) — plus a PINNED floor flag (q136
+    // invariant style): the oracle replays the rankings, so the value
+    // columns red on any drift, and the constant-1 flag reds if the
+    // hierarchical operating point's recall ever degrades below floor
+    "q200_ivf2_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallStats(
+          Similarity.bruteTopK(emb, q, 5),
+          Similarity.ivfTopK2(emb, q, 5, n1 = 8, n2 = 4, p1 = 3, p2 = 2),
+          k = 5)
+        .select(col("n_q"), col("sum_hits"), col("mean_recall_micro"),
+          (col("mean_recall_micro") >= 200000L).cast("long")
+            .as("recall_floor_ok"))
+    }),
+
+    // ===== residual-PQ index persistence round-trip ===================
+    // the q197 lifecycle on the better-recall residual index: saved to
+    // parquet (codes/cells/cents/recenter/coarse/meta), reloaded, and
+    // searched — results must be BIT-IDENTICAL to the in-session
+    // index, so the oracle is q189's residual replay verbatim
+    "q201_residual_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_respq_idx_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      hookTmpDelete(out)
+      Similarity.saveResidualPqIndex(sharedResidualPqIndex(s, d), out)
+      Similarity.residualPqSearch(Similarity.loadResidualPqIndex(s, out),
+        embeddings(s, d).filter(col("vec_id") < 10), k = 5, nProbe = 4)
+    }),
+
+    // ===== residual-PQ incremental add (everything frozen) ============
+    // q198's FAISS add() on the residual lifecycle: coarse seeds, cell
+    // means AND residual codebooks train on the 80% base; the 20%
+    // delta coarse-assigns to the frozen seeds, recentres on the
+    // frozen means, encodes against the frozen codebooks; search runs
+    // over the combined codes. The oracle replays base-training +
+    // frozen delta encode end to end
+    "q202_residual_index_add" -> ((s, d) => {
+      Similarity.residualPqSearch(sharedGrownResidualPqIndex(s, d),
+        embeddings(s, d).filter(col("vec_id") < 10), k = 5, nProbe = 4)
+    }),
+
+    // ===== advisor-dispatched join ====================================
+    // q196's decision ladder ACTED ON: joinStrategyAudit routes the
+    // lineitem⋈urgent-orders join (broadcast limit pinned to 1000 so
+    // the bloom branch fires at test scale) to bloomPrunedJoin; the
+    // revenue roll-up must equal the plain join's (every branch is
+    // row-identical — spec-verified), and the chosen strategy rides as
+    // a column the oracle recomputes through the same exact ladder
+    "q203_dispatch_join" -> ((s, d) => {
+      val dim = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val (strat, joined) = Profiling.dispatchJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        dim, "l_orderkey", "o_orderkey",
+        broadcastRowLimit = 1000L, salt = 8)
+      joined
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(rev), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .withColumn("strategy", lit(strat))
+        .orderBy(col("yr"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2386,18 +2478,35 @@ object SparkEntry {
     * per-(query, probed cell) residual LUTs, and the blocked ADC rows
     * `adr(qid, cid, adist)`. */
   private def residualAdcCtes: String =
+    s"""${residualTrainCtes("e")},
+       |${residualSearchCtes("rcodes")}""".stripMargin
+
+  /** The residual TRAINING half, parameterized on the member source
+    * (the frame whose vectors own the cells and train the codebooks —
+    * `e` for the full-corpus build, `eb` for the 80%-base grown
+    * build). Emits `rcent` (frozen per-cell means over the member
+    * source only), `res` (member residuals), and the PQ replay's
+    * `rc1`/`rcodes`. */
+  private def residualTrainCtes(memberSrc: String): String =
     s"""rcent AS (
        |  SELECT c_id, list(mval ORDER BY dim) AS mv FROM (
-       |    SELECT cl.c_id, i AS dim, round(avg(e.v[i]), 6) AS mval
-       |    FROM e JOIN cells cl ON cl.id = e.id,
+       |    SELECT cl.c_id, i AS dim, round(avg(mem.v[i]), 6) AS mval
+       |    FROM $memberSrc mem JOIN cells cl ON cl.id = mem.id,
        |      UNNEST(range(1, 65)) AS u(i)
        |    GROUP BY 1, 2) GROUP BY 1),
        |res AS (
-       |  SELECT e.id, list_transform(range(1, 65), i -> e.v[i] - m.mv[i]) AS rv
-       |  FROM e JOIN cells cl ON cl.id = e.id
+       |  SELECT mem.id,
+       |    list_transform(range(1, 65), i -> mem.v[i] - m.mv[i]) AS rv
+       |  FROM $memberSrc mem JOIN cells cl ON cl.id = mem.id
        |  JOIN rcent m ON m.c_id = cl.c_id),
-       |${pqTrainCtes("r", "res", "rv", seedOffset = 16)},
-       |qres AS (
+       |${pqTrainCtes("r", "res", "rv", seedOffset = 16)}""".stripMargin
+
+  /** The residual SEARCH half — per-(query, probed cell) residual
+    * LUTs and the blocked ADC rows `adr(qid, cid, adist)` over
+    * `codesSrc` (`rcodes` for a fresh build, the base∪delta union for
+    * a grown index). */
+  private def residualSearchCtes(codesSrc: String): String =
+    s"""qres AS (
        |  SELECT p.qid, p.c_id AS cell,
        |         list_transform(range(1, 65), i -> q.qv[i] - m.mv[i]) AS rv
        |  FROM probes p JOIN qiv q ON q.qid = p.qid
@@ -2411,12 +2520,74 @@ object SparkEntry {
        |  FROM rqsubs q JOIN rc1 c USING (sub)),
        |adr AS (
        |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
-       |  FROM rcodes co
+       |  FROM $codesSrc co
        |  JOIN cand ON cand.id = co.id
        |  JOIN rlut l ON l.qid = cand.qid AND l.cell = cand.cell
        |             AND l.sub = co.sub AND l.c_id = co.code
        |  WHERE cand.qid <> co.id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain for the two-level IVF oracles (q195/q200):
+    * level-1 cells (8 smallest-id seeds), per-cell id-ordered level-2
+    * seed election (4 each), join-side level-2 argmax, hierarchical
+    * probes (3 cells x 2 lists), and the exact re-rank rows
+    * `scored(qid, cid, cos_sim)`. Returned WITHOUT the leading WITH. */
+  private def ivf2Ctes: String =
+    """e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
+        |cells1 AS (
+        |  SELECT id, c_id AS cell1 FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |seeds2 AS (
+        |  SELECT cell1, s_id, sv FROM (
+        |    SELECT cl.cell1, e.id AS s_id, e.v AS sv,
+        |           row_number() OVER (PARTITION BY cl.cell1
+        |             ORDER BY e.id) AS rk
+        |    FROM e JOIN cells1 cl ON cl.id = e.id)
+        |  WHERE rk <= 4),
+        |cells2 AS (
+        |  SELECT id, cell2 FROM (
+        |    SELECT cl.id, s.s_id AS cell2,
+        |           row_number() OVER (PARTITION BY cl.id
+        |             ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+        |               DESC, s.s_id) AS rk
+        |    FROM cells1 cl JOIN e ON e.id = cl.id
+        |    JOIN seeds2 s ON s.cell1 = cl.cell1)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |probes1 AS (
+        |  SELECT qid, cell1 FROM (
+        |    SELECT q.qid, ivc.c_id AS cell1,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 3),
+        |probes2 AS (
+        |  SELECT qid, cell2 FROM (
+        |    SELECT p.qid, s.s_id AS cell2,
+        |           row_number() OVER (PARTITION BY p.qid, p.cell1
+        |             ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6)
+        |               DESC, s.s_id) AS qrk
+        |    FROM probes1 p JOIN qiv q ON q.qid = p.qid
+        |    JOIN seeds2 s ON s.cell1 = p.cell1)
+        |  WHERE qrk <= 2),
+        |scored AS (
+        |  SELECT p.qid, c2.id AS cid,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        |  FROM probes2 p
+        |  JOIN cells2 c2 ON c2.cell2 = p.cell2
+        |  JOIN qiv q ON q.qid = p.qid
+        |  JOIN e ON e.id = c2.id
+        |  WHERE p.qid <> c2.id)""".stripMargin
 
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -2482,11 +2653,13 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    // q197 searches a SAVED + RELOADED copy of the q177 index — the
-    // round-trip must be bit-identical, so its oracle IS q177's flat
-    // ADC replay (aliased below the literal map)
+    // q197/q201 search SAVED + RELOADED copies of the q177/q189
+    // indexes — each round-trip must be bit-identical, so their
+    // oracles ARE the in-session replays (aliased below the literal
+    // map)
     oracleSqlBase +
-      ("q197_pq_index_roundtrip" -> oracleSqlBase("q177_pq_adc"))
+      ("q197_pq_index_roundtrip" -> oracleSqlBase("q177_pq_adc")) +
+      ("q201_residual_roundtrip" -> oracleSqlBase("q189_residual_ivfpq"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -7796,66 +7969,47 @@ object SparkEntry {
     // id-ordered level-2 seed election (4 each) → join-side level-2
     // argmax → hierarchical probes (3 cells × 2 lists) → exact re-rank
     "q195_ivf_two_level" ->
-      """WITH e AS (
-        |  SELECT vec_id AS id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 8),
-        |cells1 AS (
-        |  SELECT id, c_id AS cell1 FROM (
-        |    SELECT e.id, ivc.c_id,
-        |           row_number() OVER (PARTITION BY e.id
-        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
-        |               DESC, ivc.c_id) AS rk
-        |    FROM e CROSS JOIN ivc)
-        |  WHERE rk = 1),
-        |seeds2 AS (
-        |  SELECT cell1, s_id, sv FROM (
-        |    SELECT cl.cell1, e.id AS s_id, e.v AS sv,
-        |           row_number() OVER (PARTITION BY cl.cell1
-        |             ORDER BY e.id) AS rk
-        |    FROM e JOIN cells1 cl ON cl.id = e.id)
-        |  WHERE rk <= 4),
-        |cells2 AS (
-        |  SELECT id, cell2 FROM (
-        |    SELECT cl.id, s.s_id AS cell2,
-        |           row_number() OVER (PARTITION BY cl.id
-        |             ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
-        |               DESC, s.s_id) AS rk
-        |    FROM cells1 cl JOIN e ON e.id = cl.id
-        |    JOIN seeds2 s ON s.cell1 = cl.cell1)
-        |  WHERE rk = 1),
-        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
-        |probes1 AS (
-        |  SELECT qid, cell1 FROM (
-        |    SELECT q.qid, ivc.c_id AS cell1,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
-        |               DESC, ivc.c_id) AS crk
-        |    FROM qiv q CROSS JOIN ivc)
-        |  WHERE crk <= 3),
-        |probes2 AS (
-        |  SELECT qid, cell2 FROM (
-        |    SELECT p.qid, s.s_id AS cell2,
-        |           row_number() OVER (PARTITION BY p.qid, p.cell1
-        |             ORDER BY round(list_cosine_similarity(q.qv, s.sv), 6)
-        |               DESC, s.s_id) AS qrk
-        |    FROM probes1 p JOIN qiv q ON q.qid = p.qid
-        |    JOIN seeds2 s ON s.cell1 = p.cell1)
-        |  WHERE qrk <= 2),
-        |scored AS (
-        |  SELECT p.qid, c2.id AS cid,
-        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
-        |  FROM probes2 p
-        |  JOIN cells2 c2 ON c2.cell2 = p.cell2
-        |  JOIN qiv q ON q.qid = p.qid
-        |  JOIN e ON e.id = c2.id
-        |  WHERE p.qid <> c2.id)
+      s"""WITH $ivf2Ctes
         |SELECT qid, cid, cos_sim, rank FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q195 two-level chain + the q21 exact cosine yardstick,
+    // reduced to ONE integer row (the q190 aggregate tail); the floor
+    // flag is PINNED to 1 (q136 invariant style) — recall at the
+    // hierarchical operating point degrading below 0.2 reds the row
+    "q200_ivf2_recall" ->
+      s"""WITH $ivf2Ctes,
+        |itop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hits AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |         FROM bq JOIN itop USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS sum_hits
+        |  FROM ne LEFT JOIN hits h ON h.qid = ne.qid)
+        |SELECT n_q, sum_hits,
+        |  CAST(sum_hits * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_micro,
+        |  CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM agg""".stripMargin,
 
     // same exact contraction arithmetic as q137 + the decision CASE
     // ladder, replayed for both audited join shapes
@@ -7989,8 +8143,108 @@ object SparkEntry {
         |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM err GROUP BY 1)
         |SELECT CASE WHEN id % 5 = 0 THEN 'delta' ELSE 'base' END AS cohort,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST(sum(err) AS BIGINT) AS sum_err,
+        |  CAST(sum(err) AS DECIMAL(38,0)) AS sum_err,
         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err
         |FROM perid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q189 residual replay with EVERYTHING trained on the 80% base
+    // (seeds from eb, cells for ALL ids against those seeds, means over
+    // base members only, residual codebooks on base residuals), the 20%
+    // delta encoded frozen, search over the combined codes — the
+    // residual twin of q198's frozen-add contract
+    "q202_residual_index_add" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eb AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM eb ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT qid, c_id FROM (
+        |    SELECT q.qid, ivc.c_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 4),
+        |cand AS (SELECT p.qid, p.c_id AS cell, cl.id FROM probes p
+        |         JOIN cells cl ON cl.c_id = p.c_id),
+        |${residualTrainCtes("eb")},
+        |dres AS (
+        |  SELECT e.id,
+        |    list_transform(range(1, 65), i -> e.v[i] - m.mv[i]) AS rv
+        |  FROM e JOIN cells cl ON cl.id = e.id
+        |  JOIN rcent m ON m.c_id = cl.c_id
+        |  WHERE e.id % 5 = 0),
+        |dsubs AS (
+        |  SELECT id, s AS sub, rv[(s*4+1):(s*4+4)] AS sv
+        |  FROM dres, UNNEST(range(0, 16)) AS u(s)),
+        |dd2 AS (
+        |  SELECT dsubs.id, dsubs.sub, c.c_id,
+        |         round(list_dot_product(dsubs.sv, dsubs.sv)
+        |           - 2*list_dot_product(dsubs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM dsubs JOIN rc1 c USING (sub)),
+        |dcodes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM dd2)
+        |  WHERE rk = 1),
+        |gcodes AS (SELECT * FROM rcodes UNION ALL SELECT * FROM dcodes),
+        |${residualSearchCtes("gcodes")}
+        |SELECT qid, cid, adist, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM adr)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // dispatch is semantics-preserving (every branch row-identical to
+    // the plain join — spec-verified), so the data side is q187's
+    // plain-join roll-up; the strategy column replays q196's exact
+    // decision ladder for the li⋈urgent shape at the pinned 1000-row
+    // broadcast limit
+    "q203_dispatch_join" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+        |  FROM lineitem GROUP BY 1),
+        |cru AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |au AS (
+        |  SELECT
+        |    (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) FROM cl) AS n_left,
+        |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM cru) AS n_right,
+        |    CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS out_rows,
+        |    CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_out,
+        |    CAST(coalesce(sum(cl), 0) AS BIGINT) AS matched_left,
+        |    CAST(coalesce(sum(cr), 0) AS BIGINT) AS matched_right
+        |  FROM cl JOIN cru USING (k)),
+        |strat AS (
+        |  SELECT CASE WHEN least(n_left, n_right) <= 1000 THEN 'broadcast'
+        |    ELSE (CASE WHEN (CASE WHEN n_left >= n_right
+        |        THEN coalesce(matched_left * 1000000 // nullif(n_left, 0), 0)
+        |        ELSE coalesce(matched_right * 1000000 // nullif(n_right, 0), 0)
+        |        END) < 500000 THEN 'bloom_' ELSE '' END)
+        |      || 'shuffle'
+        |      || (CASE WHEN
+        |            coalesce(max_key_out * 1000000 // nullif(out_rows, 0), 0)
+        |              > 100000
+        |          THEN '_salted' ELSE '' END)
+        |  END AS strategy FROM au)
+        |SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items, strat.strategy
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey, strat
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, strat.strategy ORDER BY 1""".stripMargin,
   )
 }

@@ -207,11 +207,15 @@ object Profiling {
       count(lit(1)).as("n_keys_left"))
     val rtot = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"),
       count(lit(1)).as("n_keys_right"))
+    // per-key products and their max/sum run ENTIRELY in decimal(38,0)
+    // — a hot key's cl·cr crosses int64 around 3e9×3e9, and the
+    // long-product-then-cast form overflows BEFORE the cast sees it
     cl.join(cr, Seq("k"))
       .agg(count(lit(1)).as("n_keys_common"),
-        coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)"))
+        coalesce(sum(col("cl").cast("decimal(38,0)") * col("cr"))
           .cast("long"), lit(0L)).as("out_rows"),
-        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_out"))
+        coalesce(max(col("cl").cast("decimal(38,0)") * col("cr"))
+          .cast("long"), lit(0L)).as("max_key_out"))
       .crossJoin(broadcast(ltot)).crossJoin(broadcast(rtot))
       .select(col("n_left"), col("n_right"), col("n_keys_left"),
         col("n_keys_right"), col("n_keys_common"), col("out_rows"),
@@ -263,20 +267,29 @@ object Profiling {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val ltot = cl.agg(coalesce(sum(col("cl")), lit(0L)).as("n_left"))
     val rtot = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("n_right"))
+    // per-key products, their sum/max, and the ×1e6 skew numerator all
+    // run in decimal(38,0) — a hot key's cl·cr overflows a long product
+    // past ~9.2e18, and even a valid max_key_out > ~9.2e12 would
+    // overflow the micro multiply, silently corrupting the _salted
+    // decision at exactly the scale the audit targets. Longs reappear
+    // only on output (the emitted columns keep their BIGINT schema).
     val common = cl.join(cr, Seq("k"))
       .agg(count(lit(1)).as("n_keys_common"),
-        coalesce(sum((col("cl") * col("cr")).cast("decimal(38,0)"))
-          .cast("long"), lit(0L)).as("out_rows"),
-        coalesce(max(col("cl") * col("cr")), lit(0L)).as("max_key_out"),
+        coalesce(sum(col("cl").cast("decimal(38,0)") * col("cr")),
+          lit(0).cast("decimal(38,0)")).as("_out_dec"),
+        coalesce(max(col("cl").cast("decimal(38,0)") * col("cr")),
+          lit(0).cast("decimal(38,0)")).as("_mko_dec"),
         coalesce(sum(col("cl")), lit(0L)).as("matched_left"),
         coalesce(sum(col("cr")), lit(0L)).as("matched_right"))
+      .withColumn("out_rows", col("_out_dec").cast("long"))
+      .withColumn("max_key_out", col("_mko_dec").cast("long"))
     val probeMatch = expr(
       """CASE WHEN n_left >= n_right
         |  THEN coalesce(matched_left * 1000000 div nullif(n_left, 0), 0)
         |  ELSE coalesce(matched_right * 1000000 div nullif(n_right, 0), 0)
         |END""".stripMargin)
     val skew = expr(
-      "coalesce(max_key_out * 1000000 div nullif(out_rows, 0), 0)")
+      "coalesce(_mko_dec * 1000000 div nullif(_out_dec, 0), 0)")
     common.join(broadcast(ltot), lit(true), "left")
       .join(broadcast(rtot), lit(true), "left")
       .withColumn("probe_match_micro", probeMatch)
@@ -294,6 +307,52 @@ object Profiling {
         col("out_rows"), col("max_key_out"), col("matched_left"),
         col("matched_right"), col("probe_match_micro"),
         col("skew_micro"), col("strategy"))
+  }
+
+  /** Act on the advisor: run [[joinStrategyAudit]] and ROUTE the join
+    * to the implementation its strategy row names — the planner loop
+    * closed. `left` is the probe/fact side and `right` the build/dim
+    * side (the bloom builds on `right`, salting replicates `right`,
+    * exactly as in the underlying operators). Every branch is
+    * row-identical to `left.join(right, keyL === keyR)` — broadcast
+    * is a hint, the bloom has no false negatives and its false
+    * positives die in the exact join, salting is row-for-row
+    * equivalent (each piece spec-verified) — so dispatch changes the
+    * PLAN, never the result.
+    *
+    * Returns (strategy, joined): the decision rides alongside the
+    * frame so pipelines can log/gate it without a second audit.
+    *
+    * Scale: the audit's one-row result is collected at plan time (a
+    * bounded driver model — two key contractions reduced to scalars,
+    * the [[graft.ext.Similarity.ivfAssign]] eagerness class); the
+    * joined frame itself stays fully lazy/distributed. The audit scans
+    * both inputs once — a pre-flight cost the routed plan amortizes;
+    * pipelines that already hold the audit row route by hand. */
+  def dispatchJoin(left: DataFrame, right: DataFrame,
+                   keyL: String, keyR: String,
+                   broadcastRowLimit: Long = 10000000L,
+                   skewLimitMicro: Long = 100000L,
+                   salt: Int = 16): (String, DataFrame) = {
+    val row = joinStrategyAudit(left, right, keyL, keyR,
+      broadcastRowLimit, skewLimitMicro).collect()(0)
+    val strategy = row.getAs[String]("strategy")
+    val joined = strategy match {
+      case "broadcast" =>
+        if (row.getAs[Long]("n_right") <= row.getAs[Long]("n_left"))
+          left.join(broadcast(right), col(keyL) === col(keyR))
+        else broadcast(left).join(right, col(keyL) === col(keyR))
+      case "bloom_shuffle" =>
+        graft.ops.RuntimeFilters.bloomPrunedJoin(left, right, keyL, keyR)
+      case "bloom_shuffle_salted" =>
+        graft.ops.RuntimeFilters.bloomPrunedSkewJoin(left, right,
+          keyL, keyR, salt)
+      case "shuffle_salted" =>
+        graft.ops.SkewJoin.saltedEquiJoin(left, right, keyL, keyR, salt)
+      case _ =>
+        left.join(right, col(keyL) === col(keyR))
+    }
+    (strategy, joined)
   }
 
   /** Heavy-hitter audit via the Misra-Gries mergeable summary

@@ -321,12 +321,22 @@ object Similarity {
     * and compressed scans. Returns (qid, qv, qn, centroid_id). */
   private def ivfProbes(corpus: DataFrame, queries: DataFrame,
                         nCentroids: Int, nProbe: Int,
-                        idCol: String, vecCol: String): DataFrame = {
+                        idCol: String, vecCol: String): DataFrame =
+    ivfProbesFrom(
+      corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .orderBy(col("c_id")).limit(nCentroids),
+      queries, nProbe, idCol, vecCol)
+
+  /** [[ivfProbes]] over a PREPARED centroid frame (c_id, cv, cn) —
+    * the form a self-contained index artifact uses: the coarse seeds
+    * ride in the index instead of being re-derived from a corpus
+    * (which, for a grown index, would elect DIFFERENT seeds and break
+    * the frozen-quantizer contract). Same 6-dp/tie conventions. */
+  private def ivfProbesFrom(centroids: DataFrame, queries: DataFrame,
+                            nProbe: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus
-      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .orderBy(col("c_id")).limit(nCentroids)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val cdenom = col("qn") * col("cn")
@@ -992,26 +1002,36 @@ object Similarity {
     * FROZEN codebooks — no retraining — and append their codes. The
     * serve-time growth path for a streaming corpus: assignment is the
     * same broadcast-codebook argmin as the build's final pass (one
-    * projection + map-side min_by over the delta only), so adding N
-    * rows costs O(N), never a corpus pass. Quantization error for
-    * delta vectors is measured against the TRAINING distribution —
-    * retrain when a drift gate (the q116/q136 pattern) says the delta
-    * no longer looks like the training corpus. */
+    * projection + map-side min_by over the delta only), and ONLY the
+    * delta codes are materialized (eager delta-sized checkpoint; the
+    * grown `codes` is a lazy union over the base's already-
+    * checkpointed blocks), so k successive adds cost O(Σ deltas)
+    * encode/storage — never k rewrites of the grown codes table. The
+    * one base-sized touch per add is a read-only id scan: delta ids
+    * already present in the index are dropped (left_anti against the
+    * codes' id set — one row per id via the sub=0 slice), so re-adding
+    * a batch is a no-op instead of silently double-counting every
+    * downstream ADC sum with duplicate (id, sub) rows. Quantization
+    * error for delta vectors is measured against the TRAINING
+    * distribution — retrain when a drift gate (the q116/q136 pattern)
+    * says the delta no longer looks like the training corpus. */
   def pqIndexAdd(index: PqIndex, delta: DataFrame,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): PqIndex = {
     import org.apache.spark.storage.StorageLevel
     val m = index.m
     val dsub = index.dsub
+    val indexedIds = index.codes.filter(col("sub") === 0).select(col("id"))
     val subs = delta
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(indexedIds, Seq("id"), "left_anti")
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
     val newCodes = pqAssignCore(subs, index.cents)
       .select(col("id"), col("sub"), col("best.c_id").as("code"))
-    index.copy(codes = index.codes.unionAll(newCodes)
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    index.copy(codes = index.codes.unionAll(newCodes))
   }
 
   /** Quantization-drift statistics — the retrain trigger for
@@ -1027,6 +1047,14 @@ object Similarity {
     *
     * Emits one row per cohort: (cohort, n_vecs, sum_err,
     * mean_err) — mean via exact integer division.
+    *
+    * Overflow: a per-vector err is bounded (≤ dims × ~1e12 micro² ≈
+    * 6.4e13 at 64 dims) and stays BIGINT, but the COHORT sum crosses
+    * int64 around 1e5 vectors — well inside any deployment this gate
+    * targets — so `sum_err` accumulates (and is emitted) as
+    * decimal(38,0), the [[dimStats]]/audit convention; `mean_err`
+    * divides the decimal sum exactly back into the per-vector BIGINT
+    * range.
     *
     * Scale: one pass over `vectors` (subvector explode ×m), an
     * equi-join against the skinny codes on (id, sub), a broadcast
@@ -1058,9 +1086,10 @@ object Similarity {
     err.groupBy(col("id"), col("cohort"))
       .agg(sum(col("e2")).as("err"))
       .groupBy(col("cohort"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("sum_err"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err").cast("decimal(38,0)")).as("sum_err"))
       .select(col("cohort"), col("n_vecs"), col("sum_err"),
-        expr("sum_err div n_vecs").as("mean_err"))
+        expr("sum_err div n_vecs").cast("long").as("mean_err"))
       .orderBy(col("cohort"))
   }
 
@@ -1250,10 +1279,17 @@ object Similarity {
     *
     * `recenter` is the (c_id, mv) per-cell mean frame (6-dp rounded —
     * the k-means trajectory convention), `codes` the residual-encoded
-    * corpus (id, sub, code), `cents` the residual codebooks. */
+    * corpus (id, sub, code), `cents` the residual codebooks. The index
+    * is SELF-CONTAINED (nothing re-derived from a corpus at serve
+    * time — the [[savePqIndex]] lifecycle requirement, and the only
+    * way a frozen-quantizer add can exist): `coarse` carries the
+    * nCentroids seed centroids (c_id, cv, cn) the coarse quantizer
+    * ranks against, and `cells` the indexed vectors' cell assignment
+    * (id, centroid_id) the candidate filter joins. */
   final case class ResidualPqIndex(m: Int, dsub: Int, nCentroids: Int,
                                    codes: DataFrame, cents: DataFrame,
-                                   recenter: DataFrame)
+                                   recenter: DataFrame, coarse: DataFrame,
+                                   cells: DataFrame)
 
   /** Train a [[ResidualPqIndex]]: coarse-assign every vector to its
     * IVF cell ([[ivfAssign]] — 6-dp-rounded cosine argmax, smallest-id
@@ -1296,7 +1332,17 @@ object Similarity {
     val codes = pqAssignCore(subs, cents)
       .select(col("id"), col("sub"), col("best.c_id").as("code"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    ResidualPqIndex(m, dsub, nCentroids, codes, cents, recenter)
+    // the coarse seed frame rides in the index (nCentroids rows —
+    // kilobytes) so serve/add never re-derive seeds from a corpus;
+    // norms come from the SAME Spark expression the probe ranking
+    // uses, so stored values are bit-identical to the transient path
+    val coarse = corpus
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(col("c_id")).limit(nCentroids)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    ResidualPqIndex(m, dsub, nCentroids, codes, cents, recenter, coarse,
+      assigned.select(col("id"), col("centroid_id")))
   }
 
   /** Residual-ADC top-k over a prebuilt [[ResidualPqIndex]] — the
@@ -1308,15 +1354,19 @@ object Similarity {
     * LUT is n_q × nProbe × m × kCodes rows — still kilobytes,
     * broadcast. Cell filtering runs before the ×m code expansion
     * exactly as in [[ivfPqSearch]]; determinism (probe choice, argmin
-    * ties, integer sums, rank ties on cid) is unchanged. */
-  def residualPqSearch(index: ResidualPqIndex, corpus: DataFrame,
+    * ties, integer sums, rank ties on cid) is unchanged. Serves
+    * ENTIRELY off the index (stored coarse seeds + cell assignment) —
+    * the self-contained artifact shape, identical results to the old
+    * recompute-from-corpus path for a fresh build, and the ONLY
+    * correct path for a loaded or grown index (re-deriving seeds from
+    * the grown corpus would elect different centroids). */
+  def residualPqSearch(index: ResidualPqIndex,
                        queries: DataFrame, k: Int, nProbe: Int = 4,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = ivfAssign(corpus, index.nCentroids, 1, idCol, vecCol)
-      .select(col("id"), col("centroid_id"))
-    val probes = ivfProbes(corpus, queries, index.nCentroids, nProbe,
+    val cells = index.cells
+    val probes = ivfProbesFrom(index.coarse, queries, nProbe,
       idCol, vecCol)
     // per-(query, probed cell) residual, sliced into subvectors. A
     // probed cell with no members has no recentring mean (and no
@@ -1356,6 +1406,103 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Persist a [[ResidualPqIndex]] as six parquet dirs under `dir` —
+    * the [[savePqIndex]] lifecycle for the better-recall residual
+    * index: codes + cells are the corpus-sized tables (write
+    * dominates); codebooks, recentring means, coarse seeds and the
+    * 1-row geometry frame are kilobytes. Everything the search path
+    * consumes is stored exactly (integer codes, 6-dp-rounded doubles,
+    * raw seed doubles) — parquet round-trips all of it bit-for-bit,
+    * so a reloaded index searches identically to the in-session
+    * build. */
+  def saveResidualPqIndex(index: ResidualPqIndex, dir: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    index.recenter.write.mode("overwrite").parquet(s"$dir/recenter")
+    index.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((index.m, index.dsub, index.nCentroids))
+      .toDF("m", "dsub", "n_centroids")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a [[saveResidualPqIndex]] artifact back — lazy parquet
+    * scans, the [[loadPqIndex]] contract (serving reads ARE the
+    * deployment shape; long-serving sessions may localCheckpoint). */
+  def loadResidualPqIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): ResidualPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    ResidualPqIndex(meta.getAs[Int]("m"), meta.getAs[Int]("dsub"),
+      meta.getAs[Int]("n_centroids"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/recenter"),
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** FAISS `add()` for the residual index — everything FROZEN: delta
+    * vectors coarse-assign against the stored seed centroids (6-dp
+    * cosine argmax, smallest-c_id ties — the [[ivfAssign]]
+    * convention, so an added vector lands exactly where a from-scratch
+    * assignment against the same seeds would put it), recentre on the
+    * frozen per-cell member means, and encode against the frozen
+    * residual codebooks. No retraining anywhere; the recentring means
+    * deliberately do NOT update (they are part of the frozen quantizer
+    * — the stored codes were encoded against them, and a moved mean
+    * would silently skew every existing cell's geometry). Drift of
+    * the added data against the frozen frame is what the q199-style
+    * gate measures; retrain when it trips.
+    *
+    * Cost discipline is [[pqIndexAdd]]'s: only the delta's assignment
+    * (and its codes/cells rows) materializes — eager delta-sized
+    * checkpoints, lazy unions over the base's existing blocks — plus
+    * one read-only base id scan for the duplicate guard (re-adding an
+    * indexed id is a no-op, never a double-count). */
+  def residualPqIndexAdd(index: ResidualPqIndex, delta: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): ResidualPqIndex = {
+    import org.apache.spark.storage.StorageLevel
+    val fresh = delta
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(index.cells.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("nrm", norm(col("v")))
+    // coarse assignment against the FROZEN stored seeds: broadcast
+    // nCentroids rows, map-side-collapsed argmax (the ivfAssign2
+    // join-side shape — no driver model needed for an add)
+    val seeds = index.coarse
+      .select(col("c_id"), col("cv"), col("cn"))
+    val denom = col("nrm") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("cv")) / denom)
+    val assigned = fresh.join(broadcast(seeds), lit(true))
+      .select(col("id"), col("v"), col("c_id"), round(sim, 6).as("_s"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("c_id")),
+        struct(col("_s"), (-col("c_id")).as("_t"))).as("b"))
+      .select(col("id"), col("b.v").as("v"),
+        col("b.c_id").as("centroid_id"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val resid = assigned
+      .join(broadcast(index.recenter), col("centroid_id") === col("c_id"))
+      .select(col("id"),
+        zip_with(col("v"), col("mv"), (a, b) => a - b).as("v"))
+    val m = index.m
+    val dsub = index.dsub
+    val subs = resid.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    val newCodes = pqAssignCore(subs, index.cents)
+      .select(col("id"), col("sub"), col("best.c_id").as("code"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    index.copy(
+      codes = index.codes.unionAll(newCodes),
+      cells = index.cells.unionAll(
+        assigned.select(col("id"), col("centroid_id"))))
+  }
+
   /** Residual-vs-raw quantization uplift at EQUAL code budget, against
     * the exact cosine yardstick (the q178 convention), as ONE
     * reduce-order-free integer row: both blocked scans share the same
@@ -1371,7 +1518,7 @@ object Similarity {
                           vecCol: String = "embedding"): DataFrame = {
     val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
     val res = recallAtK(exact,
-      residualPqSearch(resIndex, corpus, queries, k, nProbe, idCol, vecCol))
+      residualPqSearch(resIndex, queries, k, nProbe, idCol, vecCol))
     val plain = recallAtK(exact,
       ivfPqSearch(plainIndex, corpus, queries, k, nCentroids, nProbe,
         idCol, vecCol))
@@ -1445,6 +1592,22 @@ object Similarity {
     recallAtK(
       bruteTopK(corpus, queries, k, idCol, vecCol),
       annTopK(corpus, queries, k, bits, tables, idCol, vecCol, scheme))
+  }
+
+  /** [[recallAtK]] reduced to ONE reduce-order-free integer row —
+    * the gate-row form (the q190 convention): (n_q, sum_hits,
+    * mean_recall_micro) with the mean via exact integer division over
+    * n_q·k, so engine float-summation order can never flip it. `k` is
+    * the DESIGN k (the denominator), deliberately not inferred from
+    * the exact frame — a truncated exact ranking should read as
+    * missing recall, not a smaller denominator. */
+  def recallStats(exactTopK: DataFrame, approxTopK: DataFrame,
+                  k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    recallAtK(exactTopK, approxTopK)
+      .agg(count(lit(1)).as("n_q"), sum(col("n_hits")).as("sum_hits"))
+      .select(col("n_q"), col("sum_hits"),
+        expr(s"sum_hits * 1000000 div (n_q * $k)").as("mean_recall_micro"))
   }
 
   /** Per-query recall of an approximate top-k result set against the

@@ -27,14 +27,18 @@ import org.apache.spark.sql.graft.{ColumnBridge, SubqueryBridge}
 object RuntimeFilters {
 
   /** One-row frame holding a bloom of `xxhash64(key)` over `build`.
-    * Sizing: `numBits / expectedItems` ≈ bits-per-key (the 1M/8.4M
-    * default ≈ 8.4 bits/key ≈ 3% fpp — Spark's own runtime-filter
-    * default). At 10⁹ dim keys set expectedItems accordingly: 8
-    * bits/key is a gigabyte-scale fact's few-hundred-MB shuffle saved
-    * for a 1 GB bloom — past that, fall back to a semi-join. */
+    * Sizing is EXPLICIT — no default: a fixed default silently
+    * saturates (fpp → 1) the moment the build side outgrows it, which
+    * is the one failure mode of this whole family. Callers without
+    * exact stats size via [[adaptiveBloomSizing]] (what
+    * [[bloomPrunedJoin]] does); `numBits / expectedItems` ≈
+    * bits-per-key (8 ≈ 3% fpp — Spark's own runtime-filter default).
+    * At 10⁹ dim keys 8 bits/key is a gigabyte-scale fact's
+    * few-hundred-MB shuffle saved for a 1 GB bloom — past that, fall
+    * back to a semi-join. */
   def keyBloom(build: DataFrame, key: String,
-               expectedItems: Long = 1000000L,
-               numBits: Long = 8388608L): DataFrame =
+               expectedItems: Long,
+               numBits: Long): DataFrame =
     build.select(
       ColumnBridge.column(new BloomFilterAggregate(
           ColumnBridge.expression(xxhash64(col(key))),
@@ -52,13 +56,30 @@ object RuntimeFilters {
       ColumnBridge.expression(xxhash64(col(factKey))))))
 
   /** Inner equi-join of `fact` with `dim`, with the fact side
-    * bloom-pruned on the dim's key set before the join shuffle.
-    * Row-identical to `fact.join(dim, factKey === dimKey)`; column
-    * sets must be disjoint (the usual select-projection discipline). */
+    * bloom-pruned on the dim's key set before the join shuffle —
+    * bloom sized from the dim side via [[adaptiveBloomSizing]], so the
+    * DEFAULT-named entry point is the always-safe one (the former
+    * fixed 1M/8.4M-bit default silently saturated past ~10⁶ keys;
+    * callers with exact stats use [[bloomPrunedJoinSized]] and skip
+    * the sizing count). Row-identical to
+    * `fact.join(dim, factKey === dimKey)`; column sets must be
+    * disjoint (the usual select-projection discipline). */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
-                      expectedItems: Long = 1000000L,
-                      numBits: Long = 8388608L): DataFrame = {
+                      bitsPerKey: Int = 8,
+                      maxBits: Long = 67108864L): DataFrame = {
+    val (n, bits) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
+    bloomPrunedJoinSized(fact, dim, factKey, dimKey, n, bits)
+  }
+
+  /** [[bloomPrunedJoin]] with EXPLICIT bloom sizing — the form for
+    * callers that already know the dim-side key cardinality (catalog
+    * stats, a prior audit) and can skip the sizing count. No
+    * defaults: see [[keyBloom]]. */
+  def bloomPrunedJoinSized(fact: DataFrame, dim: DataFrame,
+                           factKey: String, dimKey: String,
+                           expectedItems: Long,
+                           numBits: Long): DataFrame = {
     val bloom = keyBloom(dim, dimKey, expectedItems, numBits)
     prunedByBloom(fact, bloom, factKey)
       .join(dim, col(factKey) === col(dimKey))
@@ -98,18 +119,7 @@ object RuntimeFilters {
     (n, math.min(maxBits, math.max(64L, n * bitsPerKey)))
   }
 
-  /** [[bloomPrunedJoin]] with the bloom sized from the dim side via
-    * [[adaptiveBloomSizing]] — the always-safe form. */
-  def bloomPrunedJoinAdaptive(fact: DataFrame, dim: DataFrame,
-                              factKey: String, dimKey: String,
-                              bitsPerKey: Int = 8,
-                              maxBits: Long = 67108864L): DataFrame = {
-    val (n, bits) = adaptiveBloomSizing(dim, dimKey, bitsPerKey, maxBits)
-    prunedByBloom(fact, keyBloom(dim, dimKey, n, bits), factKey)
-      .join(dim, col(factKey) === col(dimKey))
-  }
-
-  /** [[bloomPrunedJoinAdaptive]] composed with
+  /** [[bloomPrunedJoin]] composed with
     * [[SkewJoin.saltedEquiJoin]] — the salted-fact case: the bloom
     * predicate kills non-matching fact rows BEFORE the salted
     * exchange (a codegen'd filter at the scan, exactly as in
@@ -134,7 +144,7 @@ object RuntimeFilters {
 
   /** Measured bloom quality — the observability half of adaptive
     * sizing: builds the bloom over `dim` exactly as
-    * [[bloomPrunedJoinAdaptive]] would, evaluates it on every fact
+    * [[bloomPrunedJoin]] would, evaluates it on every fact
     * row, and compares against EXACT membership (one left join on the
     * distinct dim keys), emitting one row:
     *

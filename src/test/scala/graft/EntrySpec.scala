@@ -44,12 +44,15 @@ class EntrySpec extends SparkSpec {
   // ivfProbes verbatim); q190 additionally re-runs the q178 bruteTopK
   // yardstick over the 10-vector broadcast query sample. q195's
   // level-1 probe is the same broadcast crossJoin against the
-  // LIMIT-n1 seed frame.
+  // LIMIT-n1 seed frame; q200 is q195's search plus the q178 brute
+  // yardstick; q201/q202 are q189's search over the loaded/grown
+  // index (probes against the stored LIMIT-16 coarse frame).
   private val allowedNestedLoop = Set("q21_ann_brute", "q34_ann_ivf",
     "q122_ann_recall", "q123_rrf_fusion", "q178_pq_recall",
     "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall",
     "q189_residual_ivfpq", "q190_residual_uplift",
-    "q195_ivf_two_level")
+    "q195_ivf_two_level", "q200_ivf2_recall",
+    "q201_residual_roundtrip", "q202_residual_index_add")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

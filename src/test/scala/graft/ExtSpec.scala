@@ -344,6 +344,71 @@ class ExtSpec extends SparkSpec {
       val a = again.codes.collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
       assert(g === a)
+      // duplicate guard: re-adding an already-indexed delta to the
+      // GROWN index is a no-op — blind unionAll would double-count
+      // every downstream ADC sum with duplicate (id, sub) rows
+      val readd = Similarity.pqIndexAdd(grown, delta)
+      assert(readd.codes.count() === grown.codes.count(),
+        "re-adding indexed ids grew the codes table")
+      val r = readd.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(r === g)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ResidualPqIndex persistence + frozen add: round-trip search " +
+      "bit-identical, add freezes seeds/means/codebooks, re-add no-op") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val idx = Similarity.residualPqBuild(base, nCentroids = 16,
+      m = 16, dsub = 4, kCodes = 32, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("respqidx").toString
+    try {
+      Similarity.saveResidualPqIndex(idx, dir)
+      val loaded = Similarity.loadResidualPqIndex(spark, dir)
+      assert(loaded.m === 16 && loaded.dsub === 4 &&
+        loaded.nCentroids === 16)
+      def dump(i: Similarity.ResidualPqIndex) =
+        Similarity.residualPqSearch(i, q, k = 5, nProbe = 4).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(dump(loaded) === dump(idx),
+        "reloaded residual index search diverged from the in-session one")
+      // frozen add: seeds, recentring means and codebooks untouched;
+      // every corpus id coded and cell-assigned
+      val grown = Similarity.residualPqIndexAdd(idx, delta)
+      def frameSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSet
+      assert(frameSet(grown.cents) === frameSet(idx.cents),
+        "add retrained the residual codebooks")
+      assert(frameSet(grown.recenter) === frameSet(idx.recenter),
+        "add moved a frozen recentring mean")
+      assert(frameSet(grown.coarse) === frameSet(idx.coarse),
+        "add changed the coarse seed frame")
+      assert(grown.codes.select(col("id")).distinct().count() ===
+        emb.count())
+      assert(grown.cells.select(col("id")).distinct().count() ===
+        emb.count())
+      // every added vector lands in one of the FROZEN base-seed cells
+      val seedIds = idx.coarse.select(col("c_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(grown.cells.select(col("centroid_id")).distinct().collect()
+        .map(_.getLong(0)).toSet.subsetOf(seedIds),
+        "an added vector landed outside the frozen seed cells")
+      // re-adding the same delta is a no-op (duplicate guard)
+      val readd = Similarity.residualPqIndexAdd(grown, delta)
+      assert(readd.codes.count() === grown.codes.count())
+      assert(readd.cells.count() === grown.cells.count())
+      // grown-index search matches the registered q202 shape: every
+      // result comes from the combined corpus, ranks contiguous
+      val rows = Similarity.residualPqSearch(grown, q, k = 5, nProbe = 4)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getLong(0)).values.foreach { g =>
+        assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+      }
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
@@ -360,7 +425,8 @@ class ExtSpec extends SparkSpec {
         when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
           .otherwise(lit("base")))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getLong(3)))
+      .toMap
     assert(rows.keySet === Set("base", "delta"))
     assert(rows("base")._1 === base.count())
     assert(rows("delta")._1 === delta.count())
@@ -414,7 +480,7 @@ class ExtSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 10)
     val resIdx = Similarity.residualPqBuild(emb, nCentroids = 16,
       m = 16, dsub = 4, kCodes = 32, iters = 1)
-    val top = Similarity.residualPqSearch(resIdx, emb, q, k = 5,
+    val top = Similarity.residualPqSearch(resIdx, q, k = 5,
       nProbe = 4).cache()
     val rows = top.collect()
     assert(rows.nonEmpty)
@@ -426,7 +492,7 @@ class ExtSpec extends SparkSpec {
     // determinism: an independent rebuild replays the exact ranking
     val again = Similarity.residualPqSearch(
         Similarity.residualPqBuild(emb, nCentroids = 16, m = 16,
-          dsub = 4, kCodes = 32, iters = 1), emb, q, k = 5, nProbe = 4)
+          dsub = 4, kCodes = 32, iters = 1), q, k = 5, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === rows.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)

@@ -353,4 +353,59 @@ class ProfilingSpec extends SparkSpec {
       broadcastRowLimit = 10L).collect().head
     assert(p.getAs[String]("strategy") === "shuffle")
   }
+
+  test("dispatchJoin routes every strategy branch and each stays " +
+      "row-identical to the plain join") {
+    import graft.ext.Profiling
+    def plain(l: org.apache.spark.sql.DataFrame,
+              r: org.apache.spark.sql.DataFrame) =
+      l.join(r, col("lk") === col("rk"))
+        .select("lk", "payload", "rk", "attr").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getString(3))).sorted.toSeq
+    def routed(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame,
+               limit: Long): (String, Seq[(Long, Long, Long, String)]) = {
+      val (strat, j) = Profiling.dispatchJoin(l, r, "lk", "rk",
+        broadcastRowLimit = limit, salt = 4)
+      (strat, j.select("lk", "payload", "rk", "attr").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getString(3))).sorted.toSeq)
+    }
+    val right = (1L to 100L).map(k => (k, s"a$k")).toDF("rk", "attr")
+    // hot key 1 + unmatched tail -> bloom_shuffle_salted at limit 10
+    val skewed = ((1 to 4000).map(_ => 1L) ++ (10001L to 16000L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("lk", "payload")
+    val (s1, r1) = routed(skewed, right, 10L)
+    assert(s1 === "bloom_shuffle_salted")
+    assert(r1.nonEmpty && r1 === plain(skewed, right))
+    // same shape under the row limit -> broadcast
+    val (s2, r2) = routed(skewed, right, 1000L)
+    assert(s2 === "broadcast")
+    assert(r2 === plain(skewed, right))
+    // full-match unskewed -> plain shuffle
+    val even = (1L to 100L).flatMap(k => Seq(k, k))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("lk", "payload")
+    val (s3, r3) = routed(even, right, 10L)
+    assert(s3 === "shuffle")
+    assert(r3.nonEmpty && r3 === plain(even, right))
+    // selective match, NO skew -> bloom_shuffle: 100 matched of 10100
+    // left rows, each matched key contributing ~1% of output
+    val sel = ((1L to 100L) ++ (10001L to 20000L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("lk", "payload")
+    val (s4, r4) = routed(sel, right, 10L)
+    assert(s4 === "bloom_shuffle")
+    assert(r4.nonEmpty && r4 === plain(sel, right))
+    // skewed but full-match -> shuffle_salted: one hot key dominates
+    // output while every left row matches (no bloom win)
+    val hotFull = ((1 to 4000).map(_ => 1L) ++ (2L to 100L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("lk", "payload")
+    val (s5, r5) = routed(hotFull, right, 10L)
+    assert(s5 === "shuffle_salted")
+    assert(r5.nonEmpty && r5 === plain(hotFull, right))
+  }
 }

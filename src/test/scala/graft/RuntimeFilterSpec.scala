@@ -27,7 +27,7 @@ class RuntimeFilterSpec extends SparkSpec {
     val fact = (1L to 10000L).toDF("k")
     // sparse dim: 100 of 10000 keys
     val dim = (1L to 10000L by 100).toDF("dk")
-    val bloom = RuntimeFilters.keyBloom(dim, "dk")
+    val bloom = RuntimeFilters.keyBloom(dim, "dk", 1000000L, 8388608L)
     val kept = RuntimeFilters.prunedByBloom(fact, bloom, "k")
     val keptKeys = kept.collect().map(_.getLong(0)).toSet
     val dimKeys = dim.collect().map(_.getLong(0)).toSet
@@ -43,7 +43,7 @@ class RuntimeFilterSpec extends SparkSpec {
     val fact = (1L to 100L).toDF("k")
     val dim = Seq(1L, 2L).toDF("dk")
     val pruned = RuntimeFilters.prunedByBloom(
-      fact, RuntimeFilters.keyBloom(dim, "dk"), "k")
+      fact, RuntimeFilters.keyBloom(dim, "dk", 1000000L, 8388608L), "k")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
     assert(plan.contains("Subquery") || plan.contains("subquery"), plan)
@@ -62,7 +62,7 @@ class RuntimeFilterSpec extends SparkSpec {
       "safe (fresh subquery expression per attachment)") {
     val fact = (1L to 2000L).map(i => (i % 97, i % 89)).toDF("k1", "k2")
     val dim = Seq(3L, 11L, 42L).toDF("dk")
-    val bloom = RuntimeFilters.keyBloom(dim, "dk")
+    val bloom = RuntimeFilters.keyBloom(dim, "dk", 1000000L, 8388608L)
     val both = fact.where(
       RuntimeFilters.mightContainKey(bloom, col("k1")) &&
         RuntimeFilters.mightContainKey(bloom, col("k2")))
@@ -86,7 +86,7 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(n === 100L)
     assert(bits === 800L)
     val pruned = RuntimeFilters
-      .bloomPrunedJoinAdaptive(fact, dim, "fk", "dk")
+      .bloomPrunedJoin(fact, dim, "fk", "dk")
       .select("fk", "payload").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val plain = fact.join(dim, col("fk") === col("dk"))
