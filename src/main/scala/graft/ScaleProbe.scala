@@ -757,7 +757,8 @@ object ScaleProbe {
     // frozen delta add + search (the q201/q202 deployment shapes)
     val resLifecycleNames = Seq(
       s"res_lifecycle save+load+search x$docReps",
-      s"res_lifecycle add+search x$docReps")
+      s"res_lifecycle add+search x$docReps",
+      s"res_lifecycle drift x$docReps")
     if (only.forall(_.split(",")
         .exists(t => resLifecycleNames.exists(_.contains(t))))) {
       val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -779,8 +780,22 @@ object ScaleProbe {
             Similarity.residualPqIndexAdd(ridx, delta), q, k = 5,
             nProbe = 4))
         }
+        // the q204 measure step over the grown index (one corpus pass
+        // + the skinny codes join + broadcast recenter/codebooks)
+        timed(s"res_lifecycle drift x$docReps") {
+          consume(Similarity.residualPqDriftStats(
+            Similarity.residualPqIndexAdd(ridx, delta), emb,
+            when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
+              .otherwise(lit("base"))))
+        }
       } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(rdir))
+    }
+    // SQ8 compressed scan at 30x corpus (the q205 shape — brute plan
+    // with a 4x-smaller stored form)
+    timed(s"sq8_topk x$docReps") {
+      consume(Similarity.sq8TopK(emb,
+        emb.filter(col("vec_id") < 10), 5))
     }
     // two-level IVF recall row at 30x (q200's brute yardstick +
     // hierarchical search, reduced to one integer row)

@@ -2356,6 +2356,46 @@ object SparkEntry {
         .withColumn("strategy", lit(strat))
         .orderBy(col("yr"))
     }),
+
+    // ===== residual-PQ drift gate (the grown-residual retrain trigger)
+    // q199's measure step on the residual lifecycle: per-cohort mean
+    // ADC reconstruction error of the grown index's codes against each
+    // vector's RESIDUAL (v − frozen cell mean — what the codes encode);
+    // a drifted delta pushes its mean up and the exact-replay oracle
+    // reds the row
+    "q204_residual_drift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.residualPqDriftStats(sharedGrownResidualPqIndex(s, d),
+        emb,
+        when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
+          .otherwise(lit("base")))
+    }),
+
+    // ===== SQ8 compressed top-k scan ==================================
+    // the FAISS IndexScalarQuantizer family — int8 corpus codes (4×
+    // less scan I/O), exact queries, asymmetric-distance ranking over
+    // the exact IEEE reconstruction
+    "q205_sq8_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // ===== SQ8 recall gate ============================================
+    // measured, not claimed (the q186/q200 standard): SQ8's rounding
+    // loss against the exact cosine yardstick as one integer row;
+    // floor flag pinned high — SQ8 must stay near-exact or the row
+    // reds (a quantization-convention change that costs recall is a
+    // bug, not a tuning choice)
+    "q206_sq8_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallStats(
+          Similarity.bruteTopK(emb, q, 5),
+          Similarity.sq8TopK(emb, q, 5), k = 5)
+        .select(col("n_q"), col("sum_hits"), col("mean_recall_micro"),
+          (col("mean_recall_micro") >= 800000L).cast("long")
+            .as("recall_floor_ok"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2588,6 +2628,32 @@ object SparkEntry {
         |  JOIN qiv q ON q.qid = p.qid
         |  JOIN e ON e.id = c2.id
         |  WHERE p.qid <> c2.id)""".stripMargin
+
+  /** Shared CTE chain for the SQ8 oracles (q205/q206): double-cast
+    * embeddings, quantizeInt8's exact floor-based code + IEEE
+    * dequantization, the query set, and the asymmetric cosine rows
+    * `scored(qid, cid, cos_sim)`. Returned WITHOUT the leading WITH. */
+  private def sq8Ctes: String =
+    """e AS (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT id, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |dq AS (
+      |  SELECT id,
+      |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+      |      ELSE list_transform(v, x ->
+      |        greatest(-127.0, least(127.0,
+      |          floor(x / (mx / 127.0) + 0.5))) * (mx / 127.0))
+      |    END AS cv
+      |  FROM qz),
+      |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+      |scored AS (
+      |  SELECT q.qid, d.id AS cid,
+      |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
+      |  FROM qiv q, dq d WHERE q.qid <> d.id)""".stripMargin
 
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -8246,5 +8312,113 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey, strat
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, strat.strategy ORDER BY 1""".stripMargin,
+
+    // q202's grown-residual training chain, then per-vector exact
+    // integer micro² reconstruction error of each id's codes against
+    // its OWN residual, rolled up per cohort (decimal sum, exact
+    // integer mean — the q199 conventions on the residual lifecycle)
+    "q204_residual_drift" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eb AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM eb ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |${residualTrainCtes("eb")},
+        |dres AS (
+        |  SELECT e.id,
+        |    list_transform(range(1, 65), i -> e.v[i] - m.mv[i]) AS rv
+        |  FROM e JOIN cells cl ON cl.id = e.id
+        |  JOIN rcent m ON m.c_id = cl.c_id
+        |  WHERE e.id % 5 = 0),
+        |dsubs AS (
+        |  SELECT id, s AS sub, rv[(s*4+1):(s*4+4)] AS sv
+        |  FROM dres, UNNEST(range(0, 16)) AS u(s)),
+        |dd2 AS (
+        |  SELECT dsubs.id, dsubs.sub, c.c_id,
+        |         round(list_dot_product(dsubs.sv, dsubs.sv)
+        |           - 2*list_dot_product(dsubs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM dsubs JOIN rc1 c USING (sub)),
+        |dcodes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM dd2)
+        |  WHERE rk = 1),
+        |gcodes AS (SELECT * FROM rcodes UNION ALL SELECT * FROM dcodes),
+        |allres AS (
+        |  SELECT id, rv FROM res UNION ALL SELECT id, rv FROM dres),
+        |asubs AS (
+        |  SELECT id, s AS sub, rv[(s*4+1):(s*4+4)] AS sv
+        |  FROM allres, UNNEST(range(0, 16)) AS u(s)),
+        |aerr AS (
+        |  SELECT a.id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(a.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(a.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS e2
+        |  FROM asubs a
+        |  JOIN gcodes g ON g.id = a.id AND g.sub = a.sub
+        |  JOIN rc1 c ON c.sub = a.sub AND c.c_id = g.code),
+        |perid AS (
+        |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM aerr GROUP BY 1)
+        |SELECT CASE WHEN id % 5 = 0 THEN 'delta' ELSE 'base' END AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(err) AS DECIMAL(38,0)) AS sum_err,
+        |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err
+        |FROM perid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact replay of quantizeInt8's floor-based codes (scale =
+    // max|x|/127, clamped floor(x/scale + 0.5)), dequantized with the
+    // same IEEE products, then the q21 asymmetric cosine rank
+    "q205_sq8_topk" ->
+      s"""WITH $sq8Ctes
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q205 chain + the exact cosine yardstick reduced to one
+    // integer row; floor flag PINNED to 1 — SQ8 must stay near-exact
+    "q206_sq8_recall" ->
+      s"""WITH $sq8Ctes,
+        |stop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hits AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |         FROM bq JOIN stop USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS sum_hits
+        |  FROM ne LEFT JOIN hits h ON h.qid = ne.qid)
+        |SELECT n_q, sum_hits,
+        |  CAST(sum_hits * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_micro,
+        |  CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM agg""".stripMargin,
   )
 }

@@ -1093,6 +1093,114 @@ object Similarity {
       .orderBy(col("cohort"))
   }
 
+  /** [[pqDriftStats]] for a [[ResidualPqIndex]] — the retrain trigger
+    * for [[residualPqIndexAdd]], completing the residual lifecycle's
+    * measure step: per cohort, the mean ADC reconstruction error of
+    * each vector's codes against its own RESIDUAL subvectors (v minus
+    * its frozen cell mean — the quantity the codes actually encode),
+    * in exact integer micro². The cell comes from the index's stored
+    * assignment, the mean from the frozen recentring frame, so the
+    * measurement is against the frozen quantizer exactly as served.
+    * Emits (cohort, n_vecs, sum_err, mean_err) — sum_err in
+    * decimal(38,0), mean via exact integer division (the
+    * [[pqDriftStats]] conventions).
+    *
+    * Scale: identical to [[pqDriftStats]] plus one broadcast
+    * recentring join — the shuffle is one row per id, then per
+    * cohort. */
+  def residualPqDriftStats(index: ResidualPqIndex, vectors: DataFrame,
+                           cohort: Column,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val m = index.m
+    val dsub = index.dsub
+    def micro(x: Column) = floor(x * 1e6 + lit(0.5)).cast("long")
+    val resid = vectors
+      .select(col(idCol).as("id"), cohort.as("cohort"),
+        asDouble(col(vecCol)).as("v"))
+      .join(index.cells, Seq("id"))
+      .join(broadcast(index.recenter), col("centroid_id") === col("c_id"))
+      .select(col("id"), col("cohort"),
+        zip_with(col("v"), col("mv"), (a, b) => a - b).as("v"))
+    val subs = resid.select(col("id"), col("cohort"), posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+    val cents = index.cents.select(col("sub").as("csub"),
+      col("c_id"), col("cv"))
+    val err = subs
+      .join(index.codes, Seq("id", "sub"))
+      .join(broadcast(cents),
+        col("sub") === col("csub") && col("code") === col("c_id"))
+      .select(col("id"), col("cohort"),
+        aggregate(
+          zip_with(col("sv"), col("cv"),
+            (a, b) => (micro(a) - micro(b)) * (micro(a) - micro(b))),
+          lit(0L), (acc, x) => acc + x).as("e2"))
+    err.groupBy(col("id"), col("cohort"))
+      .agg(sum(col("e2")).as("err"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err").cast("decimal(38,0)")).as("sum_err"))
+      .select(col("cohort"), col("n_vecs"), col("sum_err"),
+        expr("sum_err div n_vecs").cast("long").as("mean_err"))
+      .orderBy(col("cohort"))
+  }
+
+  /** SQ8 compressed top-k scan (the FAISS `IndexScalarQuantizer`
+    * SQ8 family — the quantization point between the raw-float brute
+    * scan and PQ codes): the corpus is symmetric-int8 quantized
+    * ([[quantizeInt8]] — one scale + 64 one-byte codes per vector, 4×
+    * less I/O than float32), queries stay exact, and ranking runs the
+    * asymmetric distance — exact query against the dequantized
+    * corpus (code × scale, exact IEEE arithmetic, so another engine
+    * replays the reconstruction bit-for-bit). Recall loss is the
+    * per-vector rounding alone — measure with [[recallStats]] against
+    * [[bruteTopK]] (SQ8 sits near 1.0 where PQ's m-subspace codes
+    * trade much deeper compression for recall).
+    *
+    * Determinism: codes/scales are [[quantizeInt8]]'s floor-based
+    * exact convention; cosine rounds at 6 dp before ranking, ties on
+    * the candidate id (the [[bruteTopK]] conventions).
+    *
+    * Scale: identical plan shape to [[bruteTopK]] (broadcast query
+    * set, one corpus scan, per-query rank window) — the win is the
+    * scan reading 1/4 the bytes when the quantized columns are the
+    * stored form; compose with [[ivfAssign]] blocking for sub-linear
+    * candidates exactly as [[ivfTopK]] does. The reconstructed
+    * corpus is MATERIALIZED once before the join (eager checkpoint —
+    * the deployment shape, where int8 codes are the stored table and
+    * reconstruction happens once per serving session): the quantize +
+    * dequantize chain is interpreted higher-order lambdas, and under
+    * projection collapse an unmaterialized `cv` re-evaluates that
+    * whole chain per REFERENCE per joined row — a 30× probe measured
+    * the collapsed form at 354 s vs ~20 s materialized on 60k
+    * vectors × 10 queries. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val c = quantizeInt8(
+        corpus.select(col(idCol).as("cid"), col(vecCol)), vecCol)
+      .select(col("cid"),
+        dequantize(col("q_codes"), col("q_scale")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val q = queries.select(col(idCol).as("qid"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(sim, 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Flat ADC ranking tail over a prebuilt [[PqIndex]] — the
     * compressed linear scan of [[pqAdcTopK]] minus the build. */
   def pqAdcSearch(index: PqIndex, queries: DataFrame, k: Int,

@@ -52,7 +52,10 @@ class EntrySpec extends SparkSpec {
     "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall",
     "q189_residual_ivfpq", "q190_residual_uplift",
     "q195_ivf_two_level", "q200_ivf2_recall",
-    "q201_residual_roundtrip", "q202_residual_index_add")
+    "q201_residual_roundtrip", "q202_residual_index_add",
+    // q205/q206 are the q21 broadcast-query compressed scan (+ the
+    // brute yardstick in q206) — the same by-definition linear scan
+    "q205_sq8_topk", "q206_sq8_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

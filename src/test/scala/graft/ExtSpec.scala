@@ -413,6 +413,52 @@ class ExtSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("residualPqDriftStats: cohorts partition, frozen-frame " +
+      "reconstruction error stays bounded for a same-distribution delta") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val grown = Similarity.residualPqIndexAdd(
+      Similarity.residualPqBuild(base, nCentroids = 16, m = 16,
+        dsub = 4, kCodes = 32, iters = 1), delta)
+    val rows = Similarity.residualPqDriftStats(grown, emb,
+        when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
+          .otherwise(lit("base")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set("base", "delta"))
+    assert(rows("base")._1 === base.count())
+    assert(rows("delta")._1 === delta.count())
+    assert(rows("base")._3 > 0L && rows("delta")._3 > 0L)
+    // one distribution feeds both cohorts: the frozen-everything delta
+    // must not reconstruct materially worse than the training base
+    assert(rows("delta")._3 <= 2L * rows("base")._3,
+      s"residual delta drift ${rows("delta")._3} vs base ${rows("base")._3}")
+  }
+
+  test("sq8TopK: near-exact recall against brute, contiguous ranks, " +
+      "no self-matches") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val got = Similarity.sq8TopK(emb, q, k = 5).cache()
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)),
+      "a query returned itself")
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    // int8 rounding loses almost nothing at 64 dims: recall@5 must be
+    // near-exact (the q206 gate's contract)
+    val st = Similarity.recallStats(
+      Similarity.bruteTopK(emb, q, 5), got, 5).collect()(0)
+    assert(st.getAs[Long]("n_q") === 10L)
+    assert(st.getAs[Long]("mean_recall_micro") >= 800000L,
+      s"sq8 recall ${st.getAs[Long]("mean_recall_micro")} below floor")
+    got.unpersist()
+  }
+
   test("pqDriftStats: cohort counts partition the corpus, same-" +
       "distribution delta stays near the base error") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
