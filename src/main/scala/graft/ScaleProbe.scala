@@ -797,6 +797,11 @@ object ScaleProbe {
       consume(Similarity.sq8TopK(emb,
         emb.filter(col("vec_id") < 10), 5))
     }
+    // IVF-blocked SQ8 at 30x (the q207 sub-linear path)
+    timed(s"ivf_sq8 x$docReps") {
+      consume(Similarity.ivfSq8TopK(emb,
+        emb.filter(col("vec_id") < 10), 5, nCentroids = 16, nProbe = 4))
+    }
     // two-level IVF recall row at 30x (q200's brute yardstick +
     // hierarchical search, reduced to one integer row)
     timed(s"ivf2_recall x$docReps") {

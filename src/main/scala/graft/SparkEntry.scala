@@ -2396,6 +2396,31 @@ object SparkEntry {
           (col("mean_recall_micro") >= 800000L).cast("long")
             .as("recall_floor_ok"))
     }),
+
+    // ===== IVF-blocked SQ8 top-k ======================================
+    // the flat SQ8 scan's 100 TB path (FAISS IndexIVFScalarQuantizer):
+    // q34's cell blocking × q205's int8 reconstruction scoring —
+    // candidates are nProbe/nCentroids of the corpus, read 4× smaller
+    "q207_ivf_sq8" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
+    // ===== IVF-SQ8 total-loss recall gate =============================
+    // blocking truncation × SQ8 rounding against the exact yardstick,
+    // one integer row (the q200/q206 standard); floor pinned
+    "q208_ivf_sq8_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallStats(
+          Similarity.bruteTopK(emb, q, 5),
+          Similarity.ivfSq8TopK(emb, q, 5, nCentroids = 16, nProbe = 4),
+          k = 5)
+        .select(col("n_q"), col("sum_hits"), col("mean_recall_micro"),
+          (col("mean_recall_micro") >= 400000L).cast("long")
+            .as("recall_floor_ok"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2634,11 +2659,22 @@ object SparkEntry {
     * dequantization, the query set, and the asymmetric cosine rows
     * `scored(qid, cid, cos_sim)`. Returned WITHOUT the leading WITH. */
   private def sq8Ctes: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id AS id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
-      |qz AS (
+      |$sq8DqCtes,
+      |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+      |scored AS (
+      |  SELECT q.qid, d.id AS cid,
+      |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
+      |  FROM qiv q, dq d WHERE q.qid <> d.id)""".stripMargin
+
+  /** Just the quantize + reconstruct half of [[sq8Ctes]] (`qz`, `dq`
+    * over an existing `e`) — shared with the IVF-blocked SQ8 oracles,
+    * which bring their own cells/probes/candidates. */
+  private def sq8DqCtes: String =
+    """qz AS (
       |  SELECT id, v,
       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
       |dq AS (
@@ -2648,12 +2684,7 @@ object SparkEntry {
       |        greatest(-127.0, least(127.0,
       |          floor(x / (mx / 127.0) + 0.5))) * (mx / 127.0))
       |    END AS cv
-      |  FROM qz),
-      |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
-      |scored AS (
-      |  SELECT q.qid, d.id AS cid,
-      |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
-      |  FROM qiv q, dq d WHERE q.qid <> d.id)""".stripMargin
+      |  FROM qz)""".stripMargin
 
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -8397,6 +8428,64 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (
         |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
         |    FROM scored)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hits AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |         FROM bq JOIN stop USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS sum_hits
+        |  FROM ne LEFT JOIN hits h ON h.qid = ne.qid)
+        |SELECT n_q, sum_hits,
+        |  CAST(sum_hits * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_micro,
+        |  CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM agg""".stripMargin,
+
+    // the q185 cell/probe/candidate block × the q205 reconstruction:
+    // candidates from the probed cells only, ranked by the asymmetric
+    // cosine against the exact int8 reconstruction
+    "q207_ivf_sq8" ->
+      s"""WITH $ivfCommonCtes,
+        |$sq8DqCtes,
+        |sb AS (
+        |  SELECT c.qid, d.id AS cid,
+        |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
+        |  FROM cand c JOIN qiv q ON q.qid = c.qid
+        |  JOIN dq d ON d.id = c.id
+        |  WHERE c.qid <> c.id)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM sb)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // q207's blocked chain + the exact cosine yardstick, one integer
+    // row; floor flag pinned (cell truncation × SQ8 rounding)
+    "q208_ivf_sq8_recall" ->
+      s"""WITH $ivfCommonCtes,
+        |$sq8DqCtes,
+        |sb AS (
+        |  SELECT c.qid, d.id AS cid,
+        |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
+        |  FROM cand c JOIN qiv q ON q.qid = c.qid
+        |  JOIN dq d ON d.id = c.id
+        |  WHERE c.qid <> c.id),
+        |stop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM sb)
         |  WHERE rank <= 5),
         |scored_b AS (
         |  SELECT q.qid, c.id AS cid,

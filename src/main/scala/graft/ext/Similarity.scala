@@ -1201,6 +1201,54 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-blocked SQ8 top-k (the FAISS `IndexIVFScalarQuantizer`
+    * shape) — [[ivfTopK]]'s sub-linear candidate generation composed
+    * with [[sq8TopK]]'s compressed scoring: queries rank ONLY the
+    * vectors in their `nProbe` nearest cells, by the asymmetric
+    * cosine against the int8 reconstruction. The flat SQ8 scan is
+    * still O(n) per query; this is its 100 TB path — candidates are
+    * nProbe/nCentroids of the corpus, scored off a 4×-smaller stored
+    * form. Recall loss = cell truncation (q186's measured mode) ×
+    * SQ8's near-zero rounding loss; measure with [[recallStats]]
+    * against [[bruteTopK]].
+    *
+    * Determinism: cell assignment and probe choice replay
+    * [[ivfTopK]]'s conventions; reconstruction and ranking replay
+    * [[sq8TopK]]'s. Scale: the candidate join is an equi-join on
+    * centroid_id (bucket-bounded shuffle), the reconstructed frame
+    * joins candidates on id (equi), ranking windows key on qid —
+    * never an all-pairs product. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCentroids: Int = 16, nProbe: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val cells = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+      .select(col("id"), col("centroid_id"))
+    val probes = ivfProbes(corpus, queries, nCentroids, nProbe,
+      idCol, vecCol)
+    val c = quantizeInt8(
+        corpus.select(col(idCol).as("cid"), col(vecCol)), vecCol)
+      .select(col("cid"),
+        dequantize(col("q_codes"), col("q_scale")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val cand = cells.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("qv"), col("qn"), col("id"))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    cand.join(c, col("id") === col("cid"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(sim, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Flat ADC ranking tail over a prebuilt [[PqIndex]] — the
     * compressed linear scan of [[pqAdcTopK]] minus the build. */
   def pqAdcSearch(index: PqIndex, queries: DataFrame, k: Int,

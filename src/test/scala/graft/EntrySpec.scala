@@ -54,8 +54,10 @@ class EntrySpec extends SparkSpec {
     "q195_ivf_two_level", "q200_ivf2_recall",
     "q201_residual_roundtrip", "q202_residual_index_add",
     // q205/q206 are the q21 broadcast-query compressed scan (+ the
-    // brute yardstick in q206) — the same by-definition linear scan
-    "q205_sq8_topk", "q206_sq8_recall")
+    // brute yardstick in q206) — the same by-definition linear scan;
+    // q207/q208 inherit q34's broadcast probe block (+ q208's brute)
+    "q205_sq8_topk", "q206_sq8_recall",
+    "q207_ivf_sq8", "q208_ivf_sq8_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -459,6 +459,29 @@ class ExtSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("ivfSq8TopK: blocking filters candidates but never changes an " +
+      "SQ8 score; results stay in probed cells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val blocked = Similarity.ivfSq8TopK(emb, q, k = 5,
+      nCentroids = 16, nProbe = 4).cache()
+    val rows = blocked.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    // hierarchical blocking filters, never rescores: every blocked
+    // result's cos_sim equals the FLAT sq8 scan's score for that pair
+    val flat = Similarity.sq8TopK(emb, q, k = Int.MaxValue)
+      .select(col("qid"), col("cid"), col("cos_sim").as("fs"))
+    val j = blocked.join(flat, Seq("qid", "cid"))
+    assert(j.count() === rows.length.toLong,
+      "a blocked result is missing from the flat SQ8 ranking")
+    assert(j.filter(col("cos_sim") =!= col("fs")).count() === 0L,
+      "blocking changed an SQ8 score")
+    blocked.unpersist()
+  }
+
   test("pqDriftStats: cohort counts partition the corpus, same-" +
       "distribution delta stays near the base error") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
