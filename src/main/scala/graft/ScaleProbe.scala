@@ -838,6 +838,109 @@ object ScaleProbe {
       consume(graft.ops.RuntimeFilters.bloomPrunedSkewJoin(
         li, dim, "l_orderkey", "o_orderkey", salt = 8))
     }
+
+    // ===== round-12 second batch =======================================
+    // exact-refine two-stage search at 30x (q209): IVF-PQ shortlist at
+    // R=20, full-precision re-rank touching |Q|·20 corpus rows only.
+    // The index builds OUTSIDE the timed block (the lifecycle-probe
+    // convention: training is the one-time job, the refine tail is the
+    // per-query serving cost q209 measures off the memoized index)
+    if (only.forall(_.split(",")
+        .exists(t => s"pq_refine x$docReps".contains(t)))) {
+      val refIdx = Similarity.pqBuild(emb, m = 16, dsub = 4,
+        kCodes = 32, iters = 1)
+      timed(s"pq_refine x$docReps") {
+        consume(Similarity.ivfPqRefineTopK(refIdx, emb,
+          emb.filter(col("vec_id") < 10), k = 5, r = 20,
+          nCentroids = 16, nProbe = 4))
+      }
+    }
+    // probe-sweep tuning table at 30x (q211): one assignment + one
+    // scored candidate pass serves all three operating points
+    timed(s"ivf_probe_sweep x$docReps") {
+      consume(Similarity.ivfRecallSweep(emb,
+        emb.filter(col("vec_id") < 10), k = 5, nCentroids = 16,
+        nProbes = Seq(1, 2, 4)))
+    }
+    // PC1 scatter pass at 30x (q212): the ×dim² generate collapses
+    // map-side to 2 080 upper-triangle cells; the iteration itself is
+    // a 64×64 driver-model computation
+    timed(s"pc1_power x$docReps") {
+      consume(Similarity.pc1PowerIteration(emb, iters = 3))
+    }
+    // MMR at 30x (q213): candidate generation is the brute first
+    // stage; the greedy loop's joins touch only |Q|·R candidate rows
+    timed(s"mmr_rerank x$docReps") {
+      consume(graft.ext.Retrieval.mmrTopK(emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20))
+    }
+    // retrain-benefit measure at 30x (q214): both indexes prebuilt
+    // (stored artifacts at deployment), timing the two drift passes
+    if (only.forall(_.split(",")
+        .exists(t => s"retrain_benefit x$docReps".contains(t)))) {
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val grown = Similarity.pqIndexAdd(
+        Similarity.pqBuild(base, m = 16, dsub = 4, kCodes = 32), delta)
+      val retrained = Similarity.pqBuild(emb, m = 16, dsub = 4,
+        kCodes = 32)
+      timed(s"retrain_benefit x$docReps") {
+        consume(Similarity.pqRetrainBenefitStats(grown, retrained, emb))
+      }
+    }
+    // LSH band sweep at 30x (q215): one signature pass + one exact
+    // reference serve all three band settings
+    timed(s"lsh_band_sweep x$docReps") {
+      consume(Dedup.lshBandSweep(docs, threshold = 0.5, k = 64,
+        bandsList = Seq(4, 8, 16), maxPostings = 500))
+    }
+    // IVF cell-balance audit at 30x (q216): one assignment pass + a
+    // 16-row aggregate
+    timed(s"ivf_cell_stats x$docReps") {
+      consume(Similarity.ivfCellStats(emb, nCentroids = 16))
+    }
+    // residual refine at 30x (q218): residual first stage off a
+    // prebuilt index + the |Q|·20-row exact join (the q209 shape on
+    // the residual path)
+    if (only.forall(_.split(",")
+        .exists(t => s"residual_refine x$docReps".contains(t)))) {
+      val rIdx = Similarity.residualPqBuild(emb, nCentroids = 16,
+        m = 16, dsub = 4, kCodes = 32)
+      timed(s"residual_refine x$docReps") {
+        consume(Similarity.residualRefineUpliftStats(rIdx, emb,
+          emb.filter(col("vec_id") < 10), k = 5, r = 20, nProbe = 4))
+      }
+    }
+    // cell-assignment PSI at 30x (q219): one aggregate over the stored
+    // assignment to 16 cells, scalar math on the contraction
+    if (only.forall(_.split(",")
+        .exists(t => s"ivf_cell_drift x$docReps".contains(t)))) {
+      val cells = Similarity.ivfAssign(emb, 16)
+        .select(col("id"), col("centroid_id"))
+      timed(s"ivf_cell_drift x$docReps") {
+        consume(Similarity.ivfCellDriftStats(cells,
+          pmod(col("id"), lit(5)) === 0, cellCol = "centroid_id"))
+      }
+    }
+    // hybrid search at 30x (q217): BM25 over the replicated docs +
+    // cosine over the replicated corpus → RRF → MMR tail on 20 rows
+    timed(s"hybrid_search x$docReps") {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextAnalysis.bm25TopK(docs,
+          terms = Seq("spark", "join", "vector"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val cos = Similarity.bruteTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("cid").as("id"), col("rank"))
+      val fused = graft.ext.Retrieval.rrf(Seq(bm, cos), c = 60,
+        topK = 20)
+      consume(graft.ext.Retrieval.mmrDiversify(
+        fused.select(lit(0L).as("qid"), col("id").as("cid"),
+          col("rrf_micro").as("rel_micro")),
+        emb, k = 5))
+    }
     spark.stop()
   }
 }

@@ -2421,6 +2421,139 @@ object SparkEntry {
           (col("mean_recall_micro") >= 400000L).cast("long")
             .as("recall_floor_ok"))
     }),
+
+    // ===== exact-refine re-rank (FAISS IndexRefineFlat) ===============
+    // the two-stage deployment shape: the q185 compressed IVF-PQ scan
+    // produces a depth-20 shortlist, then the full-precision vectors
+    // are fetched for those |Q|·20 rows ONLY and re-ranked by exact
+    // cosine — quantization loss inside the shortlist is bought back
+    // for one skinny equi-join
+    "q209_pq_refine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfPqRefineTopK(sharedPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20,
+        nCentroids = 16, nProbe = 4)
+    }),
+
+    // ===== refine uplift gate =========================================
+    // measured, not claimed (the q190/q200 standard): refined vs
+    // unrefined recall@5 against the exact yardstick from ONE
+    // first-stage pass; refined ≥ unrefined is a THEOREM under the
+    // shared rounding/tie rules — the flag reds on convention drift,
+    // not on tuning
+    "q210_refine_uplift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.refineUpliftStats(sharedPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20,
+        nCentroids = 16, nProbe = 4)
+    }),
+
+    // ===== IVF operating-curve sweep ==================================
+    // the nProbe tuning table: recall@5 + candidate volume at nProbe ∈
+    // {1,2,4} from ONE assignment and ONE scored candidate pass; the
+    // monotone flag pins the nested-candidate-set theorem
+    "q211_ivf_probe_sweep" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 10),
+        k = 5, nCentroids = 16, nProbes = Seq(1, 2, 4))
+    }),
+
+    // ===== PC1 via power iteration on exact integer moments ===========
+    // the anisotropy diagnostic behind the round-12 OPQ null result:
+    // one distributed pass builds the dim² scatter cells (shuffle is
+    // O(partitions·dim²), row-count-free), the driver iterates the
+    // 64×64 model in arbitrary-precision integers — bit-replayable
+    "q212_pc1_power" -> ((s, d) =>
+      Similarity.pc1PowerIteration(embeddings(s, d), iters = 3)),
+
+    // ===== MMR diversity re-rank ======================================
+    // greedy maximal-marginal-relevance over depth-20 exact candidate
+    // lists (wRel=7, wDiv=3, all integer micro) — the diverse-exemplar
+    // selection stage of a curation pipeline; every argmax ties on cid
+    // so the greedy trajectory replays exactly in the unrolled oracle
+    "q213_mmr_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Retrieval.mmrTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, r = 20)
+    }),
+
+    // ===== retrain-benefit gate =======================================
+    // the measured consequence of the drift gate's decision: grown
+    // (frozen codebooks + adds) vs fully-retrained reconstruction
+    // error over the whole corpus, both indexes memoized — on this
+    // same-distribution delta the two sit close, and the flag is
+    // computed on BOTH sides (a measured state, not a pinned theorem)
+    "q214_pq_retrain_benefit" -> ((s, d) =>
+      Similarity.pqRetrainBenefitStats(sharedGrownPqIndex(s, d),
+        sharedPqIndex(s, d), embeddings(s, d))),
+
+    // ===== LSH band-count tuning sweep ================================
+    // the q211 analogue for MinHash-LSH: recall/precision vs the exact
+    // n-gram Jaccard pairs at bands ∈ {4,8,16} from ONE signature pass
+    // and ONE exact reference (q144's half-corpus sample); aligned
+    // band refinement makes the pair sets nest, so the monotone flag
+    // pins a theorem
+    "q215_lsh_band_sweep" -> ((s, d) => {
+      val docs = documents(s, d).filter(
+        pmod(T.md5Hash60(col("doc_id").cast("string")), lit(2)) === 0)
+      Dedup.lshBandSweep(docs, threshold = 0.5, k = 64,
+        bandsList = Seq(4, 8, 16), maxPostings = 1000,
+        scheme = Dedup.OracleHash)
+    }),
+
+    // ===== IVF cell-balance audit =====================================
+    // the hot-cell diagnostic next to the q211 recall sweep: per-cell
+    // counts + corpus share + the max/mean imbalance factor (the
+    // tail-latency profile of the index; 1e6 = perfectly balanced)
+    "q216_ivf_cell_stats" -> ((s, d) =>
+      Similarity.ivfCellStats(embeddings(s, d), nCentroids = 16)),
+
+    // ===== residual refine uplift gate ================================
+    // the q210 gate on the residual first stage: the better-recall
+    // compressed path gets the same measured exact-refine step —
+    // refined ≥ unrefined stays a theorem, the row shape is q210's
+    "q218_residual_refine_uplift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.residualRefineUpliftStats(sharedResidualPqIndex(s, d),
+        emb, emb.filter(col("vec_id") < 10), k = 5, r = 20, nProbe = 4)
+    }),
+
+    // ===== IVF cell-assignment drift (coarse-quantizer staleness) =====
+    // PSI over the grown residual index's per-cell assignment shares,
+    // base vs delta cohort — the q199/q204 code-level gates say "do
+    // the codebooks still fit"; this says "does new data still LAND
+    // like the training data" (a delta concentrating in few cells
+    // wants a re-seed even when per-code error looks fine)
+    "q219_ivf_cell_drift" -> ((s, d) =>
+      Similarity.ivfCellDriftStats(
+        sharedGrownResidualPqIndex(s, d).cells,
+        pmod(col("id"), lit(5)) === 0, cellCol = "centroid_id")),
+
+    // ===== hybrid search, end to end ==================================
+    // the full retrieve-then-diversify stack COMPOSED from the tiers
+    // this library already gates separately: BM25 lexical ranker
+    // (q105) + embedding cosine ranker (q21) → reciprocal-rank fusion
+    // (q123) → greedy MMR diversity tail (q213) with rel = rrf_micro
+    // and pair sims from the candidates' embeddings — one query, four
+    // operator families, every stage exact-integer and oracle-replayed
+    "q217_hybrid_search" -> ((s, d) => {
+      val bm = T.bm25TopK(documents(s, d),
+          terms = Seq("spark", "join", "vector"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = embeddings(s, d)
+      val cos = Similarity.bruteTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("cid").as("id"), col("rank"))
+      val fused = Retrieval.rrf(Seq(bm, cos), c = 60, topK = 20)
+      Retrieval.mmrDiversify(
+          fused.select(lit(0L).as("qid"), col("id").as("cid"),
+            col("rrf_micro").as("rel_micro")),
+          emb, k = 5)
+        .select(col("pick"), col("cid").as("doc_id"), col("score"))
+        .orderBy(col("pick"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -2685,6 +2818,164 @@ object SparkEntry {
       |          floor(x / (mx / 127.0) + 0.5))) * (mx / 127.0))
       |    END AS cv
       |  FROM qz)""".stripMargin
+
+  /** Plain (raw-vector) blocked-ADC CTEs on top of [[ivfCommonCtes]]:
+    * the q185 training replay (prefix `p`) + per-query LUT + blocked
+    * ADC rows `adp(qid, cid, adist)` — the q190 plain half, shared by
+    * the refine oracles (q209/q210). */
+  private def plainAdcCtes: String =
+    s"""${pqTrainCtes("p", "e", "v", seedOffset = 0)},
+       |pqsubs AS (SELECT id AS qid, sub, sv FROM psubs WHERE id < 10),
+       |plut AS (
+       |  SELECT q.qid, q.sub, c.c_id,
+       |    $lutDmSql AS dm
+       |  FROM pqsubs q JOIN pc1 c USING (sub)),
+       |adp AS (
+       |  SELECT cand.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+       |  FROM pcodes co
+       |  JOIN cand ON cand.id = co.id
+       |  JOIN plut l ON l.qid = cand.qid AND l.sub = co.sub
+       |             AND l.c_id = co.code
+       |  WHERE cand.qid <> co.id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q209 shortlist + exact-refine CTEs over an ADC ranking CTE
+    * (`adp` for the plain chain, `adr` for the residual one):
+    * depth-`r` shortlist, then full-precision cosine re-scoring of
+    * shortlist rows only — `refd(qid, cid, cos_sim)`. */
+  private def refineCtes(r: Int, adcSrc: String = "adp"): String =
+    s"""short AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM $adcSrc)
+       |  WHERE rank <= $r),
+       |refd AS (
+       |  SELECT s.qid, s.cid,
+       |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+       |  FROM short s JOIN qiv q ON q.qid = s.qid
+       |  JOIN e ON e.id = s.cid)""".stripMargin
+
+  /** The q212 power-iteration replay: exact integer micro moments
+    * (HUGEINT — int128 — so nothing overflows), the scatter matrix
+    * N = n·Σxᵢxⱼ − SᵢSⱼ, `iters` unrolled w = N·v steps renormalized
+    * by truncating `//` division (matches the Spark side's sign-split
+    * magnitude division exactly — both truncate toward zero), sign
+    * canonicalization on the largest-|v| dim, and the exact-order
+    * explained-variance ratio. */
+  private def pc1Ctes(iters: Int, dim: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS (
+         |  SELECT cov.i, CAST(sum(cov.cn * v${t - 1}.v) AS HUGEINT) AS w
+         |  FROM cov JOIN v${t - 1} ON v${t - 1}.i = cov.j GROUP BY 1),
+         |mx$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+         |v$t AS (
+         |  SELECT w$t.i,
+         |    CASE WHEN m.mx = 0 THEN p.v
+         |         ELSE (w$t.w * 1000000) // m.mx END AS v
+         |  FROM w$t JOIN v${t - 1} p ON p.i = w$t.i, mx$t m)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |mom AS (
+       |  SELECT i, j,
+       |    CAST(sum(CAST(xm[i+1] AS HUGEINT) * xm[j+1]) AS HUGEINT) AS s2
+       |  FROM e, UNNEST(range(0, $dim)) AS u(i),
+       |    UNNEST(range(0, $dim)) AS t(j)
+       |  GROUP BY 1, 2),
+       |m1 AS (
+       |  SELECT i, CAST(sum(xm[i+1]) AS HUGEINT) AS s1
+       |  FROM e, UNNEST(range(0, $dim)) AS u(i) GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+       |cov AS (
+       |  SELECT mom.i, mom.j, nn.n * mom.s2 - a.s1 * b.s1 AS cn
+       |  FROM mom JOIN m1 a ON a.i = mom.i JOIN m1 b ON b.i = mom.j, nn),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+       |       FROM range(0, $dim) t(i)),
+       |$steps,
+       |dmax AS (SELECT v FROM v$iters ORDER BY abs(v) DESC, i LIMIT 1),
+       |fin AS (
+       |  SELECT v$iters.i,
+       |    CASE WHEN d.v < 0 THEN -v$iters.v ELSE v$iters.v END AS v
+       |  FROM v$iters, dmax d),
+       |vnv AS (
+       |  SELECT CAST(sum(f1.v * cov.cn * f2.v) AS HUGEINT) AS s
+       |  FROM cov JOIN fin f1 ON f1.i = cov.i JOIN fin f2 ON f2.i = cov.j),
+       |vv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS s FROM fin),
+       |tr AS (SELECT CAST(sum(cn) AS HUGEINT) AS s FROM cov WHERE i = j),
+       |ratio AS (
+       |  SELECT CASE WHEN vv.s > 0 AND tr.s > 0
+       |    THEN ((vnv.s // vv.s) * 1000000) // tr.s
+       |    ELSE 0 END AS r
+       |  FROM vnv, vv, tr)""".stripMargin
+  }
+
+  /** The unrolled greedy-MMR steps over upstream CTEs `mcand(qid,
+    * cid, rel)` and `mps(qid, a, b, sim)` — `k` argmax steps
+    * (wRel·rel − wDiv·max-sim-to-selected, ties on cid). Emits
+    * `sel$k(qid, cid, pick, score)`. Shared by the q213 (brute
+    * candidates) and q217 (RRF-fused candidates) replays. */
+  private def mmrGreedyCtes(k: Int, wRel: Int, wDiv: Int): String = {
+    val steps = (2 to k).map { t =>
+      s"""rem$t AS (
+         |  SELECT c.* FROM mcand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                    WHERE s.qid = c.qid AND s.cid = c.cid)),
+         |ms$t AS (
+         |  SELECT p.qid, p.a, max(p.sim) AS mx
+         |  FROM mps p JOIN sel${t - 1} s ON s.qid = p.qid AND s.cid = p.b
+         |  GROUP BY 1, 2),
+         |sc$t AS (
+         |  SELECT r.qid, r.cid,
+         |    $wRel * r.rel - $wDiv * coalesce(m.mx, 0) AS score
+         |  FROM rem$t r LEFT JOIN ms$t m
+         |    ON m.qid = r.qid AND m.a = r.cid),
+         |pick$t AS (
+         |  SELECT qid, cid, CAST($t AS BIGINT) AS pick, score FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM sc$t)
+         |  WHERE rk = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1}
+         |          UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    s"""sel1 AS (
+       |  SELECT qid, cid, CAST(1 AS BIGINT) AS pick,
+       |    $wRel * rel AS score FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY rel DESC, cid) AS rk FROM mcand)
+       |  WHERE rk = 1),
+       |$steps""".stripMargin
+  }
+
+  /** The q213 greedy-MMR replay: depth-`r` exact candidates with
+    * micro relevance, within-list pair similarities, then the
+    * [[mmrGreedyCtes]] steps. Emits `sel$k(qid, cid, pick, score)`. */
+  private def mmrCtes(k: Int, r: Int, wRel: Int, wDiv: Int): String =
+    s"""e AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+       |scored_c AS (
+       |  SELECT q.qid, c.id AS cid,
+       |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+       |  FROM qiv q, e c WHERE q.qid <> c.id),
+       |mcand AS (
+       |  SELECT qid, cid,
+       |    CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS rel
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+       |    FROM scored_c)
+       |  WHERE rank <= $r),
+       |mps AS (
+       |  SELECT x.qid, x.cid AS a, y.cid AS b,
+       |    CAST(floor(round(list_cosine_similarity(ex.v, ey.v), 6)
+       |      * 1000000 + 0.5) AS BIGINT) AS sim
+       |  FROM mcand x JOIN mcand y ON x.qid = y.qid AND x.cid <> y.cid
+       |  JOIN e ex ON ex.id = x.cid JOIN e ey ON ey.id = y.cid),
+       |${mmrGreedyCtes(k, wRel, wDiv)}""".stripMargin
 
   private def bpeTrainingCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -8509,5 +8800,500 @@ object SparkEntry {
         |    AS mean_recall_micro,
         |  CAST(1 AS BIGINT) AS recall_floor_ok
         |FROM agg""".stripMargin,
+
+    // the q185 training/blocking replay at shortlist depth 20, then
+    // the exact-cosine re-rank of shortlist rows only
+    "q209_pq_refine" ->
+      s"""WITH $ivfCommonCtes,
+        |$plainAdcCtes,
+        |${refineCtes(20)}
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM refd)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // refined (exact re-rank of the depth-20 shortlist) vs unrefined
+    // (ADC rank ≤ 5) against the q21 brute yardstick, one integer row;
+    // the ≥ flag is computed on both sides — a theorem, so disagreement
+    // is convention drift
+    "q210_refine_uplift" ->
+      s"""WITH $ivfCommonCtes,
+        |$plainAdcCtes,
+        |${refineCtes(20)},
+        |unref AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adp)
+        |  WHERE rank <= 5),
+        |rtop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM refd)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hr AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN rtop USING (qid, cid) GROUP BY 1),
+        |hu AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN unref USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(hr.h, 0)) AS BIGINT) AS sum_hits_refined,
+        |         CAST(sum(coalesce(hu.h, 0)) AS BIGINT)
+        |           AS sum_hits_unrefined
+        |  FROM ne LEFT JOIN hr ON hr.qid = ne.qid
+        |  LEFT JOIN hu ON hu.qid = ne.qid)
+        |SELECT n_q, sum_hits_refined, sum_hits_unrefined,
+        |  CAST(sum_hits_refined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_refined_micro,
+        |  CAST(sum_hits_unrefined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_unrefined_micro,
+        |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
+        |    AS refined_ge_unrefined
+        |FROM agg""".stripMargin,
+
+    // one scored candidate pass at maxProbe with the probe rank riding
+    // along, per-point top-5 + hit/candidate counts, monotone flag via
+    // lag — the exact ivfRecallSweep replay
+    "q211_ivf_probe_sweep" -> {
+      val pBlocks = Seq(1, 2, 4).map { p =>
+        s"""tk$p AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+           |    FROM scored WHERE crk <= $p)
+           |  WHERE rk <= 5),
+           |row$p AS (
+           |  SELECT CAST($p AS BIGINT) AS nprobe,
+           |    (SELECT CAST(count(DISTINCT qid) AS BIGINT) FROM qiv)
+           |      AS n_q,
+           |    (SELECT CAST(count(*) AS BIGINT)
+           |     FROM bq JOIN tk$p USING (qid, cid)) AS sum_hits,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM scored
+           |     WHERE crk <= $p) AS n_cand)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |pr AS (
+        |  SELECT qid, c_id, crk FROM (
+        |    SELECT q.qid, ivc.c_id,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS crk
+        |    FROM qiv q CROSS JOIN ivc)
+        |  WHERE crk <= 4),
+        |scored AS (
+        |  SELECT p.qid, cl.id AS cid, p.crk,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        |  FROM pr p JOIN cells cl ON cl.c_id = p.c_id
+        |  JOIN qiv q ON q.qid = p.qid
+        |  JOIN e ON e.id = cl.id
+        |  WHERE p.qid <> cl.id),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |$pBlocks,
+        |sweep AS (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+        |          UNION ALL SELECT * FROM row4),
+        |sweep2 AS (
+        |  SELECT nprobe, n_q, sum_hits,
+        |    CAST(sum_hits * 1000000 // (n_q * 5) AS BIGINT)
+        |      AS mean_recall_micro,
+        |    n_cand
+        |  FROM sweep)
+        |SELECT nprobe, n_q, sum_hits, mean_recall_micro, n_cand,
+        |  CAST(mean_recall_micro >=
+        |    coalesce(lag(mean_recall_micro) OVER (ORDER BY nprobe), 0)
+        |    AS BIGINT) AS recall_monotone_ok
+        |FROM sweep2 ORDER BY nprobe""".stripMargin
+    },
+
+    // exact-integer scatter matrix + 3 unrolled power steps in HUGEINT
+    "q212_pc1_power" ->
+      s"""WITH ${pc1Ctes(iters = 3, dim = 64)}
+        |SELECT CAST(fin.i AS BIGINT) AS dim,
+        |  CAST(fin.v AS BIGINT) AS loading_micro,
+        |  CAST(ratio.r AS BIGINT) AS ev_ratio_micro
+        |FROM fin, ratio ORDER BY dim""".stripMargin,
+
+    // depth-20 exact candidates + 5 unrolled greedy MMR steps
+    "q213_mmr_rerank" ->
+      s"""WITH ${mmrCtes(k = 5, r = 20, wRel = 7, wDiv = 3)}
+        |SELECT qid, cid, pick, score
+        |FROM sel5 ORDER BY qid, pick""".stripMargin,
+
+    // two full training replays (frozen-on-base vs retrained-on-all),
+    // both encode-all error tails, one comparison row — the flag is
+    // computed here too, so convention drift on either side reds it
+    "q214_pq_retrain_benefit" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eb AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+        |${pqTrainCtes("p", "eb", "v", seedOffset = 0)},
+        |${pqTrainCtes("f", "e", "v", seedOffset = 0)},
+        |esubs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |ged2 AS (
+        |  SELECT esubs.id, esubs.sub, esubs.sv, c.c_id, c.cv,
+        |         round(list_dot_product(esubs.sv, esubs.sv)
+        |           - 2*list_dot_product(esubs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM esubs JOIN pc1 c USING (sub)),
+        |gecodes AS (
+        |  SELECT id, sub, sv, cv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM ged2)
+        |  WHERE rk = 1),
+        |gerr AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS e2
+        |  FROM gecodes),
+        |gperid AS (
+        |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM gerr GROUP BY 1),
+        |fed2 AS (
+        |  SELECT esubs.id, esubs.sub, esubs.sv, c.c_id, c.cv,
+        |         round(list_dot_product(esubs.sv, esubs.sv)
+        |           - 2*list_dot_product(esubs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM esubs JOIN fc1 c USING (sub)),
+        |fecodes AS (
+        |  SELECT id, sub, sv, cv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM fed2)
+        |  WHERE rk = 1),
+        |ferr AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS e2
+        |  FROM fecodes),
+        |fperid AS (
+        |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM ferr GROUP BY 1),
+        |ga AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(err) AS DECIMAL(38,0)) AS sum_err_grown,
+        |         CAST(sum(err) // count(*) AS BIGINT) AS mean_err_grown
+        |  FROM gperid),
+        |fa AS (
+        |  SELECT CAST(sum(err) AS DECIMAL(38,0)) AS sum_err_retrained,
+        |         CAST(sum(err) // count(*) AS BIGINT) AS mean_err_retrained
+        |  FROM fperid)
+        |SELECT n_vecs, sum_err_grown, sum_err_retrained,
+        |  mean_err_grown, mean_err_retrained,
+        |  CAST(mean_err_retrained <= mean_err_grown AS BIGINT)
+        |    AS retrain_improves
+        |FROM ga, fa""".stripMargin,
+
+    // the q144 replay with three aligned band settings off one
+    // signature chain; per-setting counts, integer ratios, lag flag
+    "q215_lsh_band_sweep" -> {
+      val P = Dedup.MersenneP
+      val mins = (0 until 64).map { i =>
+        val (a, b) = Dedup.cwConsts(i)
+        s"min(((sk % $P) * $a + $b) % $P)"
+      }.mkString(",\n        ")
+      val bandBlocks = Seq(4, 8, 16).map { b =>
+        val r = 64 / b
+        s"""banded$b AS (
+           |  SELECT doc_id, u.b,
+           |         CAST(('0x' || substring(md5(array_to_string(
+           |           mh[u.b*$r+1 : u.b*$r+$r], ',')), 1, 15)) AS BIGINT) AS bh
+           |  FROM sig, UNNEST(range(0, $b)) AS u(b)),
+           |cand$b AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM banded$b a JOIN banded$b b2
+           |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+           |est$b AS (
+           |  SELECT doc_a, doc_b,
+           |    floor(len(list_filter(list_zip(sa.mh, sb.mh),
+           |      p -> p[1] = p[2])) / 64.0 * 10000) / 10000 AS est_jaccard
+           |  FROM cand$b
+           |  JOIN sig sa ON sa.doc_id = cand$b.doc_a
+           |  JOIN sig sb ON sb.doc_id = cand$b.doc_b),
+           |ls$b AS (SELECT doc_a, doc_b FROM est$b WHERE est_jaccard >= 0.5),
+           |row$b AS (
+           |  SELECT CAST($b AS BIGINT) AS bands,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b)
+           |      AS n_raw_candidates,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ls$b) AS n_candidate,
+           |    (SELECT CAST(count(*) AS BIGINT)
+           |     FROM ex JOIN ls$b USING (doc_a, doc_b)) AS n_common)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) % 2 = 0),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |shc AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM shc a JOIN shc b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt) >= 0.5),
+        |keys AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS sk
+        |  FROM sh0),
+        |sig AS (
+        |  SELECT doc_id, [$mins] AS mh
+        |  FROM keys GROUP BY 1),
+        |$bandBlocks,
+        |sweep AS (SELECT * FROM row4 UNION ALL SELECT * FROM row8
+        |          UNION ALL SELECT * FROM row16),
+        |sweep2 AS (
+        |  SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
+        |    CASE WHEN n_exact > 0 THEN
+        |      CAST(n_common * 1000000 // n_exact AS BIGINT) END
+        |      AS recall_micro,
+        |    CASE WHEN n_candidate > 0 THEN
+        |      CAST(n_common * 1000000 // n_candidate AS BIGINT) END
+        |      AS precision_micro
+        |  FROM sweep)
+        |SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
+        |  recall_micro, precision_micro,
+        |  CAST(coalesce(recall_micro, 0) >=
+        |    coalesce(lag(recall_micro) OVER (ORDER BY bands), 0)
+        |    AS BIGINT) AS recall_monotone_ok
+        |FROM sweep2 ORDER BY bands""".stripMargin
+    },
+
+    // the q34 cell-assignment replay rolled up to per-cell counts +
+    // exact-integer share and imbalance (HUGEINT numerator); the mean
+    // divides by the CONFIGURED cell count — the seed-frame size —
+    // so empty cells read as imbalance, not balance
+    "q216_ivf_cell_stats" ->
+      s"""WITH $ivfCommonCtes,
+        |counts AS (
+        |  SELECT c_id AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+        |         CAST(max(n_vecs) AS BIGINT) AS mx,
+        |         least(CAST(16 AS BIGINT),
+        |           CAST(sum(n_vecs) AS BIGINT)) AS nc
+        |  FROM counts)
+        |SELECT centroid_id, n_vecs,
+        |  CAST(n_vecs * 1000000 // t AS BIGINT) AS share_micro,
+        |  CAST(CAST(mx AS HUGEINT) * nc * 1000000 // t AS BIGINT)
+        |    AS imbalance_micro,
+        |  CAST(CAST(mx AS HUGEINT) * nc * 1000000 // t <= 4000000
+        |    AS BIGINT) AS balance_ok
+        |FROM counts, tot ORDER BY centroid_id""".stripMargin,
+
+    // the q189 residual chain at shortlist depth 20 + the exact-refine
+    // tail + the brute yardstick — q210's row shape on the residual
+    // first stage
+    "q218_residual_refine_uplift" ->
+      s"""WITH $ivfCommonCtes,
+        |$residualAdcCtes,
+        |${refineCtes(20, "adr")},
+        |unref AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM adr)
+        |  WHERE rank <= 5),
+        |rtop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM refd)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hr AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN rtop USING (qid, cid) GROUP BY 1),
+        |hu AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN unref USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(hr.h, 0)) AS BIGINT) AS sum_hits_refined,
+        |         CAST(sum(coalesce(hu.h, 0)) AS BIGINT)
+        |           AS sum_hits_unrefined
+        |  FROM ne LEFT JOIN hr ON hr.qid = ne.qid
+        |  LEFT JOIN hu ON hu.qid = ne.qid)
+        |SELECT n_q, sum_hits_refined, sum_hits_unrefined,
+        |  CAST(sum_hits_refined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_refined_micro,
+        |  CAST(sum_hits_unrefined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_unrefined_micro,
+        |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
+        |    AS refined_ge_unrefined
+        |FROM agg""".stripMargin,
+
+    // the q202 grown-index cell assignment (seeds from the 80% base,
+    // all ids assigned) rolled into per-cell cohort counts + the q129
+    // PSI arithmetic verbatim
+    "q219_ivf_cell_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eb AS (SELECT id, v FROM e WHERE id % 5 <> 0),
+        |ivc AS (SELECT id AS c_id, v AS cv FROM eb ORDER BY id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT e.id, ivc.c_id,
+        |           row_number() OVER (PARTITION BY e.id
+        |             ORDER BY round(list_cosine_similarity(e.v, ivc.cv), 6)
+        |               DESC, ivc.c_id) AS rk
+        |    FROM e CROSS JOIN ivc)
+        |  WHERE rk = 1),
+        |cnt AS (
+        |  SELECT c_id,
+        |    CAST(sum(CASE WHEN id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(r) AS tr, sum(c) AS tc FROM cnt),
+        |terms AS (
+        |  SELECT r, c, tr, tc,
+        |    CASE WHEN r > 0 AND c > 0
+        |         THEN CAST(round(
+        |           (CAST(c AS DOUBLE) / tc - CAST(r AS DOUBLE) / tr) *
+        |           ln((CAST(c AS DOUBLE) / tc) / (CAST(r AS DOUBLE) / tr))
+        |           * 1e9, 0) AS BIGINT)
+        |         ELSE 0 END AS t_nano,
+        |    CASE WHEN r > 0 AND c > 0 THEN 1 ELSE 0 END AS scored
+        |  FROM cnt, tot)
+        |SELECT CAST(max(tr) AS BIGINT) AS n_ref,
+        |  CAST(max(tc) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(scored) AS BIGINT) AS n_scored_cells,
+        |  CAST(round(CAST(sum(t_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS psi_micro
+        |FROM terms""".stripMargin,
+
+    // the q123 BM25+cosine+RRF replay feeding the q213 greedy steps:
+    // fused top-20 as one query's candidate list (rel = rrf_micro),
+    // pair sims from the candidates' embeddings
+    "q217_hybrid_search" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |hits AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |per AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM hits h JOIN dfq d USING (token) CROSS JOIN g),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+        |  FROM per GROUP BY doc_id
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+        |bmr AS (
+        |  SELECT doc_id AS id, row_number() OVER (
+        |    ORDER BY bm25_micro DESC, doc_id) AS rank
+        |  FROM bmtop),
+        |e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT v AS qv FROM e WHERE id = 0),
+        |cscored AS (
+        |  SELECT e.id AS cid,
+        |         round(list_cosine_similarity(q0.qv, e.v), 6) AS cos_sim
+        |  FROM e, q0 WHERE e.id <> 0),
+        |cosr AS (
+        |  SELECT cid AS id, rank FROM (
+        |    SELECT cid, row_number() OVER (
+        |      ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM cscored)
+        |  WHERE rank <= 100),
+        |u AS (
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS contrib
+        |  FROM bmr
+        |  UNION ALL
+        |  SELECT id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) FROM cosr),
+        |f AS (
+        |  SELECT id, CAST(sum(contrib) AS BIGINT) AS rrf_micro
+        |  FROM u GROUP BY 1),
+        |fused AS (
+        |  SELECT id, rrf_micro FROM (
+        |    SELECT *, row_number() OVER (
+        |      ORDER BY rrf_micro DESC, id) AS rank FROM f)
+        |  WHERE rank <= 20),
+        |mcand AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, id AS cid, rrf_micro AS rel
+        |  FROM fused),
+        |mps AS (
+        |  SELECT x.qid, x.cid AS a, y.cid AS b,
+        |    CAST(floor(round(list_cosine_similarity(ex.v, ey.v), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS sim
+        |  FROM mcand x JOIN mcand y ON x.qid = y.qid AND x.cid <> y.cid
+        |  JOIN e ex ON ex.id = x.cid JOIN e ey ON ey.id = y.cid),
+        |${mmrGreedyCtes(k = 5, wRel = 7, wDiv = 3)}
+        |SELECT pick, cid AS doc_id, score
+        |FROM sel5 ORDER BY pick""".stripMargin,
   )
 }

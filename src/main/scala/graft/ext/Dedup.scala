@@ -601,14 +601,50 @@ object Dedup {
                    idCol: String = "doc_id",
                    textCol: String = "text",
                    scheme: HashScheme = FastHash): DataFrame = {
-    require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
     // materialize once: banding + the two per-side signature re-joins are
     // three consumers, and the shingle explode + k-way min aggregate is
     // the expensive stage (measured ~2× on the registered q18)
     val sigs = minhashSignatures(docs, k, idCol, textCol, scheme)
       .localCheckpoint(
         true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    minhashPairsFromSigs(sigs, threshold, k, bands, maxBucketSize, scheme)
+  }
+
+  /** The banding + verify tail of [[minhashPairs]] over PREBUILT
+    * (already materialized) signatures — factored out so a sweep over
+    * band settings ([[lshBandSweep]]) pays the signature pass once. */
+  private def minhashPairsFromSigs(sigs: DataFrame, threshold: Double,
+                                   k: Int, bands: Int,
+                                   maxBucketSize: Int,
+                                   scheme: HashScheme): DataFrame = {
+    val cand = bandedCandidates(sigs, k, bands, maxBucketSize, scheme)
+    // merge PINNED: the scaladoc's "spillable sort-merge" contract was
+    // only a planner default — a low estimate on `cand` (stats
+    // propagate from the checkpointed signatures) would flip it to a
+    // broadcast build of the PAIR table, the q17 scale failure shape
+    val withSigs = cand
+      .join(sigs.select(col("id").as("doc_a"), col("mh").as("mh_a"))
+        .hint("merge"), Seq("doc_a"))
+      .join(sigs.select(col("id").as("doc_b"), col("mh").as("mh_b"))
+        .hint("merge"), Seq("doc_b"))
+    val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => x === y), b => b)) / lit(k.toDouble)
+    withSigs
+      .withColumn("est_jaccard", TextAnalysis.trunc4(est))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Just the candidate-generation half: banded LSH buckets → distinct
+    * id pairs (doc_a < doc_b), BEFORE signature verification — the raw
+    * candidate volume is the verify-stage cost the band setting
+    * actually buys or saves, so the sweep reports it per point. */
+  private def bandedCandidates(sigs: DataFrame, k: Int, bands: Int,
+                               maxBucketSize: Int,
+                               scheme: HashScheme): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         scheme.band(slice(col("mh"), b * r + 1, r)).as("bh"))
@@ -632,27 +668,95 @@ object Dedup {
     // ~2k×8 bytes per pair and OOMs on duplicate-heavy corpora (found by
     // ScaleProbe at 1M docs); the signature re-joins below are spillable
     // sort-merge joins keyed on id.
-    val cand = bounded.as("a")
+    bounded.as("a")
       .join(bounded.as("b"), Seq("band", "bh"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // merge PINNED: the scaladoc's "spillable sort-merge" contract was
-    // only a planner default — a low estimate on `cand` (stats
-    // propagate from the checkpointed signatures) would flip it to a
-    // broadcast build of the PAIR table, the q17 scale failure shape
-    val withSigs = cand
-      .join(sigs.select(col("id").as("doc_a"), col("mh").as("mh_a"))
-        .hint("merge"), Seq("doc_a"))
-      .join(sigs.select(col("id").as("doc_b"), col("mh").as("mh_b"))
-        .hint("merge"), Seq("doc_b"))
-    val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
-      (x, y) => x === y), b => b)) / lit(k.toDouble)
-    withSigs
-      .withColumn("est_jaccard", TextAnalysis.trunc4(est))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH band-count tuning sweep — the MinHash analogue of the IVF
+    * nProbe sweep: recall/precision of the banded pair set against the
+    * exact n-gram Jaccard pairs at each band setting, ONE gate row per
+    * operating point, from a single signature pass and a single exact
+    * reference. More bands (shorter band width r = k/bands) is more
+    * permissive; when each setting refines the previous one's band
+    * boundaries (enforced: each bands value divides the next), the
+    * candidate sets NEST and the final pair sets nest with them (the
+    * est-Jaccard filter is per-pair and setting-independent) — so
+    * `recall_monotone_ok` pins a theorem, exactly like
+    * [[graft.ext.Similarity.ivfRecallSweep]]'s flag. Precision is a
+    * measured tradeoff, not a theorem: more candidates admit more
+    * sub-threshold pairs.
+    *
+    * Emits (bands, n_exact, n_raw_candidates, n_candidate, n_common,
+    * recall_micro, precision_micro, recall_monotone_ok) ordered by
+    * bands — null ratios on empty denominators (the [[pairSetEval]]
+    * convention). `n_raw_candidates` is the PRE-verification bucket
+    * pair count — the verify-stage cost each setting buys, and the
+    * column that separates settings even when the verified pair sets
+    * converge (easy corpora saturate recall at every setting; the
+    * cost still triples from 4 to 16 bands).
+    *
+    * Scale: signatures and the exact reference are each one pass,
+    * eagerly pinned (3 band settings × 2 consumers each would
+    * otherwise replay them); per-setting work is the banding explode
+    * (bands × corpus skinny rows) + the bucket equi-join — bounded by
+    * bucket size, never corpus². The exact reference is the capped
+    * posting-list join, run on the SAME (sampled) corpus the eval
+    * targets — at 100 TB the sweep runs on a sample, the chosen
+    * setting serves the corpus. */
+  def lshBandSweep(docs: DataFrame, threshold: Double = 0.5,
+                   k: Int = 64, bandsList: Seq[Int] = Seq(4, 8, 16),
+                   maxPostings: Int = 1000,
+                   idCol: String = "doc_id",
+                   textCol: String = "text",
+                   scheme: HashScheme = FastHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(bandsList.nonEmpty && bandsList == bandsList.sorted &&
+      bandsList.distinct == bandsList,
+      "bandsList must be distinct and ascending")
+    require(bandsList.forall(b => b >= 1 && k % b == 0),
+      s"every bands value must divide k=$k")
+    require(bandsList.sliding(2).forall(p =>
+      p.length < 2 || p(1) % p(0) == 0),
+      "each bands value must divide the next (aligned band refinement " +
+        "— the nesting the monotone flag pins)")
+    val sigs = minhashSignatures(docs, k, idCol, textCol, scheme)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val exact = jaccardPairs(docs, threshold, maxPostings, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val rows = bandsList.map { b =>
+      val ls = minhashPairsFromSigs(sigs, threshold, k, b,
+          Int.MaxValue, scheme)
+        .select(col("doc_a"), col("doc_b"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nr = bandedCandidates(sigs, k, b, Int.MaxValue, scheme)
+        .agg(count(lit(1)).as("n_raw_candidates"))
+      val nc = ls.agg(count(lit(1)).as("n_candidate"))
+      val com = exact.join(ls, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      // 1-row broadcast scalar attachments
+      ne.join(broadcast(nr), lit(true))
+        .join(broadcast(nc), lit(true))
+        .join(broadcast(com), lit(true))
+        .select(lit(b.toLong).as("bands"), col("n_exact"),
+          col("n_raw_candidates"), col("n_candidate"), col("n_common"),
+          expr("CASE WHEN n_exact > 0 THEN " +
+            "n_common * 1000000 div n_exact END").as("recall_micro"),
+          expr("CASE WHEN n_candidate > 0 THEN " +
+            "n_common * 1000000 div n_candidate END")
+            .as("precision_micro"))
+    }
+    val sweep = rows.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("bands"))
+    sweep.withColumn("recall_monotone_ok",
+        (coalesce(col("recall_micro"), lit(0L)) >=
+          coalesce(lag(col("recall_micro"), 1).over(w), lit(0L)))
+          .cast("long"))
+      .orderBy(col("bands"))
   }
 
   /** Survivor selection from a near-dup pair list (doc_a < doc_b): drop

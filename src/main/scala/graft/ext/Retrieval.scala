@@ -112,4 +112,115 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .orderBy(col("rank"))
   }
+
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+    * SIGIR'98) over per-query candidate lists — the diversity stage of
+    * a retrieve-then-select stack, and the diverse-exemplar sampler of
+    * a training-data curation pipeline (top-k by pure relevance
+    * returns near-duplicates; MMR trades relevance against similarity
+    * to what is already picked). Pick t maximizes
+    * wRel·rel − wDiv·max_{s∈selected} sim(c, s), all integer micro.
+    *
+    * Inputs: `candidates` (qid, cid, rel_micro) — a bounded top-R list
+    * per query; `pairSims` (qid, a, b, sim_micro) — candidate-pair
+    * similarities of the SAME query's list, both directions present
+    * (a≠b). A pair absent from `pairSims` contributes similarity 0.
+    *
+    * Determinism: all-integer scores; every argmax ties on cid — the
+    * greedy trajectory is a total order and replays exactly in the
+    * unrolled-step oracle.
+    *
+    * Scale: the greedy loop runs k bounded DataFrame steps — each an
+    * equi-join on (qid, …) over ≤ R rows per query (candidates) and
+    * ≤ R² per query (pair sims), never corpus-sized: the corpus work
+    * lives in the first-stage retriever that produced the lists.
+    * Inputs are eagerly pinned once (two consumers per step × k steps
+    * would otherwise replay the upstream retriever 2k times); the
+    * selected set is a k-step union of 1-row-per-query picks. */
+  def mmrSelect(candidates: DataFrame, pairSims: DataFrame, k: Int,
+                wRel: Int = 7, wDiv: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cand = candidates
+      .select(col("qid"), col("cid"), col("rel_micro").cast("long"))
+      .localCheckpoint(true)
+    val ps = pairSims.select(col("qid"), col("a"), col("b"),
+        col("sim_micro").cast("long"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    def argmax(scored: DataFrame, pick: Int): DataFrame =
+      scored.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("qid"), col("cid"), lit(pick.toLong).as("pick"),
+          col("score"))
+    var sel = argmax(cand.select(col("qid"), col("cid"),
+      (lit(wRel.toLong) * col("rel_micro")).as("score")), 1)
+    for (t <- 2 to k) {
+      val rem = cand.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      // renamed join keys: cand, sel and ps all share checkpointed
+      // lineage, so same-name Column references would be ambiguous
+      val maxSim = ps
+        .join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid").as("m_qid"), col("a").as("m_cid"))
+        .agg(max(col("sim_micro")).as("mx"))
+      val scored = rem.join(maxSim,
+          col("qid") === col("m_qid") && col("cid") === col("m_cid"),
+          "left")
+        .select(col("qid"), col("cid"),
+          (lit(wRel.toLong) * col("rel_micro") -
+            lit(wDiv.toLong) * coalesce(col("mx"), lit(0L))).as("score"))
+      sel = sel.unionAll(argmax(scored, t))
+    }
+    sel.orderBy(col("qid"), col("pick"))
+  }
+
+  /** [[mmrSelect]] with the pair similarities DERIVED from an
+    * embedding table: candidates are any (qid, cid, rel_micro) lists —
+    * an ANN stage, a fused hybrid ranking, a curation shortlist — and
+    * the within-list pair similarities come from the candidates'
+    * embeddings (equi-join on qid: ≤ r² pairs per query, never
+    * corpus²; 6-dp-rounded cosine pinned to micro BIGINTs, the library
+    * convention). A candidate with no embedding row keeps competing
+    * with similarity 0 to everything (it can't be known-redundant). */
+  def mmrDiversify(candidates: DataFrame, emb: DataFrame, k: Int,
+                   wRel: Int = 7, wDiv: Int = 3,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import graft.ext.{Similarity => Sim}
+    // pinned: the pair-sim derivation and mmrSelect both consume it —
+    // without this the candidate producer replays per consumer
+    val cand = candidates
+      .select(col("qid"), col("cid"), col("rel_micro"))
+      .localCheckpoint(true)
+    val cv = cand.select(col("qid"), col("cid"))
+      .join(emb.select(col(idCol).as("cid"),
+        Sim.asDouble(col(vecCol)).as("v")), Seq("cid"))
+      .localCheckpoint(true)
+    val x = cv.select(col("qid"), col("cid").as("a"), col("v").as("va"))
+    val y = cv.select(col("qid"), col("cid").as("b"), col("v").as("vb"))
+    val pairSims = x.join(y, Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        floor(round(Sim.cosine(col("va"), col("vb")), 6) * 1e6 + lit(0.5))
+          .cast("long").as("sim_micro"))
+    mmrSelect(cand, pairSims, k, wRel, wDiv)
+  }
+
+  /** [[mmrDiversify]] composed over an embedding corpus: exact top-`r`
+    * cosine candidates per query ([[graft.ext.Similarity.bruteTopK]] —
+    * swap in any blocked ANN stage at corpus scale), then the greedy
+    * integer-micro selection with pair sims from the same corpus. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, r: Int,
+              wRel: Int = 7, wDiv: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"candidate depth r=$r must be >= k=$k")
+    import graft.ext.{Similarity => Sim}
+    val cand = Sim.bruteTopK(corpus, queries, r, idCol, vecCol)
+      .select(col("qid"), col("cid"),
+        floor(col("cos_sim") * 1e6 + lit(0.5)).cast("long")
+          .as("rel_micro"))
+    mmrDiversify(cand, corpus, k, wRel, wDiv, idCol, vecCol)
+  }
 }

@@ -1093,6 +1093,140 @@ object Similarity {
       .orderBy(col("cohort"))
   }
 
+  /** Retrain-benefit gate — the measured consequence of the ACTION the
+    * drift gate's trip decides ([[pqDriftStats]] measures, this
+    * answers "was retraining worth it"): whole-corpus mean ADC
+    * reconstruction error of the GROWN index (frozen codebooks +
+    * delta adds) vs a RETRAINED index (codebooks trained on the full
+    * current corpus), as ONE reduce-order-free integer row. On a
+    * same-distribution delta the two sit close (the drift gate
+    * agreeing it needn't trip); after real drift the retrained error
+    * drops — both cases are measured states, so `retrain_improves` is
+    * computed on both sides rather than pinned. Emits (n_vecs,
+    * sum_err_grown, sum_err_retrained, mean_err_grown,
+    * mean_err_retrained, retrain_improves); sums decimal(38,0), means
+    * exact integer division (the [[pqDriftStats]] conventions).
+    *
+    * Scale: two [[pqDriftStats]] passes (one per index — each one
+    * corpus pass with a skinny codes equi-join); at deployment both
+    * indexes are stored artifacts, so nothing here trains. */
+  def pqRetrainBenefitStats(grown: PqIndex, retrained: PqIndex,
+                            vectors: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    // the constant cohort makes each drift frame one row semantically;
+    // limit(1) makes that PROVABLE (maxRows=1) so the scalar-attach
+    // join below satisfies the plan gate rather than reading as an
+    // unbounded nested loop (a grouped aggregate has unknown maxRows)
+    val g = pqDriftStats(grown, vectors, lit("all"), idCol, vecCol)
+      .select(col("n_vecs"), col("sum_err").as("sum_err_grown"),
+        col("mean_err").as("mean_err_grown"))
+      .limit(1)
+    val r = pqDriftStats(retrained, vectors, lit("all"), idCol, vecCol)
+      .select(col("sum_err").as("sum_err_retrained"),
+        col("mean_err").as("mean_err_retrained"))
+      .limit(1)
+    // 1-row × 1-row broadcast scalar attachment
+    g.join(broadcast(r), lit(true))
+      .select(col("n_vecs"), col("sum_err_grown"),
+        col("sum_err_retrained"), col("mean_err_grown"),
+        col("mean_err_retrained"),
+        (col("mean_err_retrained") <= col("mean_err_grown"))
+          .cast("long").as("retrain_improves"))
+  }
+
+  /** IVF list-size balance audit — the hot-cell diagnostic every IVF
+    * deployment reads next to the recall sweep ([[ivfRecallSweep]]):
+    * per-cell member counts, corpus share, and the global imbalance
+    * factor max/mean (1e6 = perfectly balanced). A hot cell is scanned
+    * by every query that probes it, so imbalance IS the tail-latency
+    * profile of the index; past the bound, re-seed (k-means instead of
+    * smallest-id seeds) or split the cell (two-level IVF).
+    * Emits one row per non-empty cell: (centroid_id, n_vecs,
+    * share_micro, imbalance_micro, balance_ok) — the last two are
+    * whole-index constants riding on each row (the q212 convention).
+    *
+    * Determinism: pure integer counts and exact integer division.
+    * `imbalance ≤ 4×` is the pinned green bound for this corpus's
+    * smallest-id seeding; the decimal(38,0) numerator keeps
+    * max·cells·10⁶ exact at any corpus size (a long overflows past
+    * ~9·10¹² in the product). The mean divides by the CONFIGURED cell
+    * count (min(nCentroids, corpus) — the seed-frame size), not the
+    * non-empty count: a corpus funneled into one of 16 cells is the
+    * worst imbalance there is, and counting only non-empty cells
+    * would read it as perfectly balanced (found by the 30× replicated
+    * probe, whose near-identical vectors all elect one cell).
+    *
+    * Scale: one [[ivfAssign]] pass + a ≤ nCentroids-row aggregate;
+    * the whole-frame window is SAFE ONLY over that contraction (the
+    * featureRerank allowlist shape). */
+  def ivfCellStats(emb: DataFrame, nCentroids: Int,
+                   maxImbalanceMicro: Long = 4000000L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(emb, nCentroids, 1, idCol, vecCol)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy()
+    cells.select(col("centroid_id"), col("n_vecs"),
+        sum(col("n_vecs")).over(w).as("_tot"),
+        max(col("n_vecs")).over(w).as("_mx"),
+        least(lit(nCentroids.toLong),
+          sum(col("n_vecs")).over(w)).as("_nc"))
+      .select(col("centroid_id"), col("n_vecs"),
+        expr("n_vecs * 1000000 div _tot").as("share_micro"),
+        expr("CAST(CAST(_mx AS DECIMAL(38,0)) * _nc * 1000000 div _tot" +
+          " AS BIGINT)").as("imbalance_micro"))
+      .withColumn("balance_ok",
+        (col("imbalance_micro") <= maxImbalanceMicro).cast("long"))
+      .orderBy(col("centroid_id"))
+  }
+
+  /** Cell-ASSIGNMENT drift between two cohorts of an index — the
+    * coarse-quantizer staleness signal that complements the code-level
+    * drift gates ([[pqDriftStats]]/[[residualPqDriftStats]] measure
+    * how well the codebooks still fit; this measures whether new data
+    * still LANDS like the training data): PSI over the per-cell
+    * assignment shares, reference = rows where `isCurrent` is false,
+    * current = rows where it is true. A delta that concentrates in a
+    * few cells shifts the share profile and pushes PSI up — time to
+    * re-seed the coarse quantizer even if per-code error looks fine.
+    * Rule of thumb (the [[graft.ext.Profiling.psiDrift]] scale):
+    * < 0.1 stable, 0.1–0.25 moderate, > 0.25 investigate.
+    *
+    * Input: any assignment frame with a cell column (an index's
+    * stored `cells`, or a fresh [[ivfAssign]] projection); `isCurrent`
+    * is evaluated against it. Emits ONE row (n_ref, n_cur, n_cells,
+    * n_scored_cells, psi_micro) — the psiDrift conventions verbatim:
+    * exact integer counts, per-cell terms nano-quantized pre-sum, a
+    * cell empty on either side contributes nothing but stays counted.
+    *
+    * Scale: one aggregate over the assignment frame to ≤ nCells rows,
+    * then scalar math on the contraction — the shuffle is the
+    * per-cell count rows only. */
+  def ivfCellDriftStats(cells: DataFrame, isCurrent: Column,
+                        cellCol: String = "c_id"): DataFrame = {
+    val cnt = cells
+      .select(col(cellCol).as("cell"), isCurrent.cast("boolean").as("cur"))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("cur"), 0L).otherwise(1L)).as("r"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("c"))
+    val tot = cnt.agg(sum(col("r")).as("tr"), sum(col("c")).as("tc"))
+    val p = col("r").cast("double") / col("tr")
+    val q = col("c").cast("double") / col("tc")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("tr"), col("tc"),
+        when(col("r") > 0 && col("c") > 0,
+          round((q - p) * log(q / p) * 1e9).cast("long"))
+          .otherwise(lit(0L)).as("t_nano"),
+        when(col("r") > 0 && col("c") > 0, 1L).otherwise(0L).as("scored"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        count(lit(1)).as("n_cells"),
+        sum(col("scored")).as("n_scored_cells"),
+        round(sum(col("t_nano")) / 1e3).cast("long").as("psi_micro"))
+  }
+
   /** [[pqDriftStats]] for a [[ResidualPqIndex]] — the retrain trigger
     * for [[residualPqIndexAdd]], completing the residual lifecycle's
     * measure step: per cohort, the mean ADC reconstruction error of
@@ -1692,6 +1826,222 @@ object Similarity {
           .as("res_ge_plain"))
   }
 
+  /** Exact-refine re-rank of a first-stage shortlist (the FAISS
+    * `IndexRefineFlat` shape): any compressed/blocked first stage
+    * produces `shortlist` rows (qid, cid); the refine step fetches the
+    * FULL-PRECISION vectors for shortlist candidates only and re-ranks
+    * them by exact 6-dp cosine, ties on cid — the bruteTopK total
+    * order restricted to the shortlist, so a true top-k member that
+    * survived the first stage can never be lost to quantization error
+    * again (refined recall ≥ first-stage recall, a theorem under the
+    * shared rounding/tie rules — spec-pinned and gated by
+    * [[refineUpliftStats]]).
+    *
+    * Scale: THE reason two-stage retrieval works at 100 TB — the
+    * corpus floats are touched for |Q|·R rows (one skinny equi-join
+    * on id against the corpus; filters push to the scan), not the
+    * full corpus; queries broadcast; per-pair work is one codegen dot;
+    * the rank window shuffles |Q|·R skinny rows. R (shortlist depth)
+    * is the recall/cost dial: the compressed stage is cheap per
+    * candidate so R ≫ k costs little, and refine buys back the
+    * quantization loss inside those R. */
+  def refineTopK(corpus: DataFrame, queries: DataFrame,
+                 shortlist: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    shortlist.select(col("qid"), col("cid"))
+      .join(c, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(sim, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-PQ first stage at shortlist depth `r`, exact refine to `k` —
+    * the composed retrieve-then-refine operator over a prebuilt index
+    * ([[ivfPqSearch]] → [[refineTopK]]). */
+  def ivfPqRefineTopK(index: PqIndex, corpus: DataFrame,
+                      queries: DataFrame, k: Int, r: Int,
+                      nCentroids: Int = 16, nProbe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    refineTopK(corpus, queries,
+      ivfPqSearch(index, corpus, queries, r, nCentroids, nProbe,
+        idCol, vecCol),
+      k, idCol, vecCol)
+  }
+
+  /** Refine-vs-unrefined recall uplift against the exact yardstick,
+    * as ONE reduce-order-free integer row (the [[residualUpliftStats]]
+    * convention): the IVF-PQ first stage runs ONCE at depth `r`
+    * (eagerly pinned — two ranking consumers must not replay the codes
+    * scan); the unrefined ranking is its rank ≤ k prefix, the refined
+    * ranking is [[refineTopK]] over all `r`. `refined_ge_unrefined` is
+    * a theorem (a true top-k member of the shortlist always survives
+    * exact re-ranking), so the flag flipping red means the rounding or
+    * tie conventions desynchronized — a bug, not a tuning outcome.
+    * Emits (n_q, sum_hits_refined, sum_hits_unrefined,
+    * mean_recall_refined_micro, mean_recall_unrefined_micro,
+    * refined_ge_unrefined). */
+  def refineUpliftStats(index: PqIndex, corpus: DataFrame,
+                        queries: DataFrame, k: Int, r: Int,
+                        nCentroids: Int = 16, nProbe: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    // |Q|·r skinny rows — the documented eager-checkpoint class (the
+    // shortlist is consumed by both rankings; without pinning, each
+    // replays the blocked ADC scan)
+    val shortlist = ivfPqSearch(index, corpus, queries, r, nCentroids,
+      nProbe, idCol, vecCol).localCheckpoint(true)
+    refineUpliftFromShortlist(corpus, queries, shortlist, k,
+      idCol, vecCol)
+  }
+
+  /** [[refineUpliftStats]] on the RESIDUAL index — the better-recall
+    * first stage ([[residualPqSearch]]) gets the same measured refine
+    * gate, completing the refine symmetry across both compressed
+    * paths. Same theorem, same row shape. */
+  def residualRefineUpliftStats(index: ResidualPqIndex,
+                                corpus: DataFrame, queries: DataFrame,
+                                k: Int, r: Int, nProbe: Int = 4,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    val shortlist = residualPqSearch(index, queries, r, nProbe,
+      idCol, vecCol).localCheckpoint(true)
+    refineUpliftFromShortlist(corpus, queries, shortlist, k,
+      idCol, vecCol)
+  }
+
+  /** Shared refined-vs-unrefined tail over a PINNED (qid, cid, rank)
+    * shortlist — one first-stage pass, two rankings, one gate row. */
+  private def refineUpliftFromShortlist(corpus: DataFrame,
+                                        queries: DataFrame,
+                                        shortlist: DataFrame, k: Int,
+                                        idCol: String,
+                                        vecCol: String): DataFrame = {
+    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
+    val refined = recallAtK(exact,
+      refineTopK(corpus, queries, shortlist, k, idCol, vecCol))
+    val unrefined = recallAtK(exact, shortlist.filter(col("rank") <= k))
+    refined.select(col("qid"), col("n_hits").as("hr"))
+      .join(unrefined.select(col("qid"), col("n_hits").as("hu")),
+        Seq("qid"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(col("hr")).as("sum_hits_refined"),
+        sum(col("hu")).as("sum_hits_unrefined"))
+      .select(col("n_q"), col("sum_hits_refined"),
+        col("sum_hits_unrefined"),
+        expr(s"sum_hits_refined * 1000000 div (n_q * $k)")
+          .as("mean_recall_refined_micro"),
+        expr(s"sum_hits_unrefined * 1000000 div (n_q * $k)")
+          .as("mean_recall_unrefined_micro"),
+        (col("sum_hits_refined") >= col("sum_hits_unrefined"))
+          .cast("long").as("refined_ge_unrefined"))
+  }
+
+  /** IVF operating-curve sweep: recall@k and candidate volume at each
+    * nProbe setting, as one gate row PER OPERATING POINT — the tuning
+    * table every IVF deployment reads before fixing nProbe (recall
+    * rises with probes, scan cost rises linearly with candidates; the
+    * knee is corpus-specific and must be MEASURED, the q186/q200
+    * standard). Emits (nprobe, n_q, sum_hits, mean_recall_micro,
+    * n_cand, recall_monotone_ok) ordered by nprobe.
+    * `recall_monotone_ok` pins a theorem: candidate sets nest across
+    * nProbe and the re-rank scores candidates by exact cosine, so any
+    * true top-k member in a smaller probe set is also in every larger
+    * one — recall can never decrease as nProbe grows. A red flag means
+    * the probe ranking or tie conventions broke, not noise.
+    *
+    * Scale: ONE cell assignment and ONE scored candidate pass at
+    * max(nProbes) (pinned — |Q|·maxProbe/nCentroids of the corpus,
+    * skinny scored rows), each operating point then filters by probe
+    * rank and re-windows — no per-point corpus work. The sweep is an
+    * eval-tier operator: run on a query SAMPLE, never the corpus. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int, nProbes: Seq[Int],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbes.nonEmpty && nProbes == nProbes.sorted &&
+      nProbes.distinct == nProbes && nProbes.head >= 1,
+      "nProbes must be distinct, ascending, >= 1")
+    val maxProbe = nProbes.max
+    val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+    // probe ranking with the rank RETAINED (ivfProbes drops it): the
+    // same 6-dp cosine + smallest-centroid-id tie convention
+    val cents = corpus
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(col("c_id")).limit(nCentroids)
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cdenom = col("qn") * col("cn")
+    val csim = when(cdenom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / cdenom)
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("_csim").desc, col("c_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("_csim", round(csim, 6))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= maxProbe)
+      .select(col("qid"), col("qv"), col("qn"),
+        col("c_id").as("centroid_id"), col("crk"))
+    // ONE scored candidate pass at maxProbe, probe rank riding along —
+    // |Q|·(maxProbe/nCentroids)·n skinny rows, eagerly pinned for the
+    // per-point consumers (documented checkpoint class)
+    val denom = col("qn") * col("nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("v")) / denom)
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cid"),
+        round(sim, 6).as("cos_sim"), col("crk"))
+      .localCheckpoint(true)
+    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("cid")).localCheckpoint(true)
+    val rows = nProbes.map { p =>
+      val candP = scored.filter(col("crk") <= p)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("cid"))
+      val topk = candP.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(topk, Seq("qid", "cid"), "left_semi")
+      // 1-row broadcast scalar attachments (the sanctioned crossJoin
+      // class) — each side is a full-frame aggregate
+      val nq = queries.select(col(idCol)).distinct()
+        .agg(count(lit(1)).as("n_q"))
+      nq.join(broadcast(hits.agg(count(lit(1)).as("sum_hits"))), lit(true))
+        .join(broadcast(candP.agg(count(lit(1)).as("n_cand"))), lit(true))
+        .select(lit(p.toLong).as("nprobe"), col("n_q"), col("sum_hits"),
+          expr(s"sum_hits * 1000000 div (n_q * $k)")
+            .as("mean_recall_micro"),
+          col("n_cand"))
+    }
+    val sweep = rows.reduce(_.unionAll(_))
+    val mw = Window.orderBy(col("nprobe"))
+    sweep.withColumn("recall_monotone_ok",
+        (col("mean_recall_micro") >=
+          coalesce(lag(col("mean_recall_micro"), 1).over(mw),
+            lit(0L))).cast("long"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Per-label embedding outliers: the `k` vectors per label FURTHEST
     * (lowest cosine) from their own label's centroid — the
     * embedding-space quality filter of a labeled training set (CLIP-
@@ -1825,5 +2175,99 @@ object Similarity {
         round(col("mn") / 1e6, 6).as("min_value"),
         round(col("mx") / 1e6, 6).as("max_value"))
       .orderBy(col("dim"))
+  }
+
+  /** Top principal direction of the embedding covariance by power
+    * iteration over EXACT INTEGER moments — the [[dimStats]] follow-up
+    * an embedding pipeline runs to see whether variance concentrates
+    * along one axis (anisotropy diagnosis: whitening decision, PQ
+    * subspace balance — the measured OPQ null result's covariance
+    * evidence, NOTES §Round-12). Emits one row per dimension
+    * (dim, loading_micro, ev_ratio_micro): the unit(-micro) PC1
+    * loading and the (constant) explained-variance ratio
+    * λ₁/trace(Σ) in micro.
+    *
+    * Determinism — the whole computation is exact integer arithmetic,
+    * so it replays bit-for-bit in any engine: elements are pinned to
+    * micro BIGINTs (`floor(x·1e6 + 0.5)`, the quantizeInt8
+    * convention); the scatter matrix N = n·Σxᵢxⱼ − SᵢSⱼ (= n²·cov) is
+    * exact integer; each power step is w = N·v in arbitrary-precision
+    * integers, renormalized to micro scale by truncating division of
+    * non-negative magnitudes (sign split — floor-vs-truncate can
+    * never disagree); the sign is canonicalized so the largest-|v|
+    * dimension (smallest dim on ties) is positive; ev_ratio_micro =
+    * ((vᵀNv div vᵀv) · 10⁶) div trace(N) with that exact division
+    * order.
+    *
+    * Scale: ONE distributed pass builds the dim×(dim+1)/2 upper-
+    * triangle moment cells — the double posexplode multiplies rows
+    * ×dim², but partial hash aggregation collapses each partition to
+    * ≤ dim² buffer cells before the exchange, so the shuffle is
+    * O(partitions · dim²) — independent of row count, kilobytes at
+    * 100 TB. The collected moment matrix is dim² cells (the
+    * centroid-model driver allowance: 64-dim → 2 080 cells) and the
+    * iteration itself is a dim×dim matrix-vector product on the
+    * driver — a model computation, never data. */
+  def pc1PowerIteration(emb: DataFrame, iters: Int = 3,
+                        vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xm = emb.select(transform(asDouble(col(vecCol)),
+      x => floor(x * 1e6 + lit(0.5)).cast("long")).as("xm"))
+    // upper triangle only (products commute — the driver mirrors);
+    // quantization happened BEFORE the explode on the array, so both
+    // generates emit the already-integer elements
+    val pairs = xm
+      .select(col("xm"), posexplode(col("xm")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(col("xm")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+    val mom = pairs.groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("s2"))
+      .collect()
+    val m1n = xm.select(posexplode(col("xm")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum(col("xi")).as("s1"), count(lit(1)).as("n"))
+      .collect()
+    if (m1n.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("dim", "loading_micro", "ev_ratio_micro")
+    val dim = m1n.length
+    val s1 = Array.ofDim[BigInt](dim)
+    var n = 0L
+    m1n.foreach { r =>
+      s1(r.getInt(0)) = BigInt(r.getLong(1)); n = r.getLong(2)
+    }
+    val N = Array.ofDim[BigInt](dim, dim)
+    mom.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val s2 = BigInt(r.getDecimal(2).toBigInteger)
+      val v = BigInt(n) * s2 - s1(i) * s1(j)
+      N(i)(j) = v; N(j)(i) = v
+    }
+    // truncating division of non-negative magnitudes — floor ==
+    // truncate, identical in every engine
+    def scaleDiv(x: BigInt, d: BigInt): BigInt =
+      if (x.signum < 0) -((-x) * 1000000 / d) else x * 1000000 / d
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + N(i)(j) * v(j))
+      }
+      val mx = w.map(_.abs).max
+      if (mx.signum > 0) v = w.map(scaleDiv(_, mx))
+    }
+    val dmax = (0 until dim).maxBy(i => (v(i).abs, BigInt(-i)))
+    if (v(dmax).signum < 0) v = v.map(-_)
+    val vNv = (for (i <- 0 until dim; j <- 0 until dim)
+      yield v(i) * N(i)(j) * v(j)).foldLeft(BigInt(0))(_ + _)
+    val vv = v.foldLeft(BigInt(0))((a, x) => a + x * x)
+    val trace = (0 until dim).foldLeft(BigInt(0))((a, i) => a + N(i)(i))
+    val ratio =
+      if (vv.signum > 0 && trace.signum > 0) (vNv / vv) * 1000000 / trace
+      else BigInt(0)
+    (0 until dim).map(i => (i.toLong, v(i).toLong, ratio.toLong))
+      .toDF("dim", "loading_micro", "ev_ratio_micro")
   }
 }

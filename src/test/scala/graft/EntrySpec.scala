@@ -57,7 +57,18 @@ class EntrySpec extends SparkSpec {
     // brute yardstick in q206) — the same by-definition linear scan;
     // q207/q208 inherit q34's broadcast probe block (+ q208's brute)
     "q205_sq8_topk", "q206_sq8_recall",
-    "q207_ivf_sq8", "q208_ivf_sq8_recall")
+    "q207_ivf_sq8", "q208_ivf_sq8_recall",
+    // q209/q210 inherit q185's broadcast probe block (the IVF-PQ
+    // first stage); q210 adds the q178 brute yardstick. q211's sweep
+    // is the q34 probe block + the brute yardstick. q213's candidate
+    // stage IS bruteTopK over the 10-vector broadcast query sample.
+    "q209_pq_refine", "q210_refine_uplift", "q211_ivf_probe_sweep",
+    "q213_mmr_rerank",
+    // q217 inherits q123's single-query-vector cosine ranking (one
+    // broadcast row scanned against the corpus, by definition).
+    // q218 is q201's residual search (stored-coarse probe block) plus
+    // the q178 brute yardstick.
+    "q217_hybrid_search", "q218_residual_refine_uplift")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1205,4 +1205,185 @@ class ExtSpec extends SparkSpec {
     assert(d1.getAs[Double]("min_value") === -2.0)
     assert(got.size === 2)
   }
+
+  // a small deterministic corpus for the refine/sweep gates: 12
+  // pseudo-random unit-ish vectors in 4 dims (fixed arithmetic seeds)
+  private lazy val refineEmb = {
+    val rows = (0L until 12L).map { i =>
+      val a = ((i * 37 + 11) % 17).toFloat / 17f
+      val b = ((i * 53 + 5) % 19).toFloat / 19f
+      val c = ((i * 71 + 3) % 23).toFloat / 23f
+      val d = ((i * 89 + 7) % 29).toFloat / 29f
+      (i, Array(a, b, c, d))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("refineTopK over the full pair set equals bruteTopK") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val all = q.select(col("vec_id").as("qid"))
+      .crossJoin(refineEmb.select(col("vec_id").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+    val got = Similarity.refineTopK(refineEmb, q, all, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val want = Similarity.bruteTopK(refineEmb, q, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("refineUpliftStats: refined >= unrefined (theorem flag), recall in [0,1]") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val idx = Similarity.pqBuild(refineEmb, m = 2, dsub = 2, kCodes = 4)
+    val row = Similarity.refineUpliftStats(idx, refineEmb, q, k = 3,
+      r = 8, nCentroids = 4, nProbe = 2).collect()(0)
+    assert(row.getAs[Long]("n_q") === 3L)
+    assert(row.getAs[Long]("refined_ge_unrefined") === 1L)
+    val rm = row.getAs[Long]("mean_recall_refined_micro")
+    val um = row.getAs[Long]("mean_recall_unrefined_micro")
+    assert(rm >= um && rm <= 1000000L && um >= 0L)
+  }
+
+  test("ivfRecallSweep: monotone recall, nested candidates, full probe = recall 1") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val got = Similarity.ivfRecallSweep(refineEmb, q, k = 3,
+      nCentroids = 4, nProbes = Seq(1, 2, 4)).collect()
+    assert(got.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L))
+    assert(got.forall(_.getAs[Long]("recall_monotone_ok") === 1L))
+    val recalls = got.map(_.getAs[Long]("mean_recall_micro"))
+    assert(recalls.sameElements(recalls.sorted))
+    val cands = got.map(_.getAs[Long]("n_cand"))
+    assert(cands.sameElements(cands.sorted))
+    // probing every cell makes the scan exact
+    assert(recalls.last === 1000000L)
+    assert(cands.last === 3L * 11L)
+  }
+
+  test("pc1PowerIteration recovers a planted dominant axis") {
+    // variance concentrated on dim 1; dim 0 carries a small wiggle,
+    // dim 2 is constant (zero variance)
+    val emb = Seq(
+      (1L, Array(0.11f, 2.0f, 0.5f)),
+      (2L, Array(0.09f, -2.0f, 0.5f)),
+      (3L, Array(0.11f, 1.0f, 0.5f)),
+      (4L, Array(0.09f, -1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pc1PowerIteration(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 3)
+    // canonical sign: the dominant dim's loading is +1e6 exactly
+    assert(got(1L).getAs[Long]("loading_micro") === 1000000L)
+    assert(math.abs(got(0L).getAs[Long]("loading_micro")) < 50000L)
+    assert(got(2L).getAs[Long]("loading_micro") === 0L)
+    // almost all variance on the planted axis
+    assert(got(1L).getAs[Long]("ev_ratio_micro") > 900000L)
+  }
+
+  test("pc1PowerIteration is partitioning-invariant (exact integer moments)") {
+    val a = Similarity.pc1PowerIteration(refineEmb).collect().toSeq
+    val b = Similarity.pc1PowerIteration(refineEmb.repartition(7))
+      .collect().toSeq
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
+  }
+
+  test("residualRefineUpliftStats: refined >= unrefined on the residual path") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val idx = Similarity.residualPqBuild(refineEmb, nCentroids = 4,
+      m = 2, dsub = 2, kCodes = 4)
+    val row = Similarity.residualRefineUpliftStats(idx, refineEmb, q,
+      k = 3, r = 8, nProbe = 2).collect()(0)
+    assert(row.getAs[Long]("n_q") === 3L)
+    assert(row.getAs[Long]("refined_ge_unrefined") === 1L)
+    assert(row.getAs[Long]("mean_recall_refined_micro") <= 1000000L)
+  }
+
+  test("ivfCellDriftStats: identical cohort shares give psi 0; a shift doesn't") {
+    val same = Seq(
+      (1L, 0L, false), (2L, 0L, true), (3L, 1L, false), (4L, 1L, true),
+      (5L, 0L, false), (6L, 0L, true))
+      .toDF("id", "c_id", "cur")
+    val r0 = Similarity.ivfCellDriftStats(same, col("cur")).collect()(0)
+    assert(r0.getAs[Long]("n_ref") === 3L && r0.getAs[Long]("n_cur") === 3L)
+    assert(r0.getAs[Long]("n_cells") === 2L)
+    assert(r0.getAs[Long]("n_scored_cells") === 2L)
+    assert(r0.getAs[Long]("psi_micro") === 0L)
+    // current cohort concentrates entirely in cell 0: cell 1 has no
+    // current member (unscored but counted), psi clearly positive
+    val shifted = Seq(
+      (1L, 0L, false), (2L, 0L, false), (3L, 1L, false), (4L, 1L, false),
+      (5L, 0L, true), (6L, 0L, true))
+      .toDF("id", "c_id", "cur")
+    val r1 = Similarity.ivfCellDriftStats(shifted, col("cur")).collect()(0)
+    assert(r1.getAs[Long]("n_cells") === 2L)
+    assert(r1.getAs[Long]("n_scored_cells") === 1L)
+    assert(r1.getAs[Long]("psi_micro") > 100000L)
+  }
+
+  test("pqRetrainBenefitStats: retrain wins on a drifted delta; flag consistent") {
+    // base clusters along axis 0 (with small wiggle), delta along
+    // axis 2 — codebooks frozen on the base quantize the delta badly,
+    // retraining on the full corpus must reduce the mean error
+    val base = (0L until 8L).map { i =>
+      (i, Array(1.0f, (i % 3).toFloat / 10f, 0.0f, 0.0f))
+    }
+    val delta = (8L until 12L).map { i =>
+      (i, Array(0.0f, 0.0f, 1.0f, (i % 2).toFloat / 10f))
+    }
+    val emb = (base ++ delta).toDF("vec_id", "embedding")
+    val baseDf = emb.filter(col("vec_id") < 8)
+    val deltaDf = emb.filter(col("vec_id") >= 8)
+    val grown = Similarity.pqIndexAdd(
+      Similarity.pqBuild(baseDf, m = 2, dsub = 2, kCodes = 4), deltaDf)
+    val retrained = Similarity.pqBuild(emb, m = 2, dsub = 2, kCodes = 4)
+    val row = Similarity.pqRetrainBenefitStats(grown, retrained, emb)
+      .collect()(0)
+    assert(row.getAs[Long]("n_vecs") === 12L)
+    assert(row.getAs[Long]("retrain_improves") === 1L)
+    assert(row.getAs[Long]("mean_err_retrained") <=
+      row.getAs[Long]("mean_err_grown"))
+  }
+
+  test("ivfCellStats: exact counts, shares and imbalance on a planted corpus") {
+    // seeds are the two smallest ids; 4 vectors land with seed 0,
+    // 2 with seed 1 → shares 4/6 and 2/6, imbalance = 4·2/6 = 1.33x
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.05f)),
+      (4L, Array(0.8f, 0.2f)), (5L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfCellStats(emb, nCentroids = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 2)
+    assert(got(0L).getAs[Long]("n_vecs") === 4L)
+    assert(got(1L).getAs[Long]("n_vecs") === 2L)
+    assert(got(0L).getAs[Long]("share_micro") === 666666L)
+    assert(got(1L).getAs[Long]("share_micro") === 333333L)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("imbalance_micro") === 1333333L)
+      assert(r.getAs[Long]("balance_ok") === 1L)
+    }
+  }
+
+  test("lshBandSweep: finer banding finds the marginal pair; monotone + cost rows") {
+    // C/D are exact dups (caught at every setting); A/B share ~57% of
+    // their shingles — a marginal pair a 16-min band practically never
+    // collides on, while 4-min bands catch it
+    val w = (1 to 20).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val b = (w.take(15) ++ (16 to 20).map(i => s"v$i")).mkString(" ")
+    val c = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, c))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshBandSweep(docs, threshold = 0.5, k = 64,
+      bandsList = Seq(4, 8, 16), scheme = Dedup.OracleHash).collect()
+    assert(got.map(_.getAs[Long]("bands")).toSeq === Seq(4L, 8L, 16L))
+    assert(got.forall(_.getAs[Long]("recall_monotone_ok") === 1L))
+    val recalls = got.map(_.getAs[Long]("recall_micro"))
+    assert(recalls.sameElements(recalls.sorted))
+    // the exact dup pair anchors recall > 0 everywhere; the marginal
+    // pair lifts recall at the finest setting above the coarsest
+    assert(recalls.head >= 500000L)
+    assert(recalls.last === 1000000L)
+    val raw = got.map(_.getAs[Long]("n_raw_candidates"))
+    assert(raw.sameElements(raw.sorted))
+  }
 }

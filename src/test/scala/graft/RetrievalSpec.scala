@@ -68,4 +68,80 @@ class RetrievalSpec extends SparkSpec {
     // bounds [30, 50]: id 1 → 1e6, id 2 → 0
     assert(got.toSeq === Seq((1L, 1000000L), (2L, 0L)))
   }
+
+  test("mmrSelect: diversity penalty flips the second pick; trajectory is exact") {
+    // A is the clear first pick; B is nearly as relevant but a
+    // near-duplicate of A, C less relevant but orthogonal — MMR
+    // (7/3) picks A, C, B; pure relevance would pick A, B, C
+    val cand = Seq(
+      (0L, 10L, 1000000L), (0L, 20L, 900000L), (0L, 30L, 800000L))
+      .toDF("qid", "cid", "rel_micro")
+    val ps = Seq(
+      (0L, 10L, 20L, 1000000L), (0L, 20L, 10L, 1000000L),
+      (0L, 10L, 30L, 0L), (0L, 30L, 10L, 0L),
+      (0L, 20L, 30L, 0L), (0L, 30L, 20L, 0L))
+      .toDF("qid", "a", "b", "sim_micro")
+    val got = Retrieval.mmrSelect(cand, ps, k = 3).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    // pick 1: A, score 7·1e6; pick 2: C (7·8e5 − 0 = 5.6e6 beats B's
+    // 7·9e5 − 3·1e6 = 3.3e6); pick 3: B
+    assert(got.toSeq === Seq(
+      (1L, 10L, 7000000L), (2L, 30L, 5600000L), (3L, 20L, 3300000L)))
+  }
+
+  test("mmrSelect with wDiv=0 equals top-k by pure relevance") {
+    val cand = Seq(
+      (0L, 1L, 500000L), (0L, 2L, 900000L), (0L, 3L, 700000L),
+      (1L, 1L, 300000L), (1L, 2L, 100000L), (1L, 3L, 200000L))
+      .toDF("qid", "cid", "rel_micro")
+    val ps = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("qid", "a", "b", "sim_micro")
+    val got = Retrieval.mmrSelect(cand, ps, k = 2, wRel = 1, wDiv = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 2L), (0L, 2L, 3L), (1L, 1L, 1L), (1L, 2L, 3L)))
+  }
+
+  test("mmrDiversify: first pick = top relevance; missing-embedding candidate " +
+      "competes with similarity 0") {
+    import org.apache.spark.sql.functions._
+    // candidates 10 and 20 are embedded near-duplicates; candidate 99
+    // has NO embedding row — it must still be selectable (sim 0 to
+    // everything), and the near-dup of the first pick must lose to it
+    val cand = Seq(
+      (0L, 10L, 1000000L), (0L, 20L, 990000L), (0L, 99L, 600000L))
+      .toDF("qid", "cid", "rel_micro")
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrDiversify(cand, emb, k = 3).collect()
+      .map(r => (r.getLong(2), r.getLong(1)))
+    // pick 1: cid 10 (rel argmax); pick 2: 99 — its unpenalized
+    // 7·6e5 = 4.2e6 beats the near-dup 20's 7·9.9e5 − 3·1e6 = 3.93e6;
+    // 20 takes pick 3
+    assert(got.toSeq === Seq((1L, 10L), (2L, 99L), (3L, 20L)))
+  }
+
+  test("mmrTopK: k distinct picks per query; first pick = brute rank 1") {
+    val emb = (0L until 10L).map { i =>
+      val a = ((i * 37 + 11) % 17).toFloat / 17f
+      val b = ((i * 53 + 5) % 19).toFloat / 19f
+      val c = ((i * 71 + 3) % 23).toFloat / 23f
+      (i, Array(a, b, c))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+    val got = Retrieval.mmrTopK(emb, q, k = 3, r = 6)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 6)
+    rows.groupBy(_._1).foreach { case (_, picks) =>
+      assert(picks.map(_._2).distinct.length === 3)
+      assert(picks.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    val brute1 = graft.ext.Similarity.bruteTopK(emb, q, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.filter(_._3 == 1L).foreach { case (qid, cid, _) =>
+      assert(brute1(qid) === cid)
+    }
+  }
 }
