@@ -922,6 +922,34 @@ object ScaleProbe {
           pmod(col("id"), lit(5)) === 0, cellCol = "centroid_id"))
       }
     }
+    // streaming vector ingest at 30x (q220's lifecycle): two
+    // processBatch deliveries over the replicated delta + the grown
+    // on-disk artifact searched — times ingest + serve, base training
+    // excluded (the lifecycle-probe convention; the probe drives the
+    // foreachBatch body directly, so no driver-side vector collect)
+    if (only.forall(_.split(",")
+        .exists(t => s"vector_ingest x$docReps".contains(t)))) {
+      val vdir = java.nio.file.Files
+        .createTempDirectory("graft_vingest30").toString
+      try {
+        Similarity.savePqIndex(
+          Similarity.pqBuild(
+            emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+            m = 16, dsub = 4, kCodes = 32, iters = 1),
+          s"$vdir/base")
+        val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        timed(s"vector_ingest x$docReps") {
+          graft.stream.VectorIngest.processBatch(vdir)(
+            delta.filter(pmod(col("vec_id"), lit(10)) === 0), 0L)
+          graft.stream.VectorIngest.processBatch(vdir)(
+            delta.filter(pmod(col("vec_id"), lit(10)) =!= 0), 1L)
+          consume(Similarity.pqAdcSearch(
+            graft.stream.VectorIngest.loadGrownIndex(spark, vdir),
+            emb.filter(col("vec_id") < 10), 5))
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(vdir))
+    }
     // hybrid search at 30x (q217): BM25 over the replicated docs +
     // cosine over the replicated corpus → RRF → MMR tail on 20 rows
     timed(s"hybrid_search x$docReps") {

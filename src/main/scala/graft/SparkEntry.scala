@@ -2529,6 +2529,15 @@ object SparkEntry {
         sharedGrownResidualPqIndex(s, d).cells,
         pmod(col("id"), lit(5)) === 0, cellCol = "centroid_id")),
 
+    // ===== streaming vector ingest, stream↔batch parity ===============
+    // a REAL foreachBatch stream encodes the 20% delta against the
+    // stored base index in two micro-batches (the second re-sending an
+    // admitted id — the guard exercised on the wire), then the grown
+    // ON-DISK artifact is searched; the oracle is q198's frozen-add
+    // replay VERBATIM, so any stream-path divergence reds the row
+    "q220_vector_ingest_parity" -> ((s, d) =>
+      graft.stream.VectorIngest.ingestParityProbe(s, embeddings(s, d))),
+
     // ===== hybrid search, end to end ==================================
     // the full retrieve-then-diversify stack COMPOSED from the tiers
     // this library already gates separately: BM25 lexical ranker
@@ -3047,7 +3056,10 @@ object SparkEntry {
     // map)
     oracleSqlBase +
       ("q197_pq_index_roundtrip" -> oracleSqlBase("q177_pq_adc")) +
-      ("q201_residual_roundtrip" -> oracleSqlBase("q189_residual_ivfpq"))
+      ("q201_residual_roundtrip" -> oracleSqlBase("q189_residual_ivfpq")) +
+      // q220 streams the same frozen-add the q198 oracle replays — the
+      // stream↔batch parity IS the verbatim-replay contract
+      ("q220_vector_ingest_parity" -> oracleSqlBase("q198_pq_index_add"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -1019,19 +1019,32 @@ object Similarity {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): PqIndex = {
     import org.apache.spark.storage.StorageLevel
+    val indexedIds = index.codes.filter(col("sub") === 0).select(col("id"))
+    val newCodes = pqEncodeFresh(index, delta, indexedIds, idCol, vecCol)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    index.copy(codes = index.codes.unionAll(newCodes))
+  }
+
+  /** Frozen-codebook encode of `delta` vectors EXCLUDING ids already
+    * in `seenIds` (an `id`-column frame) — the codes-only half of
+    * [[pqIndexAdd]], exposed for the streaming ingest path
+    * ([[graft.stream.VectorIngest]]), which persists per-batch code
+    * partitions instead of growing an in-memory index. Returns the
+    * LAZY (id, sub, code) frame; callers pin or write it. */
+  def pqEncodeFresh(index: PqIndex, delta: DataFrame,
+                    seenIds: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     val m = index.m
     val dsub = index.dsub
-    val indexedIds = index.codes.filter(col("sub") === 0).select(col("id"))
     val subs = delta
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(indexedIds, Seq("id"), "left_anti")
+      .join(seenIds.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
-    val newCodes = pqAssignCore(subs, index.cents)
+    pqAssignCore(subs, index.cents)
       .select(col("id"), col("sub"), col("best.c_id").as("code"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    index.copy(codes = index.codes.unionAll(newCodes))
   }
 
   /** Quantization-drift statistics — the retrain trigger for
