@@ -950,6 +950,17 @@ object ScaleProbe {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(vdir))
     }
+    // Matryoshka two-stage at 30x (q221): prefix-16 scan (4x less dot
+    // work than brute) + the |Q|·20-row exact refine
+    timed(s"matryoshka_refine x$docReps") {
+      consume(Similarity.prefixRefineTopK(emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20, prefixDims = 16))
+    }
+    // SQ4 compressed scan at 30x (q223): the q205 plan at 15 levels
+    timed(s"sq4_topk x$docReps") {
+      consume(Similarity.sq4TopK(emb,
+        emb.filter(col("vec_id") < 10), 5))
+    }
     // hybrid search at 30x (q217): BM25 over the replicated docs +
     // cosine over the replicated corpus → RRF → MMR tail on 20 rows
     timed(s"hybrid_search x$docReps") {

@@ -2529,6 +2529,50 @@ object SparkEntry {
         sharedGrownResidualPqIndex(s, d).cells,
         pmod(col("id"), lit(5)) === 0, cellCol = "centroid_id")),
 
+    // ===== Matryoshka prefix-dimension two-stage search ===============
+    // the MRL deployment trick: the first 16 of 64 dims are the coarse
+    // representation (4× less scan I/O + dot work in stage 1), exact
+    // full-dimension refine on the |Q|·20 shortlist rows only
+    "q221_matryoshka" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.prefixRefineTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, r = 20, prefixDims = 16)
+    }),
+
+    // ===== Matryoshka uplift gate =====================================
+    // refined vs prefix-only recall@5 against the exact yardstick —
+    // the q210 row shape on the prefix first stage; this corpus is NOT
+    // MRL-trained, so the prefix recall is the honest un-finetuned
+    // floor and the refine uplift is the measured buy-back
+    "q222_matryoshka_uplift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.prefixRefineUpliftStats(emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20, prefixDims = 16)
+    }),
+
+    // ===== SQ4 compressed top-k scan ==================================
+    // the 4-bit scalar-quantization point: half SQ8's stored bits,
+    // measurably more rounding loss — the q205 scan at 15 levels
+    "q223_sq4_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.sq4TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // ===== SQ4 recall gate ============================================
+    // measured, not claimed: SQ4's rounding loss against the exact
+    // yardstick; floor pinned lower than SQ8's 0.8 — 4-bit rounding
+    // costs real recall and the gate records exactly how much
+    "q224_sq4_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallStats(
+          Similarity.bruteTopK(emb, q, 5),
+          Similarity.sq4TopK(emb, q, 5), k = 5)
+        .select(col("n_q"), col("sum_hits"), col("mean_recall_micro"),
+          (col("mean_recall_micro") >= 500000L).cast("long")
+            .as("recall_floor_ok"))
+    }),
+
     // ===== streaming vector ingest, stream↔batch parity ===============
     // a REAL foreachBatch stream encodes the 20% delta against the
     // stored base index in two micro-batches (the second re-sending an
@@ -2796,37 +2840,42 @@ object SparkEntry {
         |  JOIN e ON e.id = c2.id
         |  WHERE p.qid <> c2.id)""".stripMargin
 
-  /** Shared CTE chain for the SQ8 oracles (q205/q206): double-cast
-    * embeddings, quantizeInt8's exact floor-based code + IEEE
-    * dequantization, the query set, and the asymmetric cosine rows
+  /** Shared CTE chain for the scalar-quantized-scan oracles
+    * (q205/q206 at 127 levels, q223/q224 at 7): double-cast
+    * embeddings, the exact floor-based code + IEEE dequantization at
+    * `maxLevel`, the query set, and the asymmetric cosine rows
     * `scored(qid, cid, cos_sim)`. Returned WITHOUT the leading WITH. */
-  private def sq8Ctes: String =
+  private def sqCtes(maxLevel: String): String =
     s"""e AS (
       |  SELECT vec_id AS id,
       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
-      |$sq8DqCtes,
+      |${sqDqCtes(maxLevel)},
       |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
       |scored AS (
       |  SELECT q.qid, d.id AS cid,
       |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
       |  FROM qiv q, dq d WHERE q.qid <> d.id)""".stripMargin
 
-  /** Just the quantize + reconstruct half of [[sq8Ctes]] (`qz`, `dq`
+  private def sq8Ctes: String = sqCtes("127.0")
+
+  /** Just the quantize + reconstruct half of [[sqCtes]] (`qz`, `dq`
     * over an existing `e`) — shared with the IVF-blocked SQ8 oracles,
     * which bring their own cells/probes/candidates. */
-  private def sq8DqCtes: String =
-    """qz AS (
+  private def sqDqCtes(maxLevel: String): String =
+    s"""qz AS (
       |  SELECT id, v,
       |         list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
       |dq AS (
       |  SELECT id,
       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
       |      ELSE list_transform(v, x ->
-      |        greatest(-127.0, least(127.0,
-      |          floor(x / (mx / 127.0) + 0.5))) * (mx / 127.0))
+      |        greatest(-$maxLevel, least($maxLevel,
+      |          floor(x / (mx / $maxLevel) + 0.5))) * (mx / $maxLevel))
       |    END AS cv
       |  FROM qz)""".stripMargin
+
+  private def sq8DqCtes: String = sqDqCtes("127.0")
 
   /** Plain (raw-vector) blocked-ADC CTEs on top of [[ivfCommonCtes]]:
     * the q185 training replay (prefix `p`) + per-query LUT + blocked
@@ -9141,6 +9190,139 @@ object SparkEntry {
         |  CAST(CAST(mx AS HUGEINT) * nc * 1000000 // t <= 4000000
         |    AS BIGINT) AS balance_ok
         |FROM counts, tot ORDER BY centroid_id""".stripMargin,
+
+    // prefix-cosine shortlist at depth 20 (dims 1..16), exact
+    // full-dimension re-rank of shortlist rows only
+    "q221_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |pscored AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv[1:16], c.v[1:16]), 6)
+        |           AS psim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |short AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY psim DESC, cid) AS rank
+        |    FROM pscored)
+        |  WHERE rank <= 20),
+        |refd AS (
+        |  SELECT s.qid, s.cid,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        |  FROM short s JOIN qiv q ON q.qid = s.qid
+        |  JOIN e ON e.id = s.cid)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM refd)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // prefix shortlist + refine + brute yardstick, one integer row
+    // (the q210 shape); the >= flag computed both sides
+    "q222_matryoshka_uplift" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |pscored AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv[1:16], c.v[1:16]), 6)
+        |           AS psim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |pranked AS (
+        |  SELECT qid, cid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY psim DESC, cid) AS rank
+        |  FROM pscored),
+        |short AS (SELECT qid, cid FROM pranked WHERE rank <= 20),
+        |unref AS (SELECT qid, cid FROM pranked WHERE rank <= 5),
+        |refd AS (
+        |  SELECT s.qid, s.cid,
+        |         round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        |  FROM short s JOIN qiv q ON q.qid = s.qid
+        |  JOIN e ON e.id = s.cid),
+        |rtop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM refd)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hr AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN rtop USING (qid, cid) GROUP BY 1),
+        |hu AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN unref USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(hr.h, 0)) AS BIGINT) AS sum_hits_refined,
+        |         CAST(sum(coalesce(hu.h, 0)) AS BIGINT)
+        |           AS sum_hits_unrefined
+        |  FROM ne LEFT JOIN hr ON hr.qid = ne.qid
+        |  LEFT JOIN hu ON hu.qid = ne.qid)
+        |SELECT n_q, sum_hits_refined, sum_hits_unrefined,
+        |  CAST(sum_hits_refined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_refined_micro,
+        |  CAST(sum_hits_unrefined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_unrefined_micro,
+        |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
+        |    AS refined_ge_unrefined
+        |FROM agg""".stripMargin,
+
+    // the q205 scan at 15 levels (scale = max|x|/7)
+    "q223_sq4_topk" ->
+      s"""WITH ${sqCtes("7.0")}
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // SQ4 chain + brute yardstick + integer aggregate; flag pinned
+    // (the q206 convention)
+    "q224_sq4_recall" ->
+      s"""WITH ${sqCtes("7.0")},
+        |stop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |hits AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |         FROM bq JOIN stop USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS sum_hits
+        |  FROM ne LEFT JOIN hits h ON h.qid = ne.qid)
+        |SELECT n_q, sum_hits,
+        |  CAST(sum_hits * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_micro,
+        |  CAST(1 AS BIGINT) AS recall_floor_ok
+        |FROM agg""".stripMargin,
 
     // the q189 residual chain at shortlist depth 20 + the exact-refine
     // tail + the brute yardstick — q210's row shape on the residual

@@ -83,6 +83,69 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Matryoshka-style prefix-dimension first stage (Kusupati et al.
+    * NeurIPS'22 — MRL-trained embeddings order information by
+    * dimension, so the first `prefixDims` dims are a usable coarse
+    * representation): exact top-k by cosine over the PREFIX ONLY.
+    * Same conventions as [[bruteTopK]] (broadcast queries, 6-dp
+    * rounding, ties on cid); emits (qid, cid, cos_sim, rank) where
+    * cos_sim is the PREFIX cosine.
+    *
+    * Scale: the scan reads prefixDims/dims of the float payload (with
+    * column pruning to a stored prefix column, proportionally less
+    * I/O) and each pair costs a prefixDims-term dot — the cheap first
+    * stage of a two-stage stack; compose with [[refineTopK]]
+    * ([[prefixRefineTopK]]) to buy the loss back on |Q|·R rows. */
+  def prefixTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 prefixDims: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixDims >= 1, "prefixDims must be >= 1")
+    val c = corpus.select(col(idCol).as("cid"),
+        slice(asDouble(col(vecCol)), 1, prefixDims).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"),
+        slice(asDouble(col(vecCol)), 1, prefixDims).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), round(sim, 6).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Prefix first stage at depth `r`, exact full-dimension refine to
+    * `k` — the Matryoshka retrieve-then-refine compose. */
+  def prefixRefineTopK(corpus: DataFrame, queries: DataFrame,
+                       k: Int, r: Int, prefixDims: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    refineTopK(corpus, queries,
+      prefixTopK(corpus, queries, r, prefixDims, idCol, vecCol),
+      k, idCol, vecCol)
+  }
+
+  /** The refine uplift gate on the prefix first stage — q210's row
+    * shape; refined ≥ unrefined stays a theorem under the shared
+    * conventions. */
+  def prefixRefineUpliftStats(corpus: DataFrame, queries: DataFrame,
+                              k: Int, r: Int, prefixDims: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    val shortlist = prefixTopK(corpus, queries, r, prefixDims,
+      idCol, vecCol).localCheckpoint(true)
+    refineUpliftFromShortlist(corpus, queries, shortlist, k,
+      idCol, vecCol)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
     * [-127, 127], stored as array<tinyint> — 4× smaller than float32,
@@ -110,6 +173,25 @@ object Similarity {
   /** Approximate reconstruction of a quantized embedding. */
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  /** [[quantizeInt8]] at 4-bit resolution: per-vector scale =
+    * max|x| / 7, codes clamped to [-7, 7] — 15 levels, half the
+    * stored bits of SQ8 when nibble-packed (packing is a storage
+    * detail; the quantization point is what changes recall, and the
+    * codes column is what the oracle replays). Same floor-based
+    * cross-engine convention, same zero-vector edge. */
+  def quantizeInt4(emb: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = (mx / 7.0).as("q_scale")
+    val codes = when(mx === 0.0,
+        transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v, x =>
+        greatest(lit(-7.0), least(lit(7.0),
+          floor(x / (mx / 7.0) + 0.5))).cast("tinyint")))
+    emb.withColumn("q_scale", scale).withColumn("q_codes", codes)
+  }
 
   /** Quantization error audit, explode-formulated: per-dimension scalar
     * expressions after a posexplode + per-vector window max — all
@@ -1324,11 +1406,28 @@ object Similarity {
     * vectors × 10 queries. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding"): DataFrame =
+    sqTopK(corpus, queries, k, quantizeInt8(_, vecCol), idCol, vecCol)
+
+  /** [[sq8TopK]] at 4-bit resolution ([[quantizeInt4]] — the FAISS
+    * SQ4 point): half the stored bits, measurably more rounding loss
+    * — gate with [[recallStats]] exactly like q206 gates SQ8. Same
+    * plan shape, same conventions. */
+  def sq4TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    sqTopK(corpus, queries, k, quantizeInt4(_, vecCol), idCol, vecCol)
+
+  /** Shared scalar-quantized scan core: quantize + reconstruct the
+    * corpus ONCE (eager checkpoint — the stored-form shape; see the
+    * [[sq8TopK]] projection-collapse note), exact queries, asymmetric
+    * 6-dp cosine, ties on cid. */
+  private def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     quantizer: DataFrame => DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val c = quantizeInt8(
-        corpus.select(col(idCol).as("cid"), col(vecCol)), vecCol)
+    val c = quantizer(corpus.select(col(idCol).as("cid"), col(vecCol)))
       .select(col("cid"),
         dequantize(col("q_codes"), col("q_scale")).as("cv"))
       .withColumn("cn", norm(col("cv")))

@@ -68,7 +68,11 @@ class EntrySpec extends SparkSpec {
     // broadcast row scanned against the corpus, by definition).
     // q218 is q201's residual search (stored-coarse probe block) plus
     // the q178 brute yardstick.
-    "q217_hybrid_search", "q218_residual_refine_uplift")
+    "q217_hybrid_search", "q218_residual_refine_uplift",
+    // q221/q223 are the q21 broadcast-query linear scan over the
+    // prefix/SQ4 representation; q222/q224 add the brute yardstick
+    "q221_matryoshka", "q222_matryoshka_uplift",
+    "q223_sq4_topk", "q224_sq4_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1318,6 +1318,53 @@ class ExtSpec extends SparkSpec {
     assert(r1.getAs[Long]("psi_micro") > 100000L)
   }
 
+  test("prefixTopK over the full dimensionality equals bruteTopK") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val got = Similarity.prefixTopK(refineEmb, q, 4, prefixDims = 4)
+      .collect().map(_.toString)
+    val want = Similarity.bruteTopK(refineEmb, q, 4)
+      .collect().map(_.toString)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("prefixRefineUpliftStats: refined >= unrefined (theorem flag)") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val row = Similarity.prefixRefineUpliftStats(refineEmb, q, k = 3,
+      r = 8, prefixDims = 2).collect()(0)
+    assert(row.getAs[Long]("n_q") === 3L)
+    assert(row.getAs[Long]("refined_ge_unrefined") === 1L)
+  }
+
+  test("quantizeInt4: codes bounded to ±7, zero-vector edge, exact on grid") {
+    val emb = Seq(
+      (1L, Array(7.0f, -7.0f, 3.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt4(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("q_scale"), r.getSeq[Byte](3).toSeq)).toMap
+    // scale = 7/7 = 1; grid-aligned values quantize exactly
+    assert(got(1L) === ((1.0, Seq[Byte](7, -7, 3, 0))))
+    assert(got(2L) === ((0.0, Seq[Byte](0, 0, 0, 0))))
+    val all = Similarity.quantizeInt4(refineEmb).collect()
+      .flatMap(_.getAs[scala.collection.Seq[Byte]]("q_codes"))
+    assert(all.forall(c => c >= -7 && c <= 7))
+  }
+
+  test("sq4TopK equals bruteTopK on a grid-exact fixture") {
+    // one-hot-ish vectors whose components are exact multiples of
+    // max/7 — quantization is lossless, so the ranking is exact
+    val emb = (0L until 6L).map { i =>
+      val v = Array.fill(4)(0.0f); v((i % 4).toInt) = 7.0f
+      v(((i + 1) % 4).toInt) = (i % 3).toFloat
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+    val got = Similarity.sq4TopK(emb, q, 3).collect().map(_.toString)
+    val want = Similarity.bruteTopK(emb, q, 3).collect().map(_.toString)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("pqRetrainBenefitStats: retrain wins on a drifted delta; flag consistent") {
     // base clusters along axis 0 (with small wiggle), delta along
     // axis 2 — codebooks frozen on the base quantize the delta badly,
