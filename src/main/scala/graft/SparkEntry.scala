@@ -2573,6 +2573,17 @@ object SparkEntry {
             .as("recall_floor_ok"))
     }),
 
+    // ===== quantization-ladder summary table ==========================
+    // the storage-tier decision as one measured frame: recall@5 of raw
+    // / SQ8 / SQ4 / PQ against the exact yardstick with their
+    // byte-aligned compression factors — q206/q224/q178 composed into
+    // the single consumable tuning table
+    "q225_quant_ladder" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
     // ===== streaming vector ingest, stream↔batch parity ===============
     // a REAL foreachBatch stream encodes the 20% delta against the
     // stored base index in two micro-batches (the second re-sending an
@@ -2876,6 +2887,34 @@ object SparkEntry {
       |  FROM qz)""".stripMargin
 
   private def sq8DqCtes: String = sqDqCtes("127.0")
+
+  /** One scalar-quantized ladder tier for the q225 oracle, CTE names
+    * prefixed `p` so two levels coexist: quantize + reconstruct +
+    * asymmetric-cosine top-5 + hit count vs the shared brute `bq`. */
+  private def sqTierCtes(p: String, maxLevel: String): String =
+    s"""${p}qz AS (
+       |  SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+       |  FROM e),
+       |${p}dq AS (
+       |  SELECT id,
+       |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+       |      ELSE list_transform(v, x ->
+       |        greatest(-$maxLevel, least($maxLevel,
+       |          floor(x / (mx / $maxLevel) + 0.5))) * (mx / $maxLevel))
+       |    END AS cv
+       |  FROM ${p}qz),
+       |${p}scored AS (
+       |  SELECT q.qid, d.id AS cid,
+       |         round(list_cosine_similarity(q.qv, d.cv), 6) AS cos_sim
+       |  FROM qiv q, ${p}dq d WHERE q.qid <> d.id),
+       |${p}top AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+       |    FROM ${p}scored)
+       |  WHERE rank <= 5),
+       |${p}h AS (SELECT CAST(count(*) AS BIGINT) AS h
+       |          FROM bq JOIN ${p}top USING (qid, cid))""".stripMargin
 
   /** Plain (raw-vector) blocked-ADC CTEs on top of [[ivfCommonCtes]]:
     * the q185 training replay (prefix `p`) + per-query LUT + blocked
@@ -9190,6 +9229,61 @@ object SparkEntry {
         |  CAST(CAST(mx AS HUGEINT) * nc * 1000000 // t <= 4000000
         |    AS BIGINT) AS balance_ok
         |FROM counts, tot ORDER BY centroid_id""".stripMargin,
+
+    // one brute yardstick, four tier blocks (raw anchor, SQ8, SQ4,
+    // flat PQ-ADC over the q177 training replay), one row each
+    "q225_quant_ladder" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM bq),
+        |rawh AS (SELECT CAST(count(*) AS BIGINT) AS h FROM bq),
+        |${sqTierCtes("s8", "127.0")},
+        |${sqTierCtes("s4", "7.0")},
+        |${pqTrainCtes("p", "e", "v", seedOffset = 0)},
+        |pqsubs AS (SELECT id AS qid, sub, sv FROM psubs WHERE id < 10),
+        |plut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    $lutDmSql AS dm
+        |  FROM pqsubs q JOIN pc1 c USING (sub)),
+        |fad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM pcodes co JOIN plut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id
+        |  GROUP BY 1, 2),
+        |ftop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM fad)
+        |  WHERE rank <= 5),
+        |fh AS (SELECT CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN ftop USING (qid, cid))
+        |SELECT 'raw_float32' AS tier, CAST(1 AS BIGINT) AS compression_x,
+        |  n_q, rawh.h AS sum_hits,
+        |  CAST(rawh.h * 1000000 // (n_q * 5) AS BIGINT) AS mean_recall_micro
+        |FROM nq, rawh
+        |UNION ALL
+        |SELECT 'sq8_int8', CAST(4 AS BIGINT), n_q, s8h.h,
+        |  CAST(s8h.h * 1000000 // (n_q * 5) AS BIGINT) FROM nq, s8h
+        |UNION ALL
+        |SELECT 'sq4_int4', CAST(8 AS BIGINT), n_q, s4h.h,
+        |  CAST(s4h.h * 1000000 // (n_q * 5) AS BIGINT) FROM nq, s4h
+        |UNION ALL
+        |SELECT 'pq_16x32', CAST(16 AS BIGINT), n_q, fh.h,
+        |  CAST(fh.h * 1000000 // (n_q * 5) AS BIGINT) FROM nq, fh
+        |ORDER BY compression_x""".stripMargin,
 
     // prefix-cosine shortlist at depth 20 (dims 1..16), exact
     // full-dimension re-rank of shortlist rows only

@@ -1188,6 +1188,39 @@ object Similarity {
       .orderBy(col("cohort"))
   }
 
+  /** The quantization-ladder summary table — the storage-tier decision
+    * every vector deployment makes, as ONE measured frame: recall@k of
+    * each compression point against the exact yardstick, one row per
+    * tier (tier, compression_x, n_q, sum_hits, mean_recall_micro)
+    * ordered by compression. Tiers: raw float32 (1×, recall 1 by
+    * construction — the anchor row), SQ8 (4×), SQ4 (8×), and the
+    * caller's PQ index (16× byte-aligned at 16 one-byte codes vs 64
+    * float32). Composes the per-tier gates (q206/q224/q178) into the
+    * single consumable: read the row whose recall clears your floor,
+    * take its compression.
+    *
+    * Scale: an EVAL operator — the yardstick and each tier scan run
+    * on the query sample; the exact top-k is computed once and pinned
+    * (four consumers). */
+  def quantLadderStats(index: PqIndex, corpus: DataFrame,
+                       queries: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col("cid")).localCheckpoint(true)
+    def tier(name: String, compX: Long, approx: DataFrame) =
+      recallStats(exact, approx, k)
+        .select(lit(name).as("tier"), lit(compX).as("compression_x"),
+          col("n_q"), col("sum_hits"), col("mean_recall_micro"))
+    Seq(
+      tier("raw_float32", 1L, exact),
+      tier("sq8_int8", 4L, sq8TopK(corpus, queries, k, idCol, vecCol)),
+      tier("sq4_int4", 8L, sq4TopK(corpus, queries, k, idCol, vecCol)),
+      tier("pq_16x32", 16L, pqAdcSearch(index, queries, k, idCol, vecCol)))
+      .reduce(_.unionAll(_))
+      .orderBy(col("compression_x"))
+  }
+
   /** Retrain-benefit gate — the measured consequence of the ACTION the
     * drift gate's trip decides ([[pqDriftStats]] measures, this
     * answers "was retraining worth it"): whole-corpus mean ADC

@@ -70,9 +70,12 @@ class EntrySpec extends SparkSpec {
     // the q178 brute yardstick.
     "q217_hybrid_search", "q218_residual_refine_uplift",
     // q221/q223 are the q21 broadcast-query linear scan over the
-    // prefix/SQ4 representation; q222/q224 add the brute yardstick
+    // prefix/SQ4 representation; q222/q224 add the brute yardstick.
+    // q225 composes the brute yardstick + both SQ scans + the flat
+    // PQ-ADC scan into the ladder table — all the same by-definition
+    // broadcast-query linear scans
     "q221_matryoshka", "q222_matryoshka_uplift",
-    "q223_sq4_topk", "q224_sq4_recall")
+    "q223_sq4_topk", "q224_sq4_recall", "q225_quant_ladder")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

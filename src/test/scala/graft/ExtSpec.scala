@@ -1365,6 +1365,22 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("quantLadderStats: raw anchor is exact, all tiers bounded, one row each") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val idx = Similarity.pqBuild(refineEmb, m = 2, dsub = 2, kCodes = 4)
+    val got = Similarity.quantLadderStats(idx, refineEmb, q, k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got.size === 4)
+    assert(got("raw_float32") === ((1L, 3L, 1000000L)))
+    Seq("sq8_int8", "sq4_int4", "pq_16x32").foreach { t =>
+      val (_, nq, rm) = got(t)
+      assert(nq === 3L && rm >= 0L && rm <= 1000000L)
+    }
+    // compression strictly increases down the ladder
+    assert(got.values.map(_._1).toSeq.sorted === Seq(1L, 4L, 8L, 16L))
+  }
+
   test("pqRetrainBenefitStats: retrain wins on a drifted delta; flag consistent") {
     // base clusters along axis 0 (with small wiggle), delta along
     // axis 2 — codebooks frozen on the base quantize the delta badly,
