@@ -89,12 +89,57 @@ object VectorIngest {
   /** The served artifact: the stored base plus every delta partition's
     * codes — bit-identical search results to the batch-built
     * [[graft.ext.Similarity.pqIndexAdd]] twin over the same fresh
-    * vectors (spec-pinned parity). */
+    * vectors (spec-pinned parity). Delta codes are deduped on
+    * (id, sub) at load: normally a no-op (the ingest guard keeps ids
+    * disjoint), it exists to make [[compactDeltas]]'s crash window
+    * safe — a compacted copy plus not-yet-deleted originals would
+    * otherwise double-count in every ADC sum. Dedup is harmless even
+    * then: frozen codebooks make any two code rows for the same
+    * (id, sub) identical, so which copy survives is irrelevant. */
   def loadGrownIndex(spark: SparkSession, indexDir: String)
       : Similarity.PqIndex = {
     val base = Similarity.loadPqIndex(spark, s"$indexDir/base")
-    base.copy(codes =
-      base.codes.unionAll(readDeltaExcept(spark, indexDir, -1L)))
+    base.copy(codes = base.codes.unionAll(
+      readDeltaExcept(spark, indexDir, -1L)
+        .dropDuplicates("id", "sub")))
+  }
+
+  /** Compact every delta partition into ONE (`batch_id=intoBatchId`) —
+    * the maintenance job both streaming stores need eventually: k
+    * micro-batches leave k small partitions, and the serve-time union
+    * reads k directories (at high trigger rates, thousands of tiny
+    * files). One batch rewrite restores O(1) read fan-out without
+    * touching the base or the quantizer; the read path is unchanged
+    * (the CurationStream compaction contract).
+    *
+    * Crash safety, in order: the combined codes are pinned BEFORE any
+    * write; the compacted partition is written first; the obsolete
+    * partitions are deleted last. A crash between the write and the
+    * deletes leaves duplicates on disk — which [[loadGrownIndex]]'s
+    * (id, sub) dedup serves correctly — and re-running compaction
+    * completes the deletes. A retry of a PRE-compaction batch (only
+    * possible with a rolled-back checkpoint) finds its ids already in
+    * the compacted partition and harmlessly writes an empty one: the
+    * codes live on in the compacted copy, nothing is lost.
+    *
+    * `intoBatchId` must not collide with a FUTURE stream batch id —
+    * pass the stream's next-unused id (or compact while the stream is
+    * down, the usual maintenance window). */
+  def compactDeltas(spark: SparkSession, indexDir: String,
+                    intoBatchId: Long): Unit = {
+    val all = readDeltaExcept(spark, indexDir, -1L)
+      .dropDuplicates("id", "sub")
+      .localCheckpoint(true)
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$indexDir/delta")
+    val fs = deltaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old =
+      if (!fs.exists(deltaPath)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(deltaPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_id=") &&
+          p.getName != s"batch_id=$intoBatchId")
+    all.write.mode("overwrite")
+      .parquet(s"$indexDir/delta/batch_id=$intoBatchId")
+    old.foreach(p => fs.delete(p, true))
   }
 
   /** foreachBatch writer chaining the per-batch encode; append output

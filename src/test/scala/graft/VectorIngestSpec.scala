@@ -66,6 +66,41 @@ class VectorIngestSpec extends SparkSpec {
       new java.io.File(dir))
   }
 
+  test("compactDeltas: one partition after, identical search; crash window safe") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vingest3").toString
+    try {
+      Similarity.savePqIndex(
+        Similarity.pqBuild(df(0L until 8L), m = 2, dsub = 2, kCodes = 4),
+        s"$dir/base")
+      VectorIngest.processBatch(dir)(df(Seq(8L, 9L)), batchId = 0L)
+      VectorIngest.processBatch(dir)(df(Seq(10L, 11L)), batchId = 1L)
+      val queries = df(Seq(0L, 5L))
+      val want = Similarity.pqAdcSearch(
+          VectorIngest.loadGrownIndex(spark, dir), queries, k = 4)
+        .collect().map(_.toString).toSeq
+      // simulate the crash window: compacted partition written, old
+      // partitions still present — load must dedup, not double-count
+      spark.read.parquet(s"$dir/delta/batch_id=0")
+        .unionAll(spark.read.parquet(s"$dir/delta/batch_id=1"))
+        .write.mode("overwrite").parquet(s"$dir/delta/batch_id=7")
+      val during = Similarity.pqAdcSearch(
+          VectorIngest.loadGrownIndex(spark, dir), queries, k = 4)
+        .collect().map(_.toString).toSeq
+      assert(during === want)
+      // full compaction: one partition left, search unchanged
+      VectorIngest.compactDeltas(spark, dir, intoBatchId = 7L)
+      val parts = new java.io.File(s"$dir/delta").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+      assert(parts.toSeq === Seq("batch_id=7"))
+      val after = Similarity.pqAdcSearch(
+          VectorIngest.loadGrownIndex(spark, dir), queries, k = 4)
+        .collect().map(_.toString).toSeq
+      assert(after === want)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("a re-delivered batch excludes only its own partition from the seen set") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_vingest2").toString
