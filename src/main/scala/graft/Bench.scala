@@ -138,6 +138,18 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // opt-in repeated-median mode (the r12 ask): the same-HEAD full
+    // run swings 256-347 s with rotating single-query victims, which
+    // makes per-round regression calls on individual heavy queries
+    // unjudgeable from one sample. SPARK_GRAFT_MEDIAN_K=3 re-times any
+    // query whose FIRST run exceeds SPARK_GRAFT_MEDIAN_MIN_SEC
+    // (default 2 s — the noise band lives in the heavy tail) k times
+    // and reports the median; cheap queries stay single-shot so the
+    // full-suite wall time doesn't triple. Off by default (k=1): the
+    // driver's BENCH_r{N} stays a like-for-like single-pass record.
+    val medianK = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_K", "1").toInt
+    val medianMinSec = sys.env
+      .getOrElse("SPARK_GRAFT_MEDIAN_MIN_SEC", "2.0").toDouble
     val results = names.map { name =>
       // JMH-style inter-query GC OUTSIDE the timed region: a heavy
       // neighbor's tenured garbage otherwise bleeds into the next
@@ -145,20 +157,34 @@ object Bench {
       // the following query 10×). Each query's own allocation pressure
       // still lands inside its timing.
       System.gc()
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         materialize(name)
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        val times =
+          if (medianK > 1 && first > medianMinSec)
+            first +: (2 to medianK).map { _ => System.gc(); once() }
+          else Seq(first)
+        val med = times.sorted.apply((times.size - 1) / 2)
+        (name, med, times.size)
       } catch {
-        case _: Throwable => name -> -1.0 // failure marker, excluded from total
+        // failure marker, excluded from total
+        case _: Throwable => (name, -1.0, 1)
       }
     }
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val medianOf =
+      if (medianK <= 1) ""
+      else results.collect { case (k, _, n) if n > 1 => "\"" + k + "\":" + n }
+        .mkString(""""median_of":{""", ",", "},")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":${errors.mkString("[", ",", "]")},$ctx,$annotations,"sf":"$sfDir"}"""
+      s"""$medianOf"errors":${errors.mkString("[", ",", "]")},$ctx,$annotations,"sf":"$sfDir"}"""
     println(line)
     // the stdout line has been truncated upstream before (BENCH_r02's
     // JSON tail) — persist a copy so totals survive log truncation.

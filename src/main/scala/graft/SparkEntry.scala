@@ -1934,10 +1934,10 @@ object SparkEntry {
       embeddings(s, d)
         .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
         .groupBy(col("label"))
-        .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
+        .agg(graft.functions.VectorAggregates.vector_micro_mean(col("v"))
+          .as("mv"))
         .select(col("label"),
-          posexplode(transform(col("mv"), x => round(x, 6)))
-            .as(Seq("dim", "val")))
+          posexplode(col("mv")).as(Seq("dim", "val")))
         .orderBy(col("label"), col("dim"))),
 
     // ===== corpus-level first-occurrence line dedup (C4 tier) ==========
@@ -2593,6 +2593,16 @@ object SparkEntry {
     "q220_vector_ingest_parity" -> ((s, d) =>
       graft.stream.VectorIngest.ingestParityProbe(s, embeddings(s, d))),
 
+    // ===== streaming RESIDUAL vector ingest, stream↔batch parity ======
+    // the q220 contract on the residual lifecycle: the 20% delta
+    // coarse-assigns / recentres / encodes against the FROZEN stored
+    // base through a real foreachBatch stream (two micro-batches, one
+    // re-sent id), then the grown on-disk artifact is searched with
+    // q202's geometry; the oracle is q202's frozen-add replay VERBATIM
+    "q226_residual_ingest_parity" -> ((s, d) =>
+      graft.stream.ResidualVectorIngest.ingestParityProbe(
+        s, embeddings(s, d))),
+
     // ===== hybrid search, end to end ==================================
     // the full retrieve-then-diversify stack COMPOSED from the tiers
     // this library already gates separately: BM25 lexical ranker
@@ -2698,7 +2708,7 @@ object SparkEntry {
        |  WHERE rk = 1),
        |${p}m1 AS (
        |  SELECT sub, c_id, i - 1 AS dim,
-       |         round(sum(sv[i]) / count(*), 6) AS mval
+       |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
        |  FROM ${p}a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
        |${p}c1m AS (
        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
@@ -2752,7 +2762,7 @@ object SparkEntry {
   private def residualTrainCtes(memberSrc: String): String =
     s"""rcent AS (
        |  SELECT c_id, list(mval ORDER BY dim) AS mv FROM (
-       |    SELECT cl.c_id, i AS dim, round(avg(mem.v[i]), 6) AS mval
+       |    SELECT cl.c_id, i AS dim, CAST(floor(CAST(sum(CAST(floor(mem.v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
        |    FROM $memberSrc mem JOIN cells cl ON cl.id = mem.id,
        |      UNNEST(range(1, 65)) AS u(i)
        |    GROUP BY 1, 2) GROUP BY 1),
@@ -3147,7 +3157,11 @@ object SparkEntry {
       ("q201_residual_roundtrip" -> oracleSqlBase("q189_residual_ivfpq")) +
       // q220 streams the same frozen-add the q198 oracle replays — the
       // stream↔batch parity IS the verbatim-replay contract
-      ("q220_vector_ingest_parity" -> oracleSqlBase("q198_pq_index_add"))
+      ("q220_vector_ingest_parity" -> oracleSqlBase("q198_pq_index_add")) +
+      // q226 is the residual twin: the stream must land exactly where
+      // q202's batch-built grown residual index lands
+      ("q226_residual_ingest_parity" ->
+        oracleSqlBase("q202_residual_index_add"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -5976,7 +5990,7 @@ object SparkEntry {
         |  WHERE rk = 1),
         |m1 AS (
         |  SELECT sub, c_id, i - 1 AS dim,
-        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
         |c1m AS (
         |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
@@ -6045,7 +6059,7 @@ object SparkEntry {
         |  WHERE rk = 1),
         |m1 AS (
         |  SELECT sub, c_id, i - 1 AS dim,
-        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
         |c1m AS (
         |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
@@ -7248,7 +7262,7 @@ object SparkEntry {
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |m AS (
-        |  SELECT label, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  SELECT label, i - 1 AS dim, CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM e, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
         |c AS (SELECT label, list(mval ORDER BY dim) AS cv FROM m GROUP BY label),
         |s AS (
@@ -7493,7 +7507,7 @@ object SparkEntry {
         |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s1)
         |  WHERE rk = 1),
         |m1 AS (
-        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  SELECT c_id, i - 1 AS dim, CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
         |c1 AS (
         |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m1 GROUP BY c_id
@@ -7512,7 +7526,7 @@ object SparkEntry {
         |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s2)
         |  WHERE rk = 1),
         |m2 AS (
-        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  SELECT c_id, i - 1 AS dim, CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a2, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
         |c2 AS (
         |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m2 GROUP BY c_id
@@ -7545,7 +7559,7 @@ object SparkEntry {
         |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s1)
         |  WHERE rk = 1),
         |m1 AS (
-        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  SELECT c_id, i - 1 AS dim, CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
         |c1 AS (
         |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m1 GROUP BY c_id
@@ -7564,7 +7578,7 @@ object SparkEntry {
         |      PARTITION BY id ORDER BY sim DESC, c_id) AS rk FROM s2)
         |  WHERE rk = 1),
         |m2 AS (
-        |  SELECT c_id, i - 1 AS dim, round(sum(v[i]) / count(*), 6) AS mval
+        |  SELECT c_id, i - 1 AS dim, CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a2, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
         |c2 AS (
         |  SELECT c_id, list(mval ORDER BY dim) AS cv FROM m2 GROUP BY c_id
@@ -7756,7 +7770,7 @@ object SparkEntry {
         |  WHERE rk = 1),
         |m1 AS (
         |  SELECT sub, c_id, i - 1 AS dim,
-        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 9)) AS u(i) GROUP BY 1, 2, 3),
         |c1m AS (
         |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
@@ -7782,7 +7796,7 @@ object SparkEntry {
     // UNNEST formulation of the VectorMean partial-buffer aggregate
     "q59_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
-        |       round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS val
+        |       CAST(floor(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS val
         |FROM embeddings, UNNEST(range(1, 65)) AS u(i)
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
@@ -8056,7 +8070,7 @@ object SparkEntry {
         |  WHERE rk = 1),
         |m1 AS (
         |  SELECT sub, c_id, i - 1 AS dim,
-        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
         |c1m AS (
         |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
@@ -8148,7 +8162,7 @@ object SparkEntry {
         |  WHERE rk = 1),
         |m1 AS (
         |  SELECT sub, c_id, i - 1 AS dim,
-        |         round(sum(sv[i]) / count(*), 6) AS mval
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
         |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
         |c1m AS (
         |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv

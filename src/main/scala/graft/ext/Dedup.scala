@@ -701,14 +701,23 @@ object Dedup {
     * Scale: signatures and the exact reference are each one pass,
     * eagerly pinned (3 band settings × 2 consumers each would
     * otherwise replay them); per-setting work is the banding explode
-    * (bands × corpus skinny rows) + the bucket equi-join — bounded by
-    * bucket size, never corpus². The exact reference is the capped
-    * posting-list join, run on the SAME (sampled) corpus the eval
-    * targets — at 100 TB the sweep runs on a sample, the chosen
-    * setting serves the corpus. */
+    * (bands × corpus skinny rows) + the bucket equi-join.
+    * `maxBucketSize` bounds that join's per-bucket blowup exactly as
+    * in [[minhashPairs]] — the default Int.MaxValue keeps the strict
+    * nesting theorem (`recall_monotone_ok` pins it) but makes the
+    * bucket join unbounded on duplicate-heavy corpora, so it is a
+    * hard precondition that the input be a SAMPLE sized for it (the
+    * deployment shape anyway: at 100 TB the sweep runs on a sample,
+    * the chosen setting serves the corpus). Passing a finite cap
+    * bounds the join on any input but WEAKENS the theorem: a bucket
+    * can fall under the cap at one band setting and over it at a
+    * coarser one, so monotonicity of the measured recall is no longer
+    * structurally guaranteed — read `recall_monotone_ok` as a
+    * measurement then, not a pinned invariant. */
   def lshBandSweep(docs: DataFrame, threshold: Double = 0.5,
                    k: Int = 64, bandsList: Seq[Int] = Seq(4, 8, 16),
                    maxPostings: Int = 1000,
+                   maxBucketSize: Int = Int.MaxValue,
                    idCol: String = "doc_id",
                    textCol: String = "text",
                    scheme: HashScheme = FastHash): DataFrame = {
@@ -730,10 +739,10 @@ object Dedup {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val rows = bandsList.map { b =>
       val ls = minhashPairsFromSigs(sigs, threshold, k, b,
-          Int.MaxValue, scheme)
+          maxBucketSize, scheme)
         .select(col("doc_a"), col("doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
-      val nr = bandedCandidates(sigs, k, b, Int.MaxValue, scheme)
+      val nr = bandedCandidates(sigs, k, b, maxBucketSize, scheme)
         .agg(count(lit(1)).as("n_raw_candidates"))
       val nc = ls.agg(count(lit(1)).as("n_candidate"))
       val com = exact.join(ls, Seq("doc_a", "doc_b"), "left_semi")

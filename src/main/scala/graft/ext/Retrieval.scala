@@ -170,7 +170,12 @@ object Retrieval {
         .select(col("qid"), col("cid"),
           (lit(wRel.toLong) * col("rel_micro") -
             lit(wDiv.toLong) * coalesce(col("mx"), lit(0L))).as("score"))
-      sel = sel.unionAll(argmax(scored, t))
+      // pin the growing selection each step: without this, step t's
+      // plan embeds the union of ALL prior steps' window+join subplans
+      // (quadratic plan growth in k — fine at k=5, minutes of planner
+      // time at k=50), and the two consumers below (anti-join + maxSim
+      // join) would re-execute the whole greedy prefix besides
+      sel = sel.unionAll(argmax(scored, t)).localCheckpoint(true)
     }
     sel.orderBy(col("qid"), col("pick"))
   }

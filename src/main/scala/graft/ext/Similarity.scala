@@ -844,8 +844,8 @@ object Similarity {
           col("v"), col("nrm"), ids, cvs, cns, 1), 1).as("c_id"),
         col("v"))
       val means = assigned.groupBy(col("c_id"))
-        .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
-        .select(col("c_id"), transform(col("mv"), x => round(x, 6)).as("mv"))
+        .agg(graft.functions.VectorAggregates.vector_micro_mean(col("v"))
+          .as("mv"))
       cents = cents.join(means, Seq("c_id"), "left")
         .select(col("c_id"), coalesce(col("mv"), col("cv")).as("cv"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
@@ -967,9 +967,9 @@ object Similarity {
         .select(col("sub"), col("best.c_id").as("c_id"),
           col("best.sv").as("sv"))
         .groupBy(col("sub"), col("c_id"))
-        .agg(graft.functions.VectorAggregates.vector_mean(col("sv")).as("mv"))
-        .select(col("sub"), col("c_id"),
-          transform(col("mv"), x => round(x, 6)).as("mv"))
+        .agg(graft.functions.VectorAggregates.vector_micro_mean(col("sv"))
+          .as("mv"))
+        .select(col("sub"), col("c_id"), col("mv"))
       cents = cents.join(means, Seq("sub", "c_id"), "left")
         .select(col("sub"), col("c_id"),
           coalesce(col("mv"), col("cv")).as("cv"))
@@ -1194,18 +1194,28 @@ object Similarity {
     * tier (tier, compression_x, n_q, sum_hits, mean_recall_micro)
     * ordered by compression. Tiers: raw float32 (1×, recall 1 by
     * construction — the anchor row), SQ8 (4×), SQ4 (8×), and the
-    * caller's PQ index (16× byte-aligned at 16 one-byte codes vs 64
-    * float32). Composes the per-tier gates (q206/q224/q178) into the
-    * single consumable: read the row whose recall clears your floor,
-    * take its compression.
+    * caller's PQ index, whose label and compression are DERIVED from
+    * its geometry (`pq_<m>x<kCodes>`; m·dsub float32 dims vs m codes
+    * of ⌈log₂k/8⌉-aligned bytes — e.g. 16 one-byte codes over 64 dims
+    * = 16×, but an m=2/dsub=2 fixture index is 8×, and a k>256
+    * codebook costs 2 bytes a code), never hardcoded: a wrong
+    * compression factor here corrupts the exact decision the table
+    * exists to inform. Composes the per-tier gates (q206/q224/q178)
+    * into the single consumable: read the row whose recall clears
+    * your floor, take its compression.
     *
     * Scale: an EVAL operator — the yardstick and each tier scan run
     * on the query sample; the exact top-k is computed once and pinned
-    * (four consumers). */
+    * (four consumers). The kCodes derivation counts the codebook
+    * frame (m·k rows — kilobytes, the broadcast model). */
   def quantLadderStats(index: PqIndex, corpus: DataFrame,
                        queries: DataFrame, k: Int,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    val kCodes = (index.cents.count() / index.m).toInt
+    val codeBytes =
+      if (kCodes <= 256) 1L else if (kCodes <= 65536) 2L else 4L
+    val pqCompX = (index.dsub * 4L) / codeBytes
     val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
       .select(col("qid"), col("cid")).localCheckpoint(true)
     def tier(name: String, compX: Long, approx: DataFrame) =
@@ -1216,9 +1226,10 @@ object Similarity {
       tier("raw_float32", 1L, exact),
       tier("sq8_int8", 4L, sq8TopK(corpus, queries, k, idCol, vecCol)),
       tier("sq4_int4", 8L, sq4TopK(corpus, queries, k, idCol, vecCol)),
-      tier("pq_16x32", 16L, pqAdcSearch(index, queries, k, idCol, vecCol)))
+      tier(s"pq_${index.m}x$kCodes", pqCompX,
+        pqAdcSearch(index, queries, k, idCol, vecCol)))
       .reduce(_.unionAll(_))
-      .orderBy(col("compression_x"))
+      .orderBy(col("compression_x"), col("tier"))
   }
 
   /** Retrain-benefit gate — the measured consequence of the ACTION the
@@ -1754,9 +1765,9 @@ object Similarity {
     val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val recenter = assigned.groupBy(col("centroid_id"))
-      .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
-      .select(col("centroid_id").as("c_id"),
-        transform(col("mv"), x => round(x, 6)).as("mv"))
+      .agg(graft.functions.VectorAggregates.vector_micro_mean(col("v"))
+        .as("mv"))
+      .select(col("centroid_id").as("c_id"), col("mv"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val resid = assigned
       .join(broadcast(recenter), col("centroid_id") === col("c_id"))
@@ -1900,9 +1911,33 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): ResidualPqIndex = {
     import org.apache.spark.storage.StorageLevel
+    val combined = residualEncodeFresh(index, delta,
+        index.cells.select(col("id")), idCol, vecCol)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    index.copy(
+      codes = index.codes.unionAll(
+        combined.select(col("id"), col("sub"), col("code"))),
+      cells = index.cells.unionAll(
+        combined.filter(col("sub") === 0)
+          .select(col("id"), col("centroid_id"))))
+  }
+
+  /** The codes-only half of [[residualPqIndexAdd]] — everything
+    * FROZEN (coarse seeds, recentring means, residual codebooks), ids
+    * already in `seenIds` dropped — exposed for the streaming ingest
+    * path ([[graft.stream.ResidualVectorIngest]]), which persists
+    * per-batch partitions instead of growing an in-memory index.
+    * Returns the LAZY combined frame (id, sub, code, centroid_id) —
+    * the cell assignment rides on every code row (recoverable as the
+    * sub = 0 slice) so one partition write captures both halves of
+    * the grown state; callers pin or write it. */
+  def residualEncodeFresh(index: ResidualPqIndex, delta: DataFrame,
+                          seenIds: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
     val fresh = delta
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(index.cells.select(col("id")), Seq("id"), "left_anti")
+      .join(seenIds.select(col("id")), Seq("id"), "left_anti")
       .withColumn("nrm", norm(col("v")))
     // coarse assignment against the FROZEN stored seeds: broadcast
     // nCentroids rows, map-side-collapsed argmax (the ivfAssign2
@@ -1919,23 +1954,27 @@ object Similarity {
         struct(col("_s"), (-col("c_id")).as("_t"))).as("b"))
       .select(col("id"), col("b.v").as("v"),
         col("b.c_id").as("centroid_id"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val resid = assigned
       .join(broadcast(index.recenter), col("centroid_id") === col("c_id"))
-      .select(col("id"),
+      .select(col("id"), col("centroid_id"),
         zip_with(col("v"), col("mv"), (a, b) => a - b).as("v"))
     val m = index.m
     val dsub = index.dsub
-    val subs = resid.select(col("id"), posexplode(
+    val subs = resid.select(col("id"), col("centroid_id"), posexplode(
       transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
-    val newCodes = pqAssignCore(subs, index.cents)
-      .select(col("id"), col("sub"), col("best.c_id").as("code"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    index.copy(
-      codes = index.codes.unionAll(newCodes),
-      cells = index.cells.unionAll(
-        assigned.select(col("id"), col("centroid_id"))))
+    // centroid_id is functionally dependent on id — min() is exact,
+    // it just rides the existing (id, sub) collapse
+    subs.join(broadcast(index.cents.select(col("sub").as("csub"),
+        col("c_id"), col("cv"))),
+        col("sub") === col("csub"))
+      .withColumn("_d", round(
+        dot(col("sv"), col("sv")) - lit(2) * dot(col("sv"), col("cv")) +
+          dot(col("cv"), col("cv")), 6))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("c_id"), struct(col("_d"), col("c_id"))).as("code"),
+        min(col("centroid_id")).as("centroid_id"))
+      .select(col("id"), col("sub"), col("code"), col("centroid_id"))
   }
 
   /** Residual-vs-raw quantization uplift at EQUAL code budget, against
@@ -2210,8 +2249,9 @@ object Similarity {
     val e = emb.select(col(labelCol).as("label"), col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"))
     val cents = e.groupBy(col("label"))
-      .agg(graft.functions.VectorAggregates.vector_mean(col("v")).as("mv"))
-      .select(col("label"), transform(col("mv"), x => round(x, 6)).as("cv"))
+      .agg(graft.functions.VectorAggregates.vector_micro_mean(col("v"))
+        .as("mv"))
+      .select(col("label"), col("mv").as("cv"))
     val scored = e.join(broadcast(cents), Seq("label"))
       .select(col("label"), col("id"),
         round(cosine(col("v"), col("cv")), 6).as("sim"))

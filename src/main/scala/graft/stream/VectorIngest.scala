@@ -76,6 +76,10 @@ object VectorIngest {
     * replaying a checkpoint. */
   def processBatch(indexDir: String)
                   (batch: Dataset[Row], batchId: Long): Unit = {
+    // Structured Streaming batch ids are non-negative by contract;
+    // enforcing it here keeps the reserved [[CompactedBatchId]]
+    // partition unreachable from ANY caller of this seam.
+    require(batchId >= 0, s"stream batch ids are non-negative: $batchId")
     val spark = batch.sparkSession
     val base = Similarity.loadPqIndex(spark, s"$indexDir/base")
     val seenIds = base.codes.filter(col("sub") === 0).select(col("id"))
@@ -104,13 +108,33 @@ object VectorIngest {
         .dropDuplicates("id", "sub")))
   }
 
-  /** Compact every delta partition into ONE (`batch_id=intoBatchId`) —
-    * the maintenance job both streaming stores need eventually: k
-    * micro-batches leave k small partitions, and the serve-time union
-    * reads k directories (at high trigger rates, thousands of tiny
-    * files). One batch rewrite restores O(1) read fan-out without
-    * touching the base or the quantizer; the read path is unchanged
-    * (the CurationStream compaction contract).
+  /** The partition id compaction rewrites into. RESERVED and
+    * out-of-band by construction: Structured Streaming batch ids are
+    * non-negative, so no resumed stream's [[processBatch]] can ever
+    * target (and mode-overwrite) this partition. It is deliberately
+    * NOT -1, which [[readDeltaExcept]] uses as its read-all sentinel —
+    * a compacted store must always be read. Round-12 postmortem: the
+    * previous caller-supplied `intoBatchId` invited exactly the
+    * collision this constant forbids — "the stream's next-unused id"
+    * is the id the next micro-batch receives when the stream resumes
+    * from its checkpoint, and its overwrite would have silently
+    * dropped every compacted vector from the served index. */
+  val CompactedBatchId: Long = -2L
+
+  /** Compact every delta partition into ONE reserved partition
+    * (`batch_id=` [[CompactedBatchId]]) — the maintenance job both
+    * streaming stores need eventually: k micro-batches leave k small
+    * partitions, and the serve-time union reads k directories (at
+    * high trigger rates, thousands of tiny files). One batch rewrite
+    * restores O(1) read fan-out without touching the base or the
+    * quantizer; the read path is unchanged (the CurationStream
+    * compaction contract), and because the target id is negative it
+    * can never collide with a future stream batch — compaction is
+    * safe to run even while the stream is live (the write itself is
+    * still best run in a quiet window so the pinned snapshot isn't
+    * missing an in-flight batch; a missed batch survives either way —
+    * its partition is not in `old` at list time only if it appeared
+    * after, in which case it is simply not deleted).
     *
     * Crash safety, in order: the combined codes are pinned BEFORE any
     * write; the compacted partition is written first; the obsolete
@@ -120,13 +144,8 @@ object VectorIngest {
     * completes the deletes. A retry of a PRE-compaction batch (only
     * possible with a rolled-back checkpoint) finds its ids already in
     * the compacted partition and harmlessly writes an empty one: the
-    * codes live on in the compacted copy, nothing is lost.
-    *
-    * `intoBatchId` must not collide with a FUTURE stream batch id —
-    * pass the stream's next-unused id (or compact while the stream is
-    * down, the usual maintenance window). */
-  def compactDeltas(spark: SparkSession, indexDir: String,
-                    intoBatchId: Long): Unit = {
+    * codes live on in the compacted copy, nothing is lost. */
+  def compactDeltas(spark: SparkSession, indexDir: String): Unit = {
     val all = readDeltaExcept(spark, indexDir, -1L)
       .dropDuplicates("id", "sub")
       .localCheckpoint(true)
@@ -136,9 +155,9 @@ object VectorIngest {
       if (!fs.exists(deltaPath)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(deltaPath).map(_.getPath)
         .filter(p => p.getName.startsWith("batch_id=") &&
-          p.getName != s"batch_id=$intoBatchId")
+          p.getName != s"batch_id=$CompactedBatchId")
     all.write.mode("overwrite")
-      .parquet(s"$indexDir/delta/batch_id=$intoBatchId")
+      .parquet(s"$indexDir/delta/batch_id=$CompactedBatchId")
     old.foreach(p => fs.delete(p, true))
   }
 

@@ -49,6 +49,43 @@ object OpqProbe {
     dims.groupBy((col("d") / 4).cast("int").as("sub"))
       .agg(round(variance(col("x")), 6).as("var"))
       .orderBy(col("sub")).show(16, false)
+
+    // ===== round-13: the "cheap 80% of OPQ" (permutation-only OPQ,
+    // Ge et al. 2013's OPQ-P restricted to data-derived permutations —
+    // no trained rotation, so it stays deterministic/replayable):
+    // (a) variance-balanced allocation — sort dims by variance, deal
+    //     round-robin so each subspace gets an even variance budget;
+    // (b) PC1-guided allocation — sort dims by |PC1 loading| (the
+    //     q212 power-iteration machinery), deal round-robin so the
+    //     dominant axis spreads across subspaces instead of
+    //     concentrating in one codebook.
+    // Valid eval: cosine is permutation-invariant, so the raw-space
+    // brute yardstick still scores the permuted-space index.
+    def permuted(order: Array[Int], label: String): Unit = {
+      val p: Column => Column = c =>
+        array(order.toIndexedSeq.map(j =>
+          element_at(S.asDouble(c), j + 1)): _*)
+      val embP = emb.select(col("vec_id"), p(col("embedding")).as("embedding"))
+      println(s"$label " + rec(
+        S.pqAdcTopK(embP, embP.filter(col("vec_id") < 10), 5,
+          m = 16, dsub = 4, kCodes = 32, iters = 1)))
+    }
+    def roundRobin(ranked: Array[Int], m: Int, dsub: Int): Array[Int] = {
+      // ranked(r) = dim with rank r; subspace s takes ranks s, s+m,
+      // s+2m, ... — the permutation lists each subspace's dims
+      // contiguously so the standard slicing picks them up
+      (0 until m).flatMap(s =>
+        (0 until dsub).map(r => ranked(r * m + s))).toArray
+    }
+    val varRank = dims.groupBy(col("d"))
+      .agg(variance(col("x")).as("v")).collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .map(_.getLong(0).toInt)
+    permuted(roundRobin(varRank, 16, 4), "VARPERM")
+    val pc1Rank = S.pc1PowerIteration(emb).collect()
+      .sortBy(r => (-math.abs(r.getLong(1)), r.getLong(0)))
+      .map(_.getLong(0).toInt)
+    permuted(roundRobin(pc1Rank, 16, 4), "PC1PERM")
     spark.stop()
   }
 }

@@ -1373,12 +1373,15 @@ class ExtSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     assert(got.size === 4)
     assert(got("raw_float32") === ((1L, 3L, 1000000L)))
-    Seq("sq8_int8", "sq4_int4", "pq_16x32").foreach { t =>
+    Seq("sq8_int8", "sq4_int4", "pq_2x4").foreach { t =>
       val (_, nq, rm) = got(t)
       assert(nq === 3L && rm >= 0L && rm <= 1000000L)
     }
-    // compression strictly increases down the ladder
-    assert(got.values.map(_._1).toSeq.sorted === Seq(1L, 4L, 8L, 16L))
+    // compression DERIVED from the index geometry: this fixture's
+    // m=2/dsub=2 one-byte codes over 4 float32 dims are 8× (genuinely
+    // tying SQ4 — the round-12 hardcoded 16× misreported exactly this)
+    assert(got("pq_2x4")._1 === 8L)
+    assert(got.values.map(_._1).toSeq.sorted === Seq(1L, 4L, 8L, 8L))
   }
 
   test("pqRetrainBenefitStats: retrain wins on a drifted delta; flag consistent") {

@@ -83,20 +83,36 @@ class VectorIngestSpec extends SparkSpec {
       // partitions still present — load must dedup, not double-count
       spark.read.parquet(s"$dir/delta/batch_id=0")
         .unionAll(spark.read.parquet(s"$dir/delta/batch_id=1"))
-        .write.mode("overwrite").parquet(s"$dir/delta/batch_id=7")
+        .write.mode("overwrite")
+        .parquet(s"$dir/delta/batch_id=${VectorIngest.CompactedBatchId}")
       val during = Similarity.pqAdcSearch(
           VectorIngest.loadGrownIndex(spark, dir), queries, k = 4)
         .collect().map(_.toString).toSeq
       assert(during === want)
       // full compaction: one partition left, search unchanged
-      VectorIngest.compactDeltas(spark, dir, intoBatchId = 7L)
+      VectorIngest.compactDeltas(spark, dir)
       val parts = new java.io.File(s"$dir/delta").listFiles()
         .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
-      assert(parts.toSeq === Seq("batch_id=7"))
+      assert(parts.toSeq ===
+        Seq(s"batch_id=${VectorIngest.CompactedBatchId}"))
       val after = Similarity.pqAdcSearch(
           VectorIngest.loadGrownIndex(spark, dir), queries, k = 4)
         .collect().map(_.toString).toSeq
       assert(after === want)
+      // the round-12 hazard, now impossible by construction: a stream
+      // resuming AFTER compaction reuses batch id 2 (its next unused
+      // id) — a fresh delta partition, NOT the compacted one, so every
+      // compacted vector stays served
+      VectorIngest.processBatch(dir)(df(Seq(12L)), batchId = 2L)
+      val resumed = VectorIngest.loadGrownIndex(spark, dir)
+      val served = resumed.codes.filter(col("sub") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(served.toSeq === (0L to 12L))
+      // and the reserved partition is unreachable from the batch seam
+      intercept[IllegalArgumentException] {
+        VectorIngest.processBatch(dir)(
+          df(Seq(13L)), batchId = VectorIngest.CompactedBatchId)
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
   }
