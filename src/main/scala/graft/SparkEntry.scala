@@ -2603,6 +2603,26 @@ object SparkEntry {
       graft.stream.ResidualVectorIngest.ingestParityProbe(
         s, embeddings(s, d))),
 
+    // ===== binary-quantization Hamming top-k ==========================
+    // the 32× rung of the quantization ladder: per-dim corpus
+    // micro-mean thresholds (the reduce-order-free convention), 32-bit
+    // word packing, XOR+popcount Hamming ranking — FAISS
+    // IndexBinaryFlat as a candidate generator
+    "q227_bq_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // ===== binary shortlist + exact refine, measured uplift ==========
+    // the deployment shape for 32× codes: Hamming shortlist at depth
+    // 20, exact cosine refine to 5 — refined ≥ unrefined is the q210
+    // theorem; the refined NUMBER is the dial that sizes the shortlist
+    "q228_bq_refine_uplift" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bqRefineUpliftStats(emb,
+        emb.filter(col("vec_id") < 10), k = 5, r = 20)
+    }),
+
     // ===== hybrid search, end to end ==================================
     // the full retrieve-then-diversify stack COMPOSED from the tiers
     // this library already gates separately: BM25 lexical ranker
@@ -2925,6 +2945,44 @@ object SparkEntry {
        |  WHERE rank <= 5),
        |${p}h AS (SELECT CAST(count(*) AS BIGINT) AS h
        |          FROM bq JOIN ${p}top USING (qid, cid))""".stripMargin
+
+  /** Binary-quantization replay over `e` (corpus) and `qiv` (queries):
+    * per-dim micro-mean thresholds (the reduce-order-free convention),
+    * 32-bit word packing (bit j of word w = dim w·32+j, weight 2ʲ),
+    * XOR+popcount Hamming scores, rank ties on cid. Emits
+    * `bnham(qid, cid, hamming)` and `bntop(qid, cid, hamming, rank)`
+    * at depth `k`. Prefix `bn` — `bq` is the brute yardstick CTE in
+    * the recall oracles. */
+  private def bnCtes(k: Int): String =
+    s"""bnm AS (
+       |  SELECT i AS dim,
+       |         CAST(floor(CAST(sum(CAST(floor(v[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS t
+       |  FROM e, UNNEST(range(1, 65)) AS u(i) GROUP BY 1),
+       |bnwc AS (
+       |  SELECT id, CAST((i-1)//32 AS INT) AS w,
+       |         CAST(sum(CASE WHEN v[i] > m.t
+       |           THEN CAST(1 AS BIGINT) << CAST((i-1)%32 AS INT)
+       |           ELSE 0 END) AS BIGINT) AS word
+       |  FROM e, UNNEST(range(1, 65)) AS u(i) JOIN bnm m ON m.dim = i
+       |  GROUP BY 1, 2),
+       |bnwq AS (
+       |  SELECT qid, CAST((i-1)//32 AS INT) AS w,
+       |         CAST(sum(CASE WHEN qv[i] > m.t
+       |           THEN CAST(1 AS BIGINT) << CAST((i-1)%32 AS INT)
+       |           ELSE 0 END) AS BIGINT) AS word
+       |  FROM qiv, UNNEST(range(1, 65)) AS u(i) JOIN bnm m ON m.dim = i
+       |  GROUP BY 1, 2),
+       |bnham AS (
+       |  SELECT q.qid, c.id AS cid,
+       |         CAST(sum(bit_count(xor(q.word, c.word))) AS BIGINT)
+       |           AS hamming
+       |  FROM bnwq q JOIN bnwc c ON c.w = q.w AND c.id <> q.qid
+       |  GROUP BY 1, 2),
+       |bntop AS (
+       |  SELECT qid, cid, hamming, rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY qid ORDER BY hamming, cid) AS rank FROM bnham)
+       |  WHERE rank <= $k)""".stripMargin
 
   /** Plain (raw-vector) blocked-ADC CTEs on top of [[ivfCommonCtes]]:
     * the q185 training replay (prefix `p`) + per-query LUT + blocked
@@ -9246,6 +9304,69 @@ object SparkEntry {
 
     // one brute yardstick, four tier blocks (raw anchor, SQ8, SQ4,
     // flat PQ-ADC over the q177 training replay), one row each
+    // micro-mean thresholds → 32-bit word pack → XOR+popcount Hamming
+    // rank — the full binary-code replay, exact integers end to end
+    "q227_bq_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |${bnCtes(5)}
+        |SELECT qid, cid, hamming, rank FROM bntop
+        |ORDER BY qid, rank""".stripMargin,
+
+    // binary shortlist at depth 20, exact-cosine refine to 5, both
+    // recalls vs the brute yardstick — the q210 gate shape verbatim
+    "q228_bq_refine_uplift" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |${bnCtes(20)},
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |refd AS (
+        |  SELECT s.qid, s.cid, sb.cos_sim
+        |  FROM bntop s JOIN scored_b sb
+        |    ON sb.qid = s.qid AND sb.cid = s.cid),
+        |rtop AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM refd)
+        |  WHERE rank <= 5),
+        |unref AS (SELECT qid, cid FROM bntop WHERE rank <= 5),
+        |hr AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN rtop USING (qid, cid) GROUP BY 1),
+        |hu AS (SELECT bq.qid, CAST(count(*) AS BIGINT) AS h
+        |       FROM bq JOIN unref USING (qid, cid) GROUP BY 1),
+        |ne AS (SELECT qid FROM bq GROUP BY qid),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |         CAST(sum(coalesce(hr.h, 0)) AS BIGINT) AS sum_hits_refined,
+        |         CAST(sum(coalesce(hu.h, 0)) AS BIGINT)
+        |           AS sum_hits_unrefined
+        |  FROM ne LEFT JOIN hr ON hr.qid = ne.qid
+        |  LEFT JOIN hu ON hu.qid = ne.qid)
+        |SELECT n_q, sum_hits_refined, sum_hits_unrefined,
+        |  CAST(sum_hits_refined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_refined_micro,
+        |  CAST(sum_hits_unrefined * 1000000 // (n_q * 5) AS BIGINT)
+        |    AS mean_recall_unrefined_micro,
+        |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
+        |    AS refined_ge_unrefined
+        |FROM agg""".stripMargin,
+
     "q225_quant_ladder" ->
       s"""WITH e AS (
         |  SELECT vec_id AS id,
@@ -9283,7 +9404,11 @@ object SparkEntry {
         |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM fad)
         |  WHERE rank <= 5),
         |fh AS (SELECT CAST(count(*) AS BIGINT) AS h
-        |       FROM bq JOIN ftop USING (qid, cid))
+        |       FROM bq JOIN ftop USING (qid, cid)),
+        |${bnCtes(5)},
+        |bnh AS (SELECT CAST(count(*) AS BIGINT) AS h
+        |        FROM bq JOIN (SELECT qid, cid FROM bntop)
+        |          USING (qid, cid))
         |SELECT 'raw_float32' AS tier, CAST(1 AS BIGINT) AS compression_x,
         |  n_q, rawh.h AS sum_hits,
         |  CAST(rawh.h * 1000000 // (n_q * 5) AS BIGINT) AS mean_recall_micro
@@ -9297,6 +9422,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'pq_16x32', CAST(16 AS BIGINT), n_q, fh.h,
         |  CAST(fh.h * 1000000 // (n_q * 5) AS BIGINT) FROM nq, fh
+        |UNION ALL
+        |SELECT 'bq_1bit', CAST(32 AS BIGINT), n_q, bnh.h,
+        |  CAST(bnh.h * 1000000 // (n_q * 5) AS BIGINT) FROM nq, bnh
         |ORDER BY compression_x""".stripMargin,
 
     // prefix-cosine shortlist at depth 20 (dims 1..16), exact

@@ -1193,7 +1193,10 @@ object Similarity {
     * each compression point against the exact yardstick, one row per
     * tier (tier, compression_x, n_q, sum_hits, mean_recall_micro)
     * ordered by compression. Tiers: raw float32 (1×, recall 1 by
-    * construction — the anchor row), SQ8 (4×), SQ4 (8×), and the
+    * construction — the anchor row), SQ8 (4×), SQ4 (8×), binary
+    * mean-threshold codes (32× — [[bqTopK]], the candidate-generator
+    * rung whose low standalone recall is exactly what the table should
+    * show next to [[bqRefineUpliftStats]]'s refined number), and the
     * caller's PQ index, whose label and compression are DERIVED from
     * its geometry (`pq_<m>x<kCodes>`; m·dsub float32 dims vs m codes
     * of ⌈log₂k/8⌉-aligned bytes — e.g. 16 one-byte codes over 64 dims
@@ -1227,7 +1230,8 @@ object Similarity {
       tier("sq8_int8", 4L, sq8TopK(corpus, queries, k, idCol, vecCol)),
       tier("sq4_int4", 8L, sq4TopK(corpus, queries, k, idCol, vecCol)),
       tier(s"pq_${index.m}x$kCodes", pqCompX,
-        pqAdcSearch(index, queries, k, idCol, vecCol)))
+        pqAdcSearch(index, queries, k, idCol, vecCol)),
+      tier("bq_1bit", 32L, bqTopK(corpus, queries, k, idCol, vecCol)))
       .reduce(_.unionAll(_))
       .orderBy(col("compression_x"), col("tier"))
   }
@@ -1489,6 +1493,120 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-dimension binarization thresholds for [[bqTopK]]: the
+    * corpus element-wise mean on the 6-dp grid ([[graft.functions
+    * .VectorMicroMean]] — reduce-order-free, so the trained
+    * thresholds replay bit-identically across runs and engines). The
+    * mean split is the standard zero-training binary-hash baseline
+    * (sign binarization recentred for non-zero-centred embeddings —
+    * this corpus is non-negative, so a raw sign bit would be
+    * constant-1 and carry no information). Returns the dim-sized
+    * driver model (the sanctioned bounded-model collect class). */
+  def bqThresholds(corpus: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Double] = {
+    val rows = corpus
+      .select(asDouble(col(vecCol)).as("v"))
+      .agg(graft.functions.VectorAggregates.vector_micro_mean(col("v"))
+        .as("mv"))
+      .collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) Array.emptyDoubleArray
+    else rows(0).getSeq[Double](0).toArray
+  }
+
+  /** Pack one frame's vectors into binary codes against fixed
+    * `thresholds`: bit_d = 1 iff x_d > t_d, 32 bits per BIGINT word
+    * (LSB = lowest dim in the word — weights 2⁰…2³¹, far from the
+    * sign bit, so ANSI arithmetic can never overflow the pack).
+    * Emits (id, words: array<bigint>). The pack is exact integer
+    * arithmetic — a DuckDB oracle replays it as
+    * `sum(bit · 2^((i−1) % 32))` grouped by `(i−1) // 32`. */
+  def bqPack(emb: DataFrame, thresholds: Array[Double],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val nWords = (thresholds.length + 31) / 32
+    val weights = Array.tabulate(32)(j => 1L << j)
+    val bits = zip_with(asDouble(col(vecCol)), lit(thresholds),
+      (x, t) => when(x > t, 1L).otherwise(0L))
+    emb.select(col(idCol).as("id"), bits.as("bits"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(nWords - 1)), w =>
+          aggregate(
+            zip_with(slice(col("bits"), w * 32 + 1, lit(32)),
+              lit(weights), (b, wt) => b * wt),
+            lit(0L), (acc, x) => acc + coalesce(x, lit(0L))))
+          .as("words"))
+  }
+
+  /** Binary-quantization top-k — the 32× rung of the quantization
+    * ladder (1 bit per float32 dim), the cheapest candidate generator
+    * in the compression family (FAISS `IndexBinaryFlat` shape):
+    * corpus and queries binarize against the SAME corpus-trained
+    * per-dim mean thresholds ([[bqThresholds]]), and candidates rank
+    * by Hamming distance — XOR + popcount per 32-bit word, the two
+    * cheapest instructions a scan can execute, over a stored form 32×
+    * smaller than the floats. Recall at this compression is LOW by
+    * construction (Hamming over mean bits is a coarse proxy); the
+    * deployment is ALWAYS two-stage — a deep binary shortlist handed
+    * to [[refineTopK]] ([[bqRefineUpliftStats]] measures exactly that
+    * dial, the q210 pattern).
+    *
+    * Determinism: thresholds on the 6-dp grid via the order-free
+    * micro mean; the pack and the Hamming sums are exact integers;
+    * ranking ties break on cid (Hamming over 64 dims is tie-dense —
+    * the tie-break is load-bearing, not cosmetic).
+    *
+    * Scale: the packed corpus is the STORED form (eagerly pinned —
+    * one build, every batch scans it); per pair the work is nWords
+    * XOR+popcounts; ranking is the [[bruteTopK]] broadcast-query
+    * window (by-definition linear scan over a 32×-smaller table; cell
+    * blocking composes exactly as [[ivfSq8TopK]] if sub-linear is
+    * needed). Emits (qid, cid, hamming, rank). */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val thr = bqThresholds(corpus, idCol, vecCol)
+    val c = bqPack(corpus, thr, idCol, vecCol)
+      .select(col("id").as("cid"), col("words").as("cw"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val q = bqPack(queries, thr, idCol, vecCol)
+      .select(col("id").as("qid"), col("words").as("qw"))
+    val hamming = aggregate(
+      zip_with(col("qw"), col("cw"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), hamming.as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[refineUpliftStats]] with the BINARY scan as the first stage —
+    * the measured form of "binary codes are a candidate generator,
+    * not a ranker": Hamming shortlist at depth `r`, exact cosine
+    * refine to `k`, refined-vs-unrefined recall against the brute
+    * yardstick in ONE reduce-order-free integer row. Refined ≥
+    * unrefined is the q210 theorem (a true top-k member of the
+    * shortlist always survives exact re-ranking), so the flag reds on
+    * convention drift; the refined NUMBER is the dial a deployment
+    * reads to size `r`. */
+  def bqRefineUpliftStats(corpus: DataFrame, queries: DataFrame,
+                          k: Int, r: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist depth r=$r must be >= k=$k")
+    val shortlist = bqTopK(corpus, queries, r, idCol, vecCol)
+      .localCheckpoint(true)
+    refineUpliftFromShortlist(corpus, queries, shortlist, k,
+      idCol, vecCol)
   }
 
   /** IVF-blocked SQ8 top-k (the FAISS `IndexIVFScalarQuantizer`

@@ -75,7 +75,12 @@ class EntrySpec extends SparkSpec {
     // PQ-ADC scan into the ladder table — all the same by-definition
     // broadcast-query linear scans
     "q221_matryoshka", "q222_matryoshka_uplift",
-    "q223_sq4_topk", "q224_sq4_recall", "q225_quant_ladder")
+    "q223_sq4_topk", "q224_sq4_recall", "q225_quant_ladder",
+    // q227 is the q21 broadcast-query linear scan over the packed
+    // binary words (32× smaller stored form, by-definition Hamming
+    // scan); q228 adds the brute yardstick + the refine re-rank over
+    // the bounded |Q|·r shortlist
+    "q227_bq_topk", "q228_bq_refine_uplift")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1365,15 +1365,66 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("bqPack: bits land in the right words with the right weights") {
+    // dim 4 (one word); thresholds 0 → bit_d = 1 iff x_d > 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)), // bits 1010 LSB-first → 5
+      (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)), // bits 0101 → 10
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)), // 15
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))  // 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bqPack(emb, Array(0.0, 0.0, 0.0, 0.0))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === Map(0L -> Seq(5L), 1L -> Seq(10L), 2L -> Seq(15L),
+      3L -> Seq(0L)))
+  }
+
+  test("bqTopK: Hamming ranking with cid tie-breaks, self excluded") {
+    // mean thresholds split the one-hot fixture cleanly; identical
+    // binary codes tie at Hamming 0 and must order by cid
+    val q = refineEmb.filter(col("vec_id") < 2)
+    val got = Similarity.bqTopK(refineEmb, q, k = 3).collect()
+    assert(got.length === 6)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+      assert(rows.forall(_.getLong(1) != qid)) // self excluded
+      // hamming non-decreasing with rank; ties ordered by cid
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getLong(2)).toSeq ===
+        byRank.map(_.getLong(2)).sorted.toSeq)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getLong(2) == b.getLong(2))
+            assert(a.getLong(1) < b.getLong(1))
+        case _ => ()
+      }
+    }
+  }
+
+  test("bqRefineUpliftStats: refined >= unrefined (the q210 theorem)") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val row = Similarity.bqRefineUpliftStats(refineEmb, q, k = 3, r = 8)
+      .collect()(0)
+    assert(row.getLong(0) === 3L)                 // n_q
+    assert(row.getLong(5) === 1L)                 // refined_ge_unrefined
+    assert(row.getLong(3) >= row.getLong(4))      // micro means agree
+  }
+
+  test("bq training is reduce-order-free across partitionings") {
+    val a = Similarity.bqThresholds(refineEmb.repartition(1))
+    val b = Similarity.bqThresholds(refineEmb.repartition(7))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("quantLadderStats: raw anchor is exact, all tiers bounded, one row each") {
     val q = refineEmb.filter(col("vec_id") < 3)
     val idx = Similarity.pqBuild(refineEmb, m = 2, dsub = 2, kCodes = 4)
     val got = Similarity.quantLadderStats(idx, refineEmb, q, k = 3)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
-    assert(got.size === 4)
+    assert(got.size === 5)
     assert(got("raw_float32") === ((1L, 3L, 1000000L)))
-    Seq("sq8_int8", "sq4_int4", "pq_2x4").foreach { t =>
+    Seq("sq8_int8", "sq4_int4", "pq_2x4", "bq_1bit").foreach { t =>
       val (_, nq, rm) = got(t)
       assert(nq === 3L && rm >= 0L && rm <= 1000000L)
     }
@@ -1381,7 +1432,8 @@ class ExtSpec extends SparkSpec {
     // m=2/dsub=2 one-byte codes over 4 float32 dims are 8× (genuinely
     // tying SQ4 — the round-12 hardcoded 16× misreported exactly this)
     assert(got("pq_2x4")._1 === 8L)
-    assert(got.values.map(_._1).toSeq.sorted === Seq(1L, 4L, 8L, 8L))
+    assert(got("bq_1bit")._1 === 32L)
+    assert(got.values.map(_._1).toSeq.sorted === Seq(1L, 4L, 8L, 8L, 32L))
   }
 
   test("pqRetrainBenefitStats: retrain wins on a drifted delta; flag consistent") {
