@@ -79,8 +79,8 @@ object OpqProbe {
     }
     val varRank = dims.groupBy(col("d"))
       .agg(variance(col("x")).as("v")).collect()
-      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
-      .map(_.getLong(0).toInt)
+      .sortBy(r => (-r.getDouble(1), r.getInt(0)))
+      .map(_.getInt(0))
     permuted(roundRobin(varRank, 16, 4), "VARPERM")
     val pc1Rank = S.pc1PowerIteration(emb).collect()
       .sortBy(r => (-math.abs(r.getLong(1)), r.getLong(0)))

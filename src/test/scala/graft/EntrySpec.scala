@@ -79,8 +79,9 @@ class EntrySpec extends SparkSpec {
     // q227 is the q21 broadcast-query linear scan over the packed
     // binary words (32× smaller stored form, by-definition Hamming
     // scan); q228 adds the brute yardstick + the refine re-rank over
-    // the bounded |Q|·r shortlist
-    "q227_bq_topk", "q228_bq_refine_uplift")
+    // the bounded |Q|·r shortlist; q229 is the q178 brute yardstick +
+    // two flat ADC scans (broadcast LUT joins, by-definition linear)
+    "q227_bq_topk", "q228_bq_refine_uplift", "q229_opq_perm_uplift")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

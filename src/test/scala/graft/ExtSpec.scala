@@ -1416,6 +1416,26 @@ class ExtSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("pc1SubspacePermutation: a valid permutation, order-free across partitionings") {
+    val a = Similarity.pc1SubspacePermutation(refineEmb.repartition(1),
+      m = 2, dsub = 2)
+    val b = Similarity.pc1SubspacePermutation(refineEmb.repartition(7),
+      m = 2, dsub = 2)
+    assert(a.toSeq === b.toSeq)
+    assert(a.sorted.toSeq === (0 until 4))
+  }
+
+  test("permutedPqUpliftStats: one integer gate row, recalls bounded") {
+    val q = refineEmb.filter(col("vec_id") < 3)
+    val row = Similarity.permutedPqUpliftStats(refineEmb, q, k = 3,
+      m = 2, dsub = 2, kCodes = 4)
+    val r = row.collect()(0)
+    assert(r.getLong(0) === 3L) // n_q
+    Seq(3, 4).foreach(i =>
+      assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L))
+    assert(r.getLong(5) === 0L || r.getLong(5) === 1L)
+  }
+
   test("quantLadderStats: raw anchor is exact, all tiers bounded, one row each") {
     val q = refineEmb.filter(col("vec_id") < 3)
     val idx = Similarity.pqBuild(refineEmb, m = 2, dsub = 2, kCodes = 4)
