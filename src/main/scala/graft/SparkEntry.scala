@@ -2623,6 +2623,19 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), k = 5, r = 20)
     }),
 
+    // ===== graded ranking metrics (MRR + nDCG@5) ======================
+    // recall counts hits, these score WHERE the hits landed: the
+    // PQ-ADC ranking graded against the exact top-5 — binary
+    // relevance, micro-pinned log2 discounts (literals in both
+    // engines, no query-time logarithm), exact integer div everywhere
+    "q230_ranking_metrics" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rankingStats(
+        Similarity.bruteTopK(emb, q, 5),
+        Similarity.pqAdcSearch(sharedPqIndex(s, d), q, 5), k = 5)
+    }),
+
     // ===== PC1-guided subspace allocation (permutation-only OPQ) =====
     // the shippable half of OPQ: dims ranked by |PC1 loading| dealt
     // round-robin across subspaces, same 16×32 budget both sides —
@@ -9379,6 +9392,68 @@ object SparkEntry {
         |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
         |    AS refined_ge_unrefined
         |FROM agg""".stripMargin,
+
+    // the q177 flat-ADC replay graded by MRR + nDCG@5 against the
+    // exact top-5; discounts and their prefix sums ride as LITERALS
+    // from the same Scala helper the Spark plan uses
+    "q230_ranking_metrics" -> {
+      val wts = graft.ext.Similarity.ndcgWeightsMicro(5)
+      val pfx = wts.scanLeft(0L)(_ + _).tail
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+        |${pqTrainCtes("p", "e", "v", seedOffset = 0)},
+        |pqsubs AS (SELECT id AS qid, sub, sv FROM psubs WHERE id < 10),
+        |plut AS (
+        |  SELECT q.qid, q.sub, c.c_id, $lutDmSql AS dm
+        |  FROM pqsubs q JOIN pc1 c USING (sub)),
+        |fad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM pcodes co JOIN plut l
+        |    ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id GROUP BY 1, 2),
+        |atop AS (
+        |  SELECT qid, cid, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, cid) AS rank FROM fad)
+        |  WHERE rank <= 5),
+        |scored_b AS (
+        |  SELECT q.qid, c.id AS cid,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |bq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM scored_b)
+        |  WHERE rank <= 5),
+        |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_e
+        |       FROM bq GROUP BY 1),
+        |rel AS (SELECT a.qid, a.rank
+        |        FROM atop a JOIN bq b USING (qid, cid)),
+        |qagg AS (
+        |  SELECT qid,
+        |    CAST(sum(list_value(${wts.mkString(", ")})[rank])
+        |      AS BIGINT) AS dcg,
+        |    CAST(1000000 // min(rank) AS BIGINT) AS rr
+        |  FROM rel GROUP BY 1),
+        |per AS (
+        |  SELECT ne.qid, coalesce(a.rr, 0) AS rr,
+        |    CASE WHEN list_value(${pfx.mkString(", ")})
+        |        [least(5, ne.n_e)] > 0
+        |      THEN coalesce(a.dcg, 0) * 1000000
+        |        // list_value(${pfx.mkString(", ")})[least(5, ne.n_e)]
+        |      ELSE 0 END AS ndcg
+        |  FROM ne LEFT JOIN qagg a ON a.qid = ne.qid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_q,
+        |  CAST(sum(rr) AS BIGINT) AS sum_rr_micro,
+        |  CAST(sum(rr) // count(*) AS BIGINT) AS mean_rr_micro,
+        |  CAST(sum(ndcg) AS BIGINT) AS sum_ndcg_micro,
+        |  CAST(sum(ndcg) // count(*) AS BIGINT) AS mean_ndcg_micro
+        |FROM per""".stripMargin
+    },
 
     // the full chain: exact-integer PC1 (q212's replay) → |loading|
     // rank → round-robin subspace map → permuted PQ training replay,

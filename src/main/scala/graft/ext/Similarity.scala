@@ -2512,6 +2512,69 @@ object Similarity {
     * exact one — both frames keyed (qid, cid). Pure pair-set
     * arithmetic on the already-skinny rankings; shared by
     * [[annRecall]] and the PQ-ADC gate. */
+  /** Micro-pinned nDCG position discounts for ranks 1..k:
+    * wt(i) = ⌊10⁶ / log₂(i+1) + 0.5⌋. Computed ONCE here in Scala and
+    * interpolated as LITERALS into both the Spark plan and the DuckDB
+    * oracle SQL — neither engine evaluates a logarithm at query time,
+    * so the one place IEEE `log` could diverge across engines is
+    * removed from the replay entirely (the q212-weights discipline). */
+  def ndcgWeightsMicro(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.floor(1e6 / (math.log(i.toDouble + 2) / math.log(2)) + 0.5)
+        .toLong)
+
+  /** Graded ranking metrics of an approximate top-k against the exact
+    * reference — MRR and nDCG@k, the two numbers a retrieval eval
+    * reads next to recall ([[recallStats]] counts hits; these score
+    * WHERE the hits landed): binary relevance = membership in the
+    * exact top-k, rr = 10⁶ div first-relevant-rank, dcg = Σ wt(rank)
+    * over relevant positions with the [[ndcgWeightsMicro]] discounts,
+    * idcg = the best-possible prefix sum at min(k, n_exact). ONE
+    * reduce-order-free integer row: (n_q, sum_rr_micro, mean_rr_micro,
+    * sum_ndcg_micro, mean_ndcg_micro) — every division exact integer
+    * `div`, so engine float order can never flip the hash.
+    *
+    * Inputs: `exactTopK` (qid, cid), `approxTopK` (qid, cid, rank) —
+    * rows past rank k are ignored. A query with no relevant item in
+    * the approx list contributes 0 to both sums (measured misses,
+    * never dropped rows).
+    *
+    * Scale: joins and aggregates over the two k·|queries| skinny
+    * frames only. */
+  def rankingStats(exactTopK: DataFrame, approxTopK: DataFrame,
+                   k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wts = ndcgWeightsMicro(k)
+    val pfx = wts.scanLeft(0L)(_ + _).tail // pfx(i) = Σ wt(1..i+1)
+    val exact = exactTopK.select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    val rel = approxTopK.select(col("qid"), col("cid"), col("rank"))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(sum(element_at(lit(wts), col("rank").cast("int"))).as("dcg"),
+        min(col("rank")).cast("long").as("frank"))
+    val per = exact.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_e"))
+      .join(rel, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("frank").isNotNull, expr("1000000 div frank"))
+          .otherwise(lit(0L)).as("rr"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"),
+        element_at(lit(pfx), least(col("n_e"), lit(k.toLong)).cast("int"))
+          .as("idcg"))
+      .select(col("qid"), col("rr"),
+        when(col("idcg") > 0, expr("dcg * 1000000 div idcg"))
+          .otherwise(lit(0L)).as("ndcg"))
+    per.agg(count(lit(1)).as("n_q"),
+        sum(col("rr")).as("sum_rr_micro"),
+        sum(col("ndcg")).as("sum_ndcg_micro"))
+      .select(col("n_q"), col("sum_rr_micro"),
+        expr("sum_rr_micro div n_q").as("mean_rr_micro"),
+        col("sum_ndcg_micro"),
+        expr("sum_ndcg_micro div n_q").as("mean_ndcg_micro"))
+  }
+
   def recallAtK(exactTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
     val exact = exactTopK.select(col("qid"), col("cid"))
     val approx = approxTopK.select(col("qid"), col("cid"))

@@ -81,7 +81,10 @@ class EntrySpec extends SparkSpec {
     // scan); q228 adds the brute yardstick + the refine re-rank over
     // the bounded |Q|·r shortlist; q229 is the q178 brute yardstick +
     // two flat ADC scans (broadcast LUT joins, by-definition linear)
-    "q227_bq_topk", "q228_bq_refine_uplift", "q229_opq_perm_uplift")
+    "q227_bq_topk", "q228_bq_refine_uplift", "q229_opq_perm_uplift",
+    // q230 grades the q177 flat-ADC scan against the q178 brute
+    // yardstick — the same by-definition linear scans
+    "q230_ranking_metrics")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1416,6 +1416,29 @@ class ExtSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("rankingStats: MRR and nDCG match hand computation") {
+    // exact top-3 = {10, 11, 12}; approx ranks: 11@1, 99@2, 10@3
+    // rel ranks {1, 3}: rr = 1000000 div 1; dcg = wt(1) + wt(3) =
+    // 1000000 + 500000; idcg = pfx(3) = 2130930 (wt(2) = 630930) →
+    // ndcg = 1500000·10⁶ div 2130930 = 703918
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "cid")
+    val approx = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3))
+      .toDF("qid", "cid", "rank")
+    val r = Similarity.rankingStats(exact, approx, k = 3).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)) ===
+      ((1L, 1000000L, 1000000L, 703918L, 703918L)))
+  }
+
+  test("rankingStats: a query with zero relevant rows scores 0, not dropped") {
+    val exact = Seq((1L, 10L), (2L, 20L)).toDF("qid", "cid")
+    val approx = Seq((1L, 10L, 1), (2L, 99L, 1)).toDF("qid", "cid", "rank")
+    val r = Similarity.rankingStats(exact, approx, k = 1).collect()(0)
+    assert(r.getLong(0) === 2L)           // both queries counted
+    assert(r.getLong(1) === 1000000L)     // only q1 contributes
+    assert(r.getLong(2) === 500000L)      // mean over BOTH
+  }
+
   test("pc1SubspacePermutation: a valid permutation, order-free across partitionings") {
     val a = Similarity.pc1SubspacePermutation(refineEmb.repartition(1),
       m = 2, dsub = 2)
