@@ -2623,6 +2623,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), k = 5, r = 20)
     }),
 
+    // ===== hard-negative mining (contrastive training pairs) =========
+    // DPR/Contriever-style: exact top-20 cosine shortlist per query,
+    // SAME-LABEL candidates removed as known positives, survivors
+    // re-numbered densely 1..5 — the highest-ranked wrong-label
+    // neighbors, exactly what a contrastive fine-tune trains against
+    "q231_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      val positives = q.select(col("vec_id").as("qid"), col("label"))
+        .join(emb.select(col("vec_id").as("cid"), col("label")),
+          Seq("label"))
+        .select(col("qid"), col("cid"))
+      Retrieval.hardNegatives(emb, q, positives, k = 5, depth = 20)
+    }),
+
     // ===== graded ranking metrics (MRR + nDCG@5) ======================
     // recall counts hits, these score WHERE the hits landed: the
     // PQ-ADC ranking graded against the exact top-5 — binary
@@ -9392,6 +9407,33 @@ object SparkEntry {
         |  CAST(sum_hits_refined >= sum_hits_unrefined AS BIGINT)
         |    AS refined_ge_unrefined
         |FROM agg""".stripMargin,
+
+    // exact top-20 shortlist, same-label rows removed, dense renumber
+    // — the whole mining trajectory is order-stable off the shortlist
+    // rank, so the replay is three windows and a filter
+    "q231_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qiv AS (SELECT id AS qid, label AS qlabel, v AS qv
+        |        FROM e WHERE id < 10),
+        |scored_b AS (
+        |  SELECT q.qid, q.qlabel, c.id AS cid, c.label AS clabel,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM qiv q, e c WHERE q.qid <> c.id),
+        |short AS (
+        |  SELECT qid, cid, qlabel, clabel, cos_sim, r0 FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS r0
+        |    FROM scored_b)
+        |  WHERE r0 <= 20),
+        |negs AS (
+        |  SELECT qid, cid, cos_sim, row_number() OVER (
+        |    PARTITION BY qid ORDER BY r0) AS rank
+        |  FROM short WHERE qlabel <> clabel)
+        |SELECT qid, cid, cos_sim, rank FROM negs
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // the q177 flat-ADC replay graded by MRR + nDCG@5 against the
     // exact top-5; discounts and their prefix sums ride as LITERALS

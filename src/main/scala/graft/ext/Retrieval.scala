@@ -228,4 +228,53 @@ object Retrieval {
           .as("rel_micro"))
     mmrDiversify(cand, corpus, k, wRel, wDiv, idCol, vecCol)
   }
+
+  /** Hard-negative mining from a PINNED first-stage shortlist — the
+    * training-pair generator of every embedding/reranker fine-tune
+    * (DPR/Contriever-style): for each query, the highest-ranked
+    * shortlist candidates that are NOT known positives, re-numbered
+    * densely 1..k after the positive removal (a mined set must always
+    * deliver k negatives if the shortlist depth allows — gaps where
+    * positives sat would starve the training batch). Negatives by
+    * construction rank HIGH in the retriever while being wrong — the
+    * examples a contrastive loss learns most from.
+    *
+    * Inputs: `shortlist` (qid, cid, rank[, …score cols ride along]),
+    * `positives` (qid, cid). Determinism: the shortlist's own rank
+    * total-orders everything; removal and renumbering are
+    * order-stable, no new ties to break.
+    *
+    * Scale: one anti-join of two skinny frames (the |Q|·depth
+    * shortlist vs the per-query positive lists) and a qid-partitioned
+    * renumber window — the corpus work lives in the first-stage
+    * retriever. */
+  def hardNegativesFromShortlist(shortlist: DataFrame,
+                                 positives: DataFrame,
+                                 k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col("qid")).orderBy(col("_r0"))
+    shortlist.withColumnRenamed("rank", "_r0")
+      .join(positives.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("_r0")
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[hardNegativesFromShortlist]] over an exact top-`depth` cosine
+    * first stage — the offline-mining shape (exact at sample scale;
+    * swap any blocked ANN stage in at corpus scale, exactly the
+    * [[mmrTopK]] substitution note). Emits (qid, cid, cos_sim, rank),
+    * rank dense 1..k after positive removal. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int, depth: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(depth >= k, s"depth=$depth must be >= k=$k")
+    import graft.ext.{Similarity => Sim}
+    hardNegativesFromShortlist(
+      Sim.bruteTopK(corpus, queries, depth, idCol, vecCol),
+      positives, k)
+  }
 }

@@ -83,8 +83,9 @@ class EntrySpec extends SparkSpec {
     // two flat ADC scans (broadcast LUT joins, by-definition linear)
     "q227_bq_topk", "q228_bq_refine_uplift", "q229_opq_perm_uplift",
     // q230 grades the q177 flat-ADC scan against the q178 brute
-    // yardstick — the same by-definition linear scans
-    "q230_ranking_metrics")
+    // yardstick — the same by-definition linear scans; q231 mines
+    // hard negatives from the same brute shortlist
+    "q230_ranking_metrics", "q231_hard_negatives")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -144,4 +144,31 @@ class RetrievalSpec extends SparkSpec {
       assert(brute1(qid) === cid)
     }
   }
+
+  test("hardNegatives: positives removed, ranks dense, shortlist order kept") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = (0L until 10L).map { i =>
+      val a = ((i * 37 + 11) % 17).toFloat / 17f
+      val b = ((i * 53 + 5) % 19).toFloat / 19f
+      val c = ((i * 71 + 3) % 23).toFloat / 23f
+      (i, Array(a, b, c))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+    val short = graft.ext.Similarity.bruteTopK(emb, q, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // declare each query's top-2 shortlist members positives — the
+    // mined set must be the NEXT candidates, re-numbered from 1
+    val positives = short.filter(_._3 <= 2)
+      .map(t => (t._1, t._2)).toSeq.toDF("qid", "cid")
+    val got = Retrieval.hardNegatives(emb, q, positives, k = 3, depth = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.length === 6)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === Seq(1, 2, 3))
+      val want = short.filter(_._1 == qid).sortBy(_._3)
+        .drop(2).take(3).map(_._2).toSeq
+      assert(rows.sortBy(_._3).map(_._2).toSeq === want)
+    }
+  }
 }
