@@ -2689,6 +2689,48 @@ object SparkEntry {
         .select(col("pick"), col("cid").as("doc_id"), col("score"))
         .orderBy(col("pick"))
     }),
+
+    // ===== filtered vector search (metadata predicate + ANN) ==========
+    // the pre-filter strategy inside probed IVF cells: the allowlist
+    // is the label<3 metadata predicate as a semi-join; the index is
+    // built on the FULL corpus (frozen-quantizer convention — seeds
+    // must not depend on the filter)
+    "q232_filtered_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.filteredIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        allowed = emb.filter(col("label") < 3), k = 5)
+    }),
+
+    // ===== filtered-search recall gate ================================
+    // measured against the filtered-brute yardstick, with the filter's
+    // selectivity riding along — the variable the pre-vs-post-filter
+    // decision turns on
+    "q233_filtered_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.filteredSearchRecallStats(emb,
+        emb.filter(col("vec_id") < 10),
+        emb.filter(col("label") < 3), k = 5)
+    }),
+
+    // ===== scatter-gather sharded exact top-k =========================
+    // the 1000-executor serving plan: per-shard exact top-k, |Q|·S·k
+    // gather merge. The oracle is the UNSHARDED brute scan verbatim —
+    // hash equality IS the exactness theorem checked
+    "q234_sharded_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.shardedTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, nShards = 8)
+    }),
+
+    // ===== mutual-kNN pairs (reciprocal-NN dedup verification) ========
+    // pair (a,b) survives iff each ranks the other in its own blocked
+    // top-5 — the hub-suppression filter dedup pipelines run after
+    // candidate generation
+    "q235_mutual_knn" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.mutualKnnPairs(emb, k = 5,
+        nCentroids = Similarity.autoCentroids(emb.count()))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -9930,5 +9972,162 @@ object SparkEntry {
         |${mmrGreedyCtes(k = 5, wRel = 7, wDiv = 3)}
         |SELECT pick, cid AS doc_id, score
         |FROM sel5 ORDER BY pick""".stripMargin,
+
+    // q34's blocked replay with the label<3 allowlist applied to the
+    // candidate side only — seeds and probes come from the FULL corpus
+    // (the frozen-quantizer convention the Spark side pins)
+    "q232_filtered_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, label, v, c_id FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT qid, qv, c_id FROM (
+        |    SELECT q.qid, q.qv, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+        |                      c.c_id) AS crk
+        |    FROM q CROSS JOIN c)
+        |  WHERE crk <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS cid,
+        |         round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        |  FROM probes p JOIN assigned a ON a.c_id = p.c_id
+        |  WHERE a.vec_id <> p.qid AND a.label < 3)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // both rankings replayed (filtered brute yardstick + q232's
+    // filtered blocked scan), hits semi-joined, one gate row with the
+    // filter's measured selectivity riding along
+    "q233_filtered_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |fe AS (SELECT * FROM e WHERE label < 3),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |exact AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY q.qid
+        |      ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+        |               c.vec_id) AS rank
+        |    FROM q JOIN fe c ON q.qid <> c.vec_id)
+        |  WHERE rank <= 5),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, label, v, c_id FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT qid, qv, c_id FROM (
+        |    SELECT q.qid, q.qv, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+        |                      c.c_id) AS crk
+        |    FROM q CROSS JOIN c)
+        |  WHERE crk <= 4),
+        |approx AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT p.qid, a.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY p.qid
+        |      ORDER BY round(list_cosine_similarity(p.qv, a.v), 6) DESC,
+        |               a.vec_id) AS rank
+        |    FROM probes p JOIN assigned a ON a.c_id = p.c_id
+        |    WHERE a.vec_id <> p.qid AND a.label < 3)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT x.qid, count(*) AS n_hits
+        |  FROM exact x JOIN approx a ON a.qid = x.qid AND a.cid = x.cid
+        |  GROUP BY 1),
+        |perq AS (
+        |  SELECT q.qid, coalesce(h.n_hits, 0) AS n_hits
+        |  FROM (SELECT DISTINCT qid FROM exact) q
+        |  LEFT JOIN hits h ON h.qid = q.qid)
+        |SELECT count(*) AS n_q,
+        |  (SELECT count(*) FROM fe) AS n_allowed,
+        |  CAST((SELECT count(*) FROM fe) * 1000000
+        |    // (SELECT count(*) FROM e) AS BIGINT) AS selectivity_micro,
+        |  sum(n_hits) AS sum_hits,
+        |  CAST(sum(n_hits) * 1000000 // (count(*) * 5) AS BIGINT)
+        |    AS mean_recall_micro
+        |FROM perq""".stripMargin,
+
+    // the UNSHARDED brute scan — hash equality against the sharded
+    // scatter-gather IS the exactness theorem (shard-local top-k
+    // unions contain the global top-k)
+    "q234_sharded_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM q, e c WHERE q.vec_id <> c.vec_id)
+        |SELECT qid, cid, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // blocked kNN (autoCentroids seeds, 2-way assignment, DISTINCT
+    // candidates — the q113 replay conventions) then the reciprocal
+    // join: a pair survives iff each side ranks the other in its top-5
+    "q235_mutual_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT id, nid, cos_sim, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY cos_sim DESC, nid) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5)
+        |SELECT ab.id AS vec_a, ab.nid AS vec_b, ab.cos_sim,
+        |       ab.rank AS rank_ab, ba.rank AS rank_ba
+        |FROM knn ab JOIN knn ba ON ba.id = ab.nid AND ba.nid = ab.id
+        |WHERE ab.id < ab.nid
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

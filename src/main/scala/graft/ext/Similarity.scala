@@ -2725,4 +2725,193 @@ object Similarity {
     (0 until dim).map(i => (i.toLong, v(i).toLong, ratio.toLong))
       .toDF("dim", "loading_micro", "ev_ratio_micro")
   }
+
+  /** Metadata-FILTERED vector search, pre-filter strategy: exact
+    * top-k per query among the probed IVF cells' members that survive
+    * an `allowed` allowlist semi-join — the "filtered ANN" problem
+    * every production vector store solves (predicate + vector score
+    * in one query; Qdrant/Milvus/Vespa all ship it). The allowlist is
+    * a FRAME, not a closure: in a real deployment it's a predicate
+    * over a metadata table (lang = 'en', license = permissive,
+    * quality_bucket >= 7) and arrives here as exactly the semi-join
+    * Spark would plan for that predicate.
+    *
+    * Strategy note (the deployment trade-off this operator pins):
+    * PRE-filtering inside probed cells keeps recall independent of
+    * filter selectivity — every surviving candidate is scored, so a
+    * 1% filter still yields k results (post-filtering an unfiltered
+    * top-k' would need k' ≈ k/selectivity to match). The price is
+    * that the semi-join touches the probed cells' full membership;
+    * that is bounded by nProbe/nCentroids of the corpus — the same
+    * bound the unfiltered scan already pays, so pre-filter strictly
+    * dominates here. The index is built on the FULL corpus (frozen-
+    * quantizer convention): seeds must not depend on the filter, or
+    * every distinct predicate would imply a different index.
+    *
+    * Determinism: same 6-dp cosine / smallest-cid tie conventions as
+    * [[ivfTopK]]. Emits (qid, cid, cos_sim, rank), rank over the
+    * FILTERED candidate set. */
+  def filteredIvfTopK(corpus: DataFrame, queries: DataFrame,
+                      allowed: DataFrame, k: Int,
+                      nCentroids: Int = 16, nProbe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(corpus, nCentroids, 1, idCol, vecCol)
+      .join(allowed.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_semi")
+    val probes = ivfProbes(corpus, queries, nCentroids, nProbe,
+      idCol, vecCol)
+    val denom = col("qn") * col("nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("v")) / denom)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cid"), round(sim, 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Recall gate for [[filteredIvfTopK]] against the filtered-brute
+    * yardstick (exact top-k over the allowlisted corpus — the answer
+    * a post-filter with unbounded depth would converge to). One row:
+    * (n_q, n_allowed, selectivity_micro, sum_hits, mean_recall_micro).
+    * Selectivity rides along because it is THE variable the
+    * pre-vs-post decision turns on — this gate measured at several
+    * selectivities is the filtered-search tuning table. */
+  def filteredSearchRecallStats(corpus: DataFrame, queries: DataFrame,
+                                allowed: DataFrame, k: Int,
+                                nCentroids: Int = 16, nProbe: Int = 4,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val allowIds = allowed.select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val filteredCorpus = corpus.join(allowIds, Seq(idCol), "left_semi")
+    val exact = bruteTopK(filteredCorpus, queries, k, idCol, vecCol)
+    val approx = filteredIvfTopK(corpus, queries, allowIds, k,
+      nCentroids, nProbe, idCol, vecCol)
+    val nTotal = corpus.select(col(idCol)).distinct().count()
+    val nAllowed = allowIds.count()
+    recallAtK(exact, approx)
+      .agg(count(lit(1)).as("n_q"), sum(col("n_hits")).as("sum_hits"))
+      .select(col("n_q"), lit(nAllowed).as("n_allowed"),
+        lit(nAllowed * 1000000L / math.max(nTotal, 1L))
+          .as("selectivity_micro"),
+        col("sum_hits"),
+        expr(s"sum_hits * 1000000 div (n_q * $k)")
+          .as("mean_recall_micro"))
+  }
+
+  /** Scatter-gather EXACT top-k — the 1000-executor serving plan: the
+    * corpus is split into `nShards` disjoint shards (id mod nShards —
+    * deterministic and replayable; a deployment would use the
+    * partition layout it already has), each shard computes its own
+    * exact top-k per query, and the gather stage merges the |Q|·S·k
+    * shard winners into the global top-k. Exactness is a theorem, not
+    * a measurement: every global top-k member lives in exactly one
+    * shard and scores in that shard's top-k (scores are per-pair, so
+    * shard-local rank ≥ global rank) — the union of shard winners
+    * therefore CONTAINS the global top-k, and re-ranking it recovers
+    * the global answer bit-for-bit. The oracle for this operator is
+    * the UNSHARDED brute scan verbatim; hash equality IS the theorem
+    * checked.
+    *
+    * Scale shape: the scatter stage is embarrassingly parallel (each
+    * shard a partition-local TakeOrderedAndProject over its slice —
+    * the per-shard window is keyed (qid, shard), corpus-cardinality
+    * partitions); the gather stage sees |Q|·S·k skinny rows — for
+    * 10⁴ queries × 10³ shards × 10 that is 10⁸ rows of three columns,
+    * trivially re-windowed. No stage ever funnels the corpus. */
+  def shardedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nShards: Int = 8,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, "nShards must be >= 1")
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("shard", pmod(col("cid"), lit(nShards.toLong)))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val denom = col("qn") * col("cn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("qv"), col("cv")) / denom)
+    // scatter: per-(query, shard) local top-k
+    val wLocal = Window.partitionBy(col("qid"), col("shard"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    val shardWinners = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("shard"),
+        round(sim, 6).as("cos_sim"))
+      .withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= k)
+    // gather: merge |Q|·S·k winners into the global top-k
+    val wGlobal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    shardWinners
+      .select(col("qid"), col("cid"), col("cos_sim"))
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-vector k-nearest-neighbors WITHIN IVF blocks — the top-k
+    * generalization of [[nnWithinBlocks]] (k = 1): candidates come
+    * from the nAssign-way bucket equi-join, never an all-pairs
+    * product; the same neighbor surfacing through two shared buckets
+    * is collapsed by DISTINCT before ranking (scores are
+    * deterministic per pair, so which copy survives is irrelevant).
+    * Emits (id, nid, cos_sim, rank) — vectors alone in all their
+    * buckets are absent. */
+  def knnWithinBlocks(emb: DataFrame, k: Int, nCentroids: Int = 16,
+                      nAssign: Int = 2, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint()
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        round(sim, 6).as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Mutual-kNN pairs — the reciprocal-nearest-neighbor filter
+    * duplicate-verification pipelines run AFTER candidate generation
+    * (a pair is believed only when each side ranks the other in its
+    * own top-k; one-directional attraction is how a hub vector
+    * falsely absorbs its whole neighborhood). Built on
+    * [[knnWithinBlocks]]: pair (a, b) survives iff b ∈ kNN(a) AND
+    * a ∈ kNN(b). Emits (vec_a, vec_b, cos_sim, rank_ab, rank_ba)
+    * with vec_a < vec_b.
+    *
+    * Scale shape: the kNN frame is ≤ n·k skinny rows; mutuality is a
+    * self equi-join on the reversed id pair — keyed, bounded, no
+    * corpus² anywhere. The blocked candidate generation inherits the
+    * (nCentroids, nAssign) recall dial. */
+  def mutualKnnPairs(emb: DataFrame, k: Int, nCentroids: Int = 16,
+                     nAssign: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint(true)
+    val ab = knn.select(col("id").as("vec_a"), col("nid").as("vec_b"),
+      col("cos_sim"), col("rank").as("rank_ab"))
+    val ba = knn.select(col("nid").as("vec_a"), col("id").as("vec_b"),
+      col("rank").as("rank_ba"))
+    ab.join(ba, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

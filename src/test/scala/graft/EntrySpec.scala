@@ -85,7 +85,15 @@ class EntrySpec extends SparkSpec {
     // q230 grades the q177 flat-ADC scan against the q178 brute
     // yardstick — the same by-definition linear scans; q231 mines
     // hard negatives from the same brute shortlist
-    "q230_ranking_metrics", "q231_hard_negatives")
+    "q230_ranking_metrics", "q231_hard_negatives",
+    // q232 inherits q34's broadcast probe block (the crossJoin against
+    // the LIMIT-nCentroids seed frame — a bounded model, never the
+    // corpus); q233's yardstick is the q21 broadcast-query brute scan
+    // over the FILTERED corpus plus that same probe block; q234 is the
+    // q21 scan partitioned into shards (scatter stage) — by definition
+    // every (query, candidate) pair is scored, via the sanctioned
+    // broadcast of the bounded query set
+    "q232_filtered_ivf", "q233_filtered_recall", "q234_sharded_topk")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

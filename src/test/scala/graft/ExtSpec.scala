@@ -1547,4 +1547,78 @@ class ExtSpec extends SparkSpec {
     val raw = got.map(_.getAs[Long]("n_raw_candidates"))
     assert(raw.sameElements(raw.sorted))
   }
+
+  test("shardedTopK equals the unsharded brute scan (exactness theorem)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // any shard count: the union of shard-local top-k contains the
+    // global top-k, and the gather re-rank recovers it bit-for-bit
+    for (s <- Seq(1, 3, 8)) {
+      val sharded = Similarity.shardedTopK(emb, q, k = 5, nShards = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(sharded.toSeq === brute.toSeq, s"nShards=$s")
+    }
+  }
+
+  test("filteredIvfTopK: results inside allowlist; full allowlist == ivfTopK") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val allowed = emb.filter(col("label") < 3)
+    val got = Similarity.filteredIvfTopK(emb, q, allowed, k = 5)
+    val allowedIds = allowed.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => allowedIds.contains(r.getLong(1))),
+      "every filtered-search hit must satisfy the predicate")
+    // degenerate filter (allow everything) must reduce to the plain scan
+    val unfiltered = Similarity.ivfTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = Similarity.filteredIvfTopK(emb, q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.toSeq === unfiltered.toSeq)
+  }
+
+  test("filteredSearchRecallStats: one gate row, sane selectivity and recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    val row = Similarity.filteredSearchRecallStats(emb, q,
+      emb.filter(col("label") < 3), k = 5).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getLong(0) === 5L)                       // n_q
+    assert(r.getLong(1) === 157L)                     // n_allowed at sf0.001
+    assert(r.getLong(2) === 157L * 1000000L / 500L)   // selectivity_micro
+    val recall = r.getLong(4)
+    assert(recall >= 0L && recall <= 1000000L)
+  }
+
+  test("knnWithinBlocks at k=1 matches nnWithinBlocks' argmax") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k1 = Similarity.knnWithinBlocks(emb, k = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val nn = Similarity.nnWithinBlocks(emb)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(k1 === nn)
+  }
+
+  test("mutualKnnPairs: reciprocal only, ordered, and ranks consistent") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val knn = Similarity.knnWithinBlocks(emb, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val got = Similarity.mutualKnnPairs(emb, k = 5).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      // mutuality: both directions present in the kNN frame, ranks match
+      assert(knn(a -> b) === r.getInt(3), s"rank_ab for ($a,$b)")
+      assert(knn(b -> a) === r.getInt(4), s"rank_ba for ($a,$b)")
+    }
+    // completeness: every reciprocal kNN pair appears exactly once
+    val expected = knn.keySet.filter { case (a, b) =>
+      a < b && knn.contains(b -> a) }
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+  }
 }
