@@ -2731,6 +2731,93 @@ object SparkEntry {
       Similarity.mutualKnnPairs(emb, k = 5,
         nCentroids = Similarity.autoCentroids(emb.count()))
     }),
+
+    // ===== token-budget epoch planner ================================
+    // the published-recipe table (LLaMA/GPT-3 style): sqrt-damped
+    // source weights, budget split, epochs capped at 2.5 — integer
+    // sqrt weights, so the whole plan is order-free integer arithmetic
+    "q236_epoch_plan" -> ((s, d) =>
+      Curation.epochPlan(documents(s, d), budgetTokens = 100000L,
+        maxEpochsMilli = 2500L)),
+
+    // ===== quality-score calibration (ECE) ============================
+    // is the cheap composite quality score a trustworthy proxy for the
+    // funnel keep/drop decision? equal-width bins on the confidence
+    // axis (map-side, no ntile funnel), per-bin |conf − acc| gaps,
+    // Σ n·gap / N as the one-number ECE on every row
+    "q237_quality_calibration" -> ((s, d) => {
+      val scored = T.withQuality(documents(s, d))
+      Profiling.calibrationStats(scored,
+        expr("CAST(round(quality * 1000000) AS BIGINT)"),
+        (col("n_tokens") >= 30 && col("punct_ratio") <= 0.1 &&
+          col("stop_ratio") >= 0.05).cast("long"))
+    }),
+
+    // ===== late-interaction MaxSim retrieval ==========================
+    // ColBERT-style Σᵢ maxⱼ cos(qᵢ, dⱼ) over 4×16-dim sub-vectors —
+    // every query part finds its best document part independently;
+    // part cosines micro-pinned before the (order-free) max/sum
+    "q238_maxsim" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Retrieval.maxSimTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // ===== storage-tier advisor over the measured ladder ==============
+    // the DECISION q225's table exists to inform: highest compression
+    // whose MEASURED recall clears the 0.8 floor (sq4_int4/8× on this
+    // corpus); n_qualifying = 0 is the degraded-mode alarm
+    "q239_index_advisor" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.indexTierAdvisor(
+        Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
+          emb.filter(col("vec_id") < 10), k = 5),
+        targetRecallMicro = 800000L)
+    }),
+
+    // ===== sample-representativeness gate ==============================
+    // does the 1-in-7 deterministic sample cover the corpus's
+    // embedding-space structure? IVF-cell coverage + total-variation
+    // distance between cell-share distributions, exact integer TV
+    "q240_sample_coverage" -> ((s, d) =>
+      Similarity.sampleCoverageStats(embeddings(s, d),
+        pmod(col("vec_id"), lit(7L)) === 0L)),
+
+    // ===== greedy k-center coreset (farthest-first) ====================
+    // Gonzalez traversal over a 1-in-5 candidate sample: pick the
+    // vector least similar to everything picked, 8 times — the
+    // diverse-exemplar sampler; reuses the q213 greedy machinery with
+    // the relevance term off (wRel=0, wDiv=1)
+    "q241_kcenter_coreset" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Retrieval.kCenterSelect(
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 0L), emb, k = 8)
+    }),
+
+    // ===== IVF hot-cell split (index maintenance) ======================
+    // cells above 7% corpus share split on their two smallest member
+    // ids, members re-assigned by 6-dp argmax — the online rebalance
+    // that leaves cold cells' stored codes untouched (4 cells split
+    // at this corpus's measured shares)
+    "q242_hot_cell_split" -> ((s, d) =>
+      Similarity.hotCellSplit(embeddings(s, d),
+        maxShareMicro = 70000L)),
+
+    // ===== kNN-classifier gate (embedding quality probe) ==============
+    // leave-one-out majority vote over blocked kNN, per-class accuracy
+    // rows — the non-parametric linear-probe sibling; ties to the
+    // smallest label, abstainers excluded
+    "q243_knn_classifier" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.knnLabelVoteStats(emb, k = 5,
+        nCentroids = Similarity.autoCentroids(emb.count()))
+    }),
+
+    // ===== effective dimensionality (representation health) ===========
+    // participation ratio over per-dim variances — catches collapse
+    // (PR ≪ dims ⇒ starved PQ subspaces); exact integer moments,
+    // 10⁹-unit scaling keeps squares inside 128-bit in both engines
+    "q244_effective_dim" -> ((s, d) =>
+      Similarity.effectiveDimStats(embeddings(s, d))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -3302,7 +3389,35 @@ object SparkEntry {
       // q226 is the residual twin: the stream must land exactly where
       // q202's batch-built grown residual index lands
       ("q226_residual_ingest_parity" ->
-        oracleSqlBase("q202_residual_index_add"))
+        oracleSqlBase("q202_residual_index_add")) +
+      // q239 wraps the MEASURED q225 ladder replay in the advisor's
+      // deterministic selection (highest compression clearing the
+      // 0.8 recall floor; best recall as the degraded-mode fallback).
+      // If the ladder oracle's trailing ORDER BY ever changes shape,
+      // stripSuffix becomes a no-op and the ORDER BY harmlessly rides
+      // inside the CTE subquery — the wrap cannot silently corrupt.
+      ("q239_index_advisor" -> {
+        val ladder = oracleSqlBase("q225_quant_ladder")
+          .stripSuffix("\nORDER BY compression_x")
+        s"""WITH ladder AS (
+           |$ladder
+           |),
+           |flags AS (SELECT *, CAST(mean_recall_micro >= 800000 AS BIGINT)
+           |            AS ok
+           |          FROM ladder),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tiers,
+           |               CAST(sum(ok) AS BIGINT) AS n_qualifying
+           |        FROM flags),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    ORDER BY ok DESC,
+           |             CASE WHEN ok = 1 THEN compression_x ELSE -1 END DESC,
+           |             mean_recall_micro DESC, tier) AS rk
+           |  FROM flags)
+           |SELECT tier AS chosen_tier, compression_x, mean_recall_micro,
+           |  CAST(800000 AS BIGINT) AS target_micro, n_tiers, n_qualifying
+           |FROM ranked, tot WHERE rk = 1""".stripMargin
+      })
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -10129,5 +10244,296 @@ object SparkEntry {
         |FROM knn ab JOIN knn ba ON ba.id = ab.nid AND ba.nid = ab.id
         |WHERE ab.id < ab.nid
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // integer-sqrt source weights (floor of the correctly-rounded IEEE
+    // sqrt — identical in every engine), then pure integer floor
+    // divisions; budget 100000, epoch cap 2.5 (2500 milli)
+    "q236_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |      FROM t),
+        |tot AS (SELECT sum(w) AS wsum FROM w),
+        |plan AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(w * 1000000 // wsum AS BIGINT) AS weight_micro,
+        |    CAST(100000 * w // wsum AS BIGINT) AS target_tokens,
+        |    CAST(least(2500, (100000 * w // wsum) * 1000
+        |      // greatest(n_tokens, 1)) AS BIGINT) AS epochs_milli
+        |  FROM w, tot)
+        |SELECT source, n_docs, n_tokens, weight_micro, target_tokens,
+        |  epochs_milli,
+        |  CAST(epochs_milli * n_tokens // 1000 AS BIGINT) AS achieved_tokens,
+        |  CAST(epochs_milli = 2500 AS BIGINT) AS capped
+        |FROM plan ORDER BY source""".stripMargin,
+
+    // the q23 quality replay feeding equal-width confidence bins; all
+    // bin math is integer floor division, ECE = Σ n·gap // N
+    "q237_quality_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |qual AS (
+        |  SELECT n_tokens, punct_ratio, stop_ratio,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      AS quality
+        |  FROM ratios),
+        |s AS (
+        |  SELECT CAST(round(quality * 1000000) AS BIGINT) AS conf_micro,
+        |    CAST(n_tokens >= 30 AND punct_ratio <= 0.1
+        |         AND stop_ratio >= 0.05 AS BIGINT) AS lbl
+        |  FROM qual),
+        |b AS (SELECT CAST(least(conf_micro * 10 // 1000000, 9) AS BIGINT)
+        |        AS bin, conf_micro, lbl FROM s),
+        |perbin AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conf_micro) // count(*) AS BIGINT) AS conf_mean_micro,
+        |    CAST(sum(lbl) * 1000000 // count(*) AS BIGINT) AS acc_micro
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT *, abs(conf_mean_micro - acc_micro) AS gap_micro
+        |      FROM perbin),
+        |e AS (SELECT CAST(sum(n * gap_micro) // sum(n) AS BIGINT)
+        |        AS ece_micro FROM g)
+        |SELECT bin, n, conf_mean_micro, acc_micro, gap_micro, ece_micro
+        |FROM g, e ORDER BY bin""".stripMargin,
+
+    // 4×16-dim sub-vector slices both sides, per-part cosines pinned
+    // to micros, max per query part then sum — the late-interaction
+    // score replayed with integer max/sum (order-free)
+    "q238_maxsim" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ch AS (
+        |  SELECT vec_id, i,
+        |         v[(CAST(i*16+1 AS INT)):(CAST(i*16+16 AS INT))] AS cv
+        |  FROM e, UNNEST(range(4)) AS u(i)),
+        |q AS (SELECT vec_id AS qid, i AS qi, cv AS qv
+        |      FROM ch WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, q.qi, c.vec_id AS cid,
+        |    CAST(floor(round(list_cosine_similarity(q.qv, c.cv), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS sim_micro
+        |  FROM q JOIN ch c ON q.qid <> c.vec_id),
+        |mx AS (SELECT qid, cid, qi, max(sim_micro) AS part_max
+        |       FROM p GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, cid, CAST(sum(part_max) AS BIGINT)
+        |         AS maxsim_micro
+        |       FROM mx GROUP BY 1, 2)
+        |SELECT qid, cid, maxsim_micro, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY maxsim_micro DESC, cid) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // q34's assignment replay, the 1-in-7 id sample flagged per cell,
+    // coverage + exact-integer total-variation over cell shares
+    "q240_sample_coverage" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT e.vec_id, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |cells AS (
+        |  SELECT c_id, CAST(count(*) AS BIGINT) AS c_n,
+        |    CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS s_n
+        |  FROM assigned GROUP BY 1),
+        |tot AS (SELECT sum(c_n) AS nc, sum(s_n) AS ns FROM cells),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(CASE WHEN s_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_covered_cells,
+        |    sum(abs(s_n * nc - c_n * ns)) AS tvnum,
+        |    min(nc) AS nc, min(ns) AS ns
+        |  FROM cells, tot)
+        |SELECT n_cells, n_covered_cells,
+        |  CAST(n_covered_cells * 1000000 // n_cells AS BIGINT)
+        |    AS coverage_micro,
+        |  CAST(tvnum * 1000000 // (2 * nc * ns) AS BIGINT) AS tv_micro
+        |FROM agg""".stripMargin,
+
+    // the q213 greedy replay with the relevance term off: candidates
+    // are the 1-in-5 sample at relevance 0, pair sims within the
+    // sample, 8 farthest-first steps
+    "q241_kcenter_coreset" ->
+      s"""WITH e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mcand AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, id AS cid,
+        |         CAST(0 AS BIGINT) AS rel
+        |  FROM e WHERE id % 5 = 0),
+        |mps AS (
+        |  SELECT x.qid, x.cid AS a, y.cid AS b,
+        |    CAST(floor(round(list_cosine_similarity(ex.v, ey.v), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS sim
+        |  FROM mcand x JOIN mcand y ON x.qid = y.qid AND x.cid <> y.cid
+        |  JOIN e ex ON ex.id = x.cid JOIN e ey ON ey.id = y.cid),
+        |${mmrGreedyCtes(k = 8, wRel = 0, wDiv = 1)}
+        |SELECT pick, cid AS vec_id, -score AS max_sim_to_prior_micro
+        |FROM sel8 ORDER BY pick""".stripMargin,
+
+    // assignment replay, hot cells above 7% share, two smallest member
+    // ids as sub-seeds, members re-ranked to their argmax sub-seed
+    "q242_hot_cell_split" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |counts AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM assigned GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n_total FROM counts),
+        |hot AS (SELECT c_id FROM counts, tot
+        |        WHERE n * 1000000 // n_total > 70000),
+        |seeds AS (
+        |  SELECT c_id, vec_id AS seed_id, v AS sv FROM (
+        |    SELECT a.c_id, a.vec_id, a.v,
+        |           row_number() OVER (
+        |             PARTITION BY a.c_id ORDER BY a.vec_id) AS srk
+        |    FROM assigned a JOIN hot h ON h.c_id = a.c_id)
+        |  WHERE srk <= 2),
+        |smem AS (
+        |  SELECT parent, new_cell, vec_id FROM (
+        |    SELECT a.c_id AS parent, s.seed_id AS new_cell, a.vec_id,
+        |           row_number() OVER (
+        |             PARTITION BY a.vec_id
+        |             ORDER BY round(list_cosine_similarity(a.v, s.sv), 6) DESC,
+        |                      s.seed_id) AS rk
+        |    FROM assigned a JOIN hot h ON h.c_id = a.c_id
+        |    JOIN seeds s ON s.c_id = a.c_id)
+        |  WHERE rk = 1),
+        |cold AS (
+        |  SELECT a.c_id AS parent, a.c_id AS new_cell, a.vec_id
+        |  FROM assigned a
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.c_id = a.c_id)),
+        |grouped AS (
+        |  SELECT parent AS parent_cell, new_cell,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT * FROM smem UNION ALL SELECT * FROM cold)
+        |  GROUP BY 1, 2)
+        |SELECT parent_cell, new_cell, n,
+        |  CAST(n * 1000000 // n_total AS BIGINT) AS share_micro,
+        |  CAST(parent_cell <> new_cell
+        |    OR count(*) OVER (PARTITION BY parent_cell) > 1 AS BIGINT)
+        |    AS split
+        |FROM grouped, tot ORDER BY parent_cell, new_cell""".stripMargin,
+
+    // blocked kNN (the q235 replay conventions) + neighbor-label
+    // majority vote, ties to the smallest label, per-class accuracy
+    "q243_knn_classifier" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT id, nid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY cos_sim DESC, nid) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5),
+        |votes AS (
+        |  SELECT k.id, CAST(n.label AS BIGINT) AS lbl, count(*) AS nv
+        |  FROM knn k JOIN e n ON n.vec_id = k.nid GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT id, lbl AS p FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY nv DESC, lbl) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT CAST(t.label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_voted,
+        |  CAST(sum(CASE WHEN p.p = t.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN p.p = t.label THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS acc_micro
+        |FROM pred p JOIN e t ON t.vec_id = p.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-dim integer moments (the q114 machinery with the library's
+    // floor(x·1e6 + 0.5) pin), exact variance numerators scaled to
+    // 10⁹ units, participation ratio in 128-bit integer arithmetic
+    "q244_effective_dim" ->
+      """WITH m AS (
+        |  SELECT i - 1 AS dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM (
+        |    SELECT unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings)),
+        |perdim AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    sum(q) AS s1, sum(CAST(q AS HUGEINT) * q) AS s2
+        |  FROM m GROUP BY 1),
+        |vd AS (
+        |  SELECT dim, n,
+        |    (s2 * n - CAST(s1 AS HUGEINT) * s1) // 1000000000 AS vs
+        |  FROM perdim),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |    CAST(min(n) AS BIGINT) AS n_vecs,
+        |    sum(vs) AS sv, sum(vs * vs) AS svv, max(vs) AS mx
+        |  FROM vd)
+        |SELECT n_dims, n_vecs,
+        |  CAST((sv * sv) * 1000000 // svv AS BIGINT) AS eff_dim_micro,
+        |  CAST(mx * 1000000 // sv AS BIGINT) AS max_var_share_micro
+        |FROM agg""".stripMargin,
   )
 }

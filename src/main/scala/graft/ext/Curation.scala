@@ -966,4 +966,58 @@ object Curation {
           .as("alloc"))
       .orderBy(col(groupCol))
   }
+
+  /** Token-budget epoch planner — the "how many epochs of each source
+    * do I run to hit my token budget" table every pre-training data
+    * recipe publishes (LLaMA/GPT-3 style: smaller curated sources are
+    * repeated, the web crawl runs < 1 epoch). Per source:
+    * sqrt-of-token-count weights (temperature α = 0.5, the standard
+    * multilingual/multi-source smoothing — root damping keeps the
+    * long tail from vanishing without letting the crawl dominate),
+    * target_tokens = budget·w/Σw, epochs capped at `maxEpochsMilli`
+    * (repeating a small source too often measurably hurts — the cap
+    * is the deployment's dedup-vs-diversity dial), and the achieved
+    * token count after the cap.
+    *
+    * Determinism: weights are INTEGER sqrt (floor of the correctly-
+    * rounded IEEE sqrt of a bigint — identical in every engine; no
+    * double pow, no order-dependent double sums); every derived
+    * column is integer multiply + floor division in that order.
+    *
+    * Scale: one groupBy(source) contraction of the corpus (map-side
+    * partial sums), then arithmetic over the ~|sources| frame with a
+    * 1-row broadcast total. Emits (source, n_docs, n_tokens,
+    * weight_micro, target_tokens, epochs_milli, achieved_tokens,
+    * capped) ordered by source. */
+  def epochPlan(docs: DataFrame, budgetTokens: Long,
+                maxEpochsMilli: Long = 4000L,
+                sourceCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochsMilli > 0, "maxEpochsMilli must be positive")
+    val toks = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
+    val wts = toks.withColumn("w",
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = wts.agg(sum(col("w")).as("_wsum"))
+    wts.crossJoin(broadcast(tot))
+      .withColumn("weight_micro", expr("w * 1000000 div _wsum"))
+      .withColumn("target_tokens",
+        expr(s"$budgetTokens * w div _wsum"))
+      // a source with zero tokens has w = 0 ⇒ target 0; guard the
+      // division anyway so a degenerate stratum can't fail the plan
+      .withColumn("epochs_milli",
+        least(lit(maxEpochsMilli),
+          expr("target_tokens * 1000 div greatest(n_tokens, 1)")))
+      .withColumn("achieved_tokens",
+        expr("epochs_milli * n_tokens div 1000"))
+      .withColumn("capped",
+        (col("epochs_milli") === maxEpochsMilli).cast("long"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("weight_micro"), col("target_tokens"), col("epochs_milli"),
+        col("achieved_tokens"), col("capped"))
+      .orderBy(col(sourceCol))
+  }
 }

@@ -890,4 +890,51 @@ object Profiling {
       .select(col("p.*"))
       .orderBy(col("column"))
   }
+
+  /** Calibration table + expected calibration error (ECE, Guo et al.
+    * ICML'17) for a [0,1]-micro confidence score against a binary
+    * outcome — the gate a pipeline runs before trusting a cheap
+    * quality score as a proxy for an expensive keep/drop decision
+    * (well-calibrated score ⇒ threshold the score and skip the
+    * funnel; miscalibrated ⇒ the score's ordering may still rank but
+    * its VALUES lie). Bins are EQUAL-WIDTH on the confidence axis
+    * (the standard ECE binning — and, unlike ntile, a pure map-side
+    * expression: no global sort, no unpartitioned window funnel).
+    * Per bin: n, mean confidence, empirical accuracy, |gap|; the
+    * one-number summary ECE = Σ nᵇ·|gapᵇ| / N rides on every row.
+    *
+    * Determinism: confidence arrives as integer micros; per-bin sums
+    * are integer; means are floor divisions of two integers. Empty
+    * bins are absent (their ECE contribution is zero by definition).
+    *
+    * Scale: one groupBy(bin) contraction (≤ nBins groups, map-side
+    * partials), then arithmetic on the ≤ nBins frame with a 1-row
+    * broadcast total. Emits (bin, n, conf_mean_micro, acc_micro,
+    * gap_micro, ece_micro) ordered by bin. */
+  def calibrationStats(scored: DataFrame, confMicro: Column,
+                       label: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val base = scored.select(confMicro.cast("long").as("conf_micro"),
+        label.cast("long").as("lbl"))
+      // conf = exactly 1.0 (1e6 micros) belongs to the TOP bin, not a
+      // one-past-the-end bin of its own
+      .withColumn("bin",
+        least(expr(s"conf_micro * $nBins div 1000000"),
+          lit(nBins - 1L)))
+    val perBin = base.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("conf_micro")).as("_sc"),
+        sum(col("lbl")).as("_sl"))
+      .select(col("bin"), col("n"),
+        expr("_sc div n").as("conf_mean_micro"),
+        expr("_sl * 1000000 div n").as("acc_micro"))
+      .withColumn("gap_micro",
+        abs(col("conf_mean_micro") - col("acc_micro")))
+    val ece = perBin.agg(
+      expr("sum(n * gap_micro) div sum(n)").as("ece_micro"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("conf_mean_micro"),
+        col("acc_micro"), col("gap_micro"), col("ece_micro"))
+      .orderBy(col("bin"))
+  }
 }

@@ -277,4 +277,89 @@ object Retrieval {
       Sim.bruteTopK(corpus, queries, depth, idCol, vecCol),
       positives, k)
   }
+
+  /** Late-interaction (MaxSim) retrieval, ColBERT-style (Khattab &
+    * Zaharia SIGIR'20): each vector is treated as `m` sub-vectors of
+    * `subDim` dims (contiguous slices — for true multi-vector data
+    * the slices would be per-token embeddings; the slicing is the
+    * single-column encoding of that shape), and
+    * score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ) — every query part finds its
+    * best-matching document part independently, which is what lets
+    * late interaction beat single-vector cosine on multi-topic
+    * documents. Exact top-k per query by the MaxSim score.
+    *
+    * Determinism: each part-pair cosine is 6-dp-rounded then pinned
+    * to integer micros BEFORE the max/sum (integer max and sum are
+    * reduce-order-free); ties break on cid.
+    *
+    * Scale shape: both sides explode ×m (skinny (id, part, slice)
+    * rows); the per-(pair, query-part) max and the per-pair sum are
+    * partial-aggregating hash contractions keyed on corpus-cardinality
+    * ids — the scan is the by-definition broadcast-query linear scan
+    * ×m², and m is small (4 here; 32-128 for real ColBERT). At corpus
+    * scale the first stage swaps for any blocked ANN tier exactly as
+    * [[mmrTopK]]'s substitution note — MaxSim then reranks the
+    * shortlist. Emits (qid, cid, maxsim_micro, rank). */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 m: Int = 4, subDim: Int = 16,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
+    import graft.ext.{Similarity => Sim}
+    def parts(df: DataFrame, id: String): DataFrame = df.select(
+        col(idCol).as(id),
+        posexplode(array((0 until m).map(i =>
+          slice(Sim.asDouble(col(vecCol)), i * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", s"${id}_part")
+      .withColumnRenamed("col", s"${id}_v")
+      .withColumn(s"${id}_n", Sim.norm(col(s"${id}_v")))
+    val c = parts(corpus, "cid")
+    val q = parts(queries, "qid")
+    val denom = col("qid_n") * col("cid_n")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(Sim.dot(col("qid_v"), col("cid_v")) / denom)
+    val simMicro = floor(round(sim, 6) * 1e6 + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim_micro").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qid_part"),
+        simMicro.as("sim_micro"))
+      .groupBy(col("qid"), col("cid"), col("qid_part"))
+      .agg(max(col("sim_micro")).as("part_max"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("part_max")).as("maxsim_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Greedy k-center coreset selection (farthest-first traversal,
+    * Gonzalez 1985 — the 2-approximation to the k-center cover): pick
+    * the candidate LEAST similar to everything already picked, k
+    * times. The diverse-exemplar sampler of a curation pipeline
+    * (eval-set seeding, codebook-training subsets, labeling budgets):
+    * top-k-by-anything returns near-duplicates, farthest-first
+    * guarantees spread. This IS [[mmrSelect]] with the relevance term
+    * OFF (wRel = 0, wDiv = 1) — pick t maximizes
+    * −max_{s∈selected} sim(c, s), first pick ties to the smallest id
+    * (a fixed deterministic start, the library's replayable-greedy
+    * convention).
+    *
+    * Scale: the greedy loop is k bounded DataFrame steps over the
+    * CANDIDATE list, never the corpus — feed it a bounded sample
+    * (uniform hash pre-sample to R, the standard two-stage coreset:
+    * R² pair sims per query, R ~ 10³-10⁴). Emits (pick, id,
+    * max_sim_to_prior_micro) in pick order; the last pick's
+    * similarity is the selection's covering-radius proxy (rising
+    * tail ⇒ k is saturating the candidate diversity). */
+  def kCenterSelect(candidates: DataFrame, emb: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    mmrDiversify(
+      candidates.select(lit(0L).as("qid"), col(idCol).as("cid"),
+        lit(0L).as("rel_micro")),
+      emb, k, wRel = 0, wDiv = 1, idCol, vecCol)
+      .select(col("pick"), col("cid").as(idCol),
+        (-col("score")).as("max_sim_to_prior_micro"))
+      .orderBy(col("pick"))
 }

@@ -1236,6 +1236,244 @@ object Similarity {
       .orderBy(col("compression_x"), col("tier"))
   }
 
+  /** Storage-tier advisor over a measured [[quantLadderStats]] frame —
+    * the DECISION the ladder exists to inform, as one replayable row:
+    * among tiers whose measured recall clears `targetRecallMicro`,
+    * take the highest compression (cheapest storage that still
+    * answers well); if NO tier qualifies, fall back to the
+    * best-recall tier (degraded mode must still pick something, and
+    * the n_qualifying = 0 column is the alarm). Ties break on tier
+    * name. Mirrors the q196/q203 join-advisor pattern: measured
+    * stats in, one deterministic decision out — the planner decides
+    * from MEASURED state, never from assumptions.
+    *
+    * Scale: arithmetic over the ≤|tiers| ladder frame (a handful of
+    * rows); the measurement cost lives in the ladder, which runs on
+    * query samples by design. */
+  def indexTierAdvisor(ladder: DataFrame,
+                       targetRecallMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the ladder is an aggregate-contracted frame (≤ a few rows), so
+    // the unpartitioned windows here never see corpus cardinality
+    val ok = (col("mean_recall_micro") >= targetRecallMicro).cast("long")
+    val w = Window.orderBy(
+      col("ok").desc,
+      when(col("ok") === 1L, col("compression_x")).otherwise(lit(-1L)).desc,
+      col("mean_recall_micro").desc, col("tier"))
+    ladder.withColumn("ok", ok)
+      .withColumn("n_tiers", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_qualifying", sum(col("ok")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("tier").as("chosen_tier"), col("compression_x"),
+        col("mean_recall_micro"), lit(targetRecallMicro).as("target_micro"),
+        col("n_tiers"), col("n_qualifying"))
+  }
+
+  /** Sample-representativeness gate: how well a SAMPLE covers the
+    * corpus's embedding-space structure, measured over the
+    * deterministic IVF cells — the check a curation run does before
+    * trusting a subsample (for eval, for codebook training, for
+    * quality audits): a sample can match the corpus size-wise and
+    * still miss whole regions. Emits one row: (n_cells,
+    * n_covered_cells, coverage_micro — fraction of cells holding ≥1
+    * sampled vector, tv_micro — total-variation distance between the
+    * sample's and the corpus's cell-share distributions, 0 = perfectly
+    * proportional, 1e6 = disjoint).
+    *
+    * Determinism: TV is computed from exact integer cross-products
+    * (|s·N_c − c·N_s| summed as decimal, one final floor division) —
+    * no per-cell floating shares to round.
+    *
+    * Scale: one cell assignment + two ≤nCentroids contractions; the
+    * TV arithmetic runs on the cells frame. */
+  def sampleCoverageStats(emb: DataFrame, samplePred: Column,
+                          nCentroids: Int = 16,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids, 1, idCol, vecCol)
+      .join(emb.select(col(idCol).as("id"), samplePred.cast("long").as("in_sample")),
+        Seq("id"))
+    val cells = assigned.groupBy(col("centroid_id")).agg(
+      count(lit(1)).as("c_n"),
+      sum(col("in_sample")).as("s_n"))
+    val tot = cells.agg(sum(col("c_n")).as("nc"), sum(col("s_n")).as("ns"))
+    cells.crossJoin(broadcast(tot))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum((col("s_n") > 0).cast("long")).as("n_covered_cells"),
+        sum(abs(col("s_n").cast("decimal(38,0)") * col("nc")
+          - col("c_n").cast("decimal(38,0)") * col("ns"))).as("_tvnum"),
+        min(col("nc")).as("_nc"), min(col("ns")).as("_ns"))
+      .select(col("n_cells"), col("n_covered_cells"),
+        expr("n_covered_cells * 1000000 div n_cells").as("coverage_micro"),
+        // an EMPTY sample yields tvnum = 0 with ns = 0: guard the
+        // division — tv reads 0 but coverage_micro = 0 is the alarm
+        expr("CAST(_tvnum * 1000000 div (2 * _nc * greatest(_ns, 1)) AS BIGINT)")
+          .as("tv_micro"))
+  }
+
+  /** kNN-classifier gate: leave-one-out majority-vote accuracy of the
+    * label column under blocked kNN — the standard embedding-quality
+    * probe (a representation is as good as its neighborhoods; kNN
+    * accuracy is the cheapest label-aware measure of that, the
+    * linear-probe's non-parametric sibling). Each vector's k blocked
+    * neighbors ([[knnWithinBlocks]] — bucket equi-joins, never
+    * corpus²) vote by count, ties to the SMALLEST label (fixed,
+    * replayable); a vector with no co-bucketed neighbor abstains and
+    * is excluded from its label's denominator. Emits per-class rows
+    * (label, n_voted, n_correct, acc_micro) ordered by label — the
+    * per-class breakdown is the point: aggregate accuracy hides a
+    * collapsed minority class.
+    *
+    * Scale: the vote is a (id, neighbor-label) count over the n·k
+    * kNN frame, keyed on corpus-cardinality ids; the final contraction
+    * is ≤|labels| rows. */
+  def knnLabelVoteStats(emb: DataFrame, k: Int = 5,
+                        nCentroids: Int = 16, nAssign: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = emb.select(col(idCol).as("_lid"),
+      col(labelCol).cast("long").as("_lbl"))
+    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
+    val votes = knn.join(labels, col("nid") === col("_lid"))
+      .groupBy(col("id"), col("_lbl"))
+      .agg(count(lit(1)).as("_votes"))
+    val wVote = Window.partitionBy(col("id"))
+      .orderBy(col("_votes").desc, col("_lbl"))
+    val predicted = votes.withColumn("_rk", row_number().over(wVote))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("_lbl").as("_pred"))
+    predicted.join(labels, col("id") === col("_lid"))
+      .groupBy(col("_lbl").as("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum((col("_pred") === col("_lbl")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_voted"), col("n_correct"),
+        expr("n_correct * 1000000 div n_voted").as("acc_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** Effective dimensionality of an embedding column — the
+    * participation ratio PR = (Σ σ²_d)² / Σ (σ²_d)² over per-dimension
+    * variances, in [1, dims]: the embedding-health gate that catches
+    * representation collapse (a few dims carrying all variance ⇒
+    * PR ≪ dims ⇒ PQ subspaces starve and cosine loses resolution —
+    * the measurement behind q212's isotropy observation, as one
+    * number). Diagonal approximation by design: the full-covariance
+    * spectrum needs the dim² moment matrix (q212's machinery); the
+    * diagonal PR is the cheap first gate.
+    *
+    * Determinism: elements micro-quantized before aggregation
+    * (integer/decimal moment sums — order-free); per-dim variance
+    * numerators v_d = n·Σx² − (Σx)² are EXACT decimals, then scaled
+    * to v_d/10⁹ integer units before the square/sum so (Σv')²·10⁶
+    * stays inside 128-bit arithmetic in BOTH engines (decimal(38) /
+    * HUGEINT) — the documented coarser-quantization remedy family.
+    * Emits (n_dims, n_vecs, eff_dim_micro, max_var_share_micro) —
+    * the max single-dim variance share is the collapse-direction
+    * companion reading. */
+  def effectiveDimStats(emb: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(posexplode(asDouble(col(vecCol))))
+      .select(col("pos").as("dim"),
+        floor(col("col") * 1e6 + lit(0.5)).cast("long").as("q"))
+    val perDim = base.groupBy(col("dim")).agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("s1"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("s2"))
+      .select(col("dim"), col("n"),
+        (col("s2") * col("n") - col("s1").cast("decimal(38,0)")
+          * col("s1")).as("v"))
+      // scale to 10⁹ units: keeps squares inside 128-bit on both
+      // engines; ~7 significant digits survive at this corpus scale
+      .select(col("dim"), col("n"),
+        expr("CAST(v div 1000000000 AS DECIMAL(38,0))").as("vs"))
+    perDim.agg(
+        count(lit(1)).as("n_dims"),
+        min(col("n")).as("n_vecs"),
+        sum(col("vs")).as("_sv"),
+        sum(col("vs") * col("vs")).as("_svv"),
+        max(col("vs")).as("_mx"))
+      .select(col("n_dims"), col("n_vecs"),
+        expr("CAST((_sv * _sv) * 1000000 div _svv AS BIGINT)")
+          .as("eff_dim_micro"),
+        expr("CAST(_mx * 1000000 div _sv AS BIGINT)")
+          .as("max_var_share_micro"))
+  }
+
+  /** IVF hot-cell split — the index-maintenance action
+    * [[ivfCellStats]]'s imbalance measurement exists to trigger (a
+    * cell holding 10× its share makes every probe of it 10× the scan;
+    * FAISS handles this offline by retraining — splitting ONLY the
+    * hot cells is the cheap online alternative that leaves every cold
+    * cell's assignment, and therefore its stored codes, untouched):
+    * every cell whose corpus share exceeds `maxShareMicro` is split
+    * in two — sub-seeds are the cell's two smallest member ids (the
+    * deterministic seed-election convention), members re-assigned to
+    * their 6-dp-argmax sub-seed (ties to the smaller seed id).
+    *
+    * Emits the post-split layout (parent_cell, new_cell, n,
+    * share_micro, split) ordered by (parent, new) — new_cell is the
+    * chosen sub-seed's global id (cold cells keep new_cell =
+    * parent_cell), so the output is directly a serveable assignment
+    * table in the same id-space the probes use.
+    *
+    * Scale: one assignment pass, one ≤nCentroids share contraction,
+    * and a ×2-bounded equi-join of HOT members against their cell's
+    * seed pair — cold cells never move. The per-member argmax keys on
+    * corpus-cardinality ids; no funnels. */
+  def hotCellSplit(emb: DataFrame, nCentroids: Int = 16,
+                   maxShareMicro: Long = 100000L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, nCentroids, 1, idCol, vecCol)
+      .localCheckpoint(true)
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_N"))
+    val hot = counts.crossJoin(broadcast(total))
+      .filter(expr("n * 1000000 div _N") > maxShareMicro)
+      .select(col("centroid_id"))
+      .localCheckpoint(true)
+    val wSeed = Window.partitionBy(col("centroid_id")).orderBy(col("id"))
+    val seeds = assigned.join(hot, Seq("centroid_id"), "left_semi")
+      .withColumn("_srk", row_number().over(wSeed))
+      .filter(col("_srk") <= 2)
+      .select(col("centroid_id"), col("id").as("seed_id"),
+        col("v").as("sv"), col("nrm").as("sn"))
+    val denom = col("nrm") * col("sn")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("v"), col("sv")) / denom)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("_s").desc, col("seed_id"))
+    val splitMembers = assigned.join(hot, Seq("centroid_id"), "left_semi")
+      .join(seeds, Seq("centroid_id"))
+      .withColumn("_s", round(sim, 6))
+      .withColumn("_rk", row_number().over(wAssign))
+      .filter(col("_rk") === 1)
+      .select(col("centroid_id").as("parent_cell"),
+        col("seed_id").as("new_cell"), col("id"))
+    val coldMembers = assigned.join(hot, Seq("centroid_id"), "left_anti")
+      .select(col("centroid_id").as("parent_cell"),
+        col("centroid_id").as("new_cell"), col("id"))
+    splitMembers.unionAll(coldMembers)
+      .groupBy(col("parent_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("parent_cell"), col("new_cell"), col("n"),
+        expr("n * 1000000 div _N").as("share_micro"),
+        (col("parent_cell") =!= col("new_cell") ||
+          count(lit(1)).over(Window.partitionBy(col("parent_cell"))) > 1)
+          .cast("long").as("split"))
+      .orderBy(col("parent_cell"), col("new_cell"))
+  }
+
   /** Retrain-benefit gate — the measured consequence of the ACTION the
     * drift gate's trip decides ([[pqDriftStats]] measures, this
     * answers "was retraining worth it"): whole-corpus mean ADC

@@ -480,4 +480,35 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 3L, 1L),    // the homogeneous combo
       (3L, 2L, 13L, 1L)))  // uniform-3 passes, skewed-3 violates
   }
+
+  test("epochPlan: sqrt weights, budget split, cap semantics") {
+    import spark.implicits._
+    // big: 10 docs x 16 tokens = 160; small: 1 doc x 4 tokens
+    val text16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 10).map(i => (i.toLong, text16, "big")) :+
+      (99L, "a b c d", "small")).toDF("doc_id", "text", "source")
+    // w_big = isqrt(160) = 12, w_small = isqrt(4) = 2, wsum = 14
+    val got = Curation.epochPlan(docs, budgetTokens = 1000L,
+        maxEpochsMilli = 4000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = got("big"); val small = got("small")
+    assert(big.getLong(2) === 160L && small.getLong(2) === 4L)
+    assert(big.getLong(3) === 12L * 1000000L / 14L)   // weight_micro
+    assert(small.getLong(3) === 2L * 1000000L / 14L)
+    assert(big.getLong(4) === 1000L * 12L / 14L)      // target_tokens
+    // big: 857 target / 160 tokens = 5357 milli-epochs -> capped 4000
+    assert(big.getLong(5) === 4000L && big.getLong(7) === 1L)
+    assert(big.getLong(6) === 4000L * 160L / 1000L)   // achieved
+    // small: 142 target / 4 tokens = 35500 milli -> capped too
+    assert(small.getLong(5) === 4000L && small.getLong(7) === 1L)
+    // a generous cap leaves both uncapped with achieved <= target
+    val loose = Curation.epochPlan(docs, budgetTokens = 100L,
+        maxEpochsMilli = 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    loose.values.foreach { r =>
+      assert(r.getLong(7) === 0L)
+      assert(r.getLong(6) <= r.getLong(4),
+        "achieved can never exceed target when uncapped")
+    }
+  }
 }

@@ -93,7 +93,12 @@ class EntrySpec extends SparkSpec {
     // q21 scan partitioned into shards (scatter stage) — by definition
     // every (query, candidate) pair is scored, via the sanctioned
     // broadcast of the bounded query set
-    "q232_filtered_ivf", "q233_filtered_recall", "q234_sharded_topk")
+    "q232_filtered_ivf", "q233_filtered_recall", "q234_sharded_topk",
+    // q238 is the q21 broadcast-query scan over ×m exploded sub-vector
+    // parts (m = 4) — the by-definition late-interaction linear scan;
+    // q239 evaluates the q225 ladder (same sanctioned tier scans) and
+    // decides over the ≤5-row result
+    "q238_maxsim", "q239_index_advisor")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1621,4 +1621,129 @@ class ExtSpec extends SparkSpec {
       a < b && knn.contains(b -> a) }
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
   }
+
+  test("indexTierAdvisor: highest qualifying compression, fallback on none") {
+    import spark.implicits._
+    val ladder = Seq(
+      ("raw", 1L, 10L, 50L, 1000000L),
+      ("sq8", 4L, 10L, 49L, 980000L),
+      ("sq4", 8L, 10L, 43L, 860000L),
+      ("pq", 16L, 10L, 21L, 420000L))
+      .toDF("tier", "compression_x", "n_q", "sum_hits", "mean_recall_micro")
+    val pick = Similarity.indexTierAdvisor(ladder, 800000L).collect().head
+    assert(pick.getString(0) === "sq4")
+    assert(pick.getLong(1) === 8L)
+    assert(pick.getLong(4) === 4L && pick.getLong(5) === 3L)
+    // impossible floor: nothing qualifies, fall back to best recall
+    // with the n_qualifying = 0 alarm
+    val none = Similarity.indexTierAdvisor(ladder, 1000001L).collect().head
+    assert(none.getString(0) === "raw" && none.getLong(5) === 0L)
+  }
+
+  test("sampleCoverageStats: full sample is perfectly proportional") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.sampleCoverageStats(emb, lit(true)).collect().head
+    assert(full.getLong(1) === full.getLong(0))   // all cells covered
+    assert(full.getLong(2) === 1000000L)
+    assert(full.getLong(3) === 0L)                // TV distance zero
+    // a single-cell sample: low coverage, large TV
+    val one = Similarity.sampleCoverageStats(emb,
+      col("vec_id") === 0L).collect().head
+    assert(one.getLong(1) === 1L)
+    assert(one.getLong(3) > 900000L)
+    // empty sample: the guard keeps the division defined; coverage 0
+    // is the alarm
+    val empty = Similarity.sampleCoverageStats(emb, lit(false)).collect().head
+    assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L)
+  }
+
+  test("hotCellSplit: hot cells split in two, cold cells untouched, mass conserved") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val before = Similarity.ivfAssign(emb, 16, 1)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = before.values.sum
+    val hotCells = before.filter { case (_, n) =>
+      n * 1000000L / total > 70000L }.keySet
+    val got = Similarity.hotCellSplit(emb, maxShareMicro = 70000L).collect()
+    // mass conservation: every vector lands in exactly one new cell
+    assert(got.map(_.getLong(2)).sum === total)
+    got.foreach { r =>
+      val (parent, newCell, split) =
+        (r.getLong(0), r.getLong(1), r.getLong(4))
+      if (hotCells.contains(parent)) assert(split === 1L)
+      else {
+        // cold cells: identical row to the pre-split layout
+        assert(newCell === parent && split === 0L)
+        assert(r.getLong(2) === before(parent))
+      }
+    }
+    // each hot cell produced exactly two sub-cells whose counts sum
+    // to the original
+    hotCells.foreach { h =>
+      val subs = got.filter(_.getLong(0) == h)
+      assert(subs.length === 2, s"cell $h")
+      assert(subs.map(_.getLong(2)).sum === before(h))
+    }
+  }
+
+  test("kCenterSelect: farthest-first picks one exemplar per cluster first") {
+    import spark.implicits._
+    // three tight clusters on orthogonal axes + the deterministic
+    // smallest-id start: picks 1-3 must cover all three clusters
+    // before any cluster repeats
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f), 0), (2L, Array(1.0f, 0.02f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.01f), 1), (4L, Array(0.0f, 1.0f, 0.02f), 1),
+      (5L, Array(0.01f, 0.0f, 1.0f), 2), (6L, Array(0.02f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val picks = graft.ext.Retrieval.kCenterSelect(emb, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(picks.head === (1L, 1L)) // smallest id starts
+    val clusters = picks.map { case (_, id) =>
+      if (id <= 2) 0 else if (id <= 4) 1 else 2 }
+    assert(clusters.toSet.size === 3,
+      s"first 3 picks must span all clusters, got ${picks.toSeq}")
+  }
+
+  test("knnLabelVoteStats: clean clusters classify, an off-cluster point doesn't") {
+    import spark.implicits._
+    // two tight 3-member clusters (orthogonal axes) + vec 99 sitting
+    // in cluster 0's region with cluster 1's label: every clustered
+    // vector's neighbors vote its own label; 99's neighbors all vote 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f), 0), (2L, Array(1.0f, 0.02f, 0.0f), 0),
+      (3L, Array(1.0f, 0.03f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.01f), 1), (5L, Array(0.0f, 1.0f, 0.02f), 1),
+      (6L, Array(0.0f, 1.0f, 0.03f), 1),
+      (99L, Array(1.0f, 0.04f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelVoteStats(emb, k = 3, nCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) === ((3L, 3L, 1000000L)))
+    // label 1: the three clustered vectors classify, 99 is misvoted
+    assert(got(1L)._1 === 4L && got(1L)._2 === 3L)
+    assert(got(1L)._3 === 3L * 1000000L / 4L)
+  }
+
+  test("effectiveDimStats: isotropic spread reads full rank, collapse reads ~1") {
+    import spark.implicits._
+    def frame(vecs: Seq[Array[Float]]) = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    // equal variance in both dims -> PR = 2 (full rank)
+    val iso = frame(Seq(Array(1f, 1f), Array(-1f, -1f),
+      Array(1f, -1f), Array(-1f, 1f)))
+    val isoRow = Similarity.effectiveDimStats(iso).collect().head
+    assert(isoRow.getLong(0) === 2L && isoRow.getLong(1) === 4L)
+    assert(isoRow.getLong(2) === 2000000L)
+    assert(isoRow.getLong(3) === 500000L)
+    // all variance on dim 0 -> PR = 1, max share 1.0
+    val flat = frame(Seq(Array(1f, 0.5f), Array(-1f, 0.5f),
+      Array(2f, 0.5f), Array(-2f, 0.5f)))
+    val flatRow = Similarity.effectiveDimStats(flat).collect().head
+    assert(flatRow.getLong(2) === 1000000L)
+    assert(flatRow.getLong(3) === 1000000L)
+  }
 }

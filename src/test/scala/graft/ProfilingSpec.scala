@@ -408,4 +408,32 @@ class ProfilingSpec extends SparkSpec {
     assert(s5 === "shuffle_salted")
     assert(r5.nonEmpty && r5 === plain(hotFull, right))
   }
+
+  test("calibrationStats: perfect calibration gives ECE 0; gaps are measured") {
+    import spark.implicits._
+    // bin 2 (conf .25): 4 rows, 1 positive -> acc .25, gap 0
+    // bin 7 (conf .75): 4 rows, 3 positive -> acc .75, gap 0
+    val calibrated = (Seq.fill(3)((250000L, 0L)) ++ Seq((250000L, 1L)) ++
+      Seq.fill(3)((750000L, 1L)) ++ Seq((750000L, 0L)))
+      .toDF("conf", "lbl")
+    val got = Profiling.calibrationStats(calibrated, col("conf"),
+      col("lbl")).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getLong(4) === 0L, s"gap in bin ${r.getLong(0)}")
+      assert(r.getLong(5) === 0L, "ece")
+    }
+    assert(got.map(_.getLong(0)).toSet === Set(2L, 7L))
+    // overconfident: conf .95 on coin flips -> gap 450000, ece too
+    val over = (Seq.fill(2)((950000L, 1L)) ++ Seq.fill(2)((950000L, 0L)))
+      .toDF("conf", "lbl")
+    val row = Profiling.calibrationStats(over, col("conf"), col("lbl"))
+      .collect()
+    assert(row.length === 1 && row.head.getLong(0) === 9L)
+    assert(row.head.getLong(4) === 450000L && row.head.getLong(5) === 450000L)
+    // conf exactly 1.0 lands in the top bin, not one past it
+    val edge = Seq((1000000L, 1L)).toDF("conf", "lbl")
+    assert(Profiling.calibrationStats(edge, col("conf"), col("lbl"))
+      .collect().head.getLong(0) === 9L)
+  }
 }

@@ -171,4 +171,36 @@ class RetrievalSpec extends SparkSpec {
       assert(rows.sortBy(_._3).map(_._2).toSeq === want)
     }
   }
+
+  test("maxSimTopK at m=1 over full width equals the plain cosine ranking") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val got = Retrieval.maxSimTopK(emb, q, k = 5, m = 1, subDim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val brute = graft.ext.Similarity.bruteTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === brute.toSeq)
+  }
+
+  test("maxSimTopK: late interaction is part-order invariant, cosine is not") {
+    import spark.implicits._
+    // doc 10 is the query with its two halves SWAPPED: full-width
+    // cosine 0, but every query part still finds a perfect partner
+    // part (MaxSim 2.0 — the order-invariance that motivates late
+    // interaction). doc 20 is a decent full-width match (cos ≈ 0.986,
+    // MaxSim ≈ 1.973): plain cosine must rank 20 first, MaxSim 10.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0),
+      (10L, Array(0.0f, 1.0f, 1.0f, 0.0f), 0),
+      (20L, Array(0.6f, 0.1f, 0.1f, 0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" === 0L)
+    val plain = Retrieval.maxSimTopK(emb, q, k = 2, m = 1, subDim = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    val late = Retrieval.maxSimTopK(emb, q, k = 2, m = 2, subDim = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(plain(20L) === 1, "full-width cosine prefers the aligned doc")
+    assert(late(10L) === 1,
+      "MaxSim must prefer the doc whose parts all match under permutation")
+  }
 }
