@@ -2818,6 +2818,33 @@ object SparkEntry {
     // 10⁹-unit scaling keeps squares inside 128-bit in both engines
     "q244_effective_dim" -> ((s, d) =>
       Similarity.effectiveDimStats(embeddings(s, d))),
+
+    // ===== ranker agreement (Spearman over intersected top-100) =======
+    // BM25 vs embedding cosine — q217's two first-stage rankers,
+    // graded for ORDER agreement on their shared survivors; low ρ is
+    // the measured justification for fusing them (RRF) at all
+    "q245_ranker_agreement" -> ((s, d) => {
+      val bm = T.bm25TopK(documents(s, d),
+          terms = Seq("spark", "join", "vector"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = embeddings(s, d)
+      val cos = Similarity.bruteTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("cid").as("id"), col("rank"))
+      Retrieval.spearmanStats(bm, cos)
+    }),
+
+    // ===== kNN-graph hubness profile ===================================
+    // vectors over-represented across blocked top-5 lists — the
+    // high-dimensional pathology that absorbs dedup neighborhoods and
+    // dominates kNN votes; top-10 hubs with their slot share
+    "q246_hubness" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.hubnessStats(emb, k = 5, topN = 10,
+        nCentroids = Similarity.autoCentroids(emb.count()))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -10535,5 +10562,113 @@ object SparkEntry {
         |  CAST((sv * sv) * 1000000 // svv AS BIGINT) AS eff_dim_micro,
         |  CAST(mx * 1000000 // sv AS BIGINT) AS max_var_share_micro
         |FROM agg""".stripMargin,
+
+    // q217's two ranker blocks verbatim, then the intersected
+    // dense-rank Spearman with explicit toward-zero signed division
+    "q245_ranker_agreement" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |hits AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT token, count(*) AS df FROM hits GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |per AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM hits h JOIN dfq d USING (token) CROSS JOIN g),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+        |  FROM per GROUP BY doc_id
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 100),
+        |bmr AS (
+        |  SELECT doc_id AS id, row_number() OVER (
+        |    ORDER BY bm25_micro DESC, doc_id) AS rank
+        |  FROM bmtop),
+        |e AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT v AS qv FROM e WHERE id = 0),
+        |cscored AS (
+        |  SELECT e.id AS cid,
+        |         round(list_cosine_similarity(q0.qv, e.v), 6) AS cos_sim
+        |  FROM e, q0 WHERE e.id <> 0),
+        |cosr AS (
+        |  SELECT cid AS id, rank FROM (
+        |    SELECT cid, row_number() OVER (
+        |      ORDER BY cos_sim DESC, cid) AS rank
+        |    FROM cscored)
+        |  WHERE rank <= 100),
+        |common AS (
+        |  SELECT a.id, a.rank AS ra, b.rank AS rb
+        |  FROM bmr a JOIN cosr b USING (id)),
+        |dense AS (
+        |  SELECT id,
+        |    row_number() OVER (ORDER BY ra, id) AS dra,
+        |    row_number() OVER (ORDER BY rb, id) AS drb
+        |  FROM common),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum((dra - drb) * (dra - drb)) AS BIGINT) AS sum_d2
+        |  FROM dense)
+        |SELECT n_common, sum_d2,
+        |  CASE WHEN n_common < 2 THEN CAST(1000000 AS BIGINT)
+        |       WHEN n_common * (n_common * n_common - 1) - 6 * sum_d2 >= 0
+        |       THEN CAST((n_common * (n_common * n_common - 1) - 6 * sum_d2)
+        |         * 1000000 // (n_common * (n_common * n_common - 1)) AS BIGINT)
+        |       ELSE CAST(-((-(n_common * (n_common * n_common - 1) - 6 * sum_d2))
+        |         * 1000000 // (n_common * (n_common * n_common - 1))) AS BIGINT)
+        |  END AS rho_micro
+        |FROM agg""".stripMargin,
+
+    // the q243 blocked-kNN replay counted per NEIGHBOR id — the hub
+    // table: top-10 over-represented vectors with their slot share
+    "q246_hubness" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT id, nid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY cos_sim DESC, nid) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5),
+        |occ AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_occ
+        |        FROM knn GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS slots FROM knn)
+        |SELECT CAST(hub_rank AS BIGINT) AS hub_rank, nid AS vec_id, n_occ,
+        |  CAST(n_occ * 1000000 // slots AS BIGINT) AS occ_share_micro
+        |FROM (SELECT *, row_number() OVER (
+        |        ORDER BY n_occ DESC, nid) AS hub_rank FROM occ), tot
+        |WHERE hub_rank <= 10 ORDER BY hub_rank""".stripMargin,
   )
 }

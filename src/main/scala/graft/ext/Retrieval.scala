@@ -333,6 +333,54 @@ object Retrieval {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Spearman rank correlation between two top-N rankings — the
+    * ranker-agreement gate (BM25 vs embedding cosine, old index vs
+    * new, cheap tier vs expensive): high ρ ⇒ the cheap ranker can
+    * stand in; low ρ ⇒ fusion (RRF) has something to add. Top-N lists
+    * rank different survivor sets, so ranks are RE-DENSIFIED within
+    * the id intersection before differencing (the standard top-k
+    * treatment — raw rank gaps against missing ids would dominate d²
+    * with membership noise, not order disagreement).
+    *
+    * ρ = 1 − 6Σd²/(n(n²−1)), emitted in micros with explicit
+    * toward-zero signed division (Spark `div` truncates, DuckDB `//`
+    * floors — they agree only on non-negatives, so the negative
+    * branch is handled by negating a positive division: replayable in
+    * both engines bit-for-bit). Emits one row (n_common, sum_d2,
+    * rho_micro).
+    *
+    * Scale: inputs are top-N ranker outputs (bounded lists); two
+    * semi-joins + two windows over ≤N rows. */
+  def spearmanStats(rankA: DataFrame, rankB: DataFrame,
+                    idCol: String = "id",
+                    rankCol: String = "rank"): DataFrame = {
+    val a = rankA.select(col(idCol).as("id"), col(rankCol).as("ra"))
+    val b = rankB.select(col(idCol).as("id"), col(rankCol).as("rb"))
+    // top-N lists by contract, so the intersection is ≤N rows; the
+    // limit is a semantic no-op that makes the bound PROVABLE to the
+    // plan gate (the unpartitioned dense-rank windows below must never
+    // be able to see corpus cardinality)
+    val common = a.join(b, Seq("id")).limit(100000)
+    val da = Window.orderBy(col("ra"), col("id"))
+    val db = Window.orderBy(col("rb"), col("id"))
+    val dense = common
+      .withColumn("dra", row_number().over(da).cast("long"))
+      .withColumn("drb", row_number().over(db).cast("long"))
+    val agg = dense.agg(
+      count(lit(1)).as("n_common"),
+      sum((col("dra") - col("drb")) * (col("dra") - col("drb")))
+        .as("sum_d2"))
+    agg.select(col("n_common"), col("sum_d2"),
+      when(col("n_common") < 2L, lit(1000000L)).otherwise(
+        expr("""CASE WHEN n_common * (n_common * n_common - 1) - 6 * sum_d2 >= 0
+               |THEN (n_common * (n_common * n_common - 1) - 6 * sum_d2) * 1000000
+               |     div (n_common * (n_common * n_common - 1))
+               |ELSE -((-(n_common * (n_common * n_common - 1) - 6 * sum_d2)) * 1000000
+               |     div (n_common * (n_common * n_common - 1)))
+               |END""".stripMargin))
+        .as("rho_micro"))
+  }
+
   /** Greedy k-center coreset selection (farthest-first traversal,
     * Gonzalez 1985 — the 2-approximation to the k-center cover): pick
     * the candidate LEAST similar to everything already picked, k

@@ -1357,6 +1357,40 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Hubness profile of the kNN graph — which vectors appear in
+    * other vectors' top-k lists far more often than the k-per-list
+    * average (Radovanović et al. JMLR'10: hubs are an intrinsic
+    * high-dimensional pathology; a hub absorbs its whole neighborhood
+    * in dedup verification — the failure [[mutualKnnPairs]] filters —
+    * and silently dominates kNN votes and retrieval lists). Counts
+    * each vector's occurrences across all blocked-kNN lists
+    * ([[knnWithinBlocks]]) and emits the top `topN` hubs:
+    * (hub_rank, vec_id, n_occ, occ_share_micro) where occ_share is
+    * the vector's share of ALL list slots — under no hubness every
+    * vector sits near k/n of the slots.
+    *
+    * Scale: one count contraction over the n·k kNN frame keyed on
+    * corpus-cardinality neighbor ids; only the ≤topN tail is
+    * collected into the ranking window (TakeOrderedAndProject-sized,
+    * applied to an aggregate contraction). */
+  def hubnessStats(emb: DataFrame, k: Int = 5, topN: Int = 10,
+                   nCentroids: Int = 16, nAssign: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint(true)
+    val totalSlots = knn.count()
+    val occ = knn.groupBy(col("nid")).agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("nid"))
+    occ.withColumn("hub_rank", row_number().over(w).cast("long"))
+      .filter(col("hub_rank") <= topN)
+      .select(col("hub_rank"), col("nid").as(idCol), col("n_occ"),
+        expr(s"n_occ * 1000000 div ${math.max(totalSlots, 1L)}")
+          .as("occ_share_micro"))
+      .orderBy(col("hub_rank"))
+  }
+
   /** Effective dimensionality of an embedding column — the
     * participation ratio PR = (Σ σ²_d)² / Σ (σ²_d)² over per-dimension
     * variances, in [1, dims]: the embedding-health gate that catches

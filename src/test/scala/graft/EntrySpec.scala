@@ -97,8 +97,10 @@ class EntrySpec extends SparkSpec {
     // q238 is the q21 broadcast-query scan over ×m exploded sub-vector
     // parts (m = 4) — the by-definition late-interaction linear scan;
     // q239 evaluates the q225 ladder (same sanctioned tier scans) and
-    // decides over the ≤5-row result
-    "q238_maxsim", "q239_index_advisor")
+    // decides over the ≤5-row result; q245 inherits q123's
+    // single-query-vector cosine ranking (one broadcast row against
+    // the corpus, not provable as maxRows==1)
+    "q238_maxsim", "q239_index_advisor", "q245_ranker_agreement")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

@@ -1746,4 +1746,27 @@ class ExtSpec extends SparkSpec {
     assert(flatRow.getLong(2) === 1000000L)
     assert(flatRow.getLong(3) === 1000000L)
   }
+
+  test("hubnessStats: a planted hub tops the table with the right share") {
+    import spark.implicits._
+    // orthogonal star: points 1..7 are basis directions (pairwise
+    // cos 0), vec 50 is the all-ones center (cos 1/√7 ≈ 0.378 to
+    // every point) — the center is every point's UNIQUE nearest
+    // neighbor, so at k = 1 it holds 7 of the 8 list slots
+    val star = (1 to 7).map { i =>
+      val v = Array.fill(8)(0.0f); v(i - 1) = 1.0f
+      (i.toLong, v, 0)
+    }
+    val hub = Array.fill(8)(1.0f); hub(7) = 0.0f
+    val emb = (star :+ ((50L, hub, 0)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hubnessStats(emb, k = 1, topN = 3, nCentroids = 2)
+      .collect()
+    assert(got.head.getLong(0) === 1L)
+    assert(got.head.getLong(1) === 50L, "the planted center is the top hub")
+    assert(got.head.getLong(2) === 7L)
+    val totalSlots = Similarity.knnWithinBlocks(emb, 1, 2).count()
+    assert(got.head.getLong(3) ===
+      got.head.getLong(2) * 1000000L / totalSlots)
+  }
 }

@@ -203,4 +203,21 @@ class RetrievalSpec extends SparkSpec {
     assert(late(10L) === 1,
       "MaxSim must prefer the doc whose parts all match under permutation")
   }
+
+  test("spearmanStats: agreement 1.0, reversal -1.0, re-densified intersection") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val same = Retrieval.spearmanStats(a, a).collect().head
+    assert(same.getLong(0) === 4L && same.getLong(1) === 0L)
+    assert(same.getLong(2) === 1000000L)
+    val rev = Seq((1L, 4), (2L, 3), (3L, 2), (4L, 1)).toDF("id", "rank")
+    val opp = Retrieval.spearmanStats(a, rev).collect().head
+    assert(opp.getLong(2) === -1000000L)
+    // intersection + re-densify: b ranks only {2,4} plus strangers —
+    // within the common ids the ORDER agrees, so rho is 1.0 even
+    // though raw rank values differ wildly
+    val b = Seq((2L, 7), (4L, 9), (99L, 1), (98L, 2)).toDF("id", "rank")
+    val sub = Retrieval.spearmanStats(a, b).collect().head
+    assert(sub.getLong(0) === 2L && sub.getLong(2) === 1000000L)
+  }
 }
