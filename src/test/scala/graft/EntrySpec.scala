@@ -15,6 +15,15 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("README query count matches the registered map") {
+    val n = SparkEntry.queries.size
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(readme.contains(s"SparkEntry  $n queries; ALL $n DuckDB-oracle-checked"),
+      s"README count drifted from the registered $n queries")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows on sf0.001") {
       assert(fn(spark, dir).count() > 0, s"$name returned no rows")
