@@ -2845,6 +2845,28 @@ object SparkEntry {
       Similarity.hubnessStats(emb, k = 5, topN = 10,
         nCentroids = Similarity.autoCentroids(emb.count()))
     }),
+
+    // ===== near-dup threshold operating curve ==========================
+    // q20's dedup dial, measured: pair/affected-doc counts at each
+    // cosine threshold off ONE pinned blocked pair pass; nesting
+    // theorem pinned per row (1546/407/27 pairs at 0.2/0.3/0.4 here)
+    "q247_neardup_sweep" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.nearDupThresholdSweep(emb,
+        thresholdsMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L),
+        nCentroids = Similarity.autoCentroids(emb.count()))
+    }),
+
+    // ===== coarse-quantizer semantic alignment (cell × label NMI) =====
+    // does the IVF partitioning respect the label structure? the q121
+    // MI machinery on (centroid_id, label) — near-zero NMI here is
+    // the fourth independent isotropy reading (q212/q243/q244 agree)
+    "q248_cell_label_nmi" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val assigned = Similarity.ivfAssign(emb, 16, 1)
+        .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      Profiling.mutualInfo(assigned, "centroid_id", "label")
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -10670,5 +10692,94 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |        ORDER BY n_occ DESC, nid) AS hub_rank FROM occ), tot
         |WHERE hub_rank <= 10 ORDER BY hub_rank""".stripMargin,
+
+    // the q20 blocked pair frame (micro-pinned sims), five operating
+    // points as UNION rows, the nesting flag via lag over the curve
+    "q247_neardup_sweep" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(floor(round(list_cosine_similarity(a.v, b.v), 6)
+        |      * 1000000 + 0.5) AS BIGINT) AS s
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+        |ts AS (SELECT CAST(t AS BIGINT) AS t
+        |       FROM UNNEST([200000, 250000, 300000, 350000, 400000]) AS u(t)),
+        |points AS (
+        |  SELECT t AS threshold_micro,
+        |    (SELECT CAST(count(*) AS BIGINT)
+        |     FROM pairs p WHERE p.s >= ts.t) AS n_pairs,
+        |    (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+        |       SELECT va AS d FROM pairs p WHERE p.s >= ts.t
+        |       UNION SELECT vb FROM pairs p2 WHERE p2.s >= ts.t))
+        |      AS n_docs_affected
+        |  FROM ts)
+        |SELECT threshold_micro, n_pairs, n_docs_affected,
+        |  CAST(n_pairs <= coalesce(lag(n_pairs, 1) OVER (
+        |    ORDER BY threshold_micro), n_pairs) AS BIGINT) AS monotone_ok
+        |FROM points ORDER BY threshold_micro""".stripMargin,
+
+    // q34's assignment joined with labels, the q121 MI/NMI replay on
+    // (centroid_id, label)
+    "q248_cell_label_nmi" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, label, c_id FROM (
+        |    SELECT e.vec_id, e.label, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk = 1),
+        |j AS (
+        |  SELECT c_id AS x, label AS y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM assigned GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)) * 1e9,
+        |      0) AS BIGINT) AS mi_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(nx AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hx_nano,
+        |    CAST(round(CAST(nxy AS DOUBLE) / n *
+        |      -ln(CAST(ny AS DOUBLE) / n) * 1e9, 0) AS BIGINT) AS hy_nano
+        |  FROM cells)
+        |SELECT
+        |  CAST(round(CAST(sum(mi_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS mi_micro,
+        |  CAST(round(CAST(sum(hx_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS h_x_micro,
+        |  CAST(round(CAST(sum(hy_nano) AS DOUBLE) / 1e3, 0) AS BIGINT)
+        |    AS h_y_micro,
+        |  CASE WHEN sum(hx_nano) > 0 AND sum(hy_nano) > 0
+        |       THEN round(CAST(sum(mi_nano) AS DOUBLE) /
+        |         sqrt(CAST(sum(hx_nano) AS DOUBLE) * sum(hy_nano)), 6)
+        |  END AS nmi
+        |FROM t""".stripMargin,
   )
 }

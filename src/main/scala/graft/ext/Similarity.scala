@@ -1357,6 +1357,60 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Near-dup threshold operating curve — pair count and affected-doc
+    * count at each candidate cosine threshold, ONE gate row per
+    * operating point (the [[nearDupPairsBlocked]] tuning table: too
+    * low drowns curation in false merges, too high leaves duplicate
+    * clusters intact; the knee is corpus-specific and must be
+    * MEASURED — the q211/q215 sweep standard applied to the dedup
+    * dial). `monotone_ok` pins the nesting theorem: surviving pair
+    * sets nest as the threshold rises, so both counts are
+    * non-increasing — a red flag means the pair frame broke, not
+    * noise.
+    *
+    * Scale: ONE blocked pair pass ([[ivfAssign]] equi-join, never
+    * corpus²), pinned; each operating point is a filter + two
+    * contractions over the skinny pair frame. */
+  def nearDupThresholdSweep(emb: DataFrame, thresholdsMicro: Seq[Long],
+                            nCentroids: Int = 16, nAssign: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdsMicro.nonEmpty &&
+      thresholdsMicro == thresholdsMicro.sorted &&
+      thresholdsMicro.distinct == thresholdsMicro,
+      "thresholdsMicro must be distinct and ascending")
+    val assigned = ivfAssign(emb, nCentroids, nAssign, idCol, vecCol)
+      .localCheckpoint()
+    val denom = col("a.nrm") * col("b.nrm")
+    val sim = when(denom === 0.0, 0.0)
+      .otherwise(dot(col("a.v"), col("b.v")) / denom)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("va"), col("b.id").as("vb"),
+        floor(round(sim, 6) * 1e6 + lit(0.5)).cast("long").as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    val points = thresholdsMicro.map { t =>
+      val surv = pairs.filter(col("s") >= t)
+      val np = surv.agg(count(lit(1)).as("n_pairs"))
+      val nd = surv.select(explode(array(col("va"), col("vb"))).as("d"))
+        .agg(countDistinct(col("d")).as("n_docs_affected"))
+      np.crossJoin(nd)
+        .select(lit(t).as("threshold_micro"), col("n_pairs"),
+          col("n_docs_affected"))
+    }.reduce(_.unionAll(_))
+    // the nesting check runs over the |thresholds|-row union of
+    // aggregates — bounded by construction
+    val w = Window.orderBy(col("threshold_micro"))
+    points
+      .withColumn("monotone_ok",
+        (col("n_pairs") <= coalesce(lag(col("n_pairs"), 1).over(w),
+          col("n_pairs"))).cast("long"))
+      .orderBy(col("threshold_micro"))
+  }
+
   /** Hubness profile of the kNN graph — which vectors appear in
     * other vectors' top-k lists far more often than the k-per-list
     * average (Radovanović et al. JMLR'10: hubs are an intrinsic

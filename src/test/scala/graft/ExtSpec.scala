@@ -1747,6 +1747,27 @@ class ExtSpec extends SparkSpec {
     assert(flatRow.getLong(3) === 1000000L)
   }
 
+  test("nearDupThresholdSweep: nesting holds and counts match per-point filters") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ts = Seq(200000L, 300000L, 400000L)
+    val got = Similarity.nearDupThresholdSweep(emb, ts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === ts)
+    assert(got.forall(_._4 === 1L), "nesting theorem")
+    // counts are non-increasing and the top point matches a direct
+    // blocked-pair filter
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    val direct = Similarity.nearDupPairsBlocked(emb, threshold = 0.4)
+      .count()
+    // the sweep pins sims at 6-dp micros, the pair op at 4 dp — the
+    // two counts can differ only by boundary-straddling pairs; both
+    // count the same frame, so direct >= sweep@0.4 can only differ by
+    // pairs in [0.39995, 0.4) rounding up at 4 dp
+    val sweep400 = got.find(_._1 == 400000L).get._2
+    assert(math.abs(direct - sweep400) <= 3,
+      s"direct=$direct sweep=$sweep400")
+  }
+
   test("hubnessStats: a planted hub tops the table with the right share") {
     import spark.implicits._
     // orthogonal star: points 1..7 are basis directions (pairwise
