@@ -349,13 +349,75 @@ object ScaleProbe {
       .select((col("vec_id") * nnReps + col("rep")).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x + col("rep") * lit(0.001)).cast("float"))
-            .otherwise(x)).as("embedding"))
+            .otherwise(x)).as("embedding"),
+        col("label"))
     timed(s"nn_novelty x$nnReps") {
       consume(Similarity.nnWithinBlocks(embNn, nCentroids = 256))
     }
     timed(s"semantic_contamination x$nnReps") {
       consume(Similarity.semanticContamination(embNn,
         col("vec_id") % 31 === 0, threshold = 0.4, nCentroids = 256))
+    }
+    // ===== round-13 operator probes over the perturbed 20× corpus =====
+    timed(s"mutual_knn x$nnReps") {
+      consume(Similarity.mutualKnnPairs(embNn, k = 5, nCentroids = 256))
+    }
+    timed(s"hubness x$nnReps") {
+      consume(Similarity.hubnessStats(embNn, k = 5, topN = 10,
+        nCentroids = 256))
+    }
+    timed(s"knn_classifier x$nnReps") {
+      consume(Similarity.knnLabelVoteStats(embNn, k = 5, nCentroids = 256))
+    }
+    timed(s"filtered_ivf x$nnReps") {
+      consume(Similarity.filteredIvfTopK(embNn,
+        embNn.filter(col("vec_id") < 10),
+        allowed = embNn.filter(pmod(col("vec_id"), lit(3L)) === 0L),
+        k = 5, nCentroids = 256, nProbe = 8))
+    }
+    timed(s"sharded_topk x$nnReps") {
+      consume(Similarity.shardedTopK(embNn,
+        embNn.filter(col("vec_id") < 10), k = 5, nShards = 32))
+    }
+    timed(s"maxsim x$nnReps") {
+      consume(graft.ext.Retrieval.maxSimTopK(embNn,
+        embNn.filter(col("vec_id") < 10), k = 5))
+    }
+    timed(s"hot_cell_split x$nnReps") {
+      consume(Similarity.hotCellSplit(embNn, nCentroids = 256,
+        maxShareMicro = 5000L))
+    }
+    timed(s"neardup_sweep x$nnReps") {
+      consume(Similarity.nearDupThresholdSweep(embNn,
+        thresholdsMicro = Seq(300000L, 400000L, 500000L),
+        nCentroids = 256))
+    }
+    timed(s"sample_coverage x$nnReps") {
+      consume(Similarity.sampleCoverageStats(embNn,
+        pmod(col("vec_id"), lit(7L)) === 0L, nCentroids = 256))
+    }
+    timed(s"effective_dim x$nnReps") {
+      consume(Similarity.effectiveDimStats(embNn))
+    }
+    // k-center runs over a BOUNDED candidate sample by contract — the
+    // probe keeps candidates ~100 while pair sims still come from the
+    // 10k-vector corpus frame
+    timed(s"kcenter_coreset x$nnReps") {
+      consume(graft.ext.Retrieval.kCenterSelect(
+        embNn.filter(pmod(col("vec_id"), lit(97L)) === 0L), embNn, k = 8))
+    }
+    timed(s"epoch_plan x$docReps") {
+      consume(Curation.epochPlan(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L)))),
+        budgetTokens = 100000000L))
+    }
+    timed(s"quality_calibration x$docReps") {
+      consume(graft.ext.Profiling.calibrationStats(
+        TextAnalysis.withQuality(docs),
+        expr("CAST(round(quality * 1000000) AS BIGINT)"),
+        (col("n_tokens") >= 30 && col("punct_ratio") <= 0.1 &&
+          col("stop_ratio") >= 0.05).cast("long")))
     }
     // capped posting lists at 100M+ shingle rows
     timed(s"capped_postings x$docReps") {
