@@ -1335,11 +1335,23 @@ object Similarity {
                         nCentroids: Int = 16, nAssign: Int = 2,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        labelCol: String = "label"): DataFrame = {
+                        labelCol: String = "label"): DataFrame =
+    knnLabelVoteStatsFromKnn(
+      knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol),
+      emb.select(col(idCol), col(labelCol)), idCol, labelCol)
+
+  /** [[knnLabelVoteStats]] over a PREBUILT kNN frame (id, nid, …) —
+    * the shared-graph seam: the blocked candidate generation dominates
+    * all three kNN consumers (measured 64–145 s each at the 20× probe
+    * vs 2–7 s tails), so a deployment materializes the graph once and
+    * feeds [[mutualKnnPairsFromKnn]] / [[hubnessStatsFromKnn]] / this
+    * from the same frame. */
+  def knnLabelVoteStatsFromKnn(knn: DataFrame, labeled: DataFrame,
+                               idCol: String = "vec_id",
+                               labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = emb.select(col(idCol).as("_lid"),
+    val labels = labeled.select(col(idCol).as("_lid"),
       col(labelCol).cast("long").as("_lbl"))
-    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
     val votes = knn.join(labels, col("nid") === col("_lid"))
       .groupBy(col("id"), col("_lbl"))
       .agg(count(lit(1)).as("_votes"))
@@ -1430,10 +1442,19 @@ object Similarity {
   def hubnessStats(emb: DataFrame, k: Int = 5, topN: Int = 10,
                    nCentroids: Int = 16, nAssign: Int = 2,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame =
+    hubnessStatsFromKnn(
+      knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
+        .localCheckpoint(true),
+      topN, idCol)
+
+  /** [[hubnessStats]] over a PREBUILT kNN frame — the shared-graph
+    * seam (see [[knnLabelVoteStatsFromKnn]]). Callers passing an
+    * unpinned frame should checkpoint it: both the slot count and the
+    * occurrence aggregate consume it. */
+  def hubnessStatsFromKnn(knn: DataFrame, topN: Int = 10,
+                          idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
-      .localCheckpoint(true)
     val totalSlots = knn.count()
     val occ = knn.groupBy(col("nid")).agg(count(lit(1)).as("n_occ"))
     val w = Window.orderBy(col("n_occ").desc, col("nid"))
@@ -3227,9 +3248,15 @@ object Similarity {
     * (nCentroids, nAssign) recall dial. */
   def mutualKnnPairs(emb: DataFrame, k: Int, nCentroids: Int = 16,
                      nAssign: Int = 2, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val knn = knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
-      .localCheckpoint(true)
+                     vecCol: String = "embedding"): DataFrame =
+    mutualKnnPairsFromKnn(
+      knnWithinBlocks(emb, k, nCentroids, nAssign, idCol, vecCol)
+        .localCheckpoint(true))
+
+  /** [[mutualKnnPairs]] over a PREBUILT kNN frame — the shared-graph
+    * seam (see [[knnLabelVoteStatsFromKnn]]); pass a pinned frame
+    * (both join sides read it). */
+  def mutualKnnPairsFromKnn(knn: DataFrame): DataFrame = {
     val ab = knn.select(col("id").as("vec_a"), col("nid").as("vec_b"),
       col("cos_sim"), col("rank").as("rank_ab"))
     val ba = knn.select(col("nid").as("vec_a"), col("id").as("vec_b"),

@@ -1747,6 +1747,20 @@ class ExtSpec extends SparkSpec {
     assert(flatRow.getLong(3) === 1000000L)
   }
 
+  test("FromKnn seams: one shared graph feeds all three consumers identically") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val knn = Similarity.knnWithinBlocks(emb, 5).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.mutualKnnPairsFromKnn(knn)) ===
+      rows(Similarity.mutualKnnPairs(emb, 5)))
+    assert(rows(Similarity.hubnessStatsFromKnn(knn)) ===
+      rows(Similarity.hubnessStats(emb)))
+    assert(rows(Similarity.knnLabelVoteStatsFromKnn(knn,
+        emb.select(col("vec_id"), col("label")))) ===
+      rows(Similarity.knnLabelVoteStats(emb)))
+  }
+
   test("nearDupThresholdSweep: nesting holds and counts match per-point filters") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ts = Seq(200000L, 300000L, 400000L)
