@@ -2867,6 +2867,34 @@ object SparkEntry {
         .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
       Profiling.mutualInfo(assigned, "centroid_id", "label")
     }),
+
+    // ===== kNN-graph health (one shared graph, three consumers) =======
+    // the FromKnn seam exercised in the oracle-checked surface: ONE
+    // pinned blocked-kNN pass feeds mutual-pair count, top-hub share,
+    // and overall leave-one-out accuracy — one row
+    "q249_knn_graph_health" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val knn = Similarity.knnWithinBlocks(emb, 5,
+        Similarity.autoCentroids(emb.count())).localCheckpoint(true)
+      val mutual = Similarity.mutualKnnPairsFromKnn(knn)
+        .agg(count(lit(1)).as("n_mutual_pairs"))
+      val hub = Similarity.hubnessStatsFromKnn(knn, topN = 1)
+        .select(col("vec_id").as("top_hub_id"),
+          col("occ_share_micro").as("top_hub_share_micro"))
+      val acc = Similarity.knnLabelVoteStatsFromKnn(knn,
+          emb.select(col("vec_id"), col("label")))
+        .agg(sum(col("n_voted")).as("_nv"),
+          sum(col("n_correct")).as("_nc"))
+        .select(expr("_nc * 1000000 div _nv").as("knn_acc_micro"))
+      mutual.crossJoin(hub).crossJoin(acc)
+    }),
+
+    // ===== packing-efficiency operating curve ==========================
+    // q88's padding waste measured at each candidate context length —
+    // the ctx_len decision table off ONE tokenize pass
+    "q250_packing_sweep" -> ((s, d) =>
+      T.packingEfficiencySweep(documents(s, d),
+        ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -10781,5 +10809,86 @@ object SparkEntry {
         |         sqrt(CAST(sum(hx_nano) AS DOUBLE) * sum(hy_nano)), 6)
         |  END AS nmi
         |FROM t""".stripMargin,
+
+    // ONE blocked-kNN frame (the q243/q246 replay) feeding the three
+    // graph-consumer tails, one row — the shared-graph seam's oracle
+    "q249_knn_graph_health" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+        |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |           row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |                      c.c_id) AS rk
+        |    FROM e CROSS JOIN c)
+        |  WHERE rk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS nid,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT id, nid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY cos_sim DESC, nid) AS rank
+        |    FROM cand)
+        |  WHERE rank <= 5),
+        |mut AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_mutual_pairs
+        |  FROM knn ab JOIN knn ba ON ba.id = ab.nid AND ba.nid = ab.id
+        |  WHERE ab.id < ab.nid),
+        |occ AS (SELECT nid, CAST(count(*) AS BIGINT) AS n_occ
+        |        FROM knn GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS slots FROM knn),
+        |hub AS (
+        |  SELECT nid AS top_hub_id,
+        |    CAST(n_occ * 1000000 // slots AS BIGINT) AS top_hub_share_micro
+        |  FROM (SELECT *, row_number() OVER (
+        |          ORDER BY n_occ DESC, nid) AS hr FROM occ), tot
+        |  WHERE hr = 1),
+        |votes AS (
+        |  SELECT k.id, CAST(n.label AS BIGINT) AS lbl, count(*) AS nv
+        |  FROM knn k JOIN e n ON n.vec_id = k.nid GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT id, lbl AS p FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id ORDER BY nv DESC, lbl) AS rk FROM votes)
+        |  WHERE rk = 1),
+        |accr AS (
+        |  SELECT CAST(sum(CASE WHEN p.p = t.label THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS knn_acc_micro
+        |  FROM pred p JOIN e t ON t.vec_id = p.id)
+        |SELECT n_mutual_pairs, top_hub_id, top_hub_share_micro,
+        |  knn_acc_micro
+        |FROM mut, hub, accr""".stripMargin,
+
+    // one tokenize pass crossed with the candidate context lengths —
+    // per-point doc padding waste and efficiency
+    "q250_packing_sweep" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |ts AS (SELECT CAST(c AS BIGINT) AS c
+        |       FROM UNNEST([64, 128, 256, 512, 1024]) AS u(c)),
+        |pts AS (
+        |  SELECT ts.c AS ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n.n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN n.n = 0 THEN 0
+        |      ELSE ((n.n + ts.c - 1) // ts.c) * ts.c - n.n END)
+        |      AS BIGINT) AS n_pad
+        |  FROM ts, n GROUP BY 1)
+        |SELECT ctx_len, n_docs, n_tokens, n_pad,
+        |  CASE WHEN n_tokens + n_pad = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(n_tokens * 1000000 // (n_tokens + n_pad)
+        |         AS BIGINT) END AS micro_efficiency
+        |FROM pts ORDER BY ctx_len""".stripMargin,
   )
 }

@@ -580,6 +580,36 @@ object TextAnalysis {
           .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
           .as("micro_efficiency"))
 
+  /** Packing-efficiency operating curve — [[packingStats]]'s padding
+    * waste measured at EACH candidate context length, one row per
+    * point (the table that picks ctx_len for a packing run: longer
+    * contexts amortize attention overhead but pay more tail padding
+    * per document; the knee is corpus-length-distribution-specific
+    * and must be measured). One corpus tokenize pass, pinned; each
+    * point is arithmetic over the skinny token-count frame. Emits
+    * (ctx_len, n_docs, n_tokens, n_pad, micro_efficiency) ascending. */
+  def packingEfficiencySweep(df: DataFrame, ctxLens: Seq[Long],
+                             textCol: String = "text"): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens == ctxLens.sorted &&
+      ctxLens.distinct == ctxLens && ctxLens.head > 0,
+      "ctxLens must be distinct, ascending, positive")
+    val toks = df
+      .select(size(tokens(lower(col(textCol)))).cast("long").as("n"))
+      .localCheckpoint(true)
+    ctxLens.map { c =>
+      toks.select(col("n"),
+          when(col("n") === 0, 0L)
+            .otherwise(expr(s"((n + $c - 1) div $c) * $c - n")).as("pad"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          sum(col("pad")).as("n_pad"))
+        .select(lit(c).as("ctx_len"), col("n_docs"), col("n_tokens"),
+          col("n_pad"),
+          when(col("n_tokens") + col("n_pad") === 0, 0L)
+            .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
+            .as("micro_efficiency"))
+    }.reduce(_.unionAll(_)).orderBy(col("ctx_len"))
+  }
+
   /** Strided context-window chunking — the standard "cut documents
     * into `ctxLen`-token windows with `overlap`-token overlap"
     * pretraining prep. One row per chunk: (id, chunk_idx, start_tok,

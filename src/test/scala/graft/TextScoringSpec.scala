@@ -407,4 +407,17 @@ class TextScoringSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(got.toSeq === Seq(("en", "fr", 3L, 2L, 1L, 250000L)))
   }
+
+  test("packingEfficiencySweep: exact padding per context point") {
+    import spark.implicits._
+    // docs of 3 and 5 tokens: ctx 4 -> pads 1 + 3; ctx 8 -> pads 5 + 3
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packingEfficiencySweep(docs, Seq(4L, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (4L, 2L, 8L, 4L, 8L * 1000000L / 12L),
+      (8L, 2L, 8L, 8L, 500000L)))
+  }
 }
