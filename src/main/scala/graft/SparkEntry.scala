@@ -2895,6 +2895,24 @@ object SparkEntry {
     "q250_packing_sweep" -> ((s, d) =>
       T.packingEfficiencySweep(documents(s, d),
         ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
+
+    // ===== per-source dedup impact ======================================
+    // WHICH sources lose documents to near-dup dedup (min-id keep over
+    // the q43 components) — the curation report that catches a source
+    // whose apparent volume is mostly copies; reuses the memoised
+    // component frame, so the session pays the shingle chain once
+    "q251_dedup_source_impact" -> ((s, d) => {
+      val removed = sharedComponents(s, d)
+        .filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id"), lit(1L).as("rm"))
+      documents(s, d).join(removed, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("rm"), lit(0L))).as("n_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          expr("n_removed * 1000000 div n_docs").as("loss_micro"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -10890,5 +10908,38 @@ object SparkEntry {
         |       ELSE CAST(n_tokens * 1000000 // (n_tokens + n_pad)
         |         AS BIGINT) END AS micro_efficiency
         |FROM pts ORDER BY ctx_len""".stripMargin,
+
+    // the q43 component replay, min-id keep, losses grouped by source
+    "q251_dedup_source_impact" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |removed AS (SELECT doc_id FROM comp WHERE component <> doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS loss_micro
+        |FROM documents d LEFT JOIN removed r USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
