@@ -2896,6 +2896,15 @@ object SparkEntry {
       T.packingEfficiencySweep(documents(s, d),
         ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
 
+    // ===== quality-threshold retention curve ===========================
+    // what each quality bar keeps (docs AND tokens) off one scored
+    // pass — read next to q237's calibration gate, which says whether
+    // the score's values can be trusted at all
+    "q252_quality_sweep" -> ((s, d) =>
+      T.qualityThresholdSweep(documents(s, d),
+        thresholdsMicro = Seq(50000L, 100000L, 200000L, 300000L,
+          400000L))),
+
     // ===== per-source dedup impact ======================================
     // WHICH sources lose documents to near-dup dedup (min-id keep over
     // the q43 components) — the curation report that catches a source
@@ -10908,6 +10917,54 @@ object SparkEntry {
         |       ELSE CAST(n_tokens * 1000000 // (n_tokens + n_pad)
         |         AS BIGINT) END AS micro_efficiency
         |FROM pts ORDER BY ctx_len""".stripMargin,
+
+    // the q23 quality replay crossed with the cutoffs — per-point
+    // survivor and token retention
+    "q252_quality_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |scored AS (
+        |  SELECT n_tokens,
+        |    CAST(round(floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      * 1000000) AS BIGINT) AS qm
+        |  FROM ratios),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM scored),
+        |ts AS (SELECT CAST(t AS BIGINT) AS t
+        |       FROM UNNEST([50000, 100000, 200000, 300000, 400000]) AS u(t)),
+        |pts AS (
+        |  SELECT ts.t AS threshold_micro,
+        |    CAST(count(*) FILTER (WHERE s.qm >= ts.t) AS BIGINT)
+        |      AS n_survivors,
+        |    CAST(coalesce(sum(s.n_tokens) FILTER (WHERE s.qm >= ts.t), 0)
+        |      AS BIGINT) AS tokens_retained
+        |  FROM ts, scored s GROUP BY 1)
+        |SELECT threshold_micro, n_survivors,
+        |  CAST(n_survivors * 1000000 // greatest(nn, 1) AS BIGINT)
+        |    AS survivor_share_micro,
+        |  tokens_retained,
+        |  CAST(tokens_retained * 1000000 // greatest(tt, 1) AS BIGINT)
+        |    AS token_share_micro
+        |FROM pts, tot ORDER BY threshold_micro""".stripMargin,
 
     // the q43 component replay, min-id keep, losses grouped by source
     "q251_dedup_source_impact" ->

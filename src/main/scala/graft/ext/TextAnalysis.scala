@@ -580,6 +580,42 @@ object TextAnalysis {
           .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
           .as("micro_efficiency"))
 
+  /** Quality-threshold retention curve — survivors and tokens
+    * retained at each candidate quality cutoff, one row per point
+    * (the "how much data does each quality bar cost" table a curation
+    * run reads next to the calibration gate: ECE says whether the
+    * score's VALUES can be trusted, this says what each cutoff keeps;
+    * together they price a threshold). One [[withQuality]] pass,
+    * pinned; each point is arithmetic over the skinny (q10k,
+    * n_tokens) frame. Emits (threshold_micro, n_survivors,
+    * survivor_share_micro, tokens_retained, token_share_micro)
+    * ascending — both counts non-increasing by construction. */
+  def qualityThresholdSweep(df: DataFrame, thresholdsMicro: Seq[Long],
+                            textCol: String = "text"): DataFrame = {
+    require(thresholdsMicro.nonEmpty &&
+      thresholdsMicro == thresholdsMicro.sorted &&
+      thresholdsMicro.distinct == thresholdsMicro,
+      "thresholdsMicro must be distinct and ascending")
+    val scored = withQuality(df, textCol)
+      .select(expr("CAST(round(quality * 1000000) AS BIGINT)").as("qm"),
+        col("n_tokens"))
+      .localCheckpoint(true)
+    val totals = scored.agg(count(lit(1)).as("_n"),
+      sum(col("n_tokens")).as("_t"))
+    thresholdsMicro.map { t =>
+      scored.filter(col("qm") >= t)
+        .agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_retained"))
+        .crossJoin(broadcast(totals))
+        .select(lit(t).as("threshold_micro"), col("n_survivors"),
+          expr("n_survivors * 1000000 div greatest(_n, 1)")
+            .as("survivor_share_micro"),
+          col("tokens_retained"),
+          expr("tokens_retained * 1000000 div greatest(_t, 1)")
+            .as("token_share_micro"))
+    }.reduce(_.unionAll(_)).orderBy(col("threshold_micro"))
+  }
+
   /** Packing-efficiency operating curve — [[packingStats]]'s padding
     * waste measured at EACH candidate context length, one row per
     * point (the table that picks ctx_len for a packing run: longer
