@@ -420,4 +420,24 @@ class TextScoringSpec extends SparkSpec {
       (4L, 2L, 8L, 4L, 8L * 1000000L / 12L),
       (8L, 2L, 8L, 8L, 500000L)))
   }
+
+  test("qualityThresholdSweep: counts nest and totals are exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ts = Seq(100000L, 200000L, 300000L)
+    val got = TextAnalysis.qualityThresholdSweep(docs, ts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq === ts)
+    // survivor and token counts are non-increasing (filters nest)
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    assert(got.map(_._4).toSeq === got.map(_._4).sortBy(-_).toSeq)
+    // each point matches a direct filtered count
+    val q = TextAnalysis.withQuality(docs)
+      .select(org.apache.spark.sql.functions
+        .expr("CAST(round(quality * 1000000) AS BIGINT)").as("qm"))
+      .collect().map(_.getLong(0))
+    ts.zip(got).foreach { case (t, row) =>
+      assert(row._2 === q.count(_ >= t).toLong, s"threshold $t")
+    }
+  }
 }
