@@ -2896,6 +2896,17 @@ object SparkEntry {
       T.packingEfficiencySweep(documents(s, d),
         ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
 
+    // ===== RM3 pseudo-relevance feedback ===============================
+    // the classical recall dial of lexical retrieval: seed BM25 top-5
+    // docs elect 3 expansion terms (by feedback TF, stopwords and
+    // short tokens out, ties alphabetical), the expanded query
+    // re-ranks — the elected terms are a bounded driver model, so both
+    // passes stay the literal-term codegen scan
+    "q253_rm3_expansion" -> ((s, d) =>
+      T.rm3TopK(documents(s, d),
+        seedTerms = Seq("spark", "join", "vector"),
+        fbDocs = 5, fbTerms = 3, k = 10)),
+
     // ===== quality-threshold retention curve ===========================
     // what each quality bar keeps (docs AND tokens) off one scored
     // pass — read next to q237's calibration gate, which says whether
@@ -10917,6 +10928,71 @@ object SparkEntry {
         |       ELSE CAST(n_tokens * 1000000 // (n_tokens + n_pad)
         |         AS BIGINT) END AS micro_efficiency
         |FROM pts ORDER BY ctx_len""".stripMargin,
+
+    // both BM25 passes in the q217 per-term formulation (the second
+    // joined against the elected term frame — fully relational), the
+    // expansion election as a CTE between them
+    "q253_rm3_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |g AS (SELECT count(*) AS n, CAST(sum(len(t)) AS BIGINT) AS toktot
+        |      FROM toks),
+        |h1 AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN ('spark', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |d1 AS (SELECT token, count(*) AS df FROM h1 GROUP BY 1),
+        |p1 AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM h1 h JOIN d1 d USING (token) CROSS JOIN g),
+        |top1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(sum(sm) AS BIGINT) AS s
+        |    FROM p1 GROUP BY 1 ORDER BY s DESC, doc_id LIMIT 5)),
+        |expt AS (
+        |  SELECT tok FROM (
+        |    SELECT f.tok, count(*) AS tf FROM (
+        |      SELECT unnest(t) AS tok FROM toks JOIN top1 USING (doc_id)) f
+        |    WHERE f.tok NOT IN ('spark', 'join', 'vector')
+        |      AND f.tok NOT IN ('the','of','and','to','a','in','is','it','you','that')
+        |      AND length(f.tok) >= 3
+        |    GROUP BY 1 ORDER BY tf DESC, f.tok LIMIT 3)),
+        |qterms AS (
+        |  SELECT 'spark' AS term UNION ALL SELECT 'join'
+        |  UNION ALL SELECT 'vector' UNION ALL SELECT tok FROM expt),
+        |h2 AS (
+        |  SELECT doc_id, dl, t[i] AS token, count(*) AS tf
+        |  FROM base, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  WHERE t[i] IN (SELECT term FROM qterms)
+        |  GROUP BY 1, 2, 3),
+        |d2 AS (SELECT token, count(*) AS df FROM h2 GROUP BY 1),
+        |p2 AS (
+        |  SELECT h.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (g.n - d.df + 0.5) / (d.df + 0.5))
+        |             * h.tf * (1.2 + 1.0)
+        |             / (h.tf + 1.2 * (1.0 - 0.75
+        |                 + 0.75 * h.dl / (CAST(g.toktot AS DOUBLE) / g.n)))
+        |             * 1e6, 0) AS BIGINT) AS sm
+        |  FROM h2 h JOIN d2 d USING (token) CROSS JOIN g),
+        |fin AS (
+        |  SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM p2 GROUP BY 1)
+        |SELECT doc_id, bm25_micro, n_terms, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY bm25_micro DESC, doc_id) AS rank FROM fin)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // the q23 quality replay crossed with the cutoffs — per-point
     // survivor and token retention

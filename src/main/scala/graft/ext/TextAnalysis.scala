@@ -580,6 +580,47 @@ object TextAnalysis {
           .otherwise(expr("n_tokens * 1000000 div (n_tokens + n_pad)"))
           .as("micro_efficiency"))
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft's relevance
+    * models, the Anserini/Indri default): run the seed query, harvest
+    * the `fbTerms` most frequent NON-seed, non-stopword terms from the
+    * top `fbDocs` feedback documents, and re-rank with the expanded
+    * term set — the classical recall-boosting query expansion every
+    * lexical retrieval stack ships. Expansion terms are elected by
+    * total term frequency across the feedback docs, ties alphabetical,
+    * single-char/bi-char tokens excluded — a fully deterministic,
+    * replayable trajectory.
+    *
+    * Scale: pass 1 is [[bm25TopK]] (one corpus scan into a
+    * TakeOrderedAndProject); term harvesting explodes ONLY the fbDocs
+    * feedback documents (a left-semi join against a k-row frame); the
+    * elected terms are a BOUNDED driver model (fbTerms strings — the
+    * IVF-seed pattern) so pass 2 is again the literal-term codegen
+    * scan, not an interpreted join. Emits the pass-2 top-k:
+    * (doc_id, bm25_micro, n_terms, rank). */
+  def rm3TopK(df: DataFrame, seedTerms: Seq[String], fbDocs: Int = 5,
+              fbTerms: Int = 3, k: Int = 10,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fbDocs >= 1 && fbTerms >= 0 && k >= 1,
+      "fbDocs/fbTerms/k must be positive")
+    val first = bm25TopK(df, seedTerms, fbDocs, idCol = idCol,
+      textCol = textCol)
+    val fb = df.join(first.select(col(idCol)), Seq(idCol), "left_semi")
+    val expansion = fb
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(!col("tok").isInCollection(seedTerms) &&
+        !col("tok").isInCollection(StopEn) && length(col("tok")) >= 3)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    val w = Window.orderBy(col("bm25_micro").desc, col(idCol))
+    bm25TopK(df, (seedTerms ++ expansion).distinct, k,
+        idCol = idCol, textCol = textCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Quality-threshold retention curve — survivors and tokens
     * retained at each candidate quality cutoff, one row per point
     * (the "how much data does each quality bar cost" table a curation

@@ -421,6 +421,29 @@ class TextScoringSpec extends SparkSpec {
       (8L, 2L, 8L, 8L, 500000L)))
   }
 
+  test("rm3TopK: expansion pulls in docs the seed query cannot see") {
+    import spark.implicits._
+    // seed term 'alpha' hits docs 1-3; those feedback docs all carry
+    // 'omega', which also appears in doc 9 — a doc with NO seed term.
+    // RM3 must surface doc 9; the plain seed query cannot.
+    val docs = Seq(
+      (1L, "alpha omega river stone"),
+      (2L, "alpha omega cloud"),
+      (3L, "alpha omega field"),
+      (9L, "omega omega omega harvest"),
+      (10L, "quiet unrelated words here"))
+      .toDF("doc_id", "text")
+    val seedOnly = TextAnalysis.bm25TopK(docs, Seq("alpha"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!seedOnly.contains(9L))
+    val rm3 = TextAnalysis.rm3TopK(docs, Seq("alpha"), fbDocs = 3,
+      fbTerms = 1, k = 10).collect()
+    assert(rm3.map(_.getLong(0)).contains(9L),
+      "expanded query must reach the omega-only doc")
+    // ranks are dense from 1 and ordered by score
+    assert(rm3.map(_.getLong(3)).toSeq === (1L to rm3.length).toSeq)
+  }
+
   test("qualityThresholdSweep: counts nest and totals are exact") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ts = Seq(100000L, 200000L, 300000L)
