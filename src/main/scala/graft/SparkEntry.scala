@@ -92,6 +92,7 @@ object SparkEntry {
           residualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           grownPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           grownResidualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
+          quantLadderMemo.keySet.removeIf(k => k._1 eq s)
           evictionHooked.remove(s)
           ()
         }
@@ -189,6 +190,25 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
           nCentroids = 16, m = 16, dsub = 4, kCodes = 32, iters = 1),
         emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+    })
+  }
+
+  /** The MEASURED quantization ladder shared by q225 (the tuning
+    * table itself) and q239 (the tier advisor deciding over it) —
+    * both previously re-ran the full 5-tier recall experiment (~5 s
+    * each at sf0.1). In a deployment the ladder is a measured
+    * artifact the advisor READS, not something re-derived per
+    * decision, so it memoises per (session, dir) like the index
+    * artifacts; localCheckpoint pins the ≤5-row frame so the second
+    * consumer costs arithmetic only. */
+  private val quantLadderMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedQuantLadder(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    quantLadderMemo.computeIfAbsent((s, d), _ => {
+      val emb = embeddings(s, d)
+      Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
+        emb.filter(col("vec_id") < 10), k = 5).localCheckpoint(true)
     })
   }
 
@@ -1338,7 +1358,11 @@ object SparkEntry {
     "q24_lang_id" -> ((s, d) =>
       T.withLangId(documents(s, d))
         .select(col("doc_id"), col("lang"), col("pred_lang"),
-          (col("lang") === col("pred_lang")).as("correct"))
+          // BIGINT flag, not bool: q24 was the ONE query emitting a
+          // boolean column (r14 type census) — the decimal(38,0)
+          // lesson says a single-query output type is a latent
+          // driver-hash canonicalization divergence
+          (col("lang") === col("pred_lang")).cast("long").as("correct"))
         .orderBy(col("doc_id"))),
 
     "q25_fingerprint" -> ((s, d) =>
@@ -2578,11 +2602,7 @@ object SparkEntry {
     // / SQ8 / SQ4 / PQ against the exact yardstick with their
     // byte-aligned compression factors — q206/q224/q178 composed into
     // the single consumable tuning table
-    "q225_quant_ladder" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
-        emb.filter(col("vec_id") < 10), k = 5)
-    }),
+    "q225_quant_ladder" -> ((s, d) => sharedQuantLadder(s, d)),
 
     // ===== streaming vector ingest, stream↔batch parity ===============
     // a REAL foreachBatch stream encodes the 20% delta against the
@@ -2766,13 +2786,9 @@ object SparkEntry {
     // the DECISION q225's table exists to inform: highest compression
     // whose MEASURED recall clears the 0.8 floor (sq4_int4/8× on this
     // corpus); n_qualifying = 0 is the degraded-mode alarm
-    "q239_index_advisor" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      Similarity.indexTierAdvisor(
-        Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
-          emb.filter(col("vec_id") < 10), k = 5),
-        targetRecallMicro = 800000L)
-    }),
+    "q239_index_advisor" -> ((s, d) =>
+      Similarity.indexTierAdvisor(sharedQuantLadder(s, d),
+        targetRecallMicro = 800000L)),
 
     // ===== sample-representativeness gate ==============================
     // does the 1-in-7 deterministic sample cover the corpus's
@@ -3898,11 +3914,11 @@ object SparkEntry {
         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         |       WHEN s_fr >= s_es THEN 'fr'
         |       ELSE 'es' END AS pred_lang,
-        |  (lang = CASE WHEN cjk > 0 THEN 'zh'
+        |  CAST(lang = CASE WHEN cjk > 0 THEN 'zh'
         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         |       WHEN s_fr >= s_es THEN 'fr'
-        |       ELSE 'es' END) AS correct
+        |       ELSE 'es' END AS BIGINT) AS correct
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q25_fingerprint" ->
@@ -9016,7 +9032,7 @@ object SparkEntry {
         |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM err GROUP BY 1)
         |SELECT CASE WHEN id % 5 = 0 THEN 'delta' ELSE 'base' END AS cohort,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST(sum(err) AS DECIMAL(38,0)) AS sum_err,
+        |  CAST(sum(err) AS BIGINT) AS sum_err,
         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err
         |FROM perid GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -9180,7 +9196,7 @@ object SparkEntry {
         |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM aerr GROUP BY 1)
         |SELECT CASE WHEN id % 5 = 0 THEN 'delta' ELSE 'base' END AS cohort,
         |  CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST(sum(err) AS DECIMAL(38,0)) AS sum_err,
+        |  CAST(sum(err) AS BIGINT) AS sum_err,
         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err
         |FROM perid GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -9495,11 +9511,11 @@ object SparkEntry {
         |  SELECT id, CAST(sum(e2) AS BIGINT) AS err FROM ferr GROUP BY 1),
         |ga AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-        |         CAST(sum(err) AS DECIMAL(38,0)) AS sum_err_grown,
+        |         CAST(sum(err) AS BIGINT) AS sum_err_grown,
         |         CAST(sum(err) // count(*) AS BIGINT) AS mean_err_grown
         |  FROM gperid),
         |fa AS (
-        |  SELECT CAST(sum(err) AS DECIMAL(38,0)) AS sum_err_retrained,
+        |  SELECT CAST(sum(err) AS BIGINT) AS sum_err_retrained,
         |         CAST(sum(err) // count(*) AS BIGINT) AS mean_err_retrained
         |  FROM fperid)
         |SELECT n_vecs, sum_err_grown, sum_err_retrained,
@@ -10245,6 +10261,13 @@ object SparkEntry {
     // both rankings replayed (filtered brute yardstick + q232's
     // filtered blocked scan), hits semi-joined, one gate row with the
     // filter's measured selectivity riding along
+    // the exact (filtered-brute) CTE ranks by the PINNED integer-micro
+    // cosine — exact BIGINT dot, then a fixed chain of correctly-
+    // rounded IEEE ops (CAST→sqrt→×→÷) replaying pinnedBruteTopK
+    // bit-for-bit. Its r13 ancestor ranked by
+    // round(list_cosine_similarity(...), 6): a native kernel whose
+    // ulp-level output differs across DuckDB versions, which flipped
+    // one top-5 membership on the driver and redded the recall count.
     "q233_filtered_recall" ->
       """WITH e AS (
         |  SELECT vec_id, label,
@@ -10252,13 +10275,31 @@ object SparkEntry {
         |  FROM embeddings),
         |fe AS (SELECT * FROM e WHERE label < 3),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |pe AS (
+        |  SELECT vec_id, label,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pfe AS (
+        |  SELECT vec_id, pv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe WHERE label < 3),
+        |pq AS (
+        |  SELECT vec_id AS qid, pv AS qv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS qna
+        |  FROM pe WHERE vec_id < 10),
         |exact AS (
         |  SELECT qid, cid FROM (
-        |    SELECT q.qid, c.vec_id AS cid, row_number() OVER (
-        |      PARTITION BY q.qid
-        |      ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
-        |               c.vec_id) AS rank
-        |    FROM q JOIN fe c ON q.qid <> c.vec_id)
+        |    SELECT pq.qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY pq.qid
+        |      ORDER BY CASE WHEN pq.qna = 0 OR c.na = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |               i -> pq.qv[i]*c.pv[i])) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(pq.qna AS DOUBLE))
+        |                * sqrt(CAST(c.na AS DOUBLE))) END DESC,
+        |        c.vec_id) AS rank
+        |    FROM pq JOIN pfe c ON pq.qid <> c.vec_id)
         |  WHERE rank <= 5),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
         |assigned AS (
@@ -10374,9 +10415,9 @@ object SparkEntry {
         |tot AS (SELECT sum(w) AS wsum FROM w),
         |plan AS (
         |  SELECT source, n_docs, n_tokens,
-        |    CAST(w * 1000000 // wsum AS BIGINT) AS weight_micro,
-        |    CAST(100000 * w // wsum AS BIGINT) AS target_tokens,
-        |    CAST(least(2500, (100000 * w // wsum) * 1000
+        |    CAST(w * 1000000 // greatest(wsum, 1) AS BIGINT) AS weight_micro,
+        |    CAST(100000 * w // greatest(wsum, 1) AS BIGINT) AS target_tokens,
+        |    CAST(least(2500, (100000 * w // greatest(wsum, 1)) * 1000
         |      // greatest(n_tokens, 1)) AS BIGINT) AS epochs_milli
         |  FROM w, tot)
         |SELECT source, n_docs, n_tokens, weight_micro, target_tokens,
@@ -10496,7 +10537,8 @@ object SparkEntry {
         |SELECT n_cells, n_covered_cells,
         |  CAST(n_covered_cells * 1000000 // n_cells AS BIGINT)
         |    AS coverage_micro,
-        |  CAST(tvnum * 1000000 // (2 * nc * ns) AS BIGINT) AS tv_micro
+        |  CAST(tvnum * 1000000 // (2 * nc * greatest(ns, 1)) AS BIGINT)
+        |    AS tv_micro
         |FROM agg""".stripMargin,
 
     // the q213 greedy replay with the relevance term off: candidates
@@ -10796,7 +10838,10 @@ object SparkEntry {
         |  FROM ts)
         |SELECT threshold_micro, n_pairs, n_docs_affected,
         |  CAST(n_pairs <= coalesce(lag(n_pairs, 1) OVER (
-        |    ORDER BY threshold_micro), n_pairs) AS BIGINT) AS monotone_ok
+        |    ORDER BY threshold_micro), n_pairs)
+        |   AND n_docs_affected <= coalesce(lag(n_docs_affected, 1) OVER (
+        |    ORDER BY threshold_micro), n_docs_affected) AS BIGINT)
+        |    AS monotone_ok
         |FROM points ORDER BY threshold_micro""".stripMargin,
 
     // q34's assignment joined with labels, the q121 MI/NMI replay on

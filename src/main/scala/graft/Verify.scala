@@ -17,6 +17,45 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Canonical text form of a dumped result — the forensics surface
+    * the r12/r13 driver-red misdiagnosis proved necessary: the driver
+    * hashes results in ITS environment, so a driver red against a
+    * local green was unattributable (two rounds were spent fixing a
+    * nondeterminism that did not exist; the real cause was a
+    * DECIMAL(38,0) canonicalization difference). With a committed
+    * per-round manifest (query → content hash) and per-query canon
+    * text, the next round can diff a red to the exact flipped value.
+    *
+    * Format mirrors scripts/check_oracle.py's `canon`: columns sorted
+    * by name, each value stringified (floats at 6 dp, null → "None",
+    * booleans → True/False, arrays → [a, b] recursively), columns
+    * joined with , rows sorted lexicographically. */
+  def canonRows(df: DataFrame): Seq[String] = {
+    val order = df.schema.fieldNames.zipWithIndex.sortBy(_._1).map(_._2)
+    def s(v: Any): String = v match {
+      case null => "None"
+      case d: Double => f"$d%.6f"
+      case f: Float => f"${f.toDouble}%.6f"
+      case b: Boolean => if (b) "True" else "False"
+      case a: scala.collection.Seq[_] => a.map(s).mkString("[", ", ", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, x) => s"${s(k)}: ${s(x)}" }
+          .sorted.mkString("{", ", ", "}")
+      case r: org.apache.spark.sql.Row =>
+        r.toSeq.map(s).mkString("(", ", ", ")")
+      case x => x.toString
+    }
+    df.collect().toSeq
+      .map(r => order.map(i => s(r.get(i))).mkString(""))
+      .sorted
+  }
+
+  private def sha256(text: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Dumps each query's result under `outDir/<name>` and returns the
     * failures (name → message). Separated from `main` so the failure
     * path is unit-testable without stopping the shared test session.
@@ -31,12 +70,30 @@ object Verify {
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           queries: Map[String, (SparkSession, String) => DataFrame],
-          oracleSql: Map[String, String]): Map[String, String] = {
+          oracleSql: Map[String, String],
+          // SPARK_GRAFT_FORENSICS=1: per-query canonical row dump +
+          // hash beside each parquet, and a manifest.json
+          // (query → sha256) — the artifact a driver-side red is
+          // diffed against (see [[canonRows]]). Opt-in: the canon
+          // re-reads and collects every dumped result, so the default
+          // driver run stays at write-only cost.
+          forensics: Boolean =
+            sys.env.get("SPARK_GRAFT_FORENSICS").contains("1"))
+      : Map[String, String] = {
     new java.io.File(outDir).mkdirs()
+    val manifest = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (forensics) {
+          val canon = canonRows(spark.read.parquet(s"$outDir/$name"))
+            .mkString("\n")
+          Files.writeString(Paths.get(s"$outDir/${name}_canon.txt"), canon)
+          manifest(name) = sha256(canon)
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -53,6 +110,11 @@ object Verify {
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (forensics) {
+      val mjson = manifest
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/manifest.json"), mjson)
+    }
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)

@@ -1003,9 +1003,14 @@ object Curation {
       floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = wts.agg(sum(col("w")).as("_wsum"))
     wts.crossJoin(broadcast(tot))
-      .withColumn("weight_micro", expr("w * 1000000 div _wsum"))
+      // greatest(_wsum, 1): a corpus where EVERY source has zero
+      // tokens gives wsum = 0 — without the guard Spark's non-ANSI
+      // division would emit NULL while an ANSI engine errors; with it
+      // every weight/target reads 0, the honest plan for no tokens
+      .withColumn("weight_micro",
+        expr("w * 1000000 div greatest(_wsum, 1)"))
       .withColumn("target_tokens",
-        expr(s"$budgetTokens * w div _wsum"))
+        expr(s"$budgetTokens * w div greatest(_wsum, 1)"))
       // a source with zero tokens has w = 0 ⇒ target 0; guard the
       // division anyway so a degenerate stratum can't fail the plan
       .withColumn("epochs_milli",

@@ -359,8 +359,13 @@ object Retrieval {
     // top-N lists by contract, so the intersection is ≤N rows; the
     // limit is a semantic no-op that makes the bound PROVABLE to the
     // plan gate (the unpartitioned dense-rank windows below must never
-    // be able to see corpus cardinality)
-    val common = a.join(b, Seq("id")).limit(100000)
+    // be able to see corpus cardinality). sort(id) before the limit:
+    // if a caller VIOLATES the top-N contract the truncation keeps
+    // the smallest ids instead of an arbitrary partition-order subset
+    // — rho_micro stays deterministic (wrong loudly and reproducibly,
+    // never silently different per run). TakeOrderedAndProject over
+    // the ≤N intersection, not a full sort at scale.
+    val common = a.join(b, Seq("id")).sort(col("id")).limit(100000)
     val da = Window.orderBy(col("ra"), col("id"))
     val db = Window.orderBy(col("rb"), col("id"))
     val dense = common

@@ -33,6 +33,32 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Micro-pinned integer vector: floor(x·1e6 + 0.5) per element as
+    * BIGINT — the de-floating convention (the pqLut discipline applied
+    * to rank keys): every discrete decision downstream of this pin is
+    * a function of exact integers, never of a native float kernel
+    * whose accumulation order differs across engines/versions. */
+  def microVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+
+  /** Codegen'd integer dot over micro-pinned vectors (exact BIGINT). */
+  def dotLong(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_long(a, b)
+
+  /** Cosine rank key from EXACT integers: `dot / (sqrt(na)·sqrt(nb))`
+    * where dot/na/nb are integer micro dots. Each step (BIGINT→DOUBLE,
+    * sqrt, ×, ÷) is a correctly-rounded IEEE-754 op, so any engine
+    * replaying this exact expression shape produces the bit-identical
+    * double — no 6-dp rounding needed, and no dependence on a native
+    * cosine kernel's internal summation order (the q233 r13 driver-red
+    * class). Two distinct rationals may still collide to one double;
+    * the caller's (key DESC, id) tie-break then decides identically in
+    * both engines, which is the property the oracle needs. */
+  def pinnedCosine(idot: Column, na: Column, nb: Column): Column =
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(idot.cast("double")
+        / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+
   /** Cosine similarity of two double arrays; 0.0 when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
@@ -80,6 +106,36 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** [[bruteTopK]] with EXACT integer rank keys ([[microVec]] +
+    * [[pinnedCosine]]) — the de-floated yardstick for gates whose
+    * emitted value is a FUNCTION OF SET MEMBERSHIP (recall counts):
+    * there, a single ulp of cross-engine cosine difference at a rank-k
+    * boundary flips the output integer (the q233 r13 driver red — the
+    * local DuckDB's `list_cosine_similarity` agreed with Spark at 6 dp,
+    * the driver's version did not). Rank order here is decided only by
+    * correctly-rounded IEEE ops over exact integer micros, replayable
+    * bit-for-bit in any engine. Emits (qid, cid, rank) — the double
+    * key is internal, never an output column. */
+  def pinnedBruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("cid"), microVec(col(vecCol)).as("cv"))
+      .withColumn("cna", dotLong(col("cv"), col("cv")))
+    val q = queries.select(col(idCol).as("qid"), microVec(col(vecCol)).as("qv"))
+      .withColumn("qna", dotLong(col("qv"), col("qv")))
+    val sim = pinnedCosine(dotLong(col("qv"), col("cv")),
+      col("qna"), col("cna"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_psim").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), sim.as("_psim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1144,12 +1200,14 @@ object Similarity {
     * mean_err) — mean via exact integer division.
     *
     * Overflow: a per-vector err is bounded (≤ dims × ~1e12 micro² ≈
-    * 6.4e13 at 64 dims) and stays BIGINT, but the COHORT sum crosses
-    * int64 around 1e5 vectors — well inside any deployment this gate
-    * targets — so `sum_err` accumulates (and is emitted) as
-    * decimal(38,0), the [[dimStats]]/audit convention; `mean_err`
-    * divides the decimal sum exactly back into the per-vector BIGINT
-    * range.
+    * 6.4e13 at 64 dims) and stays BIGINT; the COHORT sum accumulates
+    * as decimal(38,0) internally (overflow-proof) but is EMITTED as
+    * BIGINT — worst-case corpus error sum ≈ 5e17 at sf0.1 « 2^63, and
+    * a decimal output column is the one type the driver's result hash
+    * canonicalizes differently from the local oracle (the r12–r13
+    * chronic-red lesson: no registered query emits DecimalType;
+    * SchemaContractSpec enforces it). `mean_err` divides the decimal
+    * sum exactly back into the per-vector BIGINT range.
     *
     * Scale: one pass over `vectors` (subvector explode ×m), an
     * equi-join against the skinny codes on (id, sub), a broadcast
@@ -1182,9 +1240,10 @@ object Similarity {
       .agg(sum(col("e2")).as("err"))
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("err").cast("decimal(38,0)")).as("sum_err"))
-      .select(col("cohort"), col("n_vecs"), col("sum_err"),
-        expr("sum_err div n_vecs").cast("long").as("mean_err"))
+        sum(col("err").cast("decimal(38,0)")).as("sum_err_dec"))
+      .select(col("cohort"), col("n_vecs"),
+        col("sum_err_dec").cast("long").as("sum_err"),
+        expr("sum_err_dec div n_vecs").cast("long").as("mean_err"))
       .orderBy(col("cohort"))
   }
 
@@ -1417,9 +1476,16 @@ object Similarity {
     // aggregates — bounded by construction
     val w = Window.orderBy(col("threshold_micro"))
     points
+      // BOTH columns the scaladoc claims non-increasing are pinned:
+      // pairs nest (a pair at t survives every t' < t) and so do the
+      // affected-doc sets — a flag on n_pairs alone would not trip on
+      // a broken n_docs_affected column
       .withColumn("monotone_ok",
-        (col("n_pairs") <= coalesce(lag(col("n_pairs"), 1).over(w),
-          col("n_pairs"))).cast("long"))
+        ((col("n_pairs") <= coalesce(lag(col("n_pairs"), 1).over(w),
+          col("n_pairs"))) &&
+         (col("n_docs_affected") <=
+           coalesce(lag(col("n_docs_affected"), 1).over(w),
+             col("n_docs_affected")))).cast("long"))
       .orderBy(col("threshold_micro"))
   }
 
@@ -1455,13 +1521,19 @@ object Similarity {
   def hubnessStatsFromKnn(knn: DataFrame, topN: Int = 10,
                           idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val totalSlots = knn.count()
+    // total slots IN-PLAN (1-row broadcast scalar attach, the
+    // pqRetrainBenefitStats pattern) rather than an eager knn.count()
+    // at composition time: the eager count ran the expensive blocked
+    // candidate generation a second time whenever the caller forgot
+    // to checkpoint — nothing enforced the scaladoc's advice
+    val tot = knn.agg(count(lit(1)).as("_slots")).limit(1)
     val occ = knn.groupBy(col("nid")).agg(count(lit(1)).as("n_occ"))
     val w = Window.orderBy(col("n_occ").desc, col("nid"))
     occ.withColumn("hub_rank", row_number().over(w).cast("long"))
       .filter(col("hub_rank") <= topN)
+      .crossJoin(broadcast(tot))
       .select(col("hub_rank"), col("nid").as(idCol), col("n_occ"),
-        expr(s"n_occ * 1000000 div ${math.max(totalSlots, 1L)}")
+        expr("n_occ * 1000000 div greatest(_slots, 1)")
           .as("occ_share_micro"))
       .orderBy(col("hub_rank"))
   }
@@ -1594,8 +1666,9 @@ object Similarity {
     * drops — both cases are measured states, so `retrain_improves` is
     * computed on both sides rather than pinned. Emits (n_vecs,
     * sum_err_grown, sum_err_retrained, mean_err_grown,
-    * mean_err_retrained, retrain_improves); sums decimal(38,0), means
-    * exact integer division (the [[pqDriftStats]] conventions).
+    * mean_err_retrained, retrain_improves); sums accumulate
+    * decimal(38,0) internally but emit BIGINT, means exact integer
+    * division (the [[pqDriftStats]] conventions).
     *
     * Scale: two [[pqDriftStats]] passes (one per index — each one
     * corpus pass with a skinny codes equi-join); at deployment both
@@ -1725,9 +1798,9 @@ object Similarity {
     * in exact integer micro². The cell comes from the index's stored
     * assignment, the mean from the frozen recentring frame, so the
     * measurement is against the frozen quantizer exactly as served.
-    * Emits (cohort, n_vecs, sum_err, mean_err) — sum_err in
-    * decimal(38,0), mean via exact integer division (the
-    * [[pqDriftStats]] conventions).
+    * Emits (cohort, n_vecs, sum_err, mean_err) — sum_err accumulated
+    * decimal(38,0) but emitted BIGINT, mean via exact integer
+    * division (the [[pqDriftStats]] conventions).
     *
     * Scale: identical to [[pqDriftStats]] plus one broadcast
     * recentring join — the shuffle is one row per id, then per
@@ -1764,9 +1837,10 @@ object Similarity {
       .agg(sum(col("e2")).as("err"))
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("err").cast("decimal(38,0)")).as("sum_err"))
-      .select(col("cohort"), col("n_vecs"), col("sum_err"),
-        expr("sum_err div n_vecs").cast("long").as("mean_err"))
+        sum(col("err").cast("decimal(38,0)")).as("sum_err_dec"))
+      .select(col("cohort"), col("n_vecs"),
+        col("sum_err_dec").cast("long").as("sum_err"),
+        expr("sum_err_dec div n_vecs").cast("long").as("mean_err"))
       .orderBy(col("cohort"))
   }
 
@@ -3137,7 +3211,11 @@ object Similarity {
     val allowIds = allowed.select(col(idCol)).distinct()
       .localCheckpoint(true)
     val filteredCorpus = corpus.join(allowIds, Seq(idCol), "left_semi")
-    val exact = bruteTopK(filteredCorpus, queries, k, idCol, vecCol)
+    // the yardstick ranks by EXACT integer keys (pinnedBruteTopK): this
+    // gate emits recall COUNTS, so a rank-boundary cosine must never be
+    // decided by a native float kernel that can differ across engine
+    // versions (the r13 driver red on this very query)
+    val exact = pinnedBruteTopK(filteredCorpus, queries, k, idCol, vecCol)
     val approx = filteredIvfTopK(corpus, queries, allowIds, k,
       nCentroids, nProbe, idCol, vecCol)
     val nTotal = corpus.select(col(idCol)).distinct().count()

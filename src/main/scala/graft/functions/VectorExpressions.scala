@@ -62,6 +62,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd INTEGER dot product over micro-pinned vectors
+  * (array<bigint> × array<bigint> → bigint) — the exact rank-key
+  * kernel of the de-floated similarity yardsticks: once both vectors
+  * are pinned to integer micros, the dot is a sum of exact integer
+  * products (order-free, overflow-safe at 64 dims × 1e6-scale micros:
+  * |term| ≤ 1e12, |sum| ≤ 6.4e13 « 2^63), so the downstream cosine
+  * `dot / (sqrt(na)·sqrt(nb))` is a fixed chain of correctly-rounded
+  * IEEE ops on exact integers — bit-identical in any engine that
+  * replays the same expression shape, unlike a native float cosine
+  * whose accumulation order is implementation-defined. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Top-`nAssign` IVF centroids per vector, computed against a
   * DRIVER-RESIDENT centroid model — the assignment kernel of
   * `Similarity.ivfAssign`. The first formulation was a broadcast
@@ -176,6 +232,11 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the codegen'd integer dot (inputs: array<bigint>). */
+  def dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API for the driver-model IVF assignment kernel. */
   def ivf_top_centroids(vec: Column, nrm: Column, ids: Array[Long],

@@ -191,4 +191,31 @@ class EntrySpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned window over non-contracted input: $offenders")
   }
+
+  // Driver-contract type census: the r12–r13 chronic driver reds
+  // (q199/q204/q214) were EXACTLY the three queries whose output
+  // schema contained DECIMAL(38,0) — the driver's result hash
+  // canonicalizes DecimalType differently from the local DuckDB
+  // oracle path, a divergence invisible to any local check by
+  // construction. Every other query already emits only long/double/
+  // string/date/timestamp/bool and arrays/structs thereof; make that
+  // de-facto rule a gate so no future query reintroduces the class.
+  test("no query's output schema contains DecimalType") {
+    import org.apache.spark.sql.types._
+
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields
+        .filter(f => hasDecimal(f.dataType)).map(_.name)
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty, s"DecimalType in output schema: $offenders")
+  }
 }

@@ -109,6 +109,69 @@ class ResidualVectorIngestSpec extends SparkSpec {
       new java.io.File(dir))
   }
 
+  test("resumed stream replaying the crash-window batch interleaves safely with compaction") {
+    // the exact interleaving the reserved negative partition id exists
+    // for (r13 ask #6): the sink wrote batch 1 but the checkpoint
+    // didn't commit; compaction runs; the resumed stream then replays
+    // batch 1. Two orders can result, both must serve correctly.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rvingest3").toString
+    try {
+      buildBase(dir)
+      ResidualVectorIngest.processBatch(dir)(df(Seq(8L, 9L)), batchId = 0L)
+      ResidualVectorIngest.processBatch(dir)(df(Seq(10L, 11L)), batchId = 1L)
+      val want = search(ResidualVectorIngest.loadGrownIndex(spark, dir))
+
+      // order A — compaction COMPLETED (old partitions deleted), then
+      // the replay lands: batch 1's ids are already seen inside the
+      // compacted partition (its batch_id is the reserved negative id,
+      // never the replayed one), so the re-created batch_id=1 partition
+      // is EMPTY, not a duplicate admit
+      ResidualVectorIngest.compactDeltas(spark, dir)
+      ResidualVectorIngest.processBatch(dir)(df(Seq(10L, 11L)), batchId = 1L)
+      val grownA = ResidualVectorIngest.loadGrownIndex(spark, dir)
+      val perIdA = grownA.codes.groupBy(col("id"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(perIdA.length === 12 && perIdA.forall(_.getLong(1) === 2L))
+      assert(search(grownA) === want)
+
+      // order B — compaction CRASHED in its window (compacted partition
+      // written, old partitions NOT yet deleted — the write-first /
+      // delete-last discipline makes this the only reachable partial
+      // state), and the resumed stream replays batch 1 on top: every
+      // row is duplicated across compacted and original partitions, and
+      // the replayed batch re-admits its ids (they look unseen only
+      // through its own excluded partition). The load-time (id, sub)
+      // dedup must serve the identical index regardless.
+      ResidualVectorIngest.processBatch(dir)(df(Seq(12L)), batchId = 2L)
+      val wantB = search(ResidualVectorIngest.loadGrownIndex(spark, dir))
+      val all = ResidualVectorIngest.readDeltaExcept(spark, dir, -1L)
+        .localCheckpoint(true)
+      all.write.mode("overwrite").parquet(
+        s"$dir/delta/batch_id=${VectorIngest.CompactedBatchId}")
+      // mid-window: batch 2's rows now live in BOTH the compacted and
+      // their original partition — the (id, sub) dedup must already
+      // serve each id exactly once, values identical under the frozen
+      // quantizers
+      val grownMid = ResidualVectorIngest.loadGrownIndex(spark, dir)
+      val perIdMid = grownMid.codes.groupBy(col("id"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(perIdMid.length === 13 && perIdMid.forall(_.getLong(1) === 2L))
+      assert(search(grownMid) === wantB)
+      // the replay then lands on the mid-window state: batch 2's ids
+      // are seen through the compacted partition (excluded-partition
+      // logic never hides the reserved id), so the rewrite empties
+      // batch_id=2 instead of double-admitting
+      ResidualVectorIngest.processBatch(dir)(df(Seq(12L)), batchId = 2L)
+      val grownB = ResidualVectorIngest.loadGrownIndex(spark, dir)
+      val perIdB = grownB.codes.groupBy(col("id"))
+        .agg(count(lit(1)).as("n")).collect()
+      assert(perIdB.length === 13 && perIdB.forall(_.getLong(1) === 2L))
+      assert(search(grownB) === wantB)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("ingestParityProbe returns rows on the sf0.001 embeddings") {
     val emb = spark.read.parquet(sf("embeddings"))
     val got = ResidualVectorIngest.ingestParityProbe(spark, emb,

@@ -95,6 +95,39 @@ class TrainDeterminismSpec extends SparkSpec {
     assert(gateRows(parts(emb, 1)) === gateRows(parts(emb, 7)))
   }
 
+  test("ivfAssign cell assignment is bit-identical across partitionings") {
+    // the ASSIGNMENT layer explicitly (r13 ask #7): the argmin over
+    // rounded cosines is where a boundary flip would land even with
+    // bit-stable centroids — seeds here are the smallest-id vectors,
+    // so only the per-vector assignment can vary, and must not
+    def cells(n: Int): Seq[String] = dump(
+      Similarity.ivfAssign(parts(emb, n), nCentroids = 4, nAssign = 2)
+        .select(col("id"), col("centroid_id")))
+    assert(cells(1) === cells(7))
+  }
+
+  test("pinnedBruteTopK rank membership is bit-identical across partitionings") {
+    // the de-floated yardstick (q233's exact side): rank keys are
+    // correctly-rounded IEEE ops over exact integer micros, so the
+    // emitted (qid, cid, rank) set must be partitioning-independent
+    def ranks(n: Int): Seq[String] = dump(
+      Similarity.pinnedBruteTopK(parts(emb, n),
+        emb.filter(col("vec_id") < 4), k = 3))
+    assert(ranks(1) === ranks(7))
+  }
+
+  test("filteredSearchRecallStats gate row replays identically") {
+    // the q233 shape end-to-end: recall COUNTS are set-membership
+    // functions, the class where one ulp at a rank boundary flips the
+    // output integer — the whole chain must be partitioning-free
+    def gate(n: Int): Seq[String] = dump(
+      Similarity.filteredSearchRecallStats(parts(emb, n),
+        emb.filter(col("vec_id") < 4),
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), k = 3,
+        nCentroids = 4, nProbe = 2))
+    assert(gate(1) === gate(7))
+  }
+
   test("vector_micro_mean is order-free where vector_mean is not guaranteed") {
     // the primitive-level contract: same group, 1 vs 7 partitions,
     // identical emitted means (already on the 6-dp grid — no post-round)

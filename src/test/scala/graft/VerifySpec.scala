@@ -43,6 +43,35 @@ class VerifySpec extends SparkSpec {
     assert(Files.readString(Paths.get(s"$outDir/errors.json")) === "{}")
   }
 
+  test("forensics mode writes canon text + manifest hashes beside the dumps") {
+    val outDir = Files.createTempDirectory("graft-verify-spec").toString
+    val queries = Map[String, (SparkSession, String) => DataFrame](
+      "ok" -> ((s, _) => { import s.implicits._
+        Seq((2L, 0.25, "b"), (1L, 0.1234567, null))
+          .toDF("z_key", "val", "a_name") }))
+    Verify.run(spark, "/unused", outDir, queries, Map.empty,
+      forensics = true)
+    val canon = Files.readString(Paths.get(s"$outDir/ok_canon.txt"))
+    // columns sorted by NAME (a_name, val, z_key), floats at 6 dp,
+    // null → None, rows sorted — the check_oracle.py canon contract
+    assert(canon === "None0.1234571\nb0.2500002")
+    val manifest = Files.readString(Paths.get(s"$outDir/manifest.json"))
+    assert(manifest.contains("\"ok\""))
+    // the hash is of the canon text exactly (diffable attribution)
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(manifest.contains(d))
+  }
+
+  test("canonRows pins format details the manifest depends on") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.5), true, java.sql.Date.valueOf("2026-01-02")))
+      .toDF("arr", "flag", "d")
+    assert(Verify.canonRows(df) ===
+      Seq("[1.000000, 2.500000]2026-01-02True"))
+  }
+
   test("Bench warmup degrades per-table on a bogus sfDir instead of throwing") {
     // every loader fails against a nonexistent dir — the run must
     // survive and report all five failures (BENCH_r05 was lost to one
