@@ -207,8 +207,13 @@ object SparkEntry {
     hookEviction(s)
     quantLadderMemo.computeIfAbsent((s, d), _ => {
       val emb = embeddings(s, d)
+      // limit(100) after the checkpoint: a semantic no-op on the
+      // ≤5-row ladder that makes the bound PROVABLE (maxRows) — the
+      // checkpointed leaf is otherwise opaque to the advisor's
+      // unpartitioned-window plan gate (the spearman limit pattern)
       Similarity.quantLadderStats(sharedPqIndex(s, d), emb,
-        emb.filter(col("vec_id") < 10), k = 5).localCheckpoint(true)
+        emb.filter(col("vec_id") < 10), k = 5)
+        .localCheckpoint(true).limit(100)
     })
   }
 
@@ -2949,6 +2954,92 @@ object SparkEntry {
           expr("n_removed * 1000000 div n_docs").as("loss_micro"))
         .orderBy(col("source"))
     }),
+
+    // ===== duplicate-cluster representative election ==================
+    // "keep the BEST copy" dedup (longest by n_chars, id tie-break) —
+    // the policy upgrade over q251's min-id rule: per-source kept /
+    // removed counts and the character mass the election preserves
+    "q254_dedup_elect" -> ((s, d) => {
+      Dedup.electRepresentatives(documents(s, d),
+          sharedComponents(s, d), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_kept")).as("n_kept"),
+          sum(col("n_chars") * col("is_kept")).as("kept_chars"),
+          sum(col("n_chars") * (lit(1L) - col("is_kept")))
+            .as("removed_chars"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_chars"), col("removed_chars"),
+          expr("""removed_chars * 1000000
+                 |div greatest(kept_chars + removed_chars, 1)""".stripMargin)
+            .as("char_loss_micro"))
+        .orderBy(col("source"))
+    }),
+
+    // ===== cross-source duplicate flow matrix =========================
+    // which sources duplicate into which: the q43 candidate pairs
+    // attributed to unordered source pairs — diagonal = intra-source
+    // redundancy, off-diagonal = mirror/syndication flow
+    "q255_cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDupMatrix(documents(s, d),
+        Dedup.coShinglePairs(documents(s, d), minShared = 2,
+          maxPostings = 1000))),
+
+    // ===== dedup-aware epoch plan =====================================
+    // the q236 plan computed naive vs on the deduped corpus (q251's
+    // removed set), per source: how much the duplicated-token share
+    // distorts the epoch decision
+    "q256_dedup_epoch_plan" -> ((s, d) => {
+      val removed = sharedComponents(s, d)
+        .filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id"))
+      Curation.dedupAwareEpochPlan(documents(s, d), removed,
+        budgetTokens = 100000L, maxEpochsMilli = 2500L)
+    }),
+
+    // ===== storage-tier cost/recall frontier ==========================
+    // the measured q225 ladder priced in scan bytes: bytes/vector from
+    // the tier's compression (64-dim float32 = 256 B raw), scan cost
+    // per query, and recall-per-MB — the column the advisor's recall
+    // floor doesn't show
+    "q257_tier_frontier" -> ((s, d) => {
+      val n = embeddings(s, d).agg(count(lit(1)).as("_n")).limit(1)
+      sharedQuantLadder(s, d).crossJoin(broadcast(n))
+        .select(col("tier"), col("compression_x"),
+          col("mean_recall_micro"),
+          expr("256 div compression_x").as("bytes_per_vec"),
+          expr("_n * (256 div compression_x) div 1024")
+            .as("scan_kb_per_query"),
+          expr("""mean_recall_micro * 1048576
+                 |div greatest(_n * (256 div compression_x), 1)"""
+            .stripMargin).as("recall_micro_per_mb"))
+        .orderBy(col("compression_x"), col("tier"))
+    }),
+
+    // ===== gate-agreement kappa =======================================
+    // Cohen's kappa between the length gate (n_chars >= 200) and the
+    // stopword-density gate (stop hits >= 4% of tokens) — percent
+    // agreement minus the chance floor, exact integer micros
+    "q258_gate_kappa" -> ((s, d) => {
+      val t = documents(s, d)
+      Curation.gateAgreementStats(t,
+        col("n_chars") >= 200L,
+        graft.functions.TextFunctions.token_set_hits(
+          lower(col("text")), graft.ext.TextAnalysis.StopEn) * 25L >=
+          graft.ext.TextAnalysis.tokenCount(col("text")))
+    }),
+
+    // ===== pinned-integer brute top-k (the convention anchor) =========
+    // the de-floated exact yardstick exposed ROW-LEVEL: ranks decided
+    // only by correctly-rounded IEEE ops over exact integer micros, so
+    // this query reds loudly (locally AND on the driver) if either
+    // engine's rank arithmetic ever drifts — the q233 integer-rank-key
+    // convention, observable
+    "q259_pinned_brute" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.pinnedBruteTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5)
+    }),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -3548,6 +3639,24 @@ object SparkEntry {
            |SELECT tier AS chosen_tier, compression_x, mean_recall_micro,
            |  CAST(800000 AS BIGINT) AS target_micro, n_tiers, n_qualifying
            |FROM ranked, tot WHERE rk = 1""".stripMargin
+      }) +
+      // q257 prices the same measured ladder in scan bytes — the same
+      // CTE-wrap pattern as q239 (and the same stripSuffix safety)
+      ("q257_tier_frontier" -> {
+        val ladder = oracleSqlBase("q225_quant_ladder")
+          .stripSuffix("\nORDER BY compression_x")
+        s"""WITH ladder AS (
+           |$ladder
+           |),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM embeddings)
+           |SELECT tier, compression_x, mean_recall_micro,
+           |  CAST(256 // compression_x AS BIGINT) AS bytes_per_vec,
+           |  CAST(_n * (256 // compression_x) // 1024 AS BIGINT)
+           |    AS scan_kb_per_query,
+           |  CAST(mean_recall_micro * 1048576
+           |    // greatest(_n * (256 // compression_x), 1) AS BIGINT)
+           |    AS recall_micro_per_mb
+           |FROM ladder, tot ORDER BY compression_x, tier""".stripMargin
       })
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -11119,5 +11228,217 @@ object SparkEntry {
         |    * 1000000 // count(*) AS BIGINT) AS loss_micro
         |FROM documents d LEFT JOIN removed r USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q43's components + the (n_chars DESC, doc_id) election window;
+    // singleton docs are their own component and always kept
+    "q254_dedup_elect" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN row_number() OVER (PARTITION BY component
+        |         ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END
+        |      AS is_kept
+        |  FROM lab)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars * is_kept) AS BIGINT) AS kept_chars,
+        |  CAST(sum(n_chars * (1 - is_kept)) AS BIGINT) AS removed_chars,
+        |  CAST(sum(n_chars * (1 - is_kept)) * 1000000
+        |    // greatest(sum(n_chars), 1) AS BIGINT) AS char_loss_micro
+        |FROM el GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q43's candidate pairs attributed to unordered source pairs; the
+    // distinct-doc count unions both pair sides
+    "q255_cross_source_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |attr AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |         greatest(da.source, db.source) AS source_b,
+        |         p.doc_a, p.doc_b
+        |  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+        |               JOIN documents db ON db.doc_id = p.doc_b),
+        |np AS (SELECT source_a, source_b,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM attr GROUP BY 1, 2),
+        |nd AS (SELECT source_a, source_b,
+        |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |       FROM (SELECT source_a, source_b, doc_a AS d FROM attr
+        |             UNION ALL SELECT source_a, source_b, doc_b FROM attr)
+        |       GROUP BY 1, 2)
+        |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (source_a, source_b)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the q236 epoch plan replayed twice — naive and on the corpus
+    // minus q251's removed set — joined per source
+    "q256_dedup_epoch_plan" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |removed AS (SELECT doc_id FROM comp WHERE component <> doc_id),
+        |t1 AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w1 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |       FROM t1),
+        |tot1 AS (SELECT sum(w) AS wsum FROM w1),
+        |p1 AS (
+        |  SELECT source, n_tokens,
+        |    CAST(least(2500, (100000 * w // greatest(wsum, 1)) * 1000
+        |      // greatest(n_tokens, 1)) AS BIGINT) AS epochs_milli_naive
+        |  FROM w1, tot1),
+        |kept AS (
+        |  SELECT d.source, d.text FROM documents d
+        |  LEFT JOIN removed r USING (doc_id) WHERE r.doc_id IS NULL),
+        |t2 AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> ''))) AS BIGINT) AS unique_tokens
+        |  FROM kept GROUP BY 1),
+        |w2 AS (SELECT *, CAST(floor(sqrt(CAST(unique_tokens AS DOUBLE))) AS BIGINT) AS w
+        |       FROM t2),
+        |tot2 AS (SELECT sum(w) AS wsum FROM w2),
+        |p2 AS (
+        |  SELECT source, unique_tokens,
+        |    CAST(least(2500, (100000 * w // greatest(wsum, 1)) * 1000
+        |      // greatest(unique_tokens, 1)) AS BIGINT) AS epochs_milli_unique
+        |  FROM w2, tot2)
+        |SELECT p1.source, p1.n_tokens,
+        |  CAST(coalesce(p2.unique_tokens, 0) AS BIGINT) AS unique_tokens,
+        |  CAST((p1.n_tokens - coalesce(p2.unique_tokens, 0)) * 1000000
+        |    // greatest(p1.n_tokens, 1) AS BIGINT) AS dup_token_micro,
+        |  p1.epochs_milli_naive,
+        |  CAST(coalesce(p2.epochs_milli_unique, 0) AS BIGINT)
+        |    AS epochs_milli_unique
+        |FROM p1 LEFT JOIN p2 USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // 2x2 confusion of the two gates, then po/pe/kappa in exact
+    // integer micros; kappa's negative branch uses the sign-aware
+    // negate-positive-division form (Spark div truncates, DuckDB //
+    // floors — they agree only on non-negatives)
+    "q258_gate_kappa" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(list_filter(
+        |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |        x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) * 25
+        |      >= len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a*b) AS BIGINT) AS n_both_pass,
+        |    CAST(sum(a*(1-b)) AS BIGINT) AS n_only_a,
+        |    CAST(sum((1-a)*b) AS BIGINT) AS n_only_b,
+        |    CAST(sum((1-a)*(1-b)) AS BIGINT) AS n_both_fail
+        |  FROM g),
+        |m AS (
+        |  SELECT *,
+        |    CAST((n_both_pass + n_both_fail) * 1000000
+        |      // greatest(n, 1) AS BIGINT) AS po_micro,
+        |    CAST(((n_both_pass + n_only_a) * (n_both_pass + n_only_b)
+        |        + (n_both_fail + n_only_b) * (n_both_fail + n_only_a))
+        |      * 1000000 // (greatest(n, 1) * greatest(n, 1)) AS BIGINT)
+        |      AS pe_micro
+        |  FROM c)
+        |SELECT n, n_both_pass, n_only_a, n_only_b, n_both_fail,
+        |  po_micro, pe_micro,
+        |  CAST(CASE WHEN po_micro >= pe_micro
+        |    THEN (po_micro - pe_micro) * 1000000
+        |         // greatest(1000000 - pe_micro, 1)
+        |    ELSE -((pe_micro - po_micro) * 1000000
+        |         // greatest(1000000 - pe_micro, 1))
+        |  END AS BIGINT) AS kappa_micro
+        |FROM m""".stripMargin,
+
+    // the pinned integer-rank-key brute scan replayed row-level:
+    // exact BIGINT dots over micro-pinned vectors, cosine as the
+    // fixed correctly-rounded IEEE chain — no native float kernel
+    "q259_pinned_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pe AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pc AS (
+        |  SELECT vec_id, pv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe),
+        |pq AS (SELECT vec_id AS qid, pv AS qv, na AS qna
+        |       FROM pc WHERE vec_id < 10)
+        |SELECT qid, cid, rank FROM (
+        |  SELECT pq.qid, c.vec_id AS cid, row_number() OVER (
+        |    PARTITION BY pq.qid
+        |    ORDER BY CASE WHEN pq.qna = 0 OR c.na = 0 THEN 0.0
+        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |             i -> pq.qv[i]*c.pv[i])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(CAST(pq.qna AS DOUBLE))
+        |              * sqrt(CAST(c.na AS DOUBLE))) END DESC,
+        |      c.vec_id) AS rank
+        |  FROM pq JOIN pc c ON pq.qid <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 }

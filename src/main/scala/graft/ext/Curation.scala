@@ -967,6 +967,104 @@ object Curation {
       .orderBy(col(groupCol))
   }
 
+  /** Cohen's kappa between two document gates — the inter-filter
+    * agreement measure a curation pipeline reads before swapping a
+    * cheap filter in for an expensive one (raw percent agreement
+    * overstates: two gates that both pass ~everything agree by chance;
+    * kappa subtracts the chance floor). κ = (p_o − p_e)/(1 − p_e) over
+    * the 2×2 confusion of the gates.
+    *
+    * Determinism: all four cells are exact counts; p_o/p_e/κ are
+    * integer-micro floor arithmetic. p_e's cross products run in
+    * decimal(38,0) internally (n² overflows int64 past ~3·10⁹ docs —
+    * 100 TB is more) and emit BIGINT micros. κ's numerator can be
+    * negative (worse-than-chance gates), where Spark's `div` truncates
+    * toward zero but DuckDB's `//` floors — the sign-aware
+    * negate-positive-division form (the spearman convention) keeps the
+    * two engines bit-identical.
+    *
+    * Emits one row: (n, n_both_pass, n_only_a, n_only_b, n_both_fail,
+    * po_micro, pe_micro, kappa_micro).
+    *
+    * Scale: ONE aggregate pass over the corpus (both gates evaluate
+    * in the same codegen stage); the confusion row is 1×8. */
+  def gateAgreementStats(docs: DataFrame, gateA: Column,
+                         gateB: Column): DataFrame = {
+    val a = gateA.cast("long")
+    val b = gateB.cast("long")
+    docs.agg(
+        count(lit(1)).as("n"),
+        sum(a * b).as("n_both_pass"),
+        sum(a * (lit(1L) - b)).as("n_only_a"),
+        sum((lit(1L) - a) * b).as("n_only_b"),
+        sum((lit(1L) - a) * (lit(1L) - b)).as("n_both_fail"))
+      .withColumn("po_micro",
+        expr("(n_both_pass + n_both_fail) * 1000000 div greatest(n, 1)"))
+      .withColumn("pe_micro", expr(
+        """CAST((CAST(n_both_pass + n_only_a AS DECIMAL(38,0))
+          |        * (n_both_pass + n_only_b)
+          |      + CAST(n_both_fail + n_only_b AS DECIMAL(38,0))
+          |        * (n_both_fail + n_only_a)) * 1000000
+          |     div (CAST(greatest(n, 1) AS DECIMAL(38,0)) * greatest(n, 1))
+          |     AS BIGINT)""".stripMargin))
+      .withColumn("kappa_micro", expr(
+        """CASE WHEN po_micro >= pe_micro
+          |THEN (po_micro - pe_micro) * 1000000
+          |     div greatest(1000000 - pe_micro, 1)
+          |ELSE -((pe_micro - po_micro) * 1000000
+          |     div greatest(1000000 - pe_micro, 1))
+          |END""".stripMargin))
+      .select(col("n"), col("n_both_pass"), col("n_only_a"),
+        col("n_only_b"), col("n_both_fail"), col("po_micro"),
+        col("pe_micro"), col("kappa_micro"))
+  }
+
+  /** Dedup-aware token-budget epoch plan — [[epochPlan]] computed
+    * twice, on the raw corpus and on the corpus minus `removed` (the
+    * dedup verdict), joined per source. The table quantifies the
+    * planning error dedup-blind budgeting makes (Muennighoff et al.
+    * NeurIPS'23: repeating data has sharply diminishing returns —
+    * duplicated tokens inflate a source's apparent size, so the naive
+    * plan under-repeats its UNIQUE content): `dup_token_micro` is the
+    * duplicated-token share, and the two `epochs_milli` columns are
+    * the naive vs dedup-aware decisions side by side.
+    *
+    * Emits per source: (source, n_tokens, unique_tokens,
+    * dup_token_micro, epochs_milli_naive, epochs_milli_unique). A
+    * source entirely removed by dedup keeps its row with
+    * unique_tokens = 0 and epochs_milli_unique = 0.
+    *
+    * Scale: two [[epochPlan]] passes (each one grouped contraction of
+    * the corpus) plus an anti-join against the removed-id set — all
+    * keyed, nothing quadratic. */
+  def dedupAwareEpochPlan(docs: DataFrame, removed: DataFrame,
+                          budgetTokens: Long,
+                          maxEpochsMilli: Long = 4000L,
+                          sourceCol: String = "source",
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val naive = epochPlan(docs, budgetTokens, maxEpochsMilli,
+        sourceCol, textCol)
+      .select(col(sourceCol), col("n_tokens"),
+        col("epochs_milli").as("epochs_milli_naive"))
+    val kept = docs.join(removed.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val unique = epochPlan(kept, budgetTokens, maxEpochsMilli,
+        sourceCol, textCol)
+      .select(col(sourceCol), col("n_tokens").as("unique_tokens"),
+        col("epochs_milli").as("epochs_milli_unique"))
+    naive.join(unique, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_tokens"),
+        coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+        expr("""(n_tokens - coalesce(unique_tokens, 0)) * 1000000
+               |div greatest(n_tokens, 1)""".stripMargin)
+          .as("dup_token_micro"),
+        col("epochs_milli_naive"),
+        coalesce(col("epochs_milli_unique"), lit(0L))
+          .as("epochs_milli_unique"))
+      .orderBy(col(sourceCol))
+  }
+
   /** Token-budget epoch planner — the "how many epochs of each source
     * do I run to hit my token budget" table every pre-training data
     * recipe publishes (LLaMA/GPT-3 style: smaller curated sources are

@@ -1285,6 +1285,78 @@ object Dedup {
     * Scale: one count aggregate over the node-cardinality component
     * frame, one id-keyed join back to the corpus — same shape as
     * [[repairSplitLeakage]], nothing corpus-quadratic. */
+  /** Duplicate-cluster REPRESENTATIVE election — the "keep the best
+    * copy, not the first" dedup policy (the naive min-id rule keeps
+    * whichever crawl happened to assign the smallest id; production
+    * dedup keeps the longest / highest-quality member so deduping
+    * never trades away content). Every doc gets its component label
+    * (docs outside any dup component are their own singleton and are
+    * always kept); within a component the representative is the max
+    * by (`prefCol` DESC, id ASC) — the id tie-break keeps the election
+    * total-ordered and replayable for any preference column with ties.
+    *
+    * Emits the corpus with (component, is_kept) — `is_kept` as BIGINT
+    * flag (the library's no-bool/no-decimal output convention).
+    *
+    * Scale: one keyed window per component (corpus-cardinality
+    * partitions, never global), one id-equi join to attach labels —
+    * the same shape as [[clusterWeights]]. */
+  def electRepresentatives(docs: DataFrame, comps: DataFrame,
+                           prefCol: Column,
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labelled = docs
+      .join(comps.select(col("doc_id").as("_cid"), col("component")),
+        col(idCol) === col("_cid"), "left")
+      .drop("_cid")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(prefCol.desc, col(idCol))
+    labelled
+      .withColumn("is_kept",
+        (row_number().over(w) === 1).cast("long"))
+  }
+
+  /** Cross-source duplicate FLOW matrix — which sources duplicate into
+    * which: every near-dup candidate pair (the same pair rule the
+    * component labelling uses) is attributed to its unordered source
+    * pair. The diagonal (src, src) is intra-source duplication (fix by
+    * crawling less redundantly); off-diagonal mass is mirror/syndication
+    * flow between sources (fix by source-level precedence rules). The
+    * per-source loss table ([[clusterWeights]]-style aggregates) can't
+    * show directionality; this matrix is the standard next drill-down.
+    *
+    * Emits (source_a ≤ source_b, n_pairs, n_docs — distinct documents
+    * involved in the bucket's pairs) ordered by the pair.
+    *
+    * Scale: the pair frame is the already-bounded candidate output
+    * (banded/capped generation, never corpus²); two id-keyed joins to
+    * attach sources, one grouped count over ≤|sources|² rows (the
+    * distinct-doc count explodes each pair into two skinny rows
+    * first — 2·|pairs|, still bounded by the candidate cap). */
+  def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id",
+                           srcCol: String = "source"): DataFrame = {
+    val src = docs.select(col(idCol), col(srcCol))
+    val attributed = pairs
+      .join(src.select(col(idCol).as("doc_a"), col(srcCol).as("_sa")),
+        Seq("doc_a"))
+      .join(src.select(col(idCol).as("doc_b"), col(srcCol).as("_sb")),
+        Seq("doc_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+    val nPairs = attributed.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = attributed
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def clusterWeights(docs: DataFrame, comps: DataFrame,
                      idCol: String = "doc_id"): DataFrame = {
     val sizes = comps.groupBy(col("component"))

@@ -511,4 +511,69 @@ class CurationSpec extends SparkSpec {
         "achieved can never exceed target when uncapped")
     }
   }
+
+  // ===== gate-agreement kappa ==============================================
+
+  test("gateAgreementStats: perfect agreement, independence, and sign") {
+    import org.apache.spark.sql.Row
+    // 6 docs: gates agree on 5, disagree on 1
+    val docs = Seq(
+      (1L, 10L, 10L), (2L, 20L, 20L), (3L, 5L, 5L),
+      (4L, 25L, 25L), (5L, 30L, 2L), (6L, 1L, 1L))
+      .toDF("id", "x", "y")
+    val r = Curation.gateAgreementStats(docs,
+      col("x") >= 10L, col("y") >= 10L).collect()(0)
+    // confusion: both pass {1,2,4}, only_a {5}, both fail {3,6}
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L &&
+      r.getLong(2) === 1L && r.getLong(3) === 0L && r.getLong(4) === 2L)
+    // po = 5/6; pe = (4*3 + 2*3)/36 = 1/2; kappa = (po-pe)/(1-pe) = 2/3
+    assert(r.getLong(5) === 833333L)
+    assert(r.getLong(6) === 500000L)
+    assert(r.getLong(7) === 666666L)
+
+    // identical gates: kappa = 1e6 exactly (po = 1, pe < 1)
+    val same = Curation.gateAgreementStats(docs,
+      col("x") >= 10L, col("x") >= 10L).collect()(0)
+    assert(same.getLong(7) === 1000000L)
+
+    // complementary gates (always disagree): po = 0, kappa < 0 — and
+    // the sign-aware division truncates toward zero like DuckDB
+    val opp = Curation.gateAgreementStats(docs,
+      col("x") >= 10L, col("x") < 10L).collect()(0)
+    assert(opp.getLong(5) === 0L)
+    assert(opp.getLong(7) < 0L)
+  }
+
+  // ===== dedup-aware epoch plan ============================================
+
+  test("dedupAwareEpochPlan: dup share and per-source plan shift") {
+    val docs = Seq(
+      (1L, "web", "a b c d e f g h"),       // 8 tokens
+      (2L, "web", "a b c d e f g h"),       // dup of 1 (removed)
+      (3L, "books", "p q r s"),             // 4 tokens
+      (4L, "books", "p q r s t u v w x y")) // 10 tokens
+      .toDF("doc_id", "source", "text")
+    val removed = Seq(2L).toDF("doc_id")
+    val got = Curation.dedupAwareEpochPlan(docs, removed,
+        budgetTokens = 100L, maxEpochsMilli = 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = got("web"); val books = got("books")
+    assert(web.getLong(1) === 16L && web.getLong(2) === 8L)
+    assert(web.getLong(3) === 500000L)       // half the tokens were dups
+    assert(books.getLong(1) === 14L && books.getLong(2) === 14L)
+    assert(books.getLong(3) === 0L)
+    // naive plan: weights floor(sqrt(16))=4, floor(sqrt(14))=3, wsum 7
+    //   web target 100*4/7=57 -> 57*1000/16 = 3562 milli-epochs
+    assert(web.getLong(4) === 3562L)
+    // unique plan: weights floor(sqrt(8))=2, floor(sqrt(14))=3, wsum 5
+    //   web target 100*2/5=40 -> 40*1000/8 = 5000 milli-epochs
+    assert(web.getLong(5) === 5000L)
+    // a source with every doc removed keeps its row at zero
+    val all = Curation.dedupAwareEpochPlan(docs,
+        Seq(1L, 2L).toDF("doc_id"),
+        budgetTokens = 100L, maxEpochsMilli = 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(all("web").getLong(2) === 0L && all("web").getLong(5) === 0L)
+    assert(all("web").getLong(3) === 1000000L)
+  }
 }

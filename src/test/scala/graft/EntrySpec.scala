@@ -109,7 +109,11 @@ class EntrySpec extends SparkSpec {
     // decides over the ≤5-row result; q245 inherits q123's
     // single-query-vector cosine ranking (one broadcast row against
     // the corpus, not provable as maxRows==1)
-    "q238_maxsim", "q239_index_advisor", "q245_ranker_agreement")
+    "q238_maxsim", "q239_index_advisor", "q245_ranker_agreement",
+    // q259 is the q21 broadcast-query brute scan over the PINNED
+    // integer representation — the de-floated yardstick exposed
+    // row-level, a by-definition linear scan
+    "q259_pinned_brute")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}

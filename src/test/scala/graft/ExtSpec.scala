@@ -425,7 +425,7 @@ class ExtSpec extends SparkSpec {
         when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
           .otherwise(lit("base")))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getLong(3)))
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(rows.keySet === Set("base", "delta"))
     assert(rows("base")._1 === base.count())
@@ -494,7 +494,7 @@ class ExtSpec extends SparkSpec {
         when(pmod(col("vec_id"), lit(5)) === 0, lit("delta"))
           .otherwise(lit("base")))
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getLong(3)))
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(rows.keySet === Set("base", "delta"))
     assert(rows("base")._1 === base.count())
@@ -726,6 +726,45 @@ class ExtSpec extends SparkSpec {
     val below = li.filter(col("l_extendedprice") <= apx).count()
     assert(math.abs(below.toDouble / n - 0.5) < 0.01,
       s"median rank off: $below/$n")
+  }
+
+  test("electRepresentatives keeps the longest per component, singletons always") {
+    val docs = Seq(
+      (1L, "web", 50L), (2L, "web", 90L), (3L, "books", 90L), // one cluster
+      (4L, "web", 10L),                                       // singleton
+      (10L, "web", 30L), (11L, "web", 30L))                   // tie cluster
+      .toDF("doc_id", "source", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val got = Dedup.electRepresentatives(docs, comps, col("n_chars"))
+      .select("doc_id", "component", "is_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cluster {1,2,3}: max n_chars is 90 shared by 2 and 3 — smallest
+    // id wins (2); the min-id rule would have kept 1 (50 chars)
+    assert(got(2L) === (1L, 1L) && got(1L) === (1L, 0L) &&
+      got(3L) === (1L, 0L))
+    // singleton 4 is its own component and kept
+    assert(got(4L) === (4L, 1L))
+    // tie cluster: equal n_chars, id tie-break keeps 10
+    assert(got(10L) === (10L, 1L) && got(11L) === (10L, 0L))
+  }
+
+  test("crossSourceDupMatrix attributes pairs to unordered source pairs") {
+    val docs = Seq(
+      (1L, "web"), (2L, "web"), (3L, "books"), (4L, "wiki"), (5L, "books"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (2L, 3L), (3L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.crossSourceDupMatrix(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // web-web intra pair (1,2); books-web: (1,3),(2,3); books-wiki:
+    // (3,4); books-books: (3,5)
+    assert(got === Map(
+      ("web", "web") -> (1L, 2L),
+      ("books", "web") -> (2L, 3L),   // docs {1,2,3}
+      ("books", "wiki") -> (1L, 2L),
+      ("books", "books") -> (1L, 2L)))
   }
 
   test("componentsWithRounds: double jump collapses a 200-chain fast") {
