@@ -66,10 +66,41 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def sharedComponents(s: SparkSession, d: String): DataFrame = {
     hookEviction(s)
-    componentsMemo.computeIfAbsent((s, d), _ => {
-      val pairs = Dedup.coShinglePairs(documents(s, d), minShared = 2,
-        maxPostings = 1000)
-      Dedup.components(pairs).localCheckpoint(true)
+    componentsMemo.computeIfAbsent((s, d), _ =>
+      Dedup.components(sharedDupPairs(s, d)).localCheckpoint(true))
+  }
+
+  /** The q43 candidate-pair frame (capped co-shingle pairs) memoised
+    * per (session, dir) — the shared input of the component labelling
+    * and the pair-level consumers (q255 flow matrix, q260 density
+    * audit). In a deployment the candidate pairs are a materialized
+    * stage output every downstream audit reads; re-generating postings
+    * per consumer would pay the pipeline's most expensive text scan
+    * three times. */
+  private val dupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedDupPairs(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    dupPairsMemo.computeIfAbsent((s, d), _ =>
+      Dedup.coShinglePairs(documents(s, d), minShared = 2,
+        maxPostings = 1000).localCheckpoint(true))
+  }
+
+  /** The measured near-dup threshold sweep shared by q247 (the curve)
+    * and q261 (the operating-point advisor over it) — the
+    * [[sharedQuantLadder]] pattern on the dedup dial; the trailing
+    * limit makes the ≤|thresholds| bound provable to the advisor's
+    * unpartitioned-window plan gate. */
+  private val nearDupSweepMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedNearDupSweep(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    nearDupSweepMemo.computeIfAbsent((s, d), _ => {
+      val emb = embeddings(s, d)
+      Similarity.nearDupThresholdSweep(emb,
+          thresholdsMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L),
+          nCentroids = Similarity.autoCentroids(emb.count()))
+        .localCheckpoint(true).limit(100)
     })
   }
 
@@ -87,6 +118,8 @@ object SparkEntry {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           componentsMemo.keySet.removeIf(k => k._1 eq s)
+          dupPairsMemo.keySet.removeIf(k => k._1 eq s)
+          nearDupSweepMemo.keySet.removeIf(k => k._1 eq s)
           oldLabelsMemo.keySet.removeIf(k => k._1 eq s)
           pqIndexMemo.keySet.removeIf(k => k._1 eq s)
           residualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
@@ -2871,12 +2904,7 @@ object SparkEntry {
     // q20's dedup dial, measured: pair/affected-doc counts at each
     // cosine threshold off ONE pinned blocked pair pass; nesting
     // theorem pinned per row (1546/407/27 pairs at 0.2/0.3/0.4 here)
-    "q247_neardup_sweep" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      Similarity.nearDupThresholdSweep(emb,
-        thresholdsMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L),
-        nCentroids = Similarity.autoCentroids(emb.count()))
-    }),
+    "q247_neardup_sweep" -> ((s, d) => sharedNearDupSweep(s, d)),
 
     // ===== coarse-quantizer semantic alignment (cell × label NMI) =====
     // does the IVF partitioning respect the label structure? the q121
@@ -2981,9 +3009,7 @@ object SparkEntry {
     // attributed to unordered source pairs — diagonal = intra-source
     // redundancy, off-diagonal = mirror/syndication flow
     "q255_cross_source_dups" -> ((s, d) =>
-      Dedup.crossSourceDupMatrix(documents(s, d),
-        Dedup.coShinglePairs(documents(s, d), minShared = 2,
-          maxPostings = 1000))),
+      Dedup.crossSourceDupMatrix(documents(s, d), sharedDupPairs(s, d))),
 
     // ===== dedup-aware epoch plan =====================================
     // the q236 plan computed naive vs on the deduped corpus (q251's
@@ -3040,6 +3066,37 @@ object SparkEntry {
       Similarity.pinnedBruteTopK(emb, emb.filter(col("vec_id") < 10),
         k = 5)
     }),
+
+    // ===== duplicate-cluster density audit =============================
+    // chain-merge risk: components merge by transitivity, so the big
+    // clusters may hold docs with no direct pair evidence — density =
+    // direct/possible pairs, near-0 = chain-merged (unsafe collapse)
+    "q260_cluster_density" -> ((s, d) =>
+      Dedup.clusterDensityStats(sharedComponents(s, d),
+        sharedDupPairs(s, d), topN = 20)),
+
+    // ===== dedup-threshold operating-point advisor =====================
+    // the decision q247's curve exists to inform: the most aggressive
+    // threshold whose measured candidate count fits the verification
+    // budget (pairs nest, so smaller thresholds dominate on recall)
+    "q261_threshold_advisor" -> ((s, d) =>
+      Similarity.nearDupThresholdAdvisor(sharedNearDupSweep(s, d),
+        maxPairsBudget = 500L)),
+
+    // ===== per-source language-mix entropy =============================
+    // the data-card composition row: Shannon entropy of each source's
+    // predicted-language mix (nano-pinned terms, the q121/q248 log
+    // convention) + dominant language and its share
+    "q262_source_lang_entropy" -> ((s, d) =>
+      Profiling.groupEntropyStats(T.withLangId(documents(s, d)),
+        "source", "pred_lang")),
+
+    // ===== truncation-loss operating curve =============================
+    // the other half of q250's pack-vs-truncate decision: tokens lost
+    // when each document is clipped to one ctx_len window
+    "q263_truncation_sweep" -> ((s, d) =>
+      T.truncationLossSweep(documents(s, d),
+        ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -3657,6 +3714,33 @@ object SparkEntry {
            |    // greatest(_n * (256 // compression_x), 1) AS BIGINT)
            |    AS recall_micro_per_mb
            |FROM ladder, tot ORDER BY compression_x, tier""".stripMargin
+      }) +
+      // q261 wraps the MEASURED q247 sweep replay in the advisor's
+      // deterministic selection (smallest threshold fitting the
+      // 500-pair verify budget; fewest pairs as the degraded-mode
+      // fallback). q247's trailing ORDER BY rides inside the CTE
+      // subquery (same harmless-wrap note as q239).
+      ("q261_threshold_advisor" -> {
+        val sweep = oracleSqlBase("q247_neardup_sweep")
+        s"""WITH sweep AS (
+           |$sweep
+           |),
+           |flags AS (SELECT *, CAST(n_pairs <= 500 AS BIGINT) AS ok
+           |          FROM sweep),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           |               CAST(sum(ok) AS BIGINT) AS n_qualifying
+           |        FROM flags),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    ORDER BY ok DESC,
+           |             CASE WHEN ok = 1 THEN threshold_micro
+           |                  ELSE n_pairs END ASC,
+           |             threshold_micro ASC) AS rk
+           |  FROM flags)
+           |SELECT threshold_micro AS chosen_threshold_micro, n_pairs,
+           |  n_docs_affected, CAST(500 AS BIGINT) AS budget_pairs,
+           |  n_candidates, n_qualifying
+           |FROM ranked, tot WHERE rk = 1""".stripMargin
       })
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -11440,5 +11524,106 @@ object SparkEntry {
         |      c.vec_id) AS rank
         |  FROM pq JOIN pc c ON pq.qid <> c.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // q43's components + per-component direct-pair counts; density in
+    // exact micros, top-20 largest clusters
+    "q260_cluster_density" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM comp GROUP BY 1),
+        |direct AS (
+        |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_direct_pairs
+        |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+        |  GROUP BY 1)
+        |SELECT s.component, s.n_docs, d.n_direct_pairs,
+        |  CAST(d.n_direct_pairs * 2000000
+        |    // greatest(s.n_docs * (s.n_docs - 1), 1) AS BIGINT)
+        |    AS density_micro
+        |FROM sizes s JOIN direct d USING (component)
+        |ORDER BY s.n_docs DESC, s.component LIMIT 20""".stripMargin,
+
+    // the q24 language prediction rolled into per-source mix entropy:
+    // exact cell counts, -p ln p nano-pinned per cell (the q121/q248
+    // log convention), dominant language by (count DESC, lang)
+    "q262_source_lang_entropy" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS s_en,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x))) AS s_de,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x))) AS s_fr,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x))) AS s_es
+        |  FROM documents),
+        |pred AS (
+        |  SELECT source,
+        |    CASE WHEN cjk > 0 THEN 'zh'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM scored),
+        |cells AS (
+        |  SELECT source, pred_lang, CAST(count(*) AS BIGINT) AS nxv
+        |  FROM pred GROUP BY 1, 2),
+        |g AS (
+        |  SELECT *, sum(nxv) OVER (PARTITION BY source) AS ng,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY nxv DESC, pred_lang) AS rk
+        |  FROM cells),
+        |t AS (
+        |  SELECT *, CAST(round(-(CAST(nxv AS DOUBLE) / ng)
+        |    * ln(CAST(nxv AS DOUBLE) / ng) * 1e9) AS BIGINT) AS tn
+        |  FROM g)
+        |SELECT source, CAST(min(ng) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(round(sum(tn) / 1e3) AS BIGINT) AS entropy_micro,
+        |  max(CASE WHEN rk = 1 THEN pred_lang END) AS top_value,
+        |  CAST(max(CASE WHEN rk = 1 THEN nxv * 1000000 // ng END)
+        |    AS BIGINT) AS top_share_micro
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // the q250 token pass with truncation arithmetic: tokens beyond
+    // each candidate ctx_len are lost, all integer
+    "q263_truncation_sweep" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |ts AS (SELECT CAST(c AS BIGINT) AS c
+        |       FROM UNNEST([64, 128, 256, 512, 1024]) AS u(c))
+        |SELECT ts.c AS ctx_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n.n > ts.c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_over,
+        |  CAST(sum(n.n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(greatest(n.n - ts.c, 0)) AS BIGINT) AS n_tokens_lost,
+        |  CAST(sum(greatest(n.n - ts.c, 0)) * 1000000
+        |    // greatest(sum(n.n), 1) AS BIGINT) AS loss_micro
+        |FROM ts, n GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1331,9 +1331,11 @@ object Dedup {
     *
     * Scale: the pair frame is the already-bounded candidate output
     * (banded/capped generation, never corpus²); two id-keyed joins to
-    * attach sources, one grouped count over ≤|sources|² rows (the
-    * distinct-doc count explodes each pair into two skinny rows
-    * first — 2·|pairs|, still bounded by the candidate cap). */
+    * attach sources, then ONE aggregation over the pairs exploded to
+    * two skinny (bucket, doc) rows — count(*)/2 recovers the pair
+    * count exactly, so the expensive candidate subtree is consumed
+    * once (a separate n_pairs aggregation would recompute it: the two
+    * aggregation exchanges differ, nothing reuses). */
   def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame,
                            idCol: String = "doc_id",
                            srcCol: String = "source"): DataFrame = {
@@ -1346,15 +1348,50 @@ object Dedup {
       .select(least(col("_sa"), col("_sb")).as("source_a"),
         greatest(col("_sa"), col("_sb")).as("source_b"),
         col("doc_a"), col("doc_b"))
-    val nPairs = attributed.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = attributed
+    attributed
       .select(col("source_a"), col("source_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(countDistinct(col("d")).as("n_docs"))
-    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .agg(count(lit(1)).as("_n2"),
+        countDistinct(col("d")).as("n_docs"))
+      .select(col("source_a"), col("source_b"),
+        expr("_n2 div 2").as("n_pairs"), col("n_docs"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Duplicate-cluster DENSITY audit — the chain-merge risk gate:
+    * connected components merge by TRANSITIVITY, so a cluster can hold
+    * documents with no direct pair evidence between them (A–B and B–C
+    * merge A with C). Density = direct pairs / possible pairs: a
+    * near-1 cluster is a clique (every member pairwise-duplicated —
+    * safe to collapse); a near-0 cluster is a chain (collapsing it
+    * deletes documents that were never actually compared — the classic
+    * over-merge failure of LSH dedup at scale). Emits the `topN`
+    * LARGEST clusters (component, n_docs, n_direct_pairs,
+    * density_micro) by (n_docs DESC, component) — the big clusters are
+    * where chain-merge damage concentrates.
+    *
+    * Scale: two keyed aggregations over the component labels and the
+    * bounded candidate pairs (every pair's endpoints share a component
+    * by construction, so ONE endpoint join attributes it), then a
+    * TakeOrdered over the component-cardinality frame. */
+  def clusterDensityStats(comps: DataFrame, pairs: DataFrame,
+                          topN: Int = 20): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+    val direct = pairs
+      .join(comps.select(col("doc_id").as("doc_a"), col("component")),
+        Seq("doc_a"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_direct_pairs"))
+    sizes.join(direct, Seq("component"))
+      .select(col("component"), col("n_docs"), col("n_direct_pairs"),
+        expr("""n_direct_pairs * 2000000
+               |div greatest(n_docs * (n_docs - 1), 1)""".stripMargin)
+          .as("density_micro"))
+      .orderBy(col("n_docs").desc, col("component"))
+      .limit(topN)
   }
 
   def clusterWeights(docs: DataFrame, comps: DataFrame,

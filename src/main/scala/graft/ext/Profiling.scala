@@ -937,4 +937,44 @@ object Profiling {
         col("acc_micro"), col("gap_micro"), col("ece_micro"))
       .orderBy(col("bin"))
   }
+
+  /** Per-group value-mix entropy — the data-card composition row
+    * (language mix per source, source mix per shard, label mix per
+    * cell): for each group, the Shannon entropy of its value
+    * distribution plus the dominant value and its share. Entropy 0 =
+    * monoculture; ln(|values|) = uniform mix. The [[mutualInfo]]
+    * machinery restricted to one margin, emitted per group instead of
+    * globally.
+    *
+    * Determinism: counts are exact; each cell's −p·ln p term is
+    * nano-quantized to BIGINT before the per-group sum (order-free
+    * shuffles, the [[mutualInfo]]/[[chiSquare]] convention); the
+    * dominant value ties to the smallest value string.
+    *
+    * Scale: one (group, value) count contraction, keyed windows over
+    * the ≤|groups|·|values| cell frame — shuffle cost is cells, not
+    * rows. */
+  def groupEntropyStats(df: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("nxv"))
+      .withColumn("ng",
+        sum(col("nxv")).over(Window.partitionBy(col(groupCol))))
+    val p = col("nxv").cast("double") / col("ng").cast("double")
+    val termNano = round(-p * log(p) * 1e9).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("nxv").desc, col(valCol))
+    cells
+      .withColumn("_t", termNano)
+      .withColumn("_rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(min(col("ng")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        round(sum(col("_t")) / 1e3).cast("long").as("entropy_micro"),
+        max(when(col("_rk") === 1, col(valCol))).as("top_value"),
+        max(when(col("_rk") === 1,
+          expr("nxv * 1000000 div ng"))).as("top_share_micro"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -1489,6 +1489,44 @@ object Similarity {
       .orderBy(col("threshold_micro"))
   }
 
+  /** Operating-point advisor over a measured [[nearDupThresholdSweep]]
+    * frame — the DECISION the sweep exists to inform (the
+    * [[indexTierAdvisor]] pattern on the dedup dial): every candidate
+    * pair costs downstream verification, so the budget caps how
+    * aggressive dedup can afford to be. Among thresholds whose
+    * measured n_pairs fits `maxPairsBudget`, take the SMALLEST (the
+    * most aggressive dedup the verify budget allows — pairs nest, so
+    * smaller thresholds strictly dominate on recall); if none fit,
+    * fall back to the fewest-pairs point (degraded mode must still
+    * pick something; n_qualifying = 0 is the alarm). Emits one row:
+    * (chosen_threshold_micro, n_pairs, n_docs_affected, budget_pairs,
+    * n_candidates, n_qualifying).
+    *
+    * Scale: arithmetic over the ≤|thresholds| sweep frame; the
+    * measurement cost lives in the sweep. */
+  def nearDupThresholdAdvisor(sweep: DataFrame,
+                              maxPairsBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ok = (col("n_pairs") <= maxPairsBudget).cast("long")
+    // qualifying points rank by threshold ASC; non-qualifying by
+    // n_pairs ASC (closest to budget first), threshold as tie-break
+    val w = Window.orderBy(col("ok").desc,
+      when(col("ok") === 1L, col("threshold_micro"))
+        .otherwise(col("n_pairs")).asc,
+      col("threshold_micro").asc)
+    sweep.withColumn("ok", ok)
+      .withColumn("n_candidates", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_qualifying", sum(col("ok")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("threshold_micro").as("chosen_threshold_micro"),
+        col("n_pairs"), col("n_docs_affected"),
+        lit(maxPairsBudget).as("budget_pairs"),
+        col("n_candidates"), col("n_qualifying"))
+  }
+
   /** Hubness profile of the kNN graph — which vectors appear in
     * other vectors' top-k lists far more often than the k-per-list
     * average (Radovanović et al. JMLR'10: hubs are an intrinsic

@@ -687,6 +687,43 @@ object TextAnalysis {
     }.reduce(_.unionAll(_)).orderBy(col("ctx_len"))
   }
 
+  /** Truncation-loss operating curve — the OTHER half of the
+    * [[packingEfficiencySweep]] decision: q250 prices PACKING (padding
+    * waste when every document is kept whole); this table prices the
+    * TRUNCATE-at-ctx_len alternative (tokens cut when each document is
+    * clipped to one window). Read together they are the
+    * pack-vs-truncate decision every pretraining prep makes per
+    * context length. Per candidate: (ctx_len, n_docs, n_docs_over —
+    * documents losing content, n_tokens, n_tokens_lost, loss_micro).
+    *
+    * Determinism: token counts are exact integers off ONE pinned
+    * tokenize pass (the q250 convention); every emitted column is
+    * integer arithmetic.
+    *
+    * Scale: one tokenize scan (localCheckpoint pins it), then
+    * |ctxLens| arithmetic-only aggregates over the 1-column count
+    * frame — each a map-side-combined single shuffle of one row. */
+  def truncationLossSweep(df: DataFrame, ctxLens: Seq[Long],
+                          textCol: String = "text"): DataFrame = {
+    require(ctxLens.nonEmpty && ctxLens == ctxLens.sorted &&
+      ctxLens.distinct == ctxLens && ctxLens.head > 0,
+      "ctxLens must be distinct, ascending, positive")
+    val toks = df
+      .select(size(tokens(lower(col(textCol)))).cast("long").as("n"))
+      .localCheckpoint(true)
+    ctxLens.map { c =>
+      toks.select(col("n"), greatest(col("n") - c, lit(0L)).as("lost"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("lost") > 0L).cast("long")).as("n_docs_over"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("lost")).as("n_tokens_lost"))
+        .select(lit(c).as("ctx_len"), col("n_docs"), col("n_docs_over"),
+          col("n_tokens"), col("n_tokens_lost"),
+          expr("n_tokens_lost * 1000000 div greatest(n_tokens, 1)")
+            .as("loss_micro"))
+    }.reduce(_.unionAll(_)).orderBy(col("ctx_len"))
+  }
+
   /** Strided context-window chunking — the standard "cut documents
     * into `ctxLen`-token windows with `overlap`-token overlap"
     * pretraining prep. One row per chunk: (id, chunk_idx, start_tok,

@@ -767,6 +767,41 @@ class ExtSpec extends SparkSpec {
       ("books", "books") -> (1L, 2L)))
   }
 
+  test("clusterDensityStats: clique density 1e6, chain near-minimal, topN order") {
+    // component 1: triangle {1,2,3} (clique, 3 pairs / 3 possible);
+    // component 10: 4-chain {10,11,12,13} (3 pairs / 6 possible)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L))
+      .toDF("doc_id", "component")
+    val rows = graft.ext.Dedup.clusterDensityStats(comps, pairs, topN = 2)
+      .collect()
+    // largest first: the 4-doc chain, then the triangle
+    assert(rows.map(_.getLong(0)).toSeq === Seq(10L, 1L))
+    val chain = rows(0); val clique = rows(1)
+    assert(chain.getLong(1) === 4L && chain.getLong(2) === 3L)
+    assert(chain.getLong(3) === 3L * 2000000L / 12L)   // 500000
+    assert(clique.getLong(1) === 3L && clique.getLong(2) === 3L)
+    assert(clique.getLong(3) === 1000000L)             // a true clique
+  }
+
+  test("nearDupThresholdAdvisor: budget picks the smallest fitting threshold; degraded mode") {
+    val sweep = Seq(
+      (200000L, 1546L, 500L, 1L), (250000L, 955L, 478L, 1L),
+      (300000L, 407L, 360L, 1L), (350000L, 127L, 180L, 1L),
+      (400000L, 27L, 43L, 1L))
+      .toDF("threshold_micro", "n_pairs", "n_docs_affected", "monotone_ok")
+    val r = Similarity.nearDupThresholdAdvisor(sweep, 500L).collect()(0)
+    // 407 <= 500 at t=300000 is the most aggressive fitting point
+    assert(r.getLong(0) === 300000L && r.getLong(1) === 407L)
+    assert(r.getLong(4) === 5L && r.getLong(5) === 3L)
+    // budget below every point: fall back to fewest pairs, alarm at 0
+    val d = Similarity.nearDupThresholdAdvisor(sweep, 10L).collect()(0)
+    assert(d.getLong(0) === 400000L && d.getLong(1) === 27L)
+    assert(d.getLong(5) === 0L)
+  }
+
   test("componentsWithRounds: double jump collapses a 200-chain fast") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labelled, rounds) = Dedup.componentsWithRounds(chain)

@@ -436,4 +436,22 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.calibrationStats(edge, col("conf"), col("lbl"))
       .collect().head.getLong(0) === 9L)
   }
+
+  test("groupEntropyStats: monoculture 0, uniform ln k, dominant tie-break") {
+    val df = Seq(
+      ("mono", "en"), ("mono", "en"), ("mono", "en"),
+      ("half", "en"), ("half", "fr"),
+      ("tie", "de"), ("tie", "en"))  // equal counts: top ties to 'de'
+      .toDF("g", "v")
+    val got = Profiling.groupEntropyStats(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5))).toMap
+    assert(got("mono") === (3L, 1L, 0L, "en", 1000000L))
+    // two equal halves: H = ln 2 = 0.693147...
+    assert(got("half")._3 === 693147L)
+    assert(got("half")._5 === 500000L)
+    // tie on counts -> smallest value string wins
+    assert(got("tie")._4 === "de")
+  }
 }

@@ -421,6 +421,19 @@ class TextScoringSpec extends SparkSpec {
       (8L, 2L, 8L, 8L, 500000L)))
   }
 
+  test("truncationLossSweep: exact lost tokens per context point") {
+    import spark.implicits._
+    // docs of 3 and 5 tokens: ctx 4 loses 0 + 1; ctx 8 loses nothing
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.truncationLossSweep(docs, Seq(4L, 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (4L, 2L, 1L, 8L, 1L, 1000000L / 8L),
+      (8L, 2L, 0L, 8L, 0L, 0L)))
+  }
+
   test("rm3TopK: expansion pulls in docs the seed query cannot see") {
     import spark.implicits._
     // seed term 'alpha' hits docs 1-3; those feedback docs all carry
