@@ -3097,6 +3097,32 @@ object SparkEntry {
     "q263_truncation_sweep" -> ((s, d) =>
       T.truncationLossSweep(documents(s, d),
         ctxLens = Seq(64L, 128L, 256L, 512L, 1024L))),
+
+    // ===== vector-norm health histogram ================================
+    // the pre-index sanity gate: pinned squared norms bucketed by
+    // exact decimal digit count (zero vectors in bucket 0, mis-scaled
+    // ingest batches as displaced magnitude buckets)
+    "q264_norm_health" -> ((s, d) =>
+      Similarity.vectorNormHealthStats(embeddings(s, d))),
+
+    // ===== referential-integrity audit =================================
+    // the FK health gate before any join-dependent stage: documents ↔
+    // embeddings key alignment, orphans both ways, two-way coverage
+    "q265_ref_integrity" -> ((s, d) =>
+      Profiling.refIntegrityStats(documents(s, d), embeddings(s, d),
+        "doc_id", "vec_id")),
+
+    // ===== sample-bias chi-square ======================================
+    // is the 1-in-7 deterministic sample independent of source? the
+    // q150 chi-square machinery on (in_sample × source) — the
+    // categorical companion of q240's embedding-space coverage gate
+    "q266_sample_source_chi2" -> ((s, d) =>
+      Profiling.chiSquare(
+        documents(s, d).select(
+          (pmod(col("doc_id"), lit(7L)) === 0L).cast("long")
+            .as("in_sample"),
+          col("source")),
+        "in_sample", "source")),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -11625,5 +11651,79 @@ object SparkEntry {
         |  CAST(sum(greatest(n.n - ts.c, 0)) * 1000000
         |    // greatest(sum(n.n), 1) AS BIGINT) AS loss_micro
         |FROM ts, n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // pinned squared norms (the q259 micro-pin), bucketed by EXACT
+    // decimal digit count — string length of the integer, no float log
+    "q264_norm_health" ->
+      """WITH pe AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM embeddings),
+        |na AS (
+        |  SELECT CAST(list_sum(list_transform(range(1, 65),
+        |    i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe),
+        |b AS (
+        |  SELECT na, CASE WHEN na = 0 THEN 0
+        |    ELSE CAST(length(CAST(na AS VARCHAR)) AS BIGINT) END
+        |    AS na_digits
+        |  FROM na),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM b)
+        |SELECT na_digits, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(na) AS BIGINT) AS min_na,
+        |  CAST(max(na) AS BIGINT) AS max_na,
+        |  CAST(count(*) * 1000000 // greatest(max(_n), 1) AS BIGINT)
+        |    AS share_micro
+        |FROM b, tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // distinct-key full-outer alignment of documents vs embeddings
+    "q265_ref_integrity" ->
+      """WITH lk AS (SELECT DISTINCT doc_id AS k FROM documents),
+        |rk AS (SELECT DISTINCT vec_id AS k FROM embeddings),
+        |j AS (
+        |  SELECT lk.k AS l, rk.k AS r
+        |  FROM lk FULL OUTER JOIN rk ON lk.k = rk.k),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_keys,
+        |    CAST(sum(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_keys,
+        |    CAST(sum(CASE WHEN l IS NOT NULL AND r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |  FROM j)
+        |SELECT n_left_keys, n_right_keys, n_matched,
+        |  n_left_keys - n_matched AS n_left_orphan,
+        |  n_right_keys - n_matched AS n_right_orphan,
+        |  CAST(n_matched * 1000000 // greatest(n_left_keys, 1) AS BIGINT)
+        |    AS left_coverage_micro,
+        |  CAST(n_matched * 1000000 // greatest(n_right_keys, 1) AS BIGINT)
+        |    AS right_coverage_micro
+        |FROM c""".stripMargin,
+
+    // the q150 chi-square replay on (in_sample × source)
+    "q266_sample_source_chi2" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS x,
+        |         source AS y
+        |  FROM documents),
+        |j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+        |      FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT x, y, n,
+        |    CAST(round(((nxy - CAST(nx AS DOUBLE) * ny / n) *
+        |                (nxy - CAST(nx AS DOUBLE) * ny / n) /
+        |                (CAST(nx AS DOUBLE) * ny / n) -
+        |                CAST(nx AS DOUBLE) * ny / n) * 1e9, 0) AS BIGINT)
+        |      AS t_nano
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT)
+        |    AS dof,
+        |  CAST(max(n) * 1000000 + CAST(round(sum(t_nano) / 1e3, 0) AS BIGINT)
+        |       AS BIGINT) AS chi2_micro
+        |FROM t""".stripMargin,
   )
 }

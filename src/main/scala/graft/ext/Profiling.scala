@@ -938,6 +938,37 @@ object Profiling {
       .orderBy(col("bin"))
   }
 
+  /** Referential-integrity audit between two keyed tables — the FK
+    * health gate a multi-table pipeline runs before any join-dependent
+    * stage (documents ↔ embeddings, orders ↔ lineitem, docs ↔ scores):
+    * silent orphans on either side turn inner joins into silent row
+    * loss and left joins into null floods. Counts DISTINCT keys (dup
+    * keys are a different gate), matched and orphaned on each side,
+    * and two-way coverage in exact micros. One row: (n_left_keys,
+    * n_right_keys, n_matched, n_left_orphan, n_right_orphan,
+    * left_coverage_micro, right_coverage_micro).
+    *
+    * Scale: two distinct contractions keyed on the id, one full-outer
+    * equi-join of the KEY SETS (never the payloads), one count row. */
+  def refIntegrityStats(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String): DataFrame = {
+    val lk = left.select(col(leftKey).as("lk")).distinct()
+    val rk = right.select(col(rightKey).as("rk")).distinct()
+    lk.join(rk, col("lk") === col("rk"), "full_outer")
+      .agg(
+        sum(col("lk").isNotNull.cast("long")).as("n_left_keys"),
+        sum(col("rk").isNotNull.cast("long")).as("n_right_keys"),
+        sum((col("lk").isNotNull && col("rk").isNotNull).cast("long"))
+          .as("n_matched"))
+      .select(col("n_left_keys"), col("n_right_keys"), col("n_matched"),
+        (col("n_left_keys") - col("n_matched")).as("n_left_orphan"),
+        (col("n_right_keys") - col("n_matched")).as("n_right_orphan"),
+        expr("n_matched * 1000000 div greatest(n_left_keys, 1)")
+          .as("left_coverage_micro"),
+        expr("n_matched * 1000000 div greatest(n_right_keys, 1)")
+          .as("right_coverage_micro"))
+  }
+
   /** Per-group value-mix entropy — the data-card composition row
     * (language mix per source, source mix per shard, label mix per
     * cell): for each group, the Shannon entropy of its value

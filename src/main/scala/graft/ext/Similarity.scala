@@ -1489,6 +1489,44 @@ object Similarity {
       .orderBy(col("threshold_micro"))
   }
 
+  /** Vector-norm health histogram — the pre-index sanity gate every
+    * vector deployment runs before cosine/IP search: zero vectors
+    * (cosine undefined — served as 0 by convention, but they pollute
+    * every candidate list) and norm-magnitude outliers (inner-product
+    * search is dominated by them; a mis-scaled ingest batch shows up
+    * as a displaced magnitude bucket). Buckets the PINNED squared norm
+    * (na = Σ micro², exact BIGINT via [[microVec]]/[[dotLong]]) by its
+    * DECIMAL DIGIT COUNT — an exact integer bucket key in any engine
+    * (string length of the integer), immune to the log-boundary ulp
+    * flips a float log2 bucket would risk. Zero vectors get bucket 0.
+    * Emits one row per occupied bucket: (na_digits, n_vecs, min_na,
+    * max_na, share_micro) ordered by bucket.
+    *
+    * Scale: ONE corpus pass — the pinned dot is a codegen'd
+    * dim-length loop per row — into a ≤20-bucket hash aggregate
+    * (map-side combined), then arithmetic with a 1-row broadcast
+    * total. */
+  def vectorNormHealthStats(emb: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val na = dotLong(microVec(col(vecCol)), microVec(col(vecCol)))
+    val bucketed = emb
+      .select(na.as("na"))
+      .select(col("na"),
+        when(col("na") === 0L, 0L)
+          .otherwise(length(col("na").cast("string")).cast("long"))
+          .as("na_digits"))
+    val tot = bucketed.agg(count(lit(1)).as("_n")).limit(1)
+    bucketed.groupBy(col("na_digits"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("na")).as("min_na"), max(col("na")).as("max_na"))
+      .crossJoin(broadcast(tot))
+      .select(col("na_digits"), col("n_vecs"), col("min_na"),
+        col("max_na"),
+        expr("n_vecs * 1000000 div greatest(_n, 1)").as("share_micro"))
+      .orderBy(col("na_digits"))
+  }
+
   /** Operating-point advisor over a measured [[nearDupThresholdSweep]]
     * frame — the DECISION the sweep exists to inform (the
     * [[indexTierAdvisor]] pattern on the dedup dial): every candidate

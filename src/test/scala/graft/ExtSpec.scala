@@ -786,6 +786,23 @@ class ExtSpec extends SparkSpec {
     assert(clique.getLong(3) === 1000000L)             // a true clique
   }
 
+  test("vectorNormHealthStats: zero bucket, exact digit buckets, shares") {
+    // norms: zero vector -> bucket 0; [0.001,...] -> na = 1000^2*4 =
+    // 4e6 (7 digits); [1,1,1,1] -> na = 4e12 (13 digits)
+    val emb = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)),
+      (2L, Array(0.001f, 0.001f, 0.001f, 0.001f)),
+      (3L, Array(1f, 1f, 1f, 1f)),
+      (4L, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.vectorNormHealthStats(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(rows(0L) === (1L, 0L, 0L, 250000L))
+    assert(rows(7L) === (1L, 4000000L, 4000000L, 250000L))
+    assert(rows(13L) === (2L, 4000000000000L, 4000000000000L, 500000L))
+  }
+
   test("nearDupThresholdAdvisor: budget picks the smallest fitting threshold; degraded mode") {
     val sweep = Seq(
       (200000L, 1546L, 500L, 1L), (250000L, 955L, 478L, 1L),

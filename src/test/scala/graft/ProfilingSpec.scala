@@ -437,6 +437,19 @@ class ProfilingSpec extends SparkSpec {
       .collect().head.getLong(0) === 9L)
   }
 
+  test("refIntegrityStats: orphans both ways, dup keys counted once") {
+    val left = Seq(1L, 2L, 3L, 3L, 4L).toDF("lid")   // dup key 3
+    val right = Seq(2L, 3L, 5L).toDF("rid")
+    val r = Profiling.refIntegrityStats(left, right, "lid", "rid")
+      .collect()(0)
+    // distinct left {1,2,3,4}, right {2,3,5}, matched {2,3}
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L &&
+      r.getLong(2) === 2L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 1L)
+    assert(r.getLong(5) === 500000L)            // 2/4
+    assert(r.getLong(6) === 2000000L / 3L)      // 2/3 floored
+  }
+
   test("groupEntropyStats: monoculture 0, uniform ln k, dominant tie-break") {
     val df = Seq(
       ("mono", "en"), ("mono", "en"), ("mono", "en"),
