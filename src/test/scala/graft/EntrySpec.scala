@@ -196,6 +196,57 @@ class EntrySpec extends SparkSpec {
       s"unpartitioned window over non-contracted input: $offenders")
   }
 
+  // The integer-rank-key convention, ENFORCED (r14): a DuckDB-native
+  // float kernel (list_cosine_similarity et al.) computes with a
+  // version-dependent internal summation order — a discrete decision
+  // (rank, threshold, membership count) built on one is a latent
+  // cross-engine red that no local run can see (the q233 r13 lesson).
+  // The 71 oracles below predate the convention and are all
+  // driver-green as measured; they stay frozen. A NEW oracle must
+  // compute rank keys from pinned integer micros (the q233/q259
+  // pattern) — adding a name to this list requires deliberately
+  // extending the frozen set, which is the review moment this gate
+  // exists to force.
+  private val frozenNativeFloatOracles = Set(
+    "q113_hard_negatives", "q122_ann_recall", "q123_rrf_fusion",
+    "q169_cos_histogram", "q177_pq_adc", "q178_pq_recall",
+    "q183_feature_rerank", "q185_ivfpq", "q186_ivfpq_recall",
+    "q189_residual_ivfpq", "q190_residual_uplift", "q195_ivf_two_level",
+    "q197_pq_index_roundtrip", "q198_pq_index_add", "q199_pq_drift",
+    "q200_ivf2_recall", "q201_residual_roundtrip",
+    "q202_residual_index_add", "q204_residual_drift", "q205_sq8_topk",
+    "q206_sq8_recall", "q207_ivf_sq8", "q208_ivf_sq8_recall",
+    "q209_pq_refine", "q20_embed_neardup", "q210_refine_uplift",
+    "q211_ivf_probe_sweep", "q213_mmr_rerank", "q214_pq_retrain_benefit",
+    "q216_ivf_cell_stats", "q217_hybrid_search",
+    "q218_residual_refine_uplift", "q219_ivf_cell_drift", "q21_ann_brute",
+    "q220_vector_ingest_parity", "q221_matryoshka",
+    "q222_matryoshka_uplift", "q223_sq4_topk", "q224_sq4_recall",
+    "q225_quant_ladder", "q226_residual_ingest_parity",
+    "q228_bq_refine_uplift", "q229_opq_perm_uplift", "q22_ann_lsh",
+    "q230_ranking_metrics", "q231_hard_negatives", "q232_filtered_ivf",
+    "q233_filtered_recall", "q234_sharded_topk", "q235_mutual_knn",
+    "q238_maxsim", "q239_index_advisor", "q240_sample_coverage",
+    "q241_kcenter_coreset", "q242_hot_cell_split", "q243_knn_classifier",
+    "q245_ranker_agreement", "q246_hubness", "q247_neardup_sweep",
+    "q248_cell_label_nmi", "q249_knn_graph_health", "q257_tier_frontier",
+    "q261_threshold_advisor", "q34_ann_ivf", "q53_kmeans", "q58_pq",
+    "q63_embed_outliers", "q75_semantic_dedup", "q82_random_projection",
+    "q95_nn_novelty", "q97_semantic_contamination")
+
+  test("no NEW oracle ranks on a DuckDB-native float kernel") {
+    val riskyFns = Seq("list_cosine_similarity", "list_dot_product",
+      "list_inner_product", "list_distance",
+      "list_negative_inner_product")
+    val users = SparkEntry.oracleSql.collect {
+      case (name, sql) if riskyFns.exists(sql.contains) => name
+    }.toSet
+    val added = users -- frozenNativeFloatOracles
+    assert(added.isEmpty,
+      s"new oracle(s) use a native float kernel — pin integer rank " +
+        s"keys instead (the q233/q259 convention): $added")
+  }
+
   // Driver-contract type census: the r12–r13 chronic driver reds
   // (q199/q204/q214) were EXACTLY the three queries whose output
   // schema contained DECIMAL(38,0) — the driver's result hash
