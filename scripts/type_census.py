@@ -13,7 +13,15 @@ This tool sweeps a `graft.Verify` dump dir and reports:
      et al.), per query, so any discrete gate ranking on them can be
      migrated to the integer-rank-key convention.
 
-Usage: python3 scripts/type_census.py <verifyOutDir>
+  3. (r15, with an sfDir argument) ORACLE-side result-type census —
+     the instrument the r12-r14 reds proved necessary: plan every
+     oracle SQL in DuckDB (no execution) and FAIL (rc 1) on any final
+     projection type outside the driver-safe set. All four driver
+     reds of r12-r14 lived on the ORACLE side's DuckDB result types
+     (3x DECIMAL, 1x HUGEINT from an un-cast sum(BIGINT)), where the
+     Spark-dump schema census in (1) is structurally blind.
+
+Usage: python3 scripts/type_census.py <verifyOutDir> [sfDir]
 Dev tooling only — not part of the Scala library.
 """
 import json
@@ -55,6 +63,62 @@ def walk(t, out):
         walk(t.item_type, out)
     else:
         out.add(base_type(t))
+
+
+# Driver-safe DuckDB result types: everything the 266-query surface
+# legitimately emits. HUGEINT, DECIMAL, BOOLEAN (or anything else) in
+# a final projection is a FUTURE DRIVER RED — the driver's result hash
+# canonicalizes those differently from the local one-connection canon.
+SAFE_DUCK_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                   "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+                   "TIMESTAMP WITH TIME ZONE"}
+
+
+def duck_type_ok(t):
+    s = str(t)
+    while s.endswith("[]"):
+        s = s[:-2]
+    if s.startswith("STRUCT") or s.startswith("MAP"):
+        # structs/maps: every inner word must be safe-ish; the cheap
+        # sufficient check is "no dangerous token inside"
+        return not any(bad in s for bad in
+                       ("DECIMAL", "HUGEINT", "BOOLEAN"))
+    return s in SAFE_DUCK_TYPES
+
+
+def oracle_type_census(out_dir, sf_dir):
+    """Plan every oracle SQL in DuckDB; fail on unsafe result types."""
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    print("\n== ORACLE-side result-type census (DuckDB plan types) ==")
+    bad = []
+    by_type = defaultdict(set)
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)  # plans only; nothing executes
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"PLAN ERROR: {e}"))
+            continue
+        for c, t in zip(rel.columns, rel.types):
+            by_type[str(t)].add(name)
+            if not duck_type_ok(t):
+                bad.append((name, f"{c}: {t}"))
+    for t, qs in sorted(by_type.items(), key=lambda kv: len(kv[1])):
+        print(f"{t:30s} {len(qs):4d} oracles")
+    if bad:
+        print("\nUNSAFE ORACLE RESULT TYPES (future driver reds):")
+        for name, what in bad:
+            print(f"  {name}: {what}")
+    else:
+        print("zero unsafe oracle result types (contract holds)")
+    return 1 if bad else 0
 
 
 def main(out_dir):
@@ -103,4 +167,7 @@ def main(out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1]))
+    rc = main(sys.argv[1])
+    if len(sys.argv) > 2:
+        rc = rc or oracle_type_census(sys.argv[1], sys.argv[2])
+    sys.exit(rc)

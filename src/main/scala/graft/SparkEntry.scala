@@ -3123,6 +3123,49 @@ object SparkEntry {
             .as("in_sample"),
           col("source")),
         "in_sample", "source")),
+
+    // ===== dedup-aware training shards =================================
+    // q104's splitter with the q254 election applied FIRST: per-shard
+    // naive vs post-election doc/char mass — a shard whose duplicate
+    // share strays from the corpus mean trains on silently repeated
+    // data, and that is only visible pre-training in this delta
+    "q267_dedup_aware_shards" -> ((s, d) =>
+      Curation.dedupAwareTrainShards(documents(s, d),
+        sharedComponents(s, d), nShards = 8, seed = 42L)),
+
+    // ===== election merge-parity witness ===============================
+    // the algebra that makes keep-best election INCREMENTAL (and the
+    // streaming ElectionStream sound): with key-defined clusters the
+    // election is a per-key argmax — a monoid — so split-elect-merge
+    // must equal elect-at-once; n_disagree > 0 falsifies the streaming
+    // design's core assumption. Cluster key: md5 of the first 5
+    // lowercased tokens (a prefix fingerprint); split: seeded id hash.
+    "q268_election_merge_parity" -> ((s, d) =>
+      Dedup.electMergeParityStats(documents(s, d),
+        keyCol = md5(array_join(
+          slice(T.tokens(lower(col("text"))), 1, 5), " ")),
+        prefCol = col("n_chars"),
+        splitCol = pmod(T.md5Hash60(
+          concat(lit("s:"), col("doc_id").cast("string"))), lit(2L)))),
+
+    // ===== training-order curriculum audit =============================
+    // catches ordering bugs in the shard writer: per-(shard, order
+    // segment) mean quality must be flat under the seeded shuffle; a
+    // trend = an accidental curriculum (the value buckets of the order
+    // hash ARE contiguous order segments, so no ntile window needed)
+    "q269_curriculum_audit" -> ((s, d) =>
+      Curation.shardOrderQualityAudit(documents(s, d), nShards = 8,
+        seed = 42L)),
+
+    // ===== cross-language duplicate-flow matrix ========================
+    // the q255 flow matrix keyed by PREDICTED language instead of
+    // source: near-dup text pairs straddling a predicted-language
+    // boundary (off-diagonal mass) are a langid QUALITY alarm — a
+    // shingle-level duplicate cannot genuinely be in two languages
+    "q270_dup_lang_matrix" -> ((s, d) =>
+      Dedup.crossSourceDupMatrix(
+        T.withLangId(documents(s, d)), sharedDupPairs(s, d),
+        srcCol = "pred_lang")),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -10560,7 +10603,7 @@ object SparkEntry {
         |  (SELECT count(*) FROM fe) AS n_allowed,
         |  CAST((SELECT count(*) FROM fe) * 1000000
         |    // (SELECT count(*) FROM e) AS BIGINT) AS selectivity_micro,
-        |  sum(n_hits) AS sum_hits,
+        |  CAST(sum(n_hits) AS BIGINT) AS sum_hits,
         |  CAST(sum(n_hits) * 1000000 // (count(*) * 5) AS BIGINT)
         |    AS mean_recall_micro
         |FROM perq""".stripMargin,
@@ -11725,5 +11768,186 @@ object SparkEntry {
         |  CAST(max(n) * 1000000 + CAST(round(sum(t_nano) / 1e3, 0) AS BIGINT)
         |       AS BIGINT) AS chi2_micro
         |FROM t""".stripMargin,
+
+    // q254's component+election CTEs composed with q104's seeded shard
+    // hash: per-shard naive vs post-election mass
+    "q267_dedup_aware_shards" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+        |    CASE WHEN row_number() OVER (PARTITION BY component
+        |         ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END
+        |      AS is_kept
+        |  FROM lab),
+        |h AS (
+        |  SELECT CAST(('0x' || substring(
+        |           md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         nc, is_kept
+        |  FROM el)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(nc * is_kept) AS BIGINT) AS kept_chars,
+        |  CAST((sum(nc) - sum(nc * is_kept)) * 1000000
+        |    // greatest(sum(nc), 1) AS BIGINT) AS dup_char_share_micro
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // split-elect-merge vs elect-at-once over the prefix-fingerprint
+    // key: the per-key argmax monoid witnessed (n_disagree must be 0)
+    "q268_election_merge_parity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id AS id, source, CAST(n_chars AS BIGINT) AS pref,
+        |         md5(array_to_string(t[1:5], ' ')) AS k,
+        |         CAST(('0x' || substring(
+        |           md5('s:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 2 AS split
+        |  FROM toks),
+        |fullw AS (
+        |  SELECT k, id AS full_id, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY pref DESC, id) AS rn FROM b) WHERE rn = 1),
+        |sw AS (
+        |  SELECT k, id, pref FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k, split
+        |      ORDER BY pref DESC, id) AS rn FROM b) WHERE rn = 1),
+        |mw AS (
+        |  SELECT k, id AS merged_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY pref DESC, id) AS rn FROM sw) WHERE rn = 1)
+        |SELECT f.source, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN f.full_id = m.merged_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN f.full_id <> m.merged_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree
+        |FROM fullw f JOIN mw m USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q23's quality expression floored onto the exact 1e4 grid, keyed
+    // by q104's seeded shard/order hashes; order segments are the top
+    // 4 bits of the 60-bit order hash (exact integer shift both sides)
+    "q269_curriculum_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(floor(least(n_tokens/100.0, 1.0)
+        |        * (1.0 - least(punct_ratio*5, 1.0))
+        |        * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000) AS BIGINT)
+        |      AS q4
+        |  FROM ratios),
+        |h AS (
+        |  SELECT CAST(('0x' || substring(
+        |           md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 8 AS shard,
+        |         CAST(('0x' || substring(
+        |           md5('o42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           >> 56 AS order_bucket,
+        |         q4
+        |  FROM q)
+        |SELECT shard, order_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q4) // count(*) AS BIGINT) AS mean_quality_q4
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q255's pair CTEs attributed to q24's predicted language instead
+    // of source — off-diagonal mass is the langid-quality alarm
+    "q270_dup_lang_matrix" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x))) AS s_en,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','ich','auf'], x))) AS s_de,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['le','les','et','est','une','dans','que','pour','pas','vous'], x))) AS s_fr,
+        |    len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['el','los','y','en','un','es','por','con','para','como'], x))) AS s_es
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN cjk > 0 THEN 'zh'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM scored),
+        |attr AS (
+        |  SELECT least(pa.pred_lang, pb.pred_lang) AS source_a,
+        |         greatest(pa.pred_lang, pb.pred_lang) AS source_b,
+        |         p.doc_a, p.doc_b
+        |  FROM pairs p JOIN pl pa ON pa.doc_id = p.doc_a
+        |               JOIN pl pb ON pb.doc_id = p.doc_b),
+        |np AS (SELECT source_a, source_b,
+        |         CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM attr GROUP BY 1, 2),
+        |nd AS (SELECT source_a, source_b,
+        |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |       FROM (SELECT source_a, source_b, doc_a AS d FROM attr
+        |             UNION ALL SELECT source_a, source_b, doc_b FROM attr)
+        |       GROUP BY 1, 2)
+        |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (source_a, source_b)
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -27,15 +27,23 @@ object Verify {
     * text, the next round can diff a red to the exact flipped value.
     *
     * Format mirrors scripts/check_oracle.py's `canon`: columns sorted
-    * by name, each value stringified (floats at 6 dp, null → "None",
-    * booleans → True/False, arrays → [a, b] recursively), columns
-    * joined with , rows sorted lexicographically. */
+    * by name, each value stringified (floats at 6 dp via Locale.ROOT
+    * — a comma-decimal default locale must not fork the canon text
+    * across environments, which would defeat the manifest's
+    * attribution purpose — null → "None", booleans → True/False,
+    * arrays → [a, b] recursively), columns joined with U+0001 (the
+    * separator check_oracle.py uses, written as the escape \u0001
+    * below rather than a raw control byte so it is visible to readers
+    * and safe against editors that strip control chars), rows sorted
+    * lexicographically. */
   def canonRows(df: DataFrame): Seq[String] = {
     val order = df.schema.fieldNames.zipWithIndex.sortBy(_._1).map(_._2)
+    def f6(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     def s(v: Any): String = v match {
       case null => "None"
-      case d: Double => f"$d%.6f"
-      case f: Float => f"${f.toDouble}%.6f"
+      case d: Double => f6(d)
+      case f: Float => f6(f.toDouble)
       case b: Boolean => if (b) "True" else "False"
       case a: scala.collection.Seq[_] => a.map(s).mkString("[", ", ", "]")
       case m: scala.collection.Map[_, _] =>
@@ -46,7 +54,7 @@ object Verify {
       case x => x.toString
     }
     df.collect().toSeq
-      .map(r => order.map(i => s(r.get(i))).mkString(""))
+      .map(r => order.map(i => s(r.get(i))).mkString("\u0001"))
       .sorted
   }
 

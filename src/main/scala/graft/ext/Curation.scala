@@ -641,6 +641,92 @@ object Curation {
         max(col("oh")).as("last_hash"))
   }
 
+  /** Dedup-aware training-shard manifest — [[trainShards]] composed
+    * with the representative election
+    * ([[graft.ext.Dedup.electRepresentatives]]): shards are split on
+    * the SAME seeded id hash, but each shard's manifest carries both
+    * the naive mass and the post-election mass. The r14 q256 lesson
+    * applied to the shard splitter (which previously split
+    * pre-election): a shard whose dup share is far from the corpus
+    * mean trains on silently repeated data, and the only way to see
+    * that before training is this per-shard naive-vs-deduped delta.
+    *
+    * Emits one row per shard: (shard, n_docs, n_kept, n_chars,
+    * kept_chars, dup_char_share_micro) — all exact integers.
+    *
+    * Scale shape: the election window partitions on the component key
+    * (bounded by cluster multiplicity, never corpus size); shard
+    * assignment is map-side codegen; ONE hash aggregate with map-side
+    * partials ends the plan. The expensive input (components) is the
+    * shared candidate-pair stage every dedup consumer reads. */
+  def dedupAwareTrainShards(docs: DataFrame, comps: DataFrame,
+                            nShards: Int, seed: Long = 42L,
+                            idCol: String = "doc_id"): DataFrame = {
+    val elected = graft.ext.Dedup
+      .electRepresentatives(docs, comps, col("n_chars"), idCol)
+    val ids = col(idCol).cast("string")
+    val shard = pmod(graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"$seed:"), ids)), lit(nShards.toLong))
+    elected
+      .select(shard.as("shard"),
+        col("n_chars").cast("long").as("nc"), col("is_kept"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_kept")).as("n_kept"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nc") * col("is_kept")).as("kept_chars"))
+      .select(col("shard"), col("n_docs"), col("n_kept"),
+        col("n_chars"), col("kept_chars"),
+        expr("""(n_chars - kept_chars) * 1000000
+               |div greatest(n_chars, 1)""".stripMargin)
+          .as("dup_char_share_micro"))
+      .orderBy(col("shard"))
+  }
+
+  /** Training-order curriculum audit — the gate that catches ORDERING
+    * bugs in the shard writer: the seeded shuffle ([[trainShards]]'s
+    * order hash) is supposed to make every contiguous segment of a
+    * shard a uniform sample of the corpus, so per-segment mean quality
+    * must be flat. A trend (e.g. the writer accidentally sorted by
+    * source, or an upstream ORDER BY leaked into the shard write)
+    * shows up as a displaced segment mean — and trains a de-facto
+    * curriculum nobody designed.
+    *
+    * Segments are VALUE buckets of the 60-bit order hash (top 4 bits
+    * → 16 buckets): the order key IS the hash, so contiguous hash
+    * ranges are exactly contiguous training-order segments, and the
+    * bucket id is a map-side integer shift — deliberately NOT
+    * `ntile() OVER (PARTITION BY shard)`, whose cardinality-`nShards`
+    * partition key funnels the corpus through `nShards` tasks (the
+    * q102 lesson at 100 TB).
+    *
+    * Emits one row per (shard, order_bucket): (shard, order_bucket,
+    * n_docs, mean_quality_q4) — quality in exact 1e4 units (the
+    * [[graft.ext.TextAnalysis.trunc4]] grid both engines share).
+    *
+    * Scale: map-side hashing + quality kernel, one hash aggregate
+    * (nShards × 16 groups), integer emit. */
+  def shardOrderQualityAudit(docs: DataFrame, nShards: Int,
+                             seed: Long = 42L,
+                             idCol: String = "doc_id"): DataFrame = {
+    val withQ = graft.ext.TextAnalysis.withQuality(docs)
+    val ids = col(idCol).cast("string")
+    val shard = pmod(graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"$seed:"), ids)), lit(nShards.toLong))
+    val orderHash = graft.ext.TextAnalysis.md5Hash60(
+      concat(lit(s"o$seed:"), ids))
+    // 60-bit hash >> 56 = 16 order buckets; exact integer bit shift
+    // (Column./ would be DOUBLE division — inexact past 2^53), no window
+    val bucket = shiftright(orderHash, 56).cast("long")
+    withQ
+      .select(shard.as("shard"), bucket.as("order_bucket"),
+        round(col("quality") * 10000).cast("long").as("q4"))
+      .groupBy(col("shard"), col("order_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(q4) div count(1)").as("mean_quality_q4"))
+      .orderBy(col("shard"), col("order_bucket"))
+  }
+
   /** Corpus snapshot delta: per-document added / removed / changed /
     * unchanged status between the current corpus and a previous
     * snapshot, by id + content hash — the incremental-curation

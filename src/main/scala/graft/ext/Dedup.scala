@@ -1317,6 +1317,60 @@ object Dedup {
         (row_number().over(w) === 1).cast("long"))
   }
 
+  /** KEY-based election merge-parity witness — the algebra that makes
+    * the representative election INCREMENTAL (and therefore
+    * streamable, [[graft.stream.ElectionStream]]): when clusters are
+    * defined by a deterministic content KEY (same key ⇒ same cluster,
+    * unlike transitive pair components), keep-best is a per-key argmax
+    * under the total order (pref DESC, id ASC) — an associative,
+    * commutative, idempotent merge. So electing each partition of the
+    * corpus and then electing among the partition winners MUST equal
+    * electing the full corpus at once. This query runs both sides on
+    * a deterministic corpus split and emits the per-source agreement
+    * counters; `n_disagree > 0` falsifies the monoid assumption the
+    * streaming election depends on (e.g. a non-total order from a
+    * non-deterministic pref column).
+    *
+    * Emits one row per source (of the full-election winner):
+    * (source, n_keys, n_agree, n_disagree).
+    *
+    * Scale shape: three keyed windows, each partitioned by the
+    * cluster key (bounded by cluster multiplicity); one equi-join of
+    * two key-cardinality frames; one aggregate. Nothing touches
+    * corpus² and no window is unpartitioned. */
+  def electMergeParityStats(docs: DataFrame, keyCol: Column,
+                            prefCol: Column, splitCol: Column,
+                            idCol: String = "doc_id",
+                            srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), keyCol.as("k"),
+      prefCol.cast("long").as("pref"), splitCol.cast("long").as("split"),
+      col(srcCol).as("source"))
+    val order = Seq(col("pref").desc, col("id").asc)
+    val full = base
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(order: _*)))
+      .filter(col("_rn") === 1)
+      .select(col("k"), col("id").as("full_id"), col("source"))
+    val splitBest = base
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("k"), col("split")).orderBy(order: _*)))
+      .filter(col("_rn") === 1)
+    val merged = splitBest
+      .withColumn("_rn2", row_number().over(
+        Window.partitionBy(col("k")).orderBy(order: _*)))
+      .filter(col("_rn2") === 1)
+      .select(col("k"), col("id").as("merged_id"))
+    full.join(merged, Seq("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("full_id") === col("merged_id")).cast("long"))
+          .as("n_agree"),
+        sum((col("full_id") =!= col("merged_id")).cast("long"))
+          .as("n_disagree"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source duplicate FLOW matrix — which sources duplicate into
     * which: every near-dup candidate pair (the same pair rule the
     * component labelling uses) is attributed to its unordered source

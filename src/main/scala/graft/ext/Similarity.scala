@@ -45,6 +45,18 @@ object Similarity {
   def dotLong(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_long(a, b)
 
+  /** decimal(38,0) → BIGINT emit that FAILS LOUDLY on overflow. The
+    * bare `.cast("long")` under non-ANSI Spark silently returns NULL
+    * past 2^63−1 while the DuckDB oracle's CAST(... AS BIGINT) errors
+    * — past the documented ~5e17 headroom the two sides would diverge
+    * silently. Decimal cohort sums are overflow-PROOF internally; the
+    * emit is the one narrowing step, so the narrowing is guarded. */
+  def decToLongStrict(c: Column, what: String): Column =
+    when(c > lit(Long.MaxValue) || c < lit(Long.MinValue),
+      raise_error(concat(lit(s"$what overflows BIGINT: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
+
   /** Cosine rank key from EXACT integers: `dot / (sqrt(na)·sqrt(nb))`
     * where dot/na/nb are integer micro dots. Each step (BIGINT→DOUBLE,
     * sqrt, ×, ÷) is a correctly-rounded IEEE-754 op, so any engine
@@ -1206,7 +1218,10 @@ object Similarity {
     * a decimal output column is the one type the driver's result hash
     * canonicalizes differently from the local oracle (the r12–r13
     * chronic-red lesson: no registered query emits DecimalType;
-    * SchemaContractSpec enforces it). `mean_err` divides the decimal
+    * SchemaContractSpec enforces it). The narrowing is guarded by
+    * [[decToLongStrict]]: past the headroom it raises instead of
+    * non-ANSI cast's silent NULL (which the DuckDB oracle, whose
+    * CAST errors, could never match). `mean_err` divides the decimal
     * sum exactly back into the per-vector BIGINT range.
     *
     * Scale: one pass over `vectors` (subvector explode ×m), an
@@ -1242,8 +1257,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("err").cast("decimal(38,0)")).as("sum_err_dec"))
       .select(col("cohort"), col("n_vecs"),
-        col("sum_err_dec").cast("long").as("sum_err"),
-        expr("sum_err_dec div n_vecs").cast("long").as("mean_err"))
+        decToLongStrict(col("sum_err_dec"), "sum_err").as("sum_err"),
+        decToLongStrict(expr("sum_err_dec div n_vecs"), "mean_err")
+          .as("mean_err"))
       .orderBy(col("cohort"))
   }
 
@@ -1504,11 +1520,14 @@ object Similarity {
     *
     * Scale: ONE corpus pass — the pinned dot is a codegen'd
     * dim-length loop per row — into a ≤20-bucket hash aggregate
-    * (map-side combined), then arithmetic with a 1-row broadcast
-    * total. */
+    * (map-side combined); the grand total is a window sum over the
+    * ≤20-row GROUPED frame (not a second corpus scan — the r14 shape
+    * fed the ungrouped frame to a separate count, executing the micro
+    * dot over the corpus twice). */
   def vectorNormHealthStats(emb: DataFrame,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val na = dotLong(microVec(col(vecCol)), microVec(col(vecCol)))
     val bucketed = emb
       .select(na.as("na"))
@@ -1516,11 +1535,11 @@ object Similarity {
         when(col("na") === 0L, 0L)
           .otherwise(length(col("na").cast("string")).cast("long"))
           .as("na_digits"))
-    val tot = bucketed.agg(count(lit(1)).as("_n")).limit(1)
     bucketed.groupBy(col("na_digits"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("na")).as("min_na"), max(col("na")).as("max_na"))
-      .crossJoin(broadcast(tot))
+      .withColumn("_n",
+        sum(col("n_vecs")).over(Window.partitionBy(lit(1))))
       .select(col("na_digits"), col("n_vecs"), col("min_na"),
         col("max_na"),
         expr("n_vecs * 1000000 div greatest(_n, 1)").as("share_micro"))
@@ -1915,8 +1934,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("err").cast("decimal(38,0)")).as("sum_err_dec"))
       .select(col("cohort"), col("n_vecs"),
-        col("sum_err_dec").cast("long").as("sum_err"),
-        expr("sum_err_dec div n_vecs").cast("long").as("mean_err"))
+        decToLongStrict(col("sum_err_dec"), "sum_err").as("sum_err"),
+        decToLongStrict(expr("sum_err_dec div n_vecs"), "mean_err")
+          .as("mean_err"))
       .orderBy(col("cohort"))
   }
 

@@ -1,0 +1,153 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+/** Streaming KEEP-BEST representative election — the incremental twin
+  * of the batch election (`Dedup.electRepresentatives`, q254). The
+  * [[CurationStream]] fingerprint store admits the FIRST copy of each
+  * content hash (arrival order = min-id policy); production curation
+  * wants the BEST copy (longest, highest quality), and the best copy
+  * may arrive AFTER a worse one was already admitted. This stream
+  * maintains a log-structured per-key best (`pref` DESC, id ASC) and
+  * emits an explicit DEMOTION record when a later batch upgrades a
+  * key's representative, so downstream consumers can retract the
+  * superseded document instead of double-counting it.
+  *
+  * Correctness rests on the election being a per-key ARGMAX under a
+  * total order — an associative/commutative/idempotent merge, so
+  * batch-at-a-time folding equals the batch election over the union
+  * (the monoid `Dedup.electMergeParityStats` witnesses; that is also
+  * why clusters here are keyed by a deterministic content KEY rather
+  * than transitive pair components, which do not merge incrementally
+  * without re-running label propagation).
+  *
+  * Layout (both log-structured, append-per-batch, compactable):
+  *   store/batch_id=N: (k, id, pref)   — the batch's NEW per-key bests
+  *   out/batch_id=N:   (id, k, pref, status, demotes)
+  *     status ∈ kept | duplicate; `demotes` = the previously-best id
+  *     this admission superseded (null otherwise).
+  * Current representatives = [[bestPerKey]] over the whole store —
+  * the same fold a periodic compaction job materializes.
+  *
+  * RESTART IDEMPOTENCY (the [[CurationStream]] contract): batch N
+  * reads the store MINUS its own `batch_id=N` partition, so a
+  * redelivered batch recomputes the identical decision set and
+  * harmlessly overwrites its own two directories.
+  *
+  * Scale shape: store rows are skinny (key, id, pref) triples; the
+  * per-batch join is keyed on `k` (the store side can be pruned to
+  * the batch's key set via a broadcast semi-join when batches are
+  * small); [[bestPerKey]] windows partition on `k` — bounded by key
+  * multiplicity, never corpus size. Periodic compaction = rewrite
+  * `store/` as `bestPerKey(store)` under a fresh floor partition,
+  * identical to the [[CurationStream]] compaction contract.
+  */
+object ElectionStream {
+
+  private val storeSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("id", LongType),
+    StructField("pref", LongType)))
+
+  /** Fold a log-structured election store to its current per-key
+    * representatives: argmax by (pref DESC, id ASC). */
+  def bestPerKey(store: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("pref").desc, col("id").asc)
+    store.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** The accumulated store MINUS `excludeBatchId`'s own partition
+    * (idempotent-retry contract). Missing/empty store → typed empty
+    * frame, so batch 0 needs no special case. */
+  def readStoreExcept(spark: SparkSession, storePath: String,
+                      excludeBatchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasData)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storeSchema)
+    else
+      spark.read.option("basePath", storePath).parquet(storePath)
+        .filter(col("batch_id") =!= excludeBatchId)
+        .select(col("k"), col("id"), col("pref"))
+  }
+
+  /** The per-batch body, exposed so the redelivery and demotion
+    * contracts are directly testable without replaying a checkpoint.
+    * `batch` must carry (idCol, keyCol source cols, prefCol source
+    * cols); decisions land under `outPath/batch_id=N`, new bests under
+    * `storePath/batch_id=N`. */
+  def processElectBatch(keyCol: DataFrame => org.apache.spark.sql.Column,
+                        prefCol: DataFrame => org.apache.spark.sql.Column,
+                        storePath: String, outPath: String,
+                        idCol: String = "doc_id")
+                       (batch: Dataset[Row], batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val df = batch.toDF()
+    val cand = df.select(col(idCol).cast("long").as("id"),
+      keyCol(df).cast("string").as("k"),
+      prefCol(df).cast("long").as("pref"))
+    // intra-batch election first: one winner per key enters the
+    // store compare; the rest are in-batch duplicates
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("pref").desc, col("id").asc)
+    val ranked = cand.withColumn("_rn", row_number().over(w))
+    val prior = bestPerKey(readStoreExcept(spark, storePath, batchId))
+      .select(col("k"), col("id").as("prior_id"),
+        col("pref").as("prior_pref"))
+    val beats = col("prior_id").isNull ||
+      col("pref") > col("prior_pref") ||
+      (col("pref") === col("prior_pref") && col("id") < col("prior_id"))
+    // two consumers (decision log + store append): checkpoint so the
+    // store fold + join run once, not once per sink
+    val decided = ranked
+      .join(prior, Seq("k"), "left")
+      .select(col("id"), col("k"), col("pref"),
+        when(col("_rn") =!= 1, lit("duplicate"))
+          .when(beats, lit("kept"))
+          .otherwise(lit("duplicate")).as("status"),
+        when(col("_rn") === 1 && beats && col("prior_id").isNotNull,
+          col("prior_id")).as("demotes"))
+      .localCheckpoint(true)
+    decided
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    decided.filter(col("status") === "kept")
+      .select(col("k"), col("id"), col("pref"))
+      .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+  }
+
+  /** foreachBatch writer chaining the whole per-batch election. */
+  def sinkElected(docs: DataFrame,
+                  keyCol: DataFrame => org.apache.spark.sql.Column,
+                  prefCol: DataFrame => org.apache.spark.sql.Column,
+                  storePath: String, outPath: String,
+                  checkpointPath: String,
+                  idCol: String = "doc_id"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processElectBatch(keyCol, prefCol, storePath, outPath,
+          idCol)(batch, batchId)
+      }
+      .option("checkpointLocation", checkpointPath)
+
+  /** Drain-the-backlog deployment (state carries over via the store). */
+  def sinkElectedAvailableNow(docs: DataFrame,
+                              keyCol: DataFrame => org.apache.spark.sql.Column,
+                              prefCol: DataFrame => org.apache.spark.sql.Column,
+                              storePath: String, outPath: String,
+                              checkpointPath: String,
+                              idCol: String = "doc_id"): DataStreamWriter[Row] =
+    sinkElected(docs, keyCol, prefCol, storePath, outPath,
+      checkpointPath, idCol)
+      .trigger(Trigger.AvailableNow())
+}

@@ -576,4 +576,47 @@ class CurationSpec extends SparkSpec {
     assert(all("web").getLong(2) === 0L && all("web").getLong(5) === 0L)
     assert(all("web").getLong(3) === 1000000L)
   }
+
+  // ===== dedup-aware training shards =======================================
+
+  test("dedupAwareTrainShards: per-shard naive vs elected mass") {
+    val docs = Seq(
+      (1L, "web", 50L), (2L, "web", 90L), (3L, "books", 90L), // cluster
+      (4L, "web", 10L),                                       // singleton
+      (10L, "web", 30L), (11L, "web", 30L))                   // tie cluster
+      .toDF("doc_id", "source", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val got = Curation.dedupAwareTrainShards(docs, comps, nShards = 4)
+      .collect()
+    // shard totals recover the corpus and the election exactly
+    assert(got.map(_.getLong(1)).sum === 6L)       // n_docs
+    assert(got.map(_.getLong(2)).sum === 3L)       // n_kept = 3 components
+    assert(got.map(_.getLong(3)).sum === 300L)     // n_chars
+    assert(got.map(_.getLong(4)).sum === 90L + 10L + 30L) // kept_chars
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept > docs in a shard")
+      assert(r.getLong(4) <= r.getLong(3), "kept chars > chars")
+      val (nc, kc, share) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(share === (nc - kc) * 1000000L / math.max(nc, 1L))
+    }
+  }
+
+  // ===== training-order curriculum audit ===================================
+
+  test("shardOrderQualityAudit: buckets partition each shard; means exact") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"src${i % 3}", "the of and to a quick brown fox " * 4))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.shardOrderQualityAudit(docs, nShards = 4)
+      .collect()
+    // every doc lands in exactly one (shard, bucket) cell
+    assert(got.map(_.getLong(2)).sum === 200L)
+    assert(got.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 4))
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    // identical texts → identical per-doc q4 → every cell mean equals
+    // it exactly (the integer-mean convention: sum div count)
+    val means = got.map(_.getLong(3)).distinct
+    assert(means.length === 1, s"flat corpus must have flat means: $means")
+  }
 }

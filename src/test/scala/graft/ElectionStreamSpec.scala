@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.stream.ElectionStream
+
+/** The streaming keep-best election (the q254 election's incremental
+  * twin) — parity with the batch election, the upgrade/demotion
+  * contract, and restart idempotency. */
+class ElectionStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, cluster key, pref) — three clusters; cluster "b"'s best copy
+  // (id 20, pref 9) arrives in a LATER batch than its worse copy
+  private val docsAll = Seq(
+    (1L, "a", 5L), (2L, "a", 7L), (3L, "b", 4L),
+    (10L, "c", 2L), (20L, "b", 9L), (21L, "a", 7L))
+
+  private def df(rows: Seq[(Long, String, Long)]): DataFrame =
+    rows.toDF("doc_id", "k_src", "pref_src")
+
+  private val keyCol = (d: DataFrame) => d("k_src")
+  private val prefCol = (d: DataFrame) => d("pref_src")
+
+  private def run(dir: String, batches: Seq[Seq[(Long, String, Long)]]): Unit =
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      ElectionStream.processElectBatch(keyCol, prefCol,
+        s"$dir/store", s"$dir/out")(df(rows), i.toLong)
+    }
+
+  private def reps(dir: String): Map[String, (Long, Long)] =
+    ElectionStream.bestPerKey(
+      spark.read.option("basePath", s"$dir/store")
+        .parquet(s"$dir/store").select("k", "id", "pref"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+
+  test("batch-at-a-time fold equals the batch election (monoid parity)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    // three arbitrary batch cuts of the same corpus
+    run(dir, Seq(docsAll.take(3), docsAll.slice(3, 5), docsAll.drop(5)))
+    // batch twin: per-key argmax by (pref DESC, id ASC)
+    val want = docsAll.groupBy(_._2).map { case (k, rows) =>
+      val best = rows.minBy(r => (-r._3, r._1))
+      k -> (best._1, best._3)
+    }
+    assert(reps(dir) === want)
+    // a: id 2 beats the equal-pref id 21 (id tie-break); b: the late
+    // better copy 20 beats 3; c: singleton 10
+    assert(reps(dir) === Map("a" -> (2L, 7L), "b" -> (20L, 9L),
+      "c" -> (10L, 2L)))
+  }
+
+  test("a later better copy emits kept + a demotion of the prior best") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    run(dir, Seq(docsAll.take(3), docsAll.slice(3, 5), docsAll.drop(5)))
+    val out = spark.read.option("basePath", s"$dir/out")
+      .parquet(s"$dir/out")
+      // the partition column infers as int; pin it
+      .select(col("id"), col("status"), col("demotes"),
+        col("batch_id").cast("long").as("batch_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.toString.toLong),
+          r.getLong(3))).toMap
+    // batch 0: 1/2/3 all first of their (key or batch rank)
+    assert(out(2L) === (("kept", None, 0L))) // wins "a" in-batch
+    assert(out(1L) === (("duplicate", None, 0L)))
+    assert(out(3L) === (("kept", None, 0L)))
+    // batch 1: 20 UPGRADES "b" — kept, demoting 3; 10 is fresh
+    assert(out(20L) === (("kept", Some(3L), 1L)))
+    assert(out(10L) === (("kept", None, 1L)))
+    // batch 2: 21 ties id 2 on pref but loses the id tie-break
+    assert(out(21L) === (("duplicate", None, 2L)))
+  }
+
+  test("redelivered batch recomputes the identical decisions (idempotency)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    run(dir, Seq(docsAll.take(3), docsAll.slice(3, 5), docsAll.drop(5)))
+    val before = reps(dir)
+    val outBefore = spark.read.option("basePath", s"$dir/out")
+      .parquet(s"$dir/out/batch_id=1").collect().toSet
+    // crash-redeliver batch 1 (store already holds its partition)
+    ElectionStream.processElectBatch(keyCol, prefCol,
+      s"$dir/store", s"$dir/out")(df(docsAll.slice(3, 5)), 1L)
+    assert(reps(dir) === before)
+    assert(spark.read.option("basePath", s"$dir/out")
+      .parquet(s"$dir/out/batch_id=1").collect().toSet === outBefore)
+  }
+
+  test("end-to-end stream run matches the per-batch contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val q = ElectionStream.sinkElected(
+      stream.toDF().toDF("doc_id", "k_src", "pref_src"),
+      keyCol, prefCol, s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    stream.addData(docsAll.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(docsAll.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = docsAll.groupBy(_._2).map { case (k, rows) =>
+      val best = rows.minBy(r => (-r._3, r._1))
+      k -> (best._1, best._3)
+    }
+    assert(reps(dir) === want)
+  }
+
+  test("electMergeParityStats witnesses the monoid (n_disagree = 0)") {
+    val docs = docsAll.map { case (id, k, p) =>
+      (id, k, p, s"src${id % 3}") }
+      .toDF("doc_id", "k_src", "pref_src", "source")
+    val stats = Dedup.electMergeParityStats(docs,
+      keyCol = col("k_src"), prefCol = col("pref_src"),
+      splitCol = pmod(col("doc_id"), lit(2L)))
+    val rows = stats.collect()
+    assert(rows.map(_.getLong(1)).sum === 3L) // three keys
+    assert(rows.map(_.getLong(3)).sum === 0L) // no disagreement
+    assert(rows.map(_.getLong(2)).sum === 3L) // all agree
+  }
+}

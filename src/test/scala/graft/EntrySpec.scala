@@ -201,12 +201,31 @@ class EntrySpec extends SparkSpec {
   // version-dependent internal summation order — a discrete decision
   // (rank, threshold, membership count) built on one is a latent
   // cross-engine red that no local run can see (the q233 r13 lesson).
-  // The 71 oracles below predate the convention and are all
-  // driver-green as measured; they stay frozen. A NEW oracle must
-  // compute rank keys from pinned integer micros (the q233/q259
-  // pattern) — adding a name to this list requires deliberately
-  // extending the frozen set, which is the review moment this gate
-  // exists to force.
+  // The oracles below are frozen in two deliberate groups:
+  //
+  // 1. PRE-CONVENTION (the bulk): written before the convention and
+  //    driver-green as measured; they stay frozen as-is.
+  //    q233_filtered_recall is in this group with explicit standing
+  //    (r15): its r13/r14 driver reds were the HUGEINT emit
+  //    (un-cast sum(BIGINT)), NOT rank arithmetic — q232 replays its
+  //    assigned/probes/approx CTEs row-level and is driver-green, and
+  //    q259 proves the pinned-brute pattern driver-green, so those
+  //    CTEs remain frozen on that row-level evidence rather than
+  //    being re-pinned (its exact CTE already ranks on integer
+  //    micros).
+  //
+  // 2. WRAPS-FROZEN-BASE: q257_tier_frontier and
+  //    q261_threshold_advisor are post-convention but intentionally
+  //    embed the already-frozen q225/q247 measured SQL verbatim —
+  //    their decisions are functions of frozen-measured pair/recall
+  //    counts, so re-pinning them alone would desynchronize them from
+  //    the base they audit. New entries of this shape must say so
+  //    here.
+  //
+  // A NEW oracle must compute rank keys from pinned integer micros
+  // (the q233/q259 pattern) — adding a name to this list requires
+  // deliberately extending the frozen set, which is the review moment
+  // this gate exists to force.
   private val frozenNativeFloatOracles = Set(
     "q113_hard_negatives", "q122_ann_recall", "q123_rrf_fusion",
     "q169_cos_histogram", "q177_pq_adc", "q178_pq_recall",

@@ -507,6 +507,31 @@ class ExtSpec extends SparkSpec {
       s"delta drift ${rows("delta")._3} vs base ${rows("base")._3}")
   }
 
+  test("decToLongStrict: in-range narrows exactly, overflow raises " +
+      "(never non-ANSI's silent NULL)") {
+    val inRange = Seq((Long.MaxValue, Long.MinValue))
+      .toDF("hi", "lo")
+      .select(
+        Similarity.decToLongStrict(
+          col("hi").cast("decimal(38,0)"), "hi").as("hi"),
+        Similarity.decToLongStrict(
+          col("lo").cast("decimal(38,0)"), "lo").as("lo"))
+      .collect().head
+    assert(inRange.getLong(0) === Long.MaxValue)
+    assert(inRange.getLong(1) === Long.MinValue)
+    val e = intercept[Exception] {
+      Seq(1).toDF("one")
+        .select(Similarity.decToLongStrict(
+          col("one").cast("decimal(38,0)") * lit(Long.MaxValue) * 3,
+          "sum_err").as("x"))
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      e.toString.contains("overflows BIGINT") ||
+      Option(e.getCause).exists(_.toString.contains("overflows BIGINT")),
+      s"expected a loud overflow error, got: $e")
+  }
+
   test("two-level IVF: blocking never changes a score, level-2 lists " +
       "are in-cell seeds, ranks contiguous") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
