@@ -104,6 +104,40 @@ object SparkEntry {
     })
   }
 
+  /** The measured quality-retention sweep shared by q252 (the curve)
+    * and q272 (the operating-point advisor over it) — the
+    * [[sharedNearDupSweep]] pattern on the quality dial; the trailing
+    * limit makes the ≤|thresholds| bound provable to the advisor's
+    * unpartitioned-window plan gate. */
+  private val qualitySweepMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedQualitySweep(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    qualitySweepMemo.computeIfAbsent((s, d), _ =>
+      T.qualityThresholdSweep(documents(s, d),
+          thresholdsMicro = Seq(50000L, 100000L, 200000L, 300000L,
+            400000L))
+        .localCheckpoint(true).limit(100))
+  }
+
+  /** The measured LSH band sweep shared by q215 (the curve) and q273
+    * (the bands advisor over it) — same memo pattern; the sweep's
+    * signature pass is the session's most expensive text stage after
+    * the shingle chain, and the advisor must never pay it twice. */
+  private val lshSweepMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedLshSweep(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    lshSweepMemo.computeIfAbsent((s, d), _ => {
+      val docs = documents(s, d).filter(
+        pmod(T.md5Hash60(col("doc_id").cast("string")), lit(2)) === 0)
+      Dedup.lshBandSweep(docs, threshold = 0.5, k = 64,
+          bandsList = Seq(4, 8, 16), maxPostings = 1000,
+          scheme = Dedup.OracleHash)
+        .localCheckpoint(true).limit(100)
+    })
+  }
+
   /** Memo hygiene (ADVICE r10): the static memo maps hold SparkSession
     * and checkpointed-DataFrame references, which a long-lived JVM that
     * cycles sessions would retain forever. The first memo insert per
@@ -2555,13 +2589,8 @@ object SparkEntry {
     // and ONE exact reference (q144's half-corpus sample); aligned
     // band refinement makes the pair sets nest, so the monotone flag
     // pins a theorem
-    "q215_lsh_band_sweep" -> ((s, d) => {
-      val docs = documents(s, d).filter(
-        pmod(T.md5Hash60(col("doc_id").cast("string")), lit(2)) === 0)
-      Dedup.lshBandSweep(docs, threshold = 0.5, k = 64,
-        bandsList = Seq(4, 8, 16), maxPostings = 1000,
-        scheme = Dedup.OracleHash)
-    }),
+    "q215_lsh_band_sweep" -> ((s, d) =>
+      sharedLshSweep(s, d).orderBy(col("bands"))),
 
     // ===== IVF cell-balance audit =====================================
     // the hot-cell diagnostic next to the q211 recall sweep: per-cell
@@ -2961,9 +2990,7 @@ object SparkEntry {
     // pass — read next to q237's calibration gate, which says whether
     // the score's values can be trusted at all
     "q252_quality_sweep" -> ((s, d) =>
-      T.qualityThresholdSweep(documents(s, d),
-        thresholdsMicro = Seq(50000L, 100000L, 200000L, 300000L,
-          400000L))),
+      sharedQualitySweep(s, d).orderBy(col("threshold_micro"))),
 
     // ===== per-source dedup impact ======================================
     // WHICH sources lose documents to near-dup dedup (min-id keep over
@@ -3166,6 +3193,41 @@ object SparkEntry {
       Dedup.crossSourceDupMatrix(
         T.withLangId(documents(s, d)), sharedDupPairs(s, d),
         srcCol = "pred_lang")),
+
+    // ===== election-store compaction audit =============================
+    // the read-amplification gate for the ElectionStream store layout:
+    // appended rows (upgrade-only rule) vs live keys — the wasted
+    // read work a bestPerKey compaction rewrite would reclaim
+    "q271_store_compaction" -> ((s, d) =>
+      Dedup.electStoreCompactionStats(documents(s, d),
+        keyCol = md5(array_join(
+          slice(T.tokens(lower(col("text"))), 1, 5), " ")),
+        prefCol = col("n_chars"),
+        batchCol = pmod(T.md5Hash60(
+          concat(lit("b:"), col("doc_id").cast("string"))), lit(8L)))),
+
+    // ===== quality-threshold operating-point advisor ===================
+    // the q261 advisor pattern on the quality dial: smallest bar whose
+    // measured retained tokens fit the training budget (retention is
+    // monotone non-increasing in the bar, so smallest = most data)
+    "q272_quality_advisor" -> ((s, d) =>
+      T.qualityThresholdAdvisor(sharedQualitySweep(s, d),
+        tokenBudget = 200000L)),
+
+    // ===== LSH bands operating-point advisor ===========================
+    // largest band count whose measured raw candidates fit the verify
+    // budget (aligned refinement nests candidates, so recall is
+    // monotone in bands — max qualifying bands = max recall)
+    "q273_lsh_band_advisor" -> ((s, d) =>
+      Dedup.lshBandAdvisor(sharedLshSweep(s, d),
+        candidateBudget = 5000L)),
+
+    // ===== PII scrub-effectiveness gate ================================
+    // re-scan AFTER the scrub with the same patterns: residual_after
+    // must read zero per source — the compliance row a release checks
+    "q274_scrub_residual" -> ((s, d) =>
+      Curation.scrubResidualAudit(
+        Curation.injectSyntheticPii(documents(s, d)))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -3181,6 +3243,147 @@ object SparkEntry {
   /** Morton-interleave SQL for the q188 oracle: bit i of `a` → 2i+1,
     * bit i of `b` → 2i (the exact expression io.Layout.zValue builds
     * as Columns). */
+
+  /** q252's measured quality-retention curve as a CTE chain ending in
+    * `qsweep` — embedded verbatim by q252 (the curve) and q272 (the
+    * operating-point advisor), mirroring the Spark-side
+    * [[sharedQualitySweep]] memo so both engines price the decision
+    * off the SAME measured frame. */
+  private val qualitySweepCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |             x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+      |      AS punct_count,
+      |    CAST(len(list_filter(
+      |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+      |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+      |      AS BIGINT) AS stop_hits
+      |  FROM documents),
+      |ratios AS (
+      |  SELECT doc_id, n_tokens,
+      |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+      |      AS punct_ratio,
+      |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+      |      AS stop_ratio
+      |  FROM base),
+      |scored AS (
+      |  SELECT n_tokens,
+      |    CAST(round(floor(least(n_tokens/100.0, 1.0)
+      |          * (1.0 - least(punct_ratio*5, 1.0))
+      |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+      |      * 1000000) AS BIGINT) AS qm
+      |  FROM ratios),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM scored),
+      |ts AS (SELECT CAST(t AS BIGINT) AS t
+      |       FROM UNNEST([50000, 100000, 200000, 300000, 400000]) AS u(t)),
+      |pts AS (
+      |  SELECT ts.t AS threshold_micro,
+      |    CAST(count(*) FILTER (WHERE s.qm >= ts.t) AS BIGINT)
+      |      AS n_survivors,
+      |    CAST(coalesce(sum(s.n_tokens) FILTER (WHERE s.qm >= ts.t), 0)
+      |      AS BIGINT) AS tokens_retained
+      |  FROM ts, scored s GROUP BY 1),
+      |qsweep AS (
+      |  SELECT threshold_micro, n_survivors,
+      |    CAST(n_survivors * 1000000 // greatest(nn, 1) AS BIGINT)
+      |      AS survivor_share_micro,
+      |    tokens_retained,
+      |    CAST(tokens_retained * 1000000 // greatest(tt, 1) AS BIGINT)
+      |      AS token_share_micro
+      |  FROM pts, tot)""".stripMargin
+
+  /** q215's measured LSH band sweep (signatures, banded candidates,
+    * exact reference, recall/precision per band count) as a CTE chain
+    * ending in `fin` — embedded verbatim by q215 (the curve) and q273
+    * (the bands advisor), mirroring the Spark-side [[sharedLshSweep]]
+    * memo. */
+  private val lshSweepOracleCtes: String = {
+      val P = Dedup.MersenneP
+      val mins = (0 until 64).map { i =>
+        val (a, b) = Dedup.cwConsts(i)
+        s"min(((sk % $P) * $a + $b) % $P)"
+      }.mkString(",\n        ")
+      val bandBlocks = Seq(4, 8, 16).map { b =>
+        val r = 64 / b
+        s"""banded$b AS (
+           |  SELECT doc_id, u.b,
+           |         CAST(('0x' || substring(md5(array_to_string(
+           |           mh[u.b*$r+1 : u.b*$r+$r], ',')), 1, 15)) AS BIGINT) AS bh
+           |  FROM sig, UNNEST(range(0, $b)) AS u(b)),
+           |cand$b AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM banded$b a JOIN banded$b b2
+           |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+           |est$b AS (
+           |  SELECT doc_a, doc_b,
+           |    floor(len(list_filter(list_zip(sa.mh, sb.mh),
+           |      p -> p[1] = p[2])) / 64.0 * 10000) / 10000 AS est_jaccard
+           |  FROM cand$b
+           |  JOIN sig sa ON sa.doc_id = cand$b.doc_a
+           |  JOIN sig sb ON sb.doc_id = cand$b.doc_b),
+           |ls$b AS (SELECT doc_a, doc_b FROM est$b WHERE est_jaccard >= 0.5),
+           |row$b AS (
+           |  SELECT CAST($b AS BIGINT) AS bands,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b)
+           |      AS n_raw_candidates,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ls$b) AS n_candidate,
+           |    (SELECT CAST(count(*) AS BIGINT)
+           |     FROM ex JOIN ls$b USING (doc_a, doc_b)) AS n_common)""".stripMargin
+      }.mkString(",\n")
+      s"""toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) % 2 = 0),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |shc AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM shc a JOIN shc b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt) >= 0.5),
+        |keys AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS sk
+        |  FROM sh0),
+        |sig AS (
+        |  SELECT doc_id, [$mins] AS mh
+        |  FROM keys GROUP BY 1),
+        |$bandBlocks,
+        |sweep AS (SELECT * FROM row4 UNION ALL SELECT * FROM row8
+        |          UNION ALL SELECT * FROM row16),
+        |sweep2 AS (
+        |  SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
+        |    CASE WHEN n_exact > 0 THEN
+        |      CAST(n_common * 1000000 // n_exact AS BIGINT) END
+        |      AS recall_micro,
+        |    CASE WHEN n_candidate > 0 THEN
+        |      CAST(n_common * 1000000 // n_candidate AS BIGINT) END
+        |      AS precision_micro
+        |  FROM sweep),
+        |fin AS (
+        |  SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
+        |    recall_micro, precision_micro,
+        |    CAST(coalesce(recall_micro, 0) >=
+        |      coalesce(lag(recall_micro) OVER (ORDER BY bands), 0)
+        |      AS BIGINT) AS recall_monotone_ok
+        |  FROM sweep2)""".stripMargin
+  }
+
   private def zInterleaveSql(a: String, b: String, bits: Int): String =
     (0 until bits).map(i =>
       s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
@@ -9788,87 +9991,9 @@ object SparkEntry {
 
     // the q144 replay with three aligned band settings off one
     // signature chain; per-setting counts, integer ratios, lag flag
-    "q215_lsh_band_sweep" -> {
-      val P = Dedup.MersenneP
-      val mins = (0 until 64).map { i =>
-        val (a, b) = Dedup.cwConsts(i)
-        s"min(((sk % $P) * $a + $b) % $P)"
-      }.mkString(",\n        ")
-      val bandBlocks = Seq(4, 8, 16).map { b =>
-        val r = 64 / b
-        s"""banded$b AS (
-           |  SELECT doc_id, u.b,
-           |         CAST(('0x' || substring(md5(array_to_string(
-           |           mh[u.b*$r+1 : u.b*$r+$r], ',')), 1, 15)) AS BIGINT) AS bh
-           |  FROM sig, UNNEST(range(0, $b)) AS u(b)),
-           |cand$b AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-           |  FROM banded$b a JOIN banded$b b2
-           |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
-           |est$b AS (
-           |  SELECT doc_a, doc_b,
-           |    floor(len(list_filter(list_zip(sa.mh, sb.mh),
-           |      p -> p[1] = p[2])) / 64.0 * 10000) / 10000 AS est_jaccard
-           |  FROM cand$b
-           |  JOIN sig sa ON sa.doc_id = cand$b.doc_a
-           |  JOIN sig sb ON sb.doc_id = cand$b.doc_b),
-           |ls$b AS (SELECT doc_a, doc_b FROM est$b WHERE est_jaccard >= 0.5),
-           |row$b AS (
-           |  SELECT CAST($b AS BIGINT) AS bands,
-           |    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
-           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b)
-           |      AS n_raw_candidates,
-           |    (SELECT CAST(count(*) AS BIGINT) FROM ls$b) AS n_candidate,
-           |    (SELECT CAST(count(*) AS BIGINT)
-           |     FROM ex JOIN ls$b USING (doc_a, doc_b)) AS n_common)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-        |  FROM documents
-        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |          AS BIGINT) % 2 = 0),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
-        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
-        |shc AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
-        |  FROM shc a JOIN shc b USING (s) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |ex AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |  WHERE CAST(cnt AS DOUBLE)/(sa.n+sb.n-cnt) >= 0.5),
-        |keys AS (
-        |  SELECT DISTINCT doc_id,
-        |         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS sk
-        |  FROM sh0),
-        |sig AS (
-        |  SELECT doc_id, [$mins] AS mh
-        |  FROM keys GROUP BY 1),
-        |$bandBlocks,
-        |sweep AS (SELECT * FROM row4 UNION ALL SELECT * FROM row8
-        |          UNION ALL SELECT * FROM row16),
-        |sweep2 AS (
-        |  SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
-        |    CASE WHEN n_exact > 0 THEN
-        |      CAST(n_common * 1000000 // n_exact AS BIGINT) END
-        |      AS recall_micro,
-        |    CASE WHEN n_candidate > 0 THEN
-        |      CAST(n_common * 1000000 // n_candidate AS BIGINT) END
-        |      AS precision_micro
-        |  FROM sweep)
-        |SELECT bands, n_exact, n_raw_candidates, n_candidate, n_common,
-        |  recall_micro, precision_micro,
-        |  CAST(coalesce(recall_micro, 0) >=
-        |    coalesce(lag(recall_micro) OVER (ORDER BY bands), 0)
-        |    AS BIGINT) AS recall_monotone_ok
-        |FROM sweep2 ORDER BY bands""".stripMargin
-    },
+    "q215_lsh_band_sweep" ->
+      s"""WITH $lshSweepOracleCtes
+        |SELECT * FROM fin ORDER BY bands""".stripMargin,
 
     // the q34 cell-assignment replay rolled up to per-cell counts +
     // exact-integer share and imbalance (HUGEINT numerator); the mean
@@ -11304,50 +11429,8 @@ object SparkEntry {
     // the q23 quality replay crossed with the cutoffs — per-point
     // survivor and token retention
     "q252_quality_sweep" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-        |             x -> x <> '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
-        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
-        |      AS punct_count,
-        |    CAST(len(list_filter(
-        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
-        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
-        |      AS BIGINT) AS stop_hits
-        |  FROM documents),
-        |ratios AS (
-        |  SELECT doc_id, n_tokens,
-        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
-        |      AS punct_ratio,
-        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
-        |      AS stop_ratio
-        |  FROM base),
-        |scored AS (
-        |  SELECT n_tokens,
-        |    CAST(round(floor(least(n_tokens/100.0, 1.0)
-        |          * (1.0 - least(punct_ratio*5, 1.0))
-        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
-        |      * 1000000) AS BIGINT) AS qm
-        |  FROM ratios),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-        |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM scored),
-        |ts AS (SELECT CAST(t AS BIGINT) AS t
-        |       FROM UNNEST([50000, 100000, 200000, 300000, 400000]) AS u(t)),
-        |pts AS (
-        |  SELECT ts.t AS threshold_micro,
-        |    CAST(count(*) FILTER (WHERE s.qm >= ts.t) AS BIGINT)
-        |      AS n_survivors,
-        |    CAST(coalesce(sum(s.n_tokens) FILTER (WHERE s.qm >= ts.t), 0)
-        |      AS BIGINT) AS tokens_retained
-        |  FROM ts, scored s GROUP BY 1)
-        |SELECT threshold_micro, n_survivors,
-        |  CAST(n_survivors * 1000000 // greatest(nn, 1) AS BIGINT)
-        |    AS survivor_share_micro,
-        |  tokens_retained,
-        |  CAST(tokens_retained * 1000000 // greatest(tt, 1) AS BIGINT)
-        |    AS token_share_micro
-        |FROM pts, tot ORDER BY threshold_micro""".stripMargin,
+      s"""WITH $qualitySweepCtes
+        |SELECT * FROM qsweep ORDER BY threshold_micro""".stripMargin,
 
     // the q43 component replay, min-id keep, losses grouped by source
     "q251_dedup_source_impact" ->
@@ -11949,5 +12032,135 @@ object SparkEntry {
         |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
         |FROM np JOIN nd USING (source_a, source_b)
         |ORDER BY 1, 2""".stripMargin,
+
+    // per-(key, batch) winners; a winner is APPENDED iff no earlier
+    // batch beats it under (pref DESC, id ASC) — the stream's
+    // upgrade-only rule; read amplification = appended / live keys
+    "q271_store_compaction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS pref,
+        |         md5(array_to_string(t[1:5], ' ')) AS k,
+        |         CAST(('0x' || substring(
+        |           md5('b:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 8 AS batch
+        |  FROM toks),
+        |w AS (
+        |  SELECT k, batch, pref, id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k, batch
+        |      ORDER BY pref DESC, id) AS rn FROM b) WHERE rn = 1),
+        |app AS (
+        |  SELECT wo.* FROM w wo
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM w e WHERE e.k = wo.k AND e.batch < wo.batch
+        |      AND (e.pref > wo.pref
+        |           OR (e.pref = wo.pref AND e.id <= wo.id)))),
+        |t AS (SELECT CAST(count(DISTINCT batch) AS BIGINT) AS n_batches,
+        |             CAST(count(DISTINCT k) AS BIGINT) AS n_keys_live,
+        |             CAST(count(*) AS BIGINT) AS winners_rows FROM w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS appended_rows FROM app)
+        |SELECT n_batches, n_keys_live, winners_rows, appended_rows,
+        |  appended_rows - n_keys_live AS dead_rows,
+        |  CAST(appended_rows * 1000000 // greatest(n_keys_live, 1)
+        |    AS BIGINT) AS read_amp_micro,
+        |  CAST(winners_rows * 1000000 // greatest(n_keys_live, 1)
+        |    AS BIGINT) AS upper_amp_micro,
+        |  CAST(appended_rows * 1000000 // greatest(n_keys_live, 1)
+        |    > 2000000 AS BIGINT) AS compact_recommended
+        |FROM t, a""".stripMargin,
+
+    // the advisor decision over the SAME measured curve q252 embeds:
+    // smallest threshold whose retained tokens fit the budget
+    "q272_quality_advisor" ->
+      s"""WITH $qualitySweepCtes,
+        |dec AS (
+        |  SELECT *, CASE WHEN tokens_retained <= 200000 THEN 1 ELSE 0 END
+        |    AS ok
+        |  FROM qsweep),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |               CAST(sum(ok) AS BIGINT) AS n_qualifying FROM dec),
+        |pick AS (
+        |  SELECT * FROM dec
+        |  ORDER BY ok DESC,
+        |    CASE WHEN ok = 1 THEN threshold_micro
+        |         ELSE tokens_retained END ASC,
+        |    threshold_micro ASC
+        |  LIMIT 1)
+        |SELECT pick.threshold_micro AS chosen_threshold_micro,
+        |  pick.n_survivors, pick.tokens_retained,
+        |  CAST(200000 AS BIGINT) AS budget_tokens,
+        |  agg.n_candidates, agg.n_qualifying
+        |FROM pick, agg""".stripMargin,
+
+    // the advisor decision over the SAME measured curve q215 embeds:
+    // largest bands whose raw candidates fit the verify budget
+    "q273_lsh_band_advisor" ->
+      s"""WITH $lshSweepOracleCtes,
+        |dec AS (
+        |  SELECT *, CASE WHEN n_raw_candidates <= 5000 THEN 1 ELSE 0 END
+        |    AS ok
+        |  FROM fin),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |               CAST(sum(ok) AS BIGINT) AS n_qualifying FROM dec),
+        |pick AS (
+        |  SELECT * FROM dec
+        |  ORDER BY ok DESC,
+        |    CASE WHEN ok = 1 THEN -bands ELSE n_raw_candidates END ASC,
+        |    bands ASC
+        |  LIMIT 1)
+        |SELECT pick.bands AS chosen_bands, pick.n_exact,
+        |  pick.n_raw_candidates, pick.n_candidate, pick.n_common,
+        |  pick.recall_micro,
+        |  CAST(5000 AS BIGINT) AS budget_candidates,
+        |  agg.n_points, agg.n_qualifying
+        |FROM pick, agg""".stripMargin,
+
+    // q67's synthetic-PII injection + the scrub replay, re-scanned:
+    // residual_after must read zero per source
+    "q274_scrub_residual" ->
+      """WITH inj AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+        |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' key sk_live_'
+        |         || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS e,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS p,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\bsk_live_[0-9a-f]{16}\b')) AS BIGINT) AS kk,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\bsk_live_[0-9a-f]{16}\b', '<KEY>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS ct
+        |  FROM inj),
+        |r AS (
+        |  SELECT source, e, p, kk,
+        |    CAST(len(regexp_extract_all(ct,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(ct, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      + len(regexp_extract_all(ct, '\bsk_live_[0-9a-f]{16}\b'))
+        |      AS BIGINT) AS resid
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(e) AS BIGINT) AS emails_before,
+        |  CAST(sum(p) AS BIGINT) AS phones_before,
+        |  CAST(sum(kk) AS BIGINT) AS keys_before,
+        |  CAST(sum(resid) AS BIGINT) AS residual_after
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

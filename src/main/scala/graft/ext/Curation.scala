@@ -470,6 +470,37 @@ object Curation {
           PhonePattern, "<PHONE>"))
   }
 
+  /** Scrub-effectiveness gate — the audit that runs AFTER [[scrubPii]]
+    * and must read zero: re-scan the scrubbed text with the SAME
+    * patterns and aggregate residual hits per source next to the
+    * before-counts. A non-zero residual means the scrubber's replace
+    * order or patterns drifted from its detectors (the classic failure:
+    * a new detector pattern added without its replace step) — this is
+    * the per-source compliance row a release gate checks, not a test
+    * assertion buried in CI.
+    *
+    * Emits one row per source: (source, n_docs, emails_before,
+    * phones_before, keys_before, residual_after).
+    *
+    * Scale: map-side codegen regexes (detect + replace + re-detect in
+    * one projection), one hash aggregate. */
+  def scrubResidualAudit(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    val scrubbed = scrubPii(docs, textCol)
+    val ct = col("clean_text")
+    val resid = (regexp_count(ct, lit(EmailPattern)) +
+      regexp_count(ct, lit(PhonePattern)) +
+      regexp_count(ct, lit(KeyPattern))).cast("long")
+    scrubbed.withColumn("_resid", resid)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("emails_before"),
+        sum(col("n_phones")).as("phones_before"),
+        sum(col("n_keys")).as("keys_before"),
+        sum(col("_resid")).as("residual_after"))
+      .orderBy(col(srcCol))
+  }
+
   // ===== URL / domain analysis ============================================
 
   /** First-URL host extraction + registrable-domain roll-up columns —

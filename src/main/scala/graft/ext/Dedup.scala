@@ -768,6 +768,107 @@ object Dedup {
       .orderBy(col("bands"))
   }
 
+  /** Operating-point advisor over a measured [[lshBandSweep]] frame —
+    * the bands decision the sweep exists to inform (the
+    * threshold-advisor pattern on the LSH dial): every RAW banded
+    * candidate costs a signature compare downstream, so the verify
+    * budget caps how many bands the index can afford. Among band
+    * counts whose measured n_raw_candidates fits `candidateBudget`,
+    * take the LARGEST (aligned band refinement nests the candidate
+    * sets, so recall is monotone non-decreasing in bands — the
+    * sweep's pinned theorem — and the largest qualifying bands
+    * maximizes recall); if none fit, fall back to the
+    * fewest-candidates point. Emits one row: (chosen_bands, n_exact,
+    * n_raw_candidates, n_candidate, n_common, recall_micro,
+    * budget_candidates, n_points, n_qualifying).
+    *
+    * Scale: arithmetic over the ≤|bandsList| sweep frame; the
+    * measurement cost lives in the sweep. */
+  def lshBandAdvisor(sweep: DataFrame, candidateBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ok = (col("n_raw_candidates") <= candidateBudget).cast("long")
+    // qualifying points rank by bands DESC (max recall within budget);
+    // non-qualifying by n_raw_candidates ASC (least overshoot first)
+    val w = Window.orderBy(col("ok").desc,
+      when(col("ok") === 1L, -col("bands"))
+        .otherwise(col("n_raw_candidates")).asc,
+      col("bands").asc)
+    sweep.withColumn("ok", ok)
+      .withColumn("n_points", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_qualifying", sum(col("ok")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("bands").as("chosen_bands"), col("n_exact"),
+        col("n_raw_candidates"), col("n_candidate"), col("n_common"),
+        col("recall_micro"),
+        lit(candidateBudget).as("budget_candidates"),
+        col("n_points"), col("n_qualifying"))
+  }
+
+  /** Log-structured election-store compaction audit — the read-
+    * amplification gate for [[graft.stream.ElectionStream]]'s store
+    * layout (and any append-per-batch keep-best store): every read
+    * folds ALL appended rows back to one row per key, so the
+    * store-rows / live-keys ratio is exactly the wasted read work a
+    * compaction (rewriting the store as [[graft.stream.ElectionStream
+    * .bestPerKey]]) would reclaim. Batches are simulated from
+    * `batchCol`; per (key, batch) the batch winner is computed, and a
+    * winner counts as APPENDED iff no earlier batch produced a winner
+    * that beats it under (pref DESC, id ASC) — the stream's
+    * upgrade-only append rule. `winners_rows` is the unconditional
+    * append upper bound (the naive writer).
+    *
+    * Emits one row: (n_batches, n_keys_live, winners_rows,
+    * appended_rows, dead_rows, read_amp_micro, upper_amp_micro,
+    * compact_recommended) — compaction is recommended when the
+    * actual amplification exceeds `ampThresholdMicro`.
+    *
+    * Scale shape: one keyed window per (key, batch); the earlier-
+    * better probe is an equi-join on the key over the winners frame
+    * (|keys| × |batches| rows, multiplicity ≤ |batches| per key —
+    * bounded, never corpus²); three scalar aggregates attached as
+    * 1-row broadcasts. */
+  def electStoreCompactionStats(docs: DataFrame, keyCol: Column,
+                                prefCol: Column, batchCol: Column,
+                                ampThresholdMicro: Long = 2000000L,
+                                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), keyCol.as("k"),
+      prefCol.cast("long").as("pref"), batchCol.cast("long").as("batch"))
+    val wBatch = Window.partitionBy(col("k"), col("batch"))
+      .orderBy(col("pref").desc, col("id").asc)
+    // three consumers below — checkpoint the tiny winners frame once
+    val winners = base
+      .withColumn("_rn", row_number().over(wBatch))
+      .filter(col("_rn") === 1)
+      .select(col("k"), col("batch"), col("pref"), col("id"))
+      .localCheckpoint(true)
+    val earlier = winners.select(col("k").as("_k"), col("batch").as("_b"),
+      col("pref").as("_p"), col("id").as("_i"))
+    val appended = winners.join(earlier,
+        col("k") === col("_k") && col("_b") < col("batch") &&
+          (col("_p") > col("pref") ||
+            (col("_p") === col("pref") && col("_i") <= col("id"))),
+        "left_anti")
+      .agg(count(lit(1)).as("appended_rows"))
+    val totals = winners.agg(
+      countDistinct(col("k")).as("n_keys_live"),
+      countDistinct(col("batch")).as("n_batches"),
+      count(lit(1)).as("winners_rows"))
+    totals.crossJoin(broadcast(appended))
+      .select(col("n_batches"), col("n_keys_live"), col("winners_rows"),
+        col("appended_rows"),
+        (col("appended_rows") - col("n_keys_live")).as("dead_rows"),
+        expr("appended_rows * 1000000 div greatest(n_keys_live, 1)")
+          .as("read_amp_micro"),
+        expr("winners_rows * 1000000 div greatest(n_keys_live, 1)")
+          .as("upper_amp_micro"),
+        (expr("appended_rows * 1000000 div greatest(n_keys_live, 1)")
+          > ampThresholdMicro).cast("long").as("compact_recommended"))
+  }
+
   /** Survivor selection from a near-dup pair list (doc_a < doc_b): drop
     * every doc that appears as the larger id of any pair. This is the
     * standard one-pass approximation of connected-component dedup —

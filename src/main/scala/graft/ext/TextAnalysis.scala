@@ -657,6 +657,44 @@ object TextAnalysis {
     }.reduce(_.unionAll(_)).orderBy(col("threshold_micro"))
   }
 
+  /** Operating-point advisor over a measured [[qualityThresholdSweep]]
+    * frame — the decision the retention curve exists to inform (the
+    * nearDupThresholdAdvisor pattern on the quality dial): the token
+    * budget caps what a training run can consume, so among thresholds
+    * whose measured tokens_retained fits `tokenBudget`, take the
+    * SMALLEST (the least aggressive bar that fits — retention is
+    * monotone non-increasing in the threshold, so the smallest
+    * qualifying bar keeps the most data). If none fit, fall back to
+    * the largest threshold (fewest tokens — degraded mode must still
+    * pick something; n_qualifying = 0 is the alarm). Emits one row:
+    * (chosen_threshold_micro, n_survivors, tokens_retained,
+    * budget_tokens, n_candidates, n_qualifying).
+    *
+    * Scale: arithmetic over the ≤|thresholds| sweep frame; the
+    * measurement cost lives in the sweep. */
+  def qualityThresholdAdvisor(sweep: DataFrame,
+                              tokenBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ok = (col("tokens_retained") <= tokenBudget).cast("long")
+    // qualifying points rank by threshold ASC; non-qualifying by
+    // tokens_retained ASC (least overshoot first), threshold tie-break
+    val w = Window.orderBy(col("ok").desc,
+      when(col("ok") === 1L, col("threshold_micro"))
+        .otherwise(col("tokens_retained")).asc,
+      col("threshold_micro").asc)
+    sweep.withColumn("ok", ok)
+      .withColumn("n_candidates", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_qualifying", sum(col("ok")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("threshold_micro").as("chosen_threshold_micro"),
+        col("n_survivors"), col("tokens_retained"),
+        lit(tokenBudget).as("budget_tokens"),
+        col("n_candidates"), col("n_qualifying"))
+  }
+
   /** Packing-efficiency operating curve — [[packingStats]]'s padding
     * waste measured at EACH candidate context length, one row per
     * point (the table that picks ctx_len for a packing run: longer

@@ -619,4 +619,28 @@ class CurationSpec extends SparkSpec {
     val means = got.map(_.getLong(3)).distinct
     assert(means.length === 1, s"flat corpus must have flat means: $means")
   }
+
+  // ===== PII scrub-effectiveness gate ======================================
+
+  test("scrubResidualAudit: residual is zero and before-counts match " +
+      "the injection schedule") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 2}", "plain text"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.scrubResidualAudit(
+        Curation.injectSyntheticPii(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got.keySet === Set("src0", "src1"))
+    val all = got.values
+    assert(all.map(_._1).sum === 100L)
+    // ids 7,14,...,98 carry an email (14 of them); 11..99 a phone (9);
+    // 13..91 a key (7)
+    assert(all.map(_._2).sum === 14L)
+    assert(all.map(_._3).sum === 9L)
+    assert(all.map(_._4).sum === 7L)
+    // the gate: nothing survives the scrub
+    assert(all.map(_._5).sum === 0L,
+      "scrubbed text still matches a PII pattern")
+  }
 }

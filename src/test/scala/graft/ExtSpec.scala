@@ -844,6 +844,73 @@ class ExtSpec extends SparkSpec {
     assert(d.getLong(5) === 0L)
   }
 
+  test("qualityThresholdAdvisor: smallest fitting bar; degraded mode") {
+    val sweep = Seq(
+      (50000L, 900L, 900000L, 9000L, 90000L),
+      (100000L, 700L, 700000L, 7000L, 70000L),
+      (200000L, 400L, 400000L, 4000L, 40000L),
+      (300000L, 100L, 100000L, 1000L, 10000L),
+      (400000L, 10L, 10000L, 100L, 1000L))
+      .toDF("threshold_micro", "n_survivors", "survivor_share_micro",
+        "tokens_retained", "n_tokens_share_unused")
+      .withColumnRenamed("n_tokens_share_unused", "token_share_micro")
+    // budget 4500 tokens: t=200000 (4000) fits, t=100000 (7000) doesn't
+    val r = TextAnalysis.qualityThresholdAdvisor(sweep, 4500L)
+      .collect()(0)
+    assert(r.getLong(0) === 200000L && r.getLong(1) === 400L &&
+      r.getLong(2) === 4000L)
+    assert(r.getLong(3) === 4500L)
+    assert(r.getLong(4) === 5L && r.getLong(5) === 3L)
+    // budget below every point: largest bar (fewest tokens), alarm 0
+    val d = TextAnalysis.qualityThresholdAdvisor(sweep, 50L).collect()(0)
+    assert(d.getLong(0) === 400000L && d.getLong(2) === 100L)
+    assert(d.getLong(5) === 0L)
+  }
+
+  test("lshBandAdvisor: largest fitting bands; degraded mode") {
+    val sweep = Seq(
+      (4L, 100L, 800L, 90L, 80L, Some(888888L), 1L),
+      (8L, 100L, 2500L, 95L, 92L, Some(920000L), 1L),
+      (16L, 100L, 9000L, 99L, 97L, Some(970000L), 1L))
+      .toDF("bands", "n_exact", "n_raw_candidates", "n_candidate",
+        "n_common", "recall_micro", "recall_monotone_ok")
+    // budget 5000 raw candidates: bands=8 (2500) is the largest fit
+    val r = Dedup.lshBandAdvisor(sweep, 5000L).collect()(0)
+    assert(r.getLong(0) === 8L && r.getLong(2) === 2500L)
+    assert(r.getLong(5) === 920000L)
+    assert(r.getLong(6) === 5000L)
+    assert(r.getLong(7) === 3L && r.getLong(8) === 2L)
+    // budget below every point: fewest candidates (bands=4), alarm 0
+    val d = Dedup.lshBandAdvisor(sweep, 10L).collect()(0)
+    assert(d.getLong(0) === 4L && d.getLong(2) === 800L)
+    assert(d.getLong(8) === 0L)
+  }
+
+  test("electStoreCompactionStats: upgrade-only appends, amplification") {
+    // key "a": batch winners (pref) 5 -> 7 -> 6: appends at b0, b1
+    // key "b": 9 -> 9(id higher) -> 9(id lower): appends at b0, b2
+    // key "c": single batch
+    val docs = Seq(
+      (1L, "a", 5L, 0L), (2L, "a", 7L, 1L), (3L, "a", 6L, 2L),
+      (10L, "b", 9L, 0L), (11L, "b", 9L, 1L), (9L, "b", 9L, 2L),
+      (20L, "c", 4L, 1L),
+      // in-batch loser (never a winner, never counted)
+      (4L, "a", 1L, 0L))
+      .toDF("doc_id", "k_src", "pref_src", "batch_src")
+    val r = Dedup.electStoreCompactionStats(docs,
+        keyCol = col("k_src"), prefCol = col("pref_src"),
+        batchCol = col("batch_src"), ampThresholdMicro = 1500000L)
+      .collect()(0)
+    assert(r.getLong(0) === 3L)   // n_batches
+    assert(r.getLong(1) === 3L)   // n_keys_live
+    assert(r.getLong(2) === 7L)   // winners_rows (3 + 3 + 1)
+    assert(r.getLong(3) === 5L)   // appended: a@0, a@1, b@0, b@2, c@1
+    assert(r.getLong(4) === 2L)   // dead rows
+    assert(r.getLong(5) === 5L * 1000000L / 3L) // read amp
+    assert(r.getLong(6) === 7L * 1000000L / 3L) // upper amp
+    assert(r.getLong(7) === 1L)   // 1.67e6 > 1.5e6 -> compact
+  }
+
   test("componentsWithRounds: double jump collapses a 200-chain fast") {
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labelled, rounds) = Dedup.componentsWithRounds(chain)
