@@ -3228,6 +3228,25 @@ object SparkEntry {
     "q274_scrub_residual" -> ((s, d) =>
       Curation.scrubResidualAudit(
         Curation.injectSyntheticPii(documents(s, d)))),
+
+    // ===== shard-hash uniformity chi-square ============================
+    // the q266 machinery on the SHARD SPLITTER: is q104's seeded shard
+    // assignment independent of source? dependence = a sharding bug
+    // that turns data-parallel training into per-source curricula
+    "q275_shard_source_chi2" -> ((s, d) =>
+      Profiling.chiSquare(
+        documents(s, d).select(
+          pmod(T.md5Hash60(concat(lit("42:"),
+            col("doc_id").cast("string"))), lit(8L)).as("shard"),
+          col("source")),
+        "shard", "source")),
+
+    // ===== candidate-pair Jaccard histogram ============================
+    // the distribution every threshold decision slices: exact integer
+    // deciles of cnt/(na+nb-cnt) over the capped posting pair stream —
+    // a dup spike separated from the background hump = safe valley
+    "q276_jaccard_histogram" -> ((s, d) =>
+      Dedup.pairJaccardHistogram(documents(s, d), maxPostings = 1000)),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -12162,5 +12181,67 @@ object SparkEntry {
         |  CAST(sum(kk) AS BIGINT) AS keys_before,
         |  CAST(sum(resid) AS BIGINT) AS residual_after
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q266 chi-square replay on (shard × source), shard from
+    // q104's seeded md5 assignment
+    "q275_shard_source_chi2" ->
+      """WITH p AS (
+        |  SELECT CAST(('0x' || substring(
+        |           md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 8 AS x,
+        |         source AS y
+        |  FROM documents),
+        |j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+        |      FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT x, y, nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j),
+        |t AS (
+        |  SELECT x, y, n,
+        |    CAST(round(((nxy - CAST(nx AS DOUBLE) * ny / n) *
+        |                (nxy - CAST(nx AS DOUBLE) * ny / n) /
+        |                (CAST(nx AS DOUBLE) * ny / n) -
+        |                CAST(nx AS DOUBLE) * ny / n) * 1e9, 0) AS BIGINT)
+        |      AS t_nano
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT)
+        |    AS dof,
+        |  CAST(max(n) * 1000000 + CAST(round(sum(t_nano) / 1e3, 0) AS BIGINT)
+        |       AS BIGINT) AS chi2_micro
+        |FROM t""".stripMargin,
+
+    // q17's capped posting-pair stream bucketed by the EXACT integer
+    // decile 10*cnt // (na+nb-cnt) — no float boundary in the bucket
+    "q276_jaccard_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(cnt * 10 // (sa.n + sb.n - cnt) AS BIGINT) AS bucket
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM g)
+        |SELECT bucket, n_pairs,
+        |  CAST(n_pairs * 1000000 // greatest(tot, 1) AS BIGINT)
+        |    AS share_micro
+        |FROM g, tt ORDER BY bucket""".stripMargin,
   )
 }

@@ -429,6 +429,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Candidate-pair Jaccard HISTOGRAM — the distribution evidence
+    * behind every near-dup threshold decision: [[jaccardPairs]]
+    * thresholds the similarity, [[nearDupThresholdSweep]]-style
+    * advisors price candidate counts, and this shows the SHAPE they
+    * both slice (a bimodal histogram — a dup spike near 1.0 separated
+    * from a background hump — means any threshold in the valley is
+    * safe; a flat tail means no threshold is, and the pipeline should
+    * switch measures). Buckets are EXACT integer deciles of the
+    * rational `j = cnt / (na + nb − cnt)`: `bucket = 10·cnt div
+    * denom` (0‥10, exact division both engines — no float boundary
+    * can flip a pair across buckets).
+    *
+    * Emits one row per occupied bucket: (bucket, n_pairs,
+    * share_micro), ordered.
+    *
+    * Scale: the same capped inverted-index pair stream as
+    * [[jaccardPairs]] (maxPostings bounds the fan-out), two
+    * shuffle_hash size joins (the pinned build side — see the q17
+    * note), an ≤11-bucket hash aggregate, a window sum over the
+    * GROUPED frame. */
+  def pairJaccardHistogram(docs: DataFrame,
+                           maxPostings: Int = Int.MaxValue,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = postingLists(docs, maxPostings, idCol, textCol,
+      checkpoint = true)
+    val sizes = posts.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = postingPairs(posts)
+    inter
+      .join(sizes.select(col("id"), col("n").as("na")).hint("shuffle_hash"),
+        col("doc_a") === col("id")).drop("id")
+      .join(sizes.select(col("id"), col("n").as("nb")).hint("shuffle_hash"),
+        col("doc_b") === col("id")).drop("id")
+      .select(expr("cnt * 10 div (na + nb - cnt)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("_tot",
+        sum(col("n_pairs")).over(Window.partitionBy(lit(1))))
+      .select(col("bucket"), col("n_pairs"),
+        expr("n_pairs * 1000000 div greatest(_tot, 1)").as("share_micro"))
+      .orderBy(col("bucket"))
+  }
+
   /** All pairs with shingle CONTAINMENT ≥ `threshold` — the asymmetric
     * near-dup measure C(a,b) = |A∩B| / min(|A|, |B|) that catches what
     * Jaccard structurally cannot: a short document embedded inside a

@@ -38,6 +38,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * redelivered batch recomputes the identical decision set and
   * harmlessly overwrites its own two directories.
   *
+  * APPEND-ONLY CAVEAT: the store folds by argmax, so it can only move
+  * a key's representative UP the order. Feeding re-crawled corpora
+  * through `Curation.snapshotDiff` composes cleanly for `added` docs
+  * and for `changed` docs whose pref GREW (they upgrade + demote);
+  * a changed doc whose pref SHRANK leaves its stale higher-pref store
+  * row in place — retracting that requires a tombstone partition
+  * (delete-key feed), the same mechanism `erasureAudit` gates, not
+  * this stream.
+  *
   * Scale shape: store rows are skinny (key, id, pref) triples; the
   * per-batch join is keyed on `k` (the store side can be pruned to
   * the batch's key set via a broadcast semi-join when batches are

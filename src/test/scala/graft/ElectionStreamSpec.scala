@@ -112,6 +112,45 @@ class ElectionStreamSpec extends SparkSpec {
     assert(reps(dir) === want)
   }
 
+  test("snapshotDiff feeds the election: added + grown docs upgrade, " +
+      "demotions point at the superseded rep") {
+    import graft.ext.Curation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    // crawl 1: two clusters
+    val prev = Seq((1L, "k1", "short"), (2L, "k1", "longer text"),
+      (3L, "k2", "medium len"))
+      .toDF("doc_id", "k_src", "text")
+      .withColumn("pref_src", length(col("text")).cast("long"))
+    ElectionStream.processElectBatch(keyCol,
+      d => length(d("text")).cast("long"),
+      s"$dir/store", s"$dir/out")(prev, 0L)
+    assert(reps(dir) === Map("k1" -> (2L, 11L), "k2" -> (3L, 10L)))
+
+    // crawl 2: doc 1 GREW past doc 2; doc 9 is new
+    val cur = Seq((1L, "k1", "short but now much much longer"),
+      (2L, "k1", "longer text"), (3L, "k2", "medium len"),
+      (9L, "k3", "fresh"))
+      .toDF("doc_id", "k_src", "text")
+    // only added/changed docs re-enter the pipeline (the snapshotDiff
+    // contract) — unchanged docs never re-elect
+    val delta = Curation.snapshotDiff(cur, prev.drop("pref_src"))
+      .filter(col("status").isin("added", "changed"))
+      .join(cur, Seq("doc_id"))
+      .select(col("doc_id"), col("k_src"), col("text"))
+    assert(delta.count() === 2L) // docs 1 and 9 only
+    ElectionStream.processElectBatch(keyCol,
+      d => length(d("text")).cast("long"),
+      s"$dir/store", s"$dir/out")(delta, 1L)
+    // doc 1's grown copy upgrades k1 (demoting 2); k3 is fresh
+    assert(reps(dir) === Map("k1" -> (1L, 30L), "k2" -> (3L, 10L),
+      "k3" -> (9L, 5L)))
+    val d1 = spark.read.parquet(s"$dir/out/batch_id=1")
+      .filter(col("id") === 1L).collect()(0)
+    assert(d1.getAs[String]("status") === "kept")
+    assert(d1.getAs[Long]("demotes") === 2L)
+  }
+
   test("electMergeParityStats witnesses the monoid (n_disagree = 0)") {
     val docs = docsAll.map { case (id, k, p) =>
       (id, k, p, s"src${id % 3}") }
