@@ -3247,6 +3247,19 @@ object SparkEntry {
     // a dup spike separated from the background hump = safe valley
     "q276_jaccard_histogram" -> ((s, d) =>
       Dedup.pairJaccardHistogram(documents(s, d), maxPostings = 1000)),
+
+    // ===== view → conversion interval join =============================
+    // the BATCH twin of StreamJoin.conversions (the stream-stream
+    // watermarked join): same projection and range condition, epochs
+    // emitted as BIGINT per the oracle convention
+    "q277_conversion_join" -> ((s, d) =>
+      graft.stream.StreamJoin.conversionsBatch(events(s, d),
+          horizonSeconds = 900)
+        .select(col("user_id"),
+          unix_timestamp(col("view_ts")).cast("long").as("view_epoch"),
+          unix_timestamp(col("buy_ts")).cast("long").as("buy_epoch"),
+          col("lag_seconds"), col("value"))
+        .orderBy(col("user_id"), col("view_epoch"), col("buy_epoch"))),
   )
 
   /** q51's target mixture: curated-looking sources weighted 3, mid 2,
@@ -12243,5 +12256,27 @@ object SparkEntry {
         |  CAST(n_pairs * 1000000 // greatest(tot, 1) AS BIGINT)
         |    AS share_micro
         |FROM g, tt ORDER BY bucket""".stripMargin,
+
+    // the stream-stream join's batch twin: per-user purchases within
+    // (view_ts, view_ts + 15 min]
+    "q277_conversion_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS view_ts FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT user_id AS b_user, ts AS buy_ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id,
+        |  -- floor, not CAST-round: Spark's unix_timestamp truncates
+        |  -- sub-second fractions
+        |  CAST(floor(epoch(view_ts)) AS BIGINT) AS view_epoch,
+        |  CAST(floor(epoch(buy_ts)) AS BIGINT) AS buy_epoch,
+        |  CAST(floor(epoch(buy_ts)) - floor(epoch(view_ts)) AS BIGINT)
+        |    AS lag_seconds,
+        |  value
+        |FROM v JOIN b ON b_user = v.user_id
+        |  AND buy_ts > view_ts
+        |  AND buy_ts <= view_ts + INTERVAL 900 SECONDS
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }
