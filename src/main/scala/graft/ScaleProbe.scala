@@ -1042,6 +1042,33 @@ object ScaleProbe {
           col("rrf_micro").as("rel_micro")),
         emb, k = 5))
     }
+    // keep-best election + dedup-aware shards at REP scale
+    // (q254/q267): the election window must stay bounded by cluster
+    // multiplicity when the dup density is REP× the fixture's
+    timed(s"dedup_elect_shards x$docReps") {
+      val d2 = docs.withColumn("n_chars", length(col("text")).cast("long"))
+      val comps = Dedup.components(
+        Dedup.coShinglePairs(d2, minShared = 2, maxPostings = 1000))
+      consume(Curation.dedupAwareTrainShards(d2, comps, nShards = 8))
+    }
+    // election-store compaction audit at REP scale (q271): the
+    // earlier-better anti-join is keyed on the cluster key with
+    // multiplicity ≤ |batches| — verify it holds at high key count
+    timed(s"store_compaction x$docReps") {
+      val d2 = docs.withColumn("n_chars", length(col("text")).cast("long"))
+      consume(Dedup.electStoreCompactionStats(d2,
+        keyCol = md5(array_join(
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 5), " ")),
+        prefCol = col("n_chars"),
+        batchCol = pmod(TextAnalysis.md5Hash60(
+          concat(lit("b:"), col("doc_id").cast("string"))), lit(8L))))
+    }
+    // candidate-pair jaccard histogram at REP scale (q276): the
+    // posting-pair stream under the hot-shingle cap, two shuffle_hash
+    // size joins, 11-bucket aggregate
+    timed(s"jaccard_histogram x$docReps") {
+      consume(Dedup.pairJaccardHistogram(docs, maxPostings = 1000))
+    }
     spark.stop()
   }
 }

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
 
-/** Stream-STREAM operators — the two Structured Streaming capabilities
-  * the rest of the streaming surface composes around but did not yet
-  * exercise directly:
+/** Stream-STREAM operators over the EVENTS domain:
   *
-  *  1. the watermarked stream-stream INTERVAL JOIN (view → conversion
-  *     attribution): Spark buffers each side in state and the range
-  *     condition + both watermarks bound that buffer, so state is
-  *     evicted automatically — the canonical two-stream join shape
-  *     whose batch twin is the q79 interval join;
+  *  1. the view → conversion INTERVAL JOIN: the generic
+  *     [[StreamingRevenue.streamStreamJoin]] primitive (lookback
+  *     window, per-side watermarks) specialised to the conversion
+  *     shape — forward horizon instead of lookback, the lag/value
+  *     projection, and (new) an ORACLE-CHECKED batch twin
+  *     (q277_conversion_join) so the join semantics are pinned
+  *     cross-engine, not just spec-asserted. Spark buffers each side
+  *     in state; the range condition + BOTH watermarks bound that
+  *     buffer (the global watermark is the min across sides — see the
+  *     spec's two-sided-filler lesson);
   *  2. a per-key ADMISSION QUOTA (`flatMapGroupsWithState`): admit the
   *     first `k` documents per (source, event-time window), drop the
   *     rest — the ingest rate-limit every crawl pipeline runs in front
