@@ -138,6 +138,22 @@ object SparkEntry {
     })
   }
 
+  /** The trained-and-applied BPE encoding shared by q80 (the per-doc
+    * table), q85 (per-lang fertility) and q278 (per-source fertility)
+    * — the 3-iteration merge training plus the encode pass is the
+    * session's most expensive text stage after the shingle chain, and
+    * three consumers must not pay it three times. */
+  private val bpeEncodedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedBpeEncoded(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    bpeEncodedMemo.computeIfAbsent((s, d), _ => {
+      val docs = documents(s, d)
+      T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
+        .localCheckpoint(true)
+    })
+  }
+
   /** Memo hygiene (ADVICE r10): the static memo maps hold SparkSession
     * and checkpointed-DataFrame references, which a long-lived JVM that
     * cycles sessions would retain forever. The first memo insert per
@@ -1615,11 +1631,8 @@ object SparkEntry {
       T.bpeMerges(documents(s, d), iters = 3)),
 
     // ===== BPE encode: train 3 merges, apply them, report compression =
-    "q80_bpe_encode" -> ((s, d) => {
-      val docs = documents(s, d)
-      T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
-        .orderBy(col("doc_id"))
-    }),
+    "q80_bpe_encode" -> ((s, d) =>
+      sharedBpeEncoded(s, d).orderBy(col("doc_id"))),
 
     // ===== DSIR importance weights: hashed-bigram log-ratio vs the ====
     // ===== English subset as target corpus ============================
@@ -1632,9 +1645,8 @@ object SparkEntry {
     // integer-exact micro-ratio (sum·10⁶ div sum) over the q80 encoding
     "q85_bpe_fertility" -> ((s, d) => {
       val docs = documents(s, d)
-      val enc = T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
       docs.select(col("doc_id"), col("lang"))
-        .join(enc, "doc_id")
+        .join(sharedBpeEncoded(s, d), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
@@ -3247,6 +3259,25 @@ object SparkEntry {
     // a dup spike separated from the background hump = safe valley
     "q276_jaccard_histogram" -> ((s, d) =>
       Dedup.pairJaccardHistogram(documents(s, d), maxPostings = 1000)),
+
+    // ===== per-source BPE fertility (tokenizer-fit audit) ==============
+    // q85's per-lang fertility keyed by SOURCE instead: the audit that
+    // catches a source the trained tokenizer fits badly (fertility far
+    // above corpus mean = that source's tokens fragment — its docs eat
+    // disproportionate context budget); shared encode memo with q80/q85
+    "q278_fertility_by_source" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(sharedBpeEncoded(s, d), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_bpe_tokens"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("n_bpe_tokens * 1000000 div n_tokens"))
+            .as("micro_fertility"))
+        .orderBy(col("source"))),
 
     // ===== view → conversion interval join =============================
     // the BATCH twin of StreamJoin.conversions (the stream-stream
@@ -12278,5 +12309,21 @@ object SparkEntry {
         |  AND buy_ts > view_ts
         |  AND buy_ts <= view_ts + INTERVAL 900 SECONDS
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q85's fertility replay grouped by source instead of lang — the
+    // same shared BPE training/encode CTEs
+    "q278_fertility_by_source" -> {
+      val iters = 3
+      s"""WITH ${bpeTrainingCtes(iters)},
+         |${bpeEncodeCtes(iters)}
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN sum(e.n_tokens) = 0 THEN 0
+         |    ELSE sum(e.n_bpe_tokens) * 1000000 // sum(e.n_tokens)
+         |    END AS BIGINT) AS micro_fertility
+         |FROM encoded e JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
   )
 }
