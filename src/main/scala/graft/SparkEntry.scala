@@ -3279,6 +3279,27 @@ object SparkEntry {
             .as("micro_fertility"))
         .orderBy(col("source"))),
 
+    // ===== 3-way decontamination agreement cube ========================
+    // the completeness critic over the decontamination stack: exact
+    // 5-gram (q49) × bloom (q61) × semantic (q97) flags cubed — the
+    // (1,0,*) cells must be exactly 0 (bloom has no false negatives),
+    // (0,1,*) is the measured FP overhead, (0,0,1) is what n-grams
+    // structurally cannot see (the cell that justifies the embedding
+    // pass)
+    "q279_decontam_agreement" -> ((s, d) => {
+      val all = documents(s, d)
+      val emb = embeddings(s, d)
+      val sem = Similarity.semanticContamination(emb,
+          probePred = col("vec_id") % 31 === 0, threshold = 0.4,
+          nCentroids = Similarity.autoCentroids(emb.count()))
+        .select(col("vec_id").as("doc_id"),
+          col("contaminated").as("f_semantic"))
+      Curation.decontamAgreementCube(
+        all.filter(col("doc_id") % 31 =!= 0),
+        all.filter(col("doc_id") % 31 === 0),
+        sem, n = 5, mBits = 1 << 16, k = 4, hash = Dedup.OracleHash)
+    }),
+
     // ===== view → conversion interval join =============================
     // the BATCH twin of StreamJoin.conversions (the stream-stream
     // watermarked join): same projection and range condition, epochs
@@ -12324,6 +12345,101 @@ object SparkEntry {
          |    END AS BIGINT) AS micro_fertility
          |FROM encoded e JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
+    // exact (q49 raw-string 5-gram join), bloom (q61 filter replay)
+    // and semantic (q97 IVF replay) flags over the shared shingle
+    // CTEs, cubed — (1,0,*) cells witness bloom's no-false-negative
+    // theorem
+    "q279_decontam_agreement" -> {
+      val P = Dedup.MersenneP
+      def positions(h: String) = (0 until 4).map { i =>
+        val (a, b) = Dedup.cwConsts(i)
+        s"((($h % $P) * $a + $b) % $P) % 65536"
+      }.mkString("[", ", ", "]")
+      val hOfS = "CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)"
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+         |bt AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |ct AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM corpus),
+         |csh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         |         || t[i+3] || ' ' || t[i+4] AS s
+         |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+         |exf AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+         |bk AS (SELECT DISTINCT $hOfS AS h FROM bsh),
+         |bpos AS (SELECT unnest(${positions("h")}) AS pos FROM bk),
+         |bloom AS (
+         |  SELECT pos // 63 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, $hOfS AS h,
+         |         unnest(${positions(hOfS)}) AS pos
+         |  FROM csh),
+         |hits AS (
+         |  SELECT p.doc_id, p.h
+         |  FROM probe p JOIN bloom b ON b.word = p.pos // 63
+         |  WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)))
+         |        = (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))
+         |  GROUP BY p.doc_id, p.h HAVING count(*) = 4),
+         |blf AS (SELECT DISTINCT doc_id FROM hits),
+         |e AS (
+         |  SELECT vec_id, vec_id % 31 = 0 AS is_probe,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id
+         |     LIMIT least(100000, greatest(16, CAST(ceil(4 * sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+         |assigned AS (
+         |  SELECT vec_id, is_probe, v, c_id FROM (
+         |    SELECT e.vec_id, e.is_probe, e.v, c.c_id,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+         |                      c.c_id) AS rk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id, b.vec_id AS pid,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+         |  FROM assigned a JOIN assigned b ON a.c_id = b.c_id
+         |  WHERE NOT a.is_probe AND b.is_probe),
+         |best AS (SELECT id, s AS probe_sim FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY id ORDER BY s DESC, pid) AS rk FROM cand)
+         |  WHERE rk = 1),
+         |sem AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    CAST(coalesce(b.probe_sim >= 0.4, false) AS BIGINT)
+         |      AS f_semantic
+         |  FROM e LEFT JOIN best b ON e.vec_id = b.id
+         |  WHERE NOT e.is_probe),
+         |flags AS (
+         |  SELECT CAST(exf.doc_id IS NOT NULL AS BIGINT) AS f_exact,
+         |         CAST(blf.doc_id IS NOT NULL AS BIGINT) AS f_bloom,
+         |         coalesce(sem.f_semantic, 0) AS f_semantic
+         |  FROM corpus u
+         |  LEFT JOIN exf ON exf.doc_id = u.doc_id
+         |  LEFT JOIN blf ON blf.doc_id = u.doc_id
+         |  LEFT JOIN sem ON sem.doc_id = u.doc_id),
+         |g AS (
+         |  SELECT f_exact, f_bloom, f_semantic,
+         |         CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM flags GROUP BY 1, 2, 3),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+         |SELECT f_exact, f_bloom, f_semantic, n_docs,
+         |  CAST(n_docs * 1000000 // greatest(tot, 1) AS BIGINT)
+         |    AS share_micro
+         |FROM g, tt ORDER BY 1, 2, 3""".stripMargin
     },
   )
 }

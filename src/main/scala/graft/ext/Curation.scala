@@ -470,6 +470,56 @@ object Curation {
           PhonePattern, "<PHONE>"))
   }
 
+  /** Three-way decontamination AGREEMENT cube — the completeness
+    * critic over the decontamination stack: every (exact 5-gram,
+    * bloom, semantic) flag combination with its document count. The
+    * cube makes the methods' relationships measurable instead of
+    * assumed: the (1,0,*) cells must be EXACTLY zero (a bloom filter
+    * has no false negatives — every exact hit probes the filter with
+    * the same shingle), the (0,1,*) mass is the bloom's measured
+    * false-positive overhead, and the semantic-only mass
+    * (0,0,1) is what n-gram methods structurally cannot see
+    * (paraphrase) — the cell that justifies running the embedding
+    * pass at all.
+    *
+    * `semFlags` must carry (idCol, f_semantic) — typically
+    * [[graft.ext.Similarity.semanticContamination]]'s `contaminated`
+    * column keyed back to doc ids.
+    *
+    * Emits one row per occupied cell: (f_exact, f_bloom, f_semantic,
+    * n_docs, share_micro), ordered.
+    *
+    * Scale: the three flag frames are the methods' own (benchmark
+    * hash set / filter words broadcast; banded candidate generation on
+    * the semantic side); the cube itself is three id-keyed left joins
+    * and an ≤8-group aggregate. */
+  def decontamAgreementCube(corpus: DataFrame, bench: DataFrame,
+                            semFlags: DataFrame, n: Int = 5,
+                            mBits: Int = 1 << 16, k: Int = 4,
+                            hash: Dedup.HashScheme = Dedup.FastHash,
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = contamination(corpus, bench, n, hash, idCol)
+      .select(col(idCol), lit(1L).as("f_exact"))
+    val bl = bloomContamination(corpus, bench, n, mBits, k, hash, idCol)
+      .select(col(idCol), lit(1L).as("f_bloom"))
+    corpus.select(col(idCol))
+      .join(ex, Seq(idCol), "left")
+      .join(bl, Seq(idCol), "left")
+      .join(semFlags, Seq(idCol), "left")
+      .select(coalesce(col("f_exact"), lit(0L)).as("f_exact"),
+        coalesce(col("f_bloom"), lit(0L)).as("f_bloom"),
+        coalesce(col("f_semantic"), lit(0L)).as("f_semantic"))
+      .groupBy(col("f_exact"), col("f_bloom"), col("f_semantic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("_tot",
+        sum(col("n_docs")).over(Window.partitionBy(lit(1))))
+      .select(col("f_exact"), col("f_bloom"), col("f_semantic"),
+        col("n_docs"),
+        expr("n_docs * 1000000 div greatest(_tot, 1)").as("share_micro"))
+      .orderBy(col("f_exact"), col("f_bloom"), col("f_semantic"))
+  }
+
   /** Scrub-effectiveness gate — the audit that runs AFTER [[scrubPii]]
     * and must read zero: re-scan the scrubbed text with the SAME
     * patterns and aggregate residual hits per source next to the

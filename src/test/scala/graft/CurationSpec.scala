@@ -643,4 +643,32 @@ class CurationSpec extends SparkSpec {
     assert(all.map(_._5).sum === 0L,
       "scrubbed text still matches a PII pattern")
   }
+
+  // ===== 3-way decontamination agreement cube ==============================
+
+  test("decontamAgreementCube: cells partition the corpus; bloom has " +
+      "no false negatives") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon shared with the benchmark"),
+      (2L, "totally different words with no overlap at all here"),
+      (3L, "more unrelated text that the filter should never flag"))
+      .toDF("doc_id", "text")
+    val sem = Seq((2L, 1L)).toDF("doc_id", "f_semantic") // paraphrase
+    val got = Curation.decontamAgreementCube(corpus, bench, sem,
+        n = 5, hash = graft.ext.Dedup.OracleHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // doc 1: exact hit (and therefore bloom); doc 2: semantic-only;
+    // doc 3: clean
+    assert(got((1L, 1L, 0L))._1 === 1L)
+    assert(got((0L, 0L, 1L))._1 === 1L)
+    assert(got((0L, 0L, 0L))._1 === 1L)
+    // cells partition the corpus; shares sum to ~1e6
+    assert(got.values.map(_._1).sum === 3L)
+    // the theorem: no exact-but-not-bloom cell can exist
+    assert(!got.keySet.exists(k => k._1 === 1L && k._2 === 0L),
+      "bloom produced a false negative")
+  }
 }

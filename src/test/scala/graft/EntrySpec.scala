@@ -214,13 +214,13 @@ class EntrySpec extends SparkSpec {
   //    being re-pinned (its exact CTE already ranks on integer
   //    micros).
   //
-  // 2. WRAPS-FROZEN-BASE: q257_tier_frontier and
-  //    q261_threshold_advisor are post-convention but intentionally
-  //    embed the already-frozen q225/q247 measured SQL verbatim —
-  //    their decisions are functions of frozen-measured pair/recall
-  //    counts, so re-pinning them alone would desynchronize them from
-  //    the base they audit. New entries of this shape must say so
-  //    here.
+  // 2. WRAPS-FROZEN-BASE: q257_tier_frontier, q261_threshold_advisor
+  //    and q279_decontam_agreement (r15) are post-convention but
+  //    intentionally embed already-frozen measured SQL verbatim
+  //    (q225/q247/q97 respectively) — their outputs are functions of
+  //    frozen-measured counts/flags, so re-pinning them alone would
+  //    desynchronize them from the base they audit. New entries of
+  //    this shape must say so here.
   //
   // A NEW oracle must compute rank keys from pinned integer micros
   // (the q233/q259 pattern) — adding a name to this list requires
@@ -249,7 +249,8 @@ class EntrySpec extends SparkSpec {
     "q241_kcenter_coreset", "q242_hot_cell_split", "q243_knn_classifier",
     "q245_ranker_agreement", "q246_hubness", "q247_neardup_sweep",
     "q248_cell_label_nmi", "q249_knn_graph_health", "q257_tier_frontier",
-    "q261_threshold_advisor", "q34_ann_ivf", "q53_kmeans", "q58_pq",
+    "q261_threshold_advisor", "q279_decontam_agreement",
+    "q34_ann_ivf", "q53_kmeans", "q58_pq",
     "q63_embed_outliers", "q75_semantic_dedup", "q82_random_projection",
     "q95_nn_novelty", "q97_semantic_contamination")
 
