@@ -3279,6 +3279,20 @@ object SparkEntry {
             .as("micro_fertility"))
         .orderBy(col("source"))),
 
+    // ===== erasure re-election audit ===================================
+    // what a delete-key feed does to the duplicate-cluster reps: how
+    // many representatives are themselves deleted, how many clusters
+    // re-elect a surviving copy, how many empty out — the exact-batch
+    // counterpart of ElectionStream.applyTombstones (delete set: the
+    // deterministic doc_id % 41 sample)
+    "q280_erasure_reelect" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.erasureReElectStats(docs, sharedComponents(s, d),
+        deleteKeys = docs.filter(col("doc_id") % 41 === 0)
+          .select(col("doc_id")),
+        prefCol = col("n_chars"))
+    }),
+
     // ===== 3-way decontamination agreement cube ========================
     // the completeness critic over the decontamination stack: exact
     // 5-gram (q49) × bloom (q61) × semantic (q97) flags cubed — the
@@ -12346,6 +12360,57 @@ object SparkEntry {
          |FROM encoded e JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
+
+    // q254's component+election chain run twice — full corpus and
+    // minus the % 41 delete set — compared per component
+    "q280_erasure_reelect" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |el1 AS (
+        |  SELECT component, doc_id AS rep_id, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM lab)
+        |  WHERE rk = 1),
+        |surv AS (SELECT * FROM lab WHERE doc_id % 41 <> 0),
+        |el2 AS (
+        |  SELECT component, doc_id AS new_rep_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM surv)
+        |  WHERE rk = 1)
+        |SELECT e1.source, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(CASE WHEN e1.rep_id % 41 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rep_deleted,
+        |  CAST(sum(CASE WHEN e1.rep_id % 41 = 0
+        |             AND e2.new_rep_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reelected,
+        |  CAST(sum(CASE WHEN e2.new_rep_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_emptied
+        |FROM el1 e1 LEFT JOIN el2 e2 USING (component)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact (q49 raw-string 5-gram join), bloom (q61 filter replay)
     // and semantic (q97 IVF replay) flags over the shared shingle

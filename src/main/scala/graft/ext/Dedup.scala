@@ -1463,6 +1463,49 @@ object Dedup {
         (row_number().over(w) === 1).cast("long"))
   }
 
+  /** Erasure RE-ELECTION audit — what a delete-key feed (GDPR
+    * erasure, takedown list) does to the duplicate-cluster
+    * representatives: per source of the ORIGINAL representative, how
+    * many cluster reps are themselves deleted, how many clusters
+    * re-elect a surviving next-best copy, and how many empty out
+    * entirely. This is the exact-batch counterpart of
+    * [[graft.stream.ElectionStream.applyTombstones]] (which can only
+    * fall back within its appended log — losers were never stored);
+    * the delta between the two is the price of the log-structured
+    * layout, and this audit is how you measure it before choosing.
+    *
+    * Emits one row per source: (source, n_components, n_rep_deleted,
+    * n_reelected, n_emptied).
+    *
+    * Scale shape: two component-keyed election windows (bounded by
+    * cluster multiplicity), one anti-join against the skinny delete
+    * keys, component-keyed compare join, one aggregate. */
+  def erasureReElectStats(docs: DataFrame, comps: DataFrame,
+                          deleteKeys: DataFrame, prefCol: Column,
+                          idCol: String = "doc_id",
+                          srcCol: String = "source"): DataFrame = {
+    val el1 = electRepresentatives(docs, comps, prefCol, idCol)
+      .filter(col("is_kept") === 1L)
+      .select(col("component"), col(idCol).as("rep_id"),
+        col(srcCol).as("source"))
+    val dels = deleteKeys.select(col(idCol)).distinct()
+    val survivors = docs.join(dels, Seq(idCol), "left_anti")
+    val el2 = electRepresentatives(survivors, comps, prefCol, idCol)
+      .filter(col("is_kept") === 1L)
+      .select(col("component").as("_c2"), col(idCol).as("new_rep_id"))
+    el1
+      .join(dels.select(col(idCol).as("rep_id"), lit(1L).as("_del")),
+        Seq("rep_id"), "left")
+      .join(el2, col("component") === col("_c2"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(coalesce(col("_del"), lit(0L))).as("n_rep_deleted"),
+        sum((coalesce(col("_del"), lit(0L)) === 1L &&
+          col("new_rep_id").isNotNull).cast("long")).as("n_reelected"),
+        sum(col("new_rep_id").isNull.cast("long")).as("n_emptied"))
+      .orderBy(col("source"))
+  }
+
   /** KEY-based election merge-parity witness — the algebra that makes
     * the representative election INCREMENTAL (and therefore
     * streamable, [[graft.stream.ElectionStream]]): when clusters are

@@ -72,6 +72,23 @@ object ElectionStream {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Tombstone compaction — the delete-key feed the APPEND-ONLY
+    * caveat above points to: fold the store minus the deleted ids, so
+    * a deleted representative falls back to the best SURVIVING row of
+    * the log. Run as the compaction rewrite (the result goes under a
+    * fresh floor partition replacing the old log).
+    *
+    * LIMITATION, by design of the log: only rows that were once best
+    * are in the store — a copy that lost its admission race was never
+    * appended, so the post-tombstone representative is the best
+    * surviving APPENDED copy, not necessarily the best surviving
+    * INGESTED copy. `Dedup.erasureReElectStats` is the exact batch
+    * re-election over the full corpus; the delta between the two is
+    * the price of the log-structured layout. */
+  def applyTombstones(store: DataFrame, deleteIds: DataFrame): DataFrame =
+    bestPerKey(store.join(
+      deleteIds.select(col("id")).distinct(), Seq("id"), "left_anti"))
+
   /** The accumulated store MINUS `excludeBatchId`'s own partition
     * (idempotent-retry contract). Missing/empty store → typed empty
     * frame, so batch 0 needs no special case. */

@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Stream-STREAM operators over the EVENTS domain:
   *
@@ -101,33 +102,85 @@ object StreamJoin {
     * input; under the default NoTimeout the counters are small enough
     * (16 bytes/key) that explicit TTL is a config choice, not a
     * correctness one. */
-  def quotaAdmit(docs: DataFrame, k: Long,
-                 windowSeconds: Long = 900): Dataset[Admitted] = {
+  /** Pure admission fold shared by both state APIs: given the count
+    * already admitted, admit up to the remaining room in (ts, id)
+    * order with running ranks. */
+  private def admitFold(key: QKey, rows: Iterator[QDoc], already: Long,
+                        k: Long): (Seq[Admitted], Long) = {
+    val room = math.max(0L, k - already)
+    val admitted = rows.toSeq
+      .sortBy(d => (d.ts.toInstant.getEpochSecond, d.doc_id))
+      .take(math.min(room, Int.MaxValue.toLong).toInt)
+    (admitted.zipWithIndex.map { case (d, i) =>
+      Admitted(d.doc_id, key.source, key.window_start, already + i + 1)
+    }, already + admitted.length)
+  }
+
+  private def typedQuota(docs: DataFrame,
+                         windowSeconds: Long): Dataset[QDoc] = {
     implicit val qEnc = Encoders.product[QDoc]
-    implicit val kEnc = Encoders.product[QKey]
-    implicit val sEnc = Encoders.product[QuotaState]
-    implicit val aEnc = Encoders.product[Admitted]
-    require(k > 0 && windowSeconds > 0)
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
         col("source").cast("string").as("source"),
         col("ts").cast("timestamp").as("ts"))
       .as[QDoc]
-      .groupByKey(d => QKey(d.source,
-        d.ts.toInstant.getEpochSecond / windowSeconds * windowSeconds))
+  }
+
+  private def quotaKey(windowSeconds: Long): QDoc => QKey = d =>
+    QKey(d.source,
+      d.ts.toInstant.getEpochSecond / windowSeconds * windowSeconds)
+
+  def quotaAdmit(docs: DataFrame, k: Long,
+                 windowSeconds: Long = 900): Dataset[Admitted] = {
+    implicit val kEnc = Encoders.product[QKey]
+    implicit val sEnc = Encoders.product[QuotaState]
+    implicit val aEnc = Encoders.product[Admitted]
+    require(k > 0 && windowSeconds > 0)
+    typedQuota(docs, windowSeconds)
+      .groupByKey(quotaKey(windowSeconds))
       .flatMapGroupsWithState[QuotaState, Admitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: QKey, it: Iterator[QDoc], state: GroupState[QuotaState]) =>
-          val already = state.getOption.map(_.admitted).getOrElse(0L)
-          val room = math.max(0L, k - already)
-          val batch = it.toSeq.sortBy(d =>
-            (d.ts.toInstant.getEpochSecond, d.doc_id))
-          val admitted = batch.take(room.toInt)
-          state.update(QuotaState(already + admitted.length))
-          admitted.iterator.zipWithIndex.map { case (d, i) =>
-            Admitted(d.doc_id, key.source, key.window_start,
-              already + i + 1)
-          }
+          val (out, total) = admitFold(key, it,
+            state.getOption.map(_.admitted).getOrElse(0L), k)
+          state.update(QuotaState(total))
+          out.iterator
       }
+  }
+
+  /** The same admission quota on Spark 4's `transformWithState` — the
+    * deployment-grade variant: typed named state on the RocksDB
+    * provider (state spills off-heap) and per-state TTL available for
+    * closed-window counter expiry (`TTLConfig` — the config knob the
+    * fMGWS version documents as a deployment choice). Same admission
+    * semantics via the shared [[admitFold]]. */
+  class QuotaProcessor(k: Long)
+      extends StatefulProcessor[QKey, QDoc, Admitted] {
+    @transient private var cnt: ValueState[QuotaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[QuotaState]("admitted",
+        Encoders.product[QuotaState], TTLConfig.NONE)
+
+    override def handleInputRows(key: QKey, rows: Iterator[QDoc],
+                                 tv: TimerValues): Iterator[Admitted] = {
+      val already = if (cnt.exists()) cnt.get().admitted else 0L
+      val (out, total) = admitFold(key, rows, already, k)
+      cnt.update(QuotaState(total))
+      out.iterator
+    }
+  }
+
+  /** [[quotaAdmit]] via `transformWithState` (RocksDB state store
+    * required — the same runtime note as `Sessionize.sessionsTws`). */
+  def quotaAdmitTws(docs: DataFrame, k: Long,
+                    windowSeconds: Long = 900): Dataset[Admitted] = {
+    implicit val kEnc = Encoders.product[QKey]
+    implicit val aEnc = Encoders.product[Admitted]
+    require(k > 0 && windowSeconds > 0)
+    typedQuota(docs, windowSeconds)
+      .groupByKey(quotaKey(windowSeconds))
+      .transformWithState(new QuotaProcessor(k),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -151,6 +151,55 @@ class ElectionStreamSpec extends SparkSpec {
     assert(d1.getAs[Long]("demotes") === 2L)
   }
 
+  test("applyTombstones: a deleted rep falls back to the best " +
+      "surviving APPENDED copy (log-layout limitation honored)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_elect").toString
+    run(dir, Seq(docsAll.take(3), docsAll.slice(3, 5), docsAll.drop(5)))
+    // appended log: (a,2,7), (b,3,4), (c,10,2), (b,20,9) — the
+    // in-batch loser 1 and the tie-loser 21 were never appended
+    val store = spark.read.option("basePath", s"$dir/store")
+      .parquet(s"$dir/store").select("k", "id", "pref")
+    // delete the current best of "b" (20): the log still holds 3
+    val after = ElectionStream.applyTombstones(store,
+      Seq(20L).toDF("id"))
+      .select("k", "id", "pref")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(after("b") === ((3L, 4L)), "fallback to surviving log row")
+    assert(after("a") === ((2L, 7L)) && after("c") === ((10L, 2L)))
+    // delete every appended copy of a key: it vanishes entirely
+    val gone = ElectionStream.applyTombstones(store,
+      Seq(20L, 3L).toDF("id"))
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(gone === Set("a", "c"))
+  }
+
+  test("erasureReElectStats: rep deletion re-elects or empties per " +
+      "component") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "web", 50L), (2L, "web", 90L), (3L, "books", 90L), // cluster
+      (4L, "web", 10L),                                       // singleton
+      (10L, "web", 30L), (11L, "web", 30L))                   // tie cluster
+      .toDF("doc_id", "source", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    // delete rep 2 (cluster re-elects 3), singleton 4 (empties), and
+    // non-rep 11 (no rep change)
+    val got = Dedup.erasureReElectStats(docs, comps,
+        Seq(2L, 4L, 11L).toDF("doc_id"), prefCol = col("n_chars"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // original reps: 2 (web), 4 (web), 10 (web) — all sources "web"
+    assert(got.keySet === Set("web"))
+    val (nc, del, re, emp) = got("web")
+    assert(nc === 3L)   // 3 components
+    assert(del === 2L)  // reps 2 and 4 deleted
+    assert(re === 1L)   // cluster {1,2,3} re-elects 3
+    assert(emp === 1L)  // singleton 4 empties
+  }
+
   test("electMergeParityStats witnesses the monoid (n_disagree = 0)") {
     val docs = docsAll.map { case (id, k, p) =>
       (id, k, p, s"src${id % 3}") }

@@ -123,4 +123,42 @@ class StreamJoinSpec extends SparkSpec {
     assert(admittedCounts === Map(("a", w0) -> 2L, ("b", w0) -> 1L,
       ("a", w1) -> 1L))
   }
+
+  test("quotaAdmitTws matches the flatMapGroupsWithState semantics") {
+    // transformWithState runs only on the RocksDB state store
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, String, Timestamp)](spark)
+      val name = s"quota_tws_${System.nanoTime()}"
+      val q = StreamJoin.quotaAdmitTws(
+        stream.toDF().toDF("doc_id", "source", "ts"),
+        k = 2L, windowSeconds = 900)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        stream.addData((1L, "a", ts(1)), (2L, "a", ts(2)),
+          (3L, "a", ts(3)), (10L, "b", ts(1)))
+        q.processAllAvailable()
+        stream.addData((4L, "a", ts(4)), (5L, "a", ts(20)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // identical decision set as the fMGWS variant above
+      assert(rows === Set(
+        (1L, "a", 59400L, 1L), (2L, "a", 59400L, 2L),
+        (10L, "b", 59400L, 1L), (5L, "a", 61200L, 1L)))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
