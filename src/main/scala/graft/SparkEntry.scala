@@ -3279,6 +3279,34 @@ object SparkEntry {
             .as("micro_fertility"))
         .orderBy(col("source"))),
 
+    // ===== dedup-aware index recall ====================================
+    // what ELECTION-based dedup costs retrieval: the pinned brute
+    // top-5 served from a representatives-only index vs the full
+    // corpus, per query — a removed duplicate that was a top-5
+    // neighbor is a hit the deduped index can no longer return (or
+    // redundancy it no longer wastes a slot on — this row is how you
+    // tell which)
+    "q281_dedup_index_recall" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val kept = Dedup.electRepresentatives(documents(s, d),
+          sharedComponents(s, d), col("n_chars"))
+        .filter(col("is_kept") === 1L)
+        .select(col("doc_id").as("vec_id"))
+      val repEmb = emb.join(kept, Seq("vec_id"), "left_semi")
+      val queries = emb.filter(col("vec_id") < 10)
+      val full = Similarity.pinnedBruteTopK(emb, queries, k = 5)
+      val rep = Similarity.pinnedBruteTopK(repEmb, queries, k = 5)
+        .select(col("qid"), col("cid"), lit(1L).as("_hit"))
+      full.join(rep, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k_full"),
+          sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), col("k_full"), col("n_hits"),
+          expr("n_hits * 1000000 div greatest(k_full, 1)")
+            .as("recall_micro"))
+        .orderBy(col("qid"))
+    }),
+
     // ===== erasure re-election audit ===================================
     // what a delete-key feed does to the duplicate-cluster reps: how
     // many representatives are themselves deleted, how many clusters
@@ -12360,6 +12388,90 @@ object SparkEntry {
          |FROM encoded e JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
+
+    // q254's election defines the kept ids; q259's pinned integer
+    // ranking runs over the full corpus and the kept subset; the two
+    // top-5 sets compare per query — no native float kernel anywhere
+    "q281_dedup_index_recall" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT doc_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM lab)
+        |  WHERE rk = 1),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pe AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pc AS (
+        |  SELECT vec_id, pv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe),
+        |pq AS (SELECT vec_id AS qid, pv AS qv, na AS qna
+        |       FROM pc WHERE vec_id < 10),
+        |fullk AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT pq.qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY pq.qid
+        |      ORDER BY CASE WHEN pq.qna = 0 OR c.na = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |               i -> pq.qv[i]*c.pv[i])) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(pq.qna AS DOUBLE))
+        |                * sqrt(CAST(c.na AS DOUBLE))) END DESC,
+        |        c.vec_id) AS rank
+        |    FROM pq JOIN pc c ON pq.qid <> c.vec_id)
+        |  WHERE rank <= 5),
+        |repc AS (SELECT pc.* FROM pc JOIN el ON el.doc_id = pc.vec_id),
+        |repk AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT pq.qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY pq.qid
+        |      ORDER BY CASE WHEN pq.qna = 0 OR c.na = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |               i -> pq.qv[i]*c.pv[i])) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(pq.qna AS DOUBLE))
+        |                * sqrt(CAST(c.na AS DOUBLE))) END DESC,
+        |        c.vec_id) AS rank
+        |    FROM pq JOIN repc c ON pq.qid <> c.vec_id)
+        |  WHERE rank <= 5)
+        |SELECT f.qid, CAST(count(*) AS BIGINT) AS k_full,
+        |  CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN r.cid IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // greatest(count(*), 1) AS BIGINT)
+        |    AS recall_micro
+        |FROM fullk f LEFT JOIN repk r ON r.qid = f.qid AND r.cid = f.cid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q254's component+election chain run twice — full corpus and
     // minus the % 41 delete set — compared per component

@@ -113,7 +113,11 @@ class EntrySpec extends SparkSpec {
     // q259 is the q21 broadcast-query brute scan over the PINNED
     // integer representation — the de-floated yardstick exposed
     // row-level, a by-definition linear scan
-    "q259_pinned_brute")
+    "q259_pinned_brute",
+    // q281 runs that same pinned brute scan twice (full corpus and
+    // the elected-representative subset) to measure what dedup costs
+    // retrieval — the identical sanctioned broadcast-query linear scan
+    "q281_dedup_index_recall")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
