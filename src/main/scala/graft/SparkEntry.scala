@@ -47,6 +47,15 @@ object SparkEntry {
   /** TPC-H-style revenue expression used in several queries. */
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** q285's fixed topic lexicon (tie order = list order, part of the
+    * contract; the oracle replays the same lists and order). */
+  private val topicLexicon: Seq[(String, Seq[String])] = Seq(
+    "exec" -> Seq("scan", "filter", "join", "agg", "sort", "merge",
+      "hash", "group"),
+    "schema" -> Seq("table", "row", "column", "part", "customer", "line"),
+    "engine" -> Seq("spark", "stream", "batch", "query", "window"),
+    "size" -> Seq("fast", "slow", "big", "small", "key", "value"))
+
   /** 15-minute epoch bucket (seconds, grid-aligned) of a timestamp col. */
   private def bucket900(c: String) =
     (floor(unix_timestamp(col(c)) / 900) * 900).cast("long")
@@ -3306,6 +3315,56 @@ object SparkEntry {
             .as("recall_micro"))
         .orderBy(col("qid"))
     }),
+
+    // ===== contamination escape through dedup election ================
+    // the dedup × decontam interaction gate: pipelines decontaminate
+    // the elected REPRESENTATIVES only — a benchmark 5-gram carried by
+    // a near-dup member whose elected rep is clean escapes that pass
+    // entirely; n_escaped > 0 means rep-only decontam is leaking eval
+    // data into training (election from sharedComponents, flags from
+    // the q49 exact 5-gram chain)
+    "q282_contam_escape" -> ((s, d) => {
+      val all = documents(s, d)
+      val corpus = all.filter(col("doc_id") % 31 =!= 0)
+      val flags = Curation.contamination(corpus,
+          all.filter(col("doc_id") % 31 === 0), n = 5)
+        .select(col("doc_id"))
+      Curation.contamEscapeStats(corpus, sharedComponents(s, d),
+        flags, col("n_chars"))
+    }),
+
+    // ===== repeat-exposure bands under the epoch plan ==================
+    // the data-constrained-scaling gate on q236's planner: token views
+    // past ~epoch 4 are the diminishing-returns region, so the plan's
+    // total views split into fresh / repeat / stale bands (exact
+    // milli-epoch integer arithmetic — bands reconcile with
+    // achieved_tokens); a corpus-wide stale share > 0 says widen the
+    // corpus, don't train more epochs (cap raised to 8 epochs so the
+    // budget, not the cap, decides)
+    "q283_repeat_exposure" -> ((s, d) =>
+      Curation.repeatExposure(documents(s, d), budgetTokens = 100000L,
+        maxEpochsMilli = 8000L)),
+
+    // ===== preference-pair mining (reward-model data prep) =============
+    // top-3 vs bottom-3 by micro-quality within each (source, length
+    // band) block, gap ≥ 0.1 — the length band is the confound control
+    // (without it the pairs mostly teach "longer is better"); integer
+    // rankings with id tie-breaks, m² per block, never corpus²
+    "q284_preference_pairs" -> ((s, d) =>
+      Curation.preferencePairs(documents(s, d), m = 3, bandTokens = 50L,
+        minGapMicro = 100000L)),
+
+    // ===== keyword-lexicon topic tagging ===============================
+    // the pre-model domain classifier: 4 fixed word lists, per-doc
+    // argmax of codegen'd token-hit counts (tie order = lexicon order,
+    // zero hits = 'none' — the expected bucket for non-en docs), then
+    // the per-(source, topic) mixture table a sampler consumes; pure
+    // map-side scoring, the lexicon lives in the plan, not a table
+    "q285_topic_tagging" -> ((s, d) =>
+      T.topicTag(documents(s, d), topicLexicon)
+        .groupBy(col("source"), col("topic"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+        .orderBy(col("source"), col("topic"))),
 
     // ===== erasure re-election audit ===================================
     // what a delete-key feed does to the duplicate-cluster reps: how
@@ -12472,6 +12531,194 @@ object SparkEntry {
         |    AS recall_micro
         |FROM fullk f LEFT JOIN repk r ON r.qid = f.qid AND r.cid = f.cid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q254's component+election chain (full-corpus components, corpus
+    // election) crossed with q49's exact 5-gram contamination flags —
+    // per-component cube, then the per-rep-source escape roll-up
+    "q282_contam_escape" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |flags AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (s)),
+        |lab AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM corpus d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY component
+        |    ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS is_kept
+        |  FROM lab),
+        |fl AS (
+        |  SELECT el.doc_id, el.source, el.component, el.is_kept,
+        |         CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fflag
+        |  FROM el LEFT JOIN flags f USING (doc_id)),
+        |pc AS (
+        |  SELECT component, count(*) AS n_members, sum(fflag) AS n_flagged,
+        |         max(CASE WHEN is_kept = 1 THEN fflag END) AS rep_flagged,
+        |         max(CASE WHEN is_kept = 1 THEN source END) AS source
+        |  FROM fl GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contam_clusters,
+        |  CAST(sum(rep_flagged) AS BIGINT) AS n_rep_flagged,
+        |  CAST(sum(CASE WHEN n_flagged > 0 AND rep_flagged = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_escaped,
+        |  CAST(sum(CASE WHEN n_flagged > 0 AND rep_flagged = 0
+        |    THEN n_flagged ELSE 0 END) AS BIGINT) AS n_escaped_docs
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q236's plan CTEs with the cap at 8000 milli-epochs, then the
+    // exposure-band integer arithmetic on the plan rows
+    "q283_repeat_exposure" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+        |      FROM t),
+        |tot AS (SELECT sum(w) AS wsum FROM w),
+        |plan AS (
+        |  SELECT source, n_tokens,
+        |    CAST(least(8000, (100000 * w // greatest(wsum, 1)) * 1000
+        |      // greatest(n_tokens, 1)) AS BIGINT) AS epochs_milli
+        |  FROM w, tot),
+        |v AS (
+        |  SELECT source, n_tokens, epochs_milli,
+        |    CAST(epochs_milli * n_tokens // 1000 AS BIGINT) AS total_views,
+        |    CAST(n_tokens * least(epochs_milli, 1000) // 1000 AS BIGINT)
+        |      AS fresh_views,
+        |    CAST(n_tokens * greatest(epochs_milli - 4000, 0) // 1000
+        |      AS BIGINT) AS stale_views
+        |  FROM plan)
+        |SELECT source, n_tokens, epochs_milli, total_views, fresh_views,
+        |  CAST(total_views - fresh_views - stale_views AS BIGINT)
+        |    AS repeat_views,
+        |  stale_views,
+        |  CAST(stale_views * 1000000 // greatest(total_views, 1) AS BIGINT)
+        |    AS stale_micro
+        |FROM v ORDER BY source""".stripMargin,
+
+    // the q237 quality chain (doc_id/source kept), integer micro-
+    // quality rankings per (source, band) block, top-3 × bottom-3
+    // join, gap floor 0.1
+    "q284_preference_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      AS quality
+        |  FROM ratios),
+        |s AS (
+        |  SELECT doc_id, source, CAST(n_tokens // 50 AS BIGINT) AS band,
+        |    CAST(round(quality * 1000000) AS BIGINT) AS q_micro
+        |  FROM qual),
+        |hi AS (
+        |  SELECT source, band, doc_id AS chosen_id, q_micro AS q_hi_micro
+        |  FROM (SELECT s.*, row_number() OVER (PARTITION BY source, band
+        |          ORDER BY q_micro DESC, doc_id) AS rk FROM s)
+        |  WHERE rk <= 3),
+        |lo AS (
+        |  SELECT source, band, doc_id AS rejected_id, q_micro AS q_lo_micro
+        |  FROM (SELECT s.*, row_number() OVER (PARTITION BY source, band
+        |          ORDER BY q_micro ASC, doc_id) AS rk FROM s)
+        |  WHERE rk <= 3)
+        |SELECT source, band, chosen_id, rejected_id, q_hi_micro,
+        |  q_lo_micro, CAST(q_hi_micro - q_lo_micro AS BIGINT) AS gap_micro
+        |FROM hi JOIN lo USING (source, band)
+        |WHERE q_hi_micro - q_lo_micro >= 100000
+        |ORDER BY source, band, chosen_id, rejected_id""".stripMargin,
+
+    // per-topic token-hit counts over the same 4 word lists, CASE-chain
+    // argmax in lexicon order (exec, schema, engine, size; all-zero ->
+    // 'none'), per-(source, topic) rollup
+    "q285_topic_tagging" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |      AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['scan','filter','join','agg','sort','merge','hash','group'],
+        |      x))) AS h1,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['table','row','column','part','customer','line'], x))) AS h2,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['spark','stream','batch','query','window'], x))) AS h3,
+        |    len(list_filter(t, x -> list_contains(
+        |      ['fast','slow','big','small','key','value'], x))) AS h4
+        |  FROM toks),
+        |tag AS (
+        |  SELECT source,
+        |    CASE WHEN h1+h2+h3+h4 = 0 THEN 'none'
+        |         WHEN h1 >= h2 AND h1 >= h3 AND h1 >= h4 THEN 'exec'
+        |         WHEN h2 >= h3 AND h2 >= h4 THEN 'schema'
+        |         WHEN h3 >= h4 THEN 'engine'
+        |         ELSE 'size' END AS topic,
+        |    greatest(h1, h2, h3, h4) AS nh
+        |  FROM h)
+        |SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nh) AS BIGINT) AS n_hits
+        |FROM tag GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q254's component+election chain run twice — full corpus and
     // minus the % 41 delete set — compared per component

@@ -520,6 +520,55 @@ object Curation {
       .orderBy(col("f_exact"), col("f_bloom"), col("f_semantic"))
   }
 
+  /** Contamination ESCAPE through dedup election — the interaction
+    * gate between the dedup and decontamination stages. Production
+    * pipelines decontaminate the elected REPRESENTATIVES only (the
+    * full corpus was just deduped away); a benchmark n-gram carried by
+    * a non-representative duplicate whose elected representative does
+    * NOT itself match any benchmark n-gram (near-dup, not exact-dup:
+    * the paraphrased copy drops the matching 5-gram) slips past that
+    * pass entirely — the cluster's content trains anyway. This audit
+    * runs the election and the contamination flags together and counts,
+    * per representative source, the clusters where contamination is
+    * present but the representative is clean (`n_escaped`) — every
+    * such cluster is a doc the rep-only decontam pass will miss.
+    *
+    * Emits one row per source of the elected representative:
+    * (source, n_components, n_contam_clusters, n_rep_flagged,
+    * n_escaped, n_escaped_docs) — `n_escaped_docs` is the flagged
+    * member count inside escaped clusters (how much leaked text the
+    * miss represents).
+    *
+    * Scale shape: the contamination frame is the broadcast-probe pass
+    * of [[contamination]]; the election is one component-keyed window
+    * ([[graft.ext.Dedup.electRepresentatives]]); the cube is one
+    * component-keyed aggregate then a per-source roll-up — nothing
+    * corpus-quadratic, flags travel as a skinny id frame. */
+  def contamEscapeStats(docs: DataFrame, comps: DataFrame,
+                        contaminatedIds: DataFrame, prefCol: Column,
+                        idCol: String = "doc_id",
+                        srcCol: String = "source"): DataFrame = {
+    val flagged = Dedup.electRepresentatives(docs, comps, prefCol, idCol)
+      .join(contaminatedIds.select(col(idCol), lit(1L).as("_flag")),
+        Seq(idCol), "left")
+      .withColumn("_flag", coalesce(col("_flag"), lit(0L)))
+    flagged
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("_flag")).as("n_flagged"),
+        max(when(col("is_kept") === 1L, col("_flag"))).as("rep_flagged"),
+        max(when(col("is_kept") === 1L, col(srcCol))).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_components"),
+        sum((col("n_flagged") > 0L).cast("long")).as("n_contam_clusters"),
+        sum(col("rep_flagged")).as("n_rep_flagged"),
+        sum((col("n_flagged") > 0L && col("rep_flagged") === 0L)
+          .cast("long")).as("n_escaped"),
+        sum(when(col("n_flagged") > 0L && col("rep_flagged") === 0L,
+          col("n_flagged")).otherwise(lit(0L))).as("n_escaped_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Scrub-effectiveness gate — the audit that runs AFTER [[scrubPii]]
     * and must read zero: re-scan the scrubbed text with the SAME
     * patterns and aggregate residual hits per source next to the
@@ -1289,5 +1338,104 @@ object Curation {
         col("weight_micro"), col("target_tokens"), col("epochs_milli"),
         col("achieved_tokens"), col("capped"))
       .orderBy(col(sourceCol))
+  }
+
+  /** Repeat-exposure bands under an [[epochPlan]] — the
+    * data-constrained-scaling gate: empirically, token views past
+    * roughly the 4th epoch contribute sharply diminished value
+    * (repeating data substitutes for fresh data only up to a few
+    * epochs), so a plan whose budget pushes sources deep into repeat
+    * territory is spending compute on views the model barely learns
+    * from. For each source this splits the plan's total token views
+    * into FRESH (the first epoch — new tokens), REPEAT (epochs 2..
+    * `staleAfterMilli`/1000 — useful repetition) and STALE (views past
+    * the stale threshold — the diminishing-returns region), all in the
+    * plan's own milli-epoch integer arithmetic so the bands reconcile
+    * exactly with `achieved_tokens`.
+    *
+    * Emits one row per source: (source, n_tokens, epochs_milli,
+    * total_views, fresh_views, repeat_views, stale_views,
+    * stale_micro) — `stale_micro` the stale share of all views; a
+    * nonzero column-wide stale share is the signal to widen the corpus
+    * or cut the budget rather than train more epochs.
+    *
+    * Scale: pure integer arithmetic over the per-source plan frame
+    * (source-cardinality rows) — the corpus is touched only by the
+    * plan's own single token-count aggregate. */
+  def repeatExposure(docs: DataFrame, budgetTokens: Long,
+                     maxEpochsMilli: Long = 8000L,
+                     staleAfterMilli: Long = 4000L,
+                     sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    require(staleAfterMilli >= 1000L,
+      "staleAfterMilli below one epoch would class fresh views as stale")
+    epochPlan(docs, budgetTokens, maxEpochsMilli, sourceCol, textCol)
+      .withColumn("total_views", col("achieved_tokens"))
+      .withColumn("fresh_views",
+        expr("n_tokens * least(epochs_milli, 1000) div 1000"))
+      .withColumn("stale_views",
+        expr(s"n_tokens * greatest(epochs_milli - $staleAfterMilli, 0)" +
+          " div 1000"))
+      .select(col(sourceCol), col("n_tokens"), col("epochs_milli"),
+        col("total_views"), col("fresh_views"),
+        (col("total_views") - col("fresh_views")
+          - col("stale_views")).as("repeat_views"),
+        col("stale_views"),
+        expr("stale_views * 1000000 div greatest(total_views, 1)")
+          .as("stale_micro"))
+      .orderBy(col(sourceCol))
+  }
+
+  /** Preference-pair mining for reward-model / DPO data prep: within
+    * each (source, token-length band) block, the top-`m` documents by
+    * the composite quality score are paired against the bottom-`m`,
+    * keeping pairs whose quality gap clears `minGapMicro`. The length
+    * band is the CONTROL — pairing long-vs-short mostly teaches the
+    * ranker "longer is better" (quality correlates with length by
+    * construction); blocking on length forces the pairs to differ on
+    * the signal, not the confound. Rankings are integer micro-quality
+    * with id tie-breaks (the frozen-rank convention), so the mined
+    * pair set is replayable.
+    *
+    * Emits (source, band, chosen_id, rejected_id, q_hi_micro,
+    * q_lo_micro, gap_micro), totally ordered.
+    *
+    * Scale: per-row map-side scoring ([[graft.ext.TextAnalysis
+    * .withQuality]] is codegen'd), two block-keyed ranking windows
+    * (block cardinality = sources × bands, each window partition a
+    * block, never global), one (source, band) equi-join whose sides
+    * are ≤ m rows per block — pair volume is m² per block by
+    * construction, never corpus². */
+  def preferencePairs(docs: DataFrame, m: Int = 3, bandTokens: Long = 50L,
+                      minGapMicro: Long = 100000L,
+                      idCol: String = "doc_id",
+                      srcCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && bandTokens > 0 && minGapMicro >= 0,
+      "m and bandTokens must be positive, minGapMicro non-negative")
+    val scored = TextAnalysis.withQuality(docs, textCol)
+      .select(col(idCol), col(srcCol).as("source"),
+        expr(s"n_tokens div $bandTokens").as("band"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val hiW = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("q_micro").desc, col(idCol))
+    val loW = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("q_micro").asc, col(idCol))
+    val hi = scored.withColumn("_rk", row_number().over(hiW))
+      .filter(col("_rk") <= m)
+      .select(col("source"), col("band"), col(idCol).as("chosen_id"),
+        col("q_micro").as("q_hi_micro"))
+    val lo = scored.withColumn("_rk", row_number().over(loW))
+      .filter(col("_rk") <= m)
+      .select(col("source"), col("band"), col(idCol).as("rejected_id"),
+        col("q_micro").as("q_lo_micro"))
+    hi.join(lo, Seq("source", "band"))
+      .filter(col("q_hi_micro") - col("q_lo_micro") >= minGapMicro)
+      .select(col("source"), col("band"), col("chosen_id"),
+        col("rejected_id"), col("q_hi_micro"), col("q_lo_micro"),
+        (col("q_hi_micro") - col("q_lo_micro")).as("gap_micro"))
+      .orderBy(col("source"), col("band"), col("chosen_id"),
+        col("rejected_id"))
   }
 }

@@ -99,6 +99,44 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Keyword-lexicon topic tagging — the cheap domain classifier a
+    * curation pipeline runs before any learned model exists: each
+    * topic is a word list, a document's score per topic is its
+    * token-hit count against that list, and the tag is the argmax
+    * (ties resolve to the EARLIEST topic in `lexicon` order — the
+    * fixed order is part of the contract, exactly like
+    * [[withLangId]]'s en→de→fr→es chain). Documents hitting no list
+    * at all tag as `none` — on a multilingual corpus that is the
+    * expected out-of-vocabulary bucket, not an error.
+    *
+    * Adds `topic` and `n_hits` (the winner's hit count; 0 for none).
+    *
+    * Scale: pure map-side — one codegen'd [[graft.functions
+    * .TextExpressions.token_set_hits]] kernel per topic fused into a
+    * single projection, a when-chain argmax, no explode, no join, no
+    * shuffle; the lexicon lives in the plan, not in a table. */
+  def topicTag(df: DataFrame, lexicon: Seq[(String, Seq[String])],
+               textCol: String = "text"): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must name at least one topic")
+    require(lexicon.map(_._1).distinct.size == lexicon.size,
+      "duplicate topic names make the argmax ambiguous")
+    val lt = lower(col(textCol))
+    val hitCols = lexicon.map { case (t, words) => t -> hits(lt, words) }
+    val total = hitCols.map(_._2).reduce(_ + _)
+    // argmax by lexicon order: topic i wins when its count is >= every
+    // LATER topic's (earlier topics already failed their own chain step)
+    val argmax = hitCols.tails.collect {
+      case (t, h) +: rest if rest.nonEmpty =>
+        (t, rest.map(_._2).map(h >= _).reduce(_ && _))
+    }.foldRight(lit(lexicon.last._1): Column) { case ((t, cond), e) =>
+      when(cond, t).otherwise(e)
+    }
+    df.withColumn("topic", when(total === 0, "none").otherwise(argmax))
+      .withColumn("n_hits", // all-zero counts make this 0 for `none`
+        (if (hitCols.sizeIs > 1) greatest(hitCols.map(_._2): _*)
+         else hitCols.head._2).cast("long"))
+  }
+
   /** Canonical-form fingerprint: md5 of the lowercased, single-spaced
     * token stream. Whitespace-insensitive exact-dup key. */
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =

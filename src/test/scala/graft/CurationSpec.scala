@@ -671,4 +671,68 @@ class CurationSpec extends SparkSpec {
     assert(!got.keySet.exists(k => k._1 === 1L && k._2 === 0L),
       "bloom produced a false negative")
   }
+
+  // ===== contamination escape through dedup election ========================
+
+  test("contamEscapeStats: flagged non-rep member escapes, flagged rep " +
+      "is caught, election tie-breaks by id") {
+    val docs = Seq(
+      (1L, 10L, "sA"), (2L, 5L, "sA"),  // comp 1: rep=1, member 2 flagged
+      (3L, 8L, "sB"), (4L, 9L, "sB"),   // comp 3: rep=4 flagged
+      (5L, 7L, "sA"),                   // clean singleton
+      (6L, 7L, "sB"), (7L, 7L, "sB"))   // comp 6: pref tie -> rep=6 (id ASC)
+      .toDF("doc_id", "n_chars", "source")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (6L, 6L), (7L, 6L)).toDF("doc_id", "component")
+    val flags = Seq(2L, 4L, 7L).toDF("doc_id")
+    val got = Curation.contamEscapeStats(docs, comps, flags,
+        col("n_chars")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // sA: comp1 (escape: member 2 flagged, rep 1 clean) + singleton 5
+    assert(got("sA") === ((2L, 1L, 0L, 1L, 1L)))
+    // sB: comp3 rep flagged (caught), comp6 member 7 escapes past rep 6
+    assert(got("sB") === ((2L, 2L, 1L, 1L, 1L)))
+  }
+
+  // ===== repeat-exposure bands ==============================================
+
+  test("repeatExposure: bands reconcile with the plan; stale fires only " +
+      "past the threshold") {
+    val docs = Seq(
+      ("sX", ("a " * 10).trim),    // tiny source -> capped at 8 epochs
+      ("sY", ("b " * 1000).trim))  // big source -> budget-bound epochs
+      .toDF("source", "text")
+    val got = Curation.repeatExposure(docs, budgetTokens = 5000L,
+        maxEpochsMilli = 8000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // sX: w=3, wsum=34 -> target 441 -> epochs cap 8000; views 80 =
+    // 10 fresh + 30 repeat (epochs 1..4) + 40 stale (epochs 4..8)
+    assert(got("sX") === ((10L, 8000L, 80L, 10L, 30L, 40L, 500000L)))
+    // sY: budget-bound between the stale threshold and the cap
+    val (ny, ey, ty, fy, ry, sy, _) = got("sY")
+    assert(ny === 1000L && ey > 4000L && ey < 8000L && sy > 0L)
+    got.values.foreach { case (_, _, t, f, r, s0, _) =>
+      assert(f + r + s0 === t, "bands must partition total views") }
+    assert(fy + ry + sy === ty)
+  }
+
+  // ===== preference-pair mining =============================================
+
+  test("preferencePairs: top-vs-bottom within the length-band block, " +
+      "gap floor enforced") {
+    // all three docs land in the same (source, band) block: 100 tokens
+    val hiQ = (1L, "s", ("the of and to a in is it you that " * 10).trim)
+    val loQ = (2L, "s", ("zzz. " * 100).trim)  // punct-saturated -> q 0
+    val midQ = (3L, "s", ("zzz " * 100).trim)  // no stops -> q 0.25
+    val docs = Seq(hiQ, loQ, midQ).toDF("doc_id", "source", "text")
+    val got = Curation.preferencePairs(docs, m = 2, bandTokens = 50L,
+        minGapMicro = 100000L).collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(6)).toMap
+    // hi {1 (1.0), 3 (0.25)} x lo {2 (0.0), 3 (0.25)} minus the
+    // sub-gap 3-3 pair
+    assert(got === Map((1L, 2L) -> 1000000L, (1L, 3L) -> 750000L,
+      (3L, 2L) -> 250000L))
+  }
 }

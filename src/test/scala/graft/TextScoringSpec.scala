@@ -476,4 +476,26 @@ class TextScoringSpec extends SparkSpec {
       assert(row._2 === q.count(_ >= t).toLong, s"threshold $t")
     }
   }
+
+  // --- keyword-lexicon topic tagging ----------------------------------------
+
+  test("topicTag: argmax with lexicon-order ties; zero hits tag as none") {
+    val lex = Seq(
+      "exec" -> Seq("scan", "filter", "join"),
+      "schema" -> Seq("table", "row"),
+      "size" -> Seq("fast", "big"))
+    val docs = Seq(
+      (1L, "scan filter join please"), // exec 3
+      (2L, "table scan"),              // 1-1 tie -> exec (earlier topic)
+      (3L, "fast fast big"),           // size 3 (multiplicity counted)
+      (4L, "xyzzy blargh"))            // no hits -> none
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topicTag(docs, lex)
+      .select("doc_id", "topic", "n_hits").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("exec", 3L)))
+    assert(got(2L) === (("exec", 1L)))
+    assert(got(3L) === (("size", 3L)))
+    assert(got(4L) === (("none", 0L)))
+  }
 }
