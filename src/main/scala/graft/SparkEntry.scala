@@ -3366,6 +3366,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_hits")).as("n_hits"))
         .orderBy(col("source"), col("topic"))),
 
+    // ===== erasure through the PQ index ================================
+    // FAISS remove_ids() without retrain: the % 41 delete feed
+    // anti-joins the shared index's codes (codebooks frozen — q199's
+    // drift gate owns the retrain decision), then the q177 ADC search
+    // runs over the erased index; deleted_leak is the pinned-invariant
+    // column (q200 style) that reds the row if an erased id EVER
+    // surfaces in any top-k
+    "q286_index_erasure" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val erased = Similarity.erasePqIndex(sharedPqIndex(s, d),
+        emb.filter(col("vec_id") % 41 === 0).select(col("vec_id")))
+      Similarity.pqAdcSearch(erased, emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("deleted_leak", (col("cid") % 41 === 0).cast("long"))
+    }),
+
+    // ===== cross-lingual bitext mining yield ===========================
+    // LASER-style mine-into-English, deterministic skeleton: pinned-
+    // integer IVF blocking (16 smallest-id seeds), pinned cosine
+    // ranking within cells, mutual-top-1 filter (kills hub
+    // translations), per-source-language yield table — the alignment
+    // health gate a translation-pair miner reads before training
+    "q287_bitext_yield" -> ((s, d) =>
+      Similarity.bitextMutualStats(embeddings(s, d),
+        documents(s, d).select(col("doc_id").as("vec_id"), col("lang")),
+        targetLang = "en")),
+
     // ===== erasure re-election audit ===================================
     // what a delete-key feed does to the duplicate-cluster reps: how
     // many representatives are themselves deleted, how many clusters
@@ -12719,6 +12745,138 @@ object SparkEntry {
         |SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nh) AS BIGINT) AS n_hits
         |FROM tag GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q177's full-corpus PQ train + ADC replay, with the % 41 delete
+    // set filtered out of the code scan (codebooks frozen — trained
+    // pre-deletion on both sides); deleted_leak pinned at 0
+    "q286_index_erasure" ->
+      """WITH e0 AS (
+        |  SELECT vec_id AS id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+        |  FROM embeddings),
+        |e AS (SELECT id, v0 AS v FROM e0),
+        |subs AS (
+        |  SELECT id, s AS sub, v[(s*4+1):(s*4+4)] AS sv
+        |  FROM e, UNNEST(range(0, 16)) AS u(s)),
+        |seeds AS (SELECT id FROM e ORDER BY id LIMIT 32),
+        |c0 AS (
+        |  SELECT sub, id AS c_id, sv AS cv FROM subs
+        |  WHERE id IN (SELECT id FROM seeds)),
+        |d1 AS (
+        |  SELECT subs.id, subs.sub, c.c_id, subs.sv,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c0 c USING (sub)),
+        |a1 AS (
+        |  SELECT id, sub, c_id, sv FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d1)
+        |  WHERE rk = 1),
+        |m1 AS (
+        |  SELECT sub, c_id, i - 1 AS dim,
+        |         CAST(floor(CAST(sum(CAST(floor(sv[i]*1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1e6 AS mval
+        |  FROM a1, UNNEST(range(1, 5)) AS u(i) GROUP BY 1, 2, 3),
+        |c1m AS (
+        |  SELECT sub, c_id, list(mval ORDER BY dim) AS cv
+        |  FROM m1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT * FROM c1m
+        |  UNION ALL
+        |  SELECT c0.sub, c0.c_id, c0.cv FROM c0
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1m
+        |                    WHERE c1m.sub = c0.sub AND c1m.c_id = c0.c_id)),
+        |d2 AS (
+        |  SELECT subs.id, subs.sub, c.c_id,
+        |         round(list_dot_product(subs.sv, subs.sv)
+        |           - 2*list_dot_product(subs.sv, c.cv)
+        |           + list_dot_product(c.cv, c.cv), 6) AS d
+        |  FROM subs JOIN c1 c USING (sub)),
+        |codes AS (
+        |  SELECT id, sub, c_id AS code FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY id, sub ORDER BY d, c_id) AS rk FROM d2)
+        |  WHERE rk = 1),
+        |qsubs AS (SELECT id AS qid, sub, sv FROM subs WHERE id < 10),
+        |lut AS (
+        |  SELECT q.qid, q.sub, c.c_id,
+        |    CAST(list_sum(list_transform(range(1, 5), i ->
+        |      (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT))
+        |      * (CAST(floor(q.sv[i]*1e6 + 0.5) AS BIGINT)
+        |         - CAST(floor(c.cv[i]*1e6 + 0.5) AS BIGINT)))) AS BIGINT) AS dm
+        |  FROM qsubs q JOIN c1 c USING (sub)),
+        |ad AS (
+        |  SELECT l.qid, co.id AS cid, CAST(sum(l.dm) AS BIGINT) AS adist
+        |  FROM codes co JOIN lut l ON l.sub = co.sub AND l.c_id = co.code
+        |  WHERE l.qid <> co.id AND co.id % 41 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT qid, cid, adist, rank,
+        |  CAST(cid % 41 = 0 AS BIGINT) AS deleted_leak FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, cid) AS rank FROM ad)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the q281 pinned-integer machinery end to end: pinned IVF cell
+    // assignment (16 smallest-id seeds), pinned in-cell cosine ranks
+    // both directions, mutual-top-1 filter, per-source-lang rollup
+    "q287_bitext_yield" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pe AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pc AS (
+        |  SELECT vec_id, pv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe),
+        |sd AS (SELECT vec_id AS c_id, pv AS cv, na AS cna
+        |       FROM pc ORDER BY vec_id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT pc.vec_id AS id, sd.c_id, row_number() OVER (
+        |      PARTITION BY pc.vec_id
+        |      ORDER BY CASE WHEN pc.na = 0 OR sd.cna = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |               i -> pc.pv[i]*sd.cv[i])) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(pc.na AS DOUBLE))
+        |                * sqrt(CAST(sd.cna AS DOUBLE))) END DESC,
+        |        sd.c_id) AS rk
+        |    FROM pc CROSS JOIN sd)
+        |  WHERE rk = 1),
+        |lv AS (
+        |  SELECT pc.vec_id, pc.pv, pc.na, d.lang, cells.c_id
+        |  FROM pc JOIN documents d ON d.doc_id = pc.vec_id
+        |  JOIN cells ON cells.id = pc.vec_id),
+        |a AS (SELECT vec_id AS a_id, lang AS a_lang, pv AS av,
+        |        na AS ana, c_id FROM lv WHERE lang <> 'en'),
+        |b AS (SELECT vec_id AS b_id, pv AS bv, na AS bna, c_id
+        |      FROM lv WHERE lang = 'en'),
+        |sc AS (
+        |  SELECT a.a_id, a.a_lang, b.b_id,
+        |    CASE WHEN a.ana = 0 OR b.bna = 0 THEN 0.0
+        |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |             i -> a.av[i]*b.bv[i])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(CAST(a.ana AS DOUBLE))
+        |              * sqrt(CAST(b.bna AS DOUBLE))) END AS ps
+        |  FROM a JOIN b USING (c_id)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY ps DESC, b_id) AS fw_rk,
+        |    row_number() OVER (PARTITION BY b_id
+        |      ORDER BY ps DESC, a_id) AS bw_rk
+        |  FROM sc)
+        |SELECT a_lang AS lang, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN bw_rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mutual,
+        |  CAST(sum(CASE WHEN bw_rk = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS yield_micro
+        |FROM rk WHERE fw_rk = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q254's component+election chain run twice — full corpus and
     // minus the % 41 delete set — compared per component

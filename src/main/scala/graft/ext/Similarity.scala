@@ -151,6 +151,76 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Cross-lingual bitext mining yield (LASER/CCMatrix-style
+    * mine-into-target, reduced to its deterministic skeleton): every
+    * non-`targetLang` document is paired with same-IVF-cell
+    * `targetLang` documents, ranked by pinned-integer cosine, and a
+    * pair is MINED when it is mutual-top-1 (x's best target is y AND
+    * y's best source is x — the forward∩backward filter that kills
+    * hub translations). Emits the per-source-language yield table:
+    * (lang, n_queries, n_mutual, yield_micro), where `n_queries`
+    * counts source docs with at least one same-cell target candidate
+    * — a low yield for one language flags embedding-space
+    * misalignment for that pair before any trainer consumes the
+    * mined pairs.
+    *
+    * Blocking is the 16-smallest-id-seed IVF assignment computed on
+    * PINNED integer micros (not the float-kernel `ivfAssign`) so the
+    * whole trajectory — blocking, ranking, mutuality — replays
+    * bit-for-bit in any engine (the q259/q281 convention).
+    *
+    * Scale: the seed frame is broadcast (bounded crossJoin — the q34
+    * block shape); candidates form per-cell equi-join groups, never
+    * corpus²; both mutual windows are keyed per doc. */
+  def bitextMutualStats(emb: DataFrame, langs: DataFrame,
+                        targetLang: String = "en",
+                        nCentroids: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("c_id"), microVec(col(vecCol)).as("cv"))
+      .withColumn("cna", dotLong(col("cv"), col("cv")))
+    val v = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("pv"))
+      .withColumn("na", dotLong(col("pv"), col("pv")))
+    val aw = Window.partitionBy(col("id"))
+      .orderBy(col("_psim").desc, col("c_id"))
+    val cells = v.crossJoin(broadcast(seeds))
+      .withColumn("_psim",
+        pinnedCosine(dotLong(col("pv"), col("cv")), col("na"), col("cna")))
+      .withColumn("_rk", row_number().over(aw))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("c_id"))
+    val lv = v
+      .join(langs.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+      .join(cells, "id")
+    val src = lv.filter(col("lang") =!= targetLang)
+      .select(col("id").as("a_id"), col("lang").as("a_lang"),
+        col("pv").as("av"), col("na").as("ana"), col("c_id"))
+    val dst = lv.filter(col("lang") === targetLang)
+      .select(col("id").as("b_id"), col("pv").as("bv"),
+        col("na").as("bna"), col("c_id"))
+    val scored = src.join(dst, Seq("c_id"))
+      .withColumn("_psim",
+        pinnedCosine(dotLong(col("av"), col("bv")), col("ana"), col("bna")))
+    val fw = Window.partitionBy(col("a_id"))
+      .orderBy(col("_psim").desc, col("b_id"))
+    val bw = Window.partitionBy(col("b_id"))
+      .orderBy(col("_psim").desc, col("a_id"))
+    scored
+      .withColumn("fw_rk", row_number().over(fw))
+      .withColumn("bw_rk", row_number().over(bw))
+      .filter(col("fw_rk") === 1)
+      .groupBy(col("a_lang").as("lang"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("bw_rk") === 1).cast("long")).as("n_mutual"))
+      .select(col("lang"), col("n_queries"), col("n_mutual"),
+        expr("n_mutual * 1000000 div greatest(n_queries, 1)")
+          .as("yield_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** Matryoshka-style prefix-dimension first stage (Kusupati et al.
     * NeurIPS'22 — MRL-trained embeddings order information by
     * dimension, so the first `prefixDims` dims are a usable coarse
@@ -1117,6 +1187,22 @@ object Similarity {
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     PqIndex(m, dsub, codes, cents)
   }
+
+  /** Erasure applied to a built [[PqIndex]] WITHOUT retraining — the
+    * FAISS remove_ids() half of the GDPR path: a delete-key feed
+    * (takedowns, erasure requests) anti-joins the codes table, so a
+    * deleted vector can never appear in any subsequent search, while
+    * the codebooks stay frozen (they were trained on data that
+    * included the deleted rows — acceptable for nearest-neighbor
+    * serving, since codebooks are aggregate geometry, but a
+    * policy-level retrain trigger if the delete volume drifts the
+    * distribution; [[pqDriftStats]] is the gate that measures that).
+    *
+    * Scale: one id-equi anti-join on the skinny (id, sub, code) frame
+    * against the (broadcastable) delete-key set; codebooks untouched. */
+  def erasePqIndex(index: PqIndex, deleteKeys: DataFrame): PqIndex =
+    index.copy(codes = index.codes.join(
+      deleteKeys.toDF("id").select(col("id")), Seq("id"), "left_anti"))
 
   /** Persist a [[PqIndex]] as three parquet dirs under `dir`
     * (`codes/`, `cents/`, `meta/`) — the missing half of the FAISS

@@ -117,7 +117,11 @@ class EntrySpec extends SparkSpec {
     // q281 runs that same pinned brute scan twice (full corpus and
     // the elected-representative subset) to measure what dedup costs
     // retrieval — the identical sanctioned broadcast-query linear scan
-    "q281_dedup_index_recall")
+    "q281_dedup_index_recall",
+    // q287's cell assignment is the q34 block shape on pinned integers:
+    // a broadcast crossJoin against the LIMIT-16 seed frame (bounded
+    // model, never the corpus)
+    "q287_bitext_yield")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
@@ -224,7 +228,11 @@ class EntrySpec extends SparkSpec {
   //    (q225/q247/q97 respectively) — their outputs are functions of
   //    frozen-measured counts/flags, so re-pinning them alone would
   //    desynchronize them from the base they audit. New entries of
-  //    this shape must say so here.
+  //    this shape must say so here. q286_index_erasure (r15) embeds
+  //    q177's frozen PQ train+ADC replay verbatim with only the
+  //    delete-set filter added to the code scan — re-pinning it alone
+  //    would desynchronize it from the q177/q197/q198 lifecycle it
+  //    audits.
   //
   // A NEW oracle must compute rank keys from pinned integer micros
   // (the q233/q259 pattern) — adding a name to this list requires
@@ -254,6 +262,7 @@ class EntrySpec extends SparkSpec {
     "q245_ranker_agreement", "q246_hubness", "q247_neardup_sweep",
     "q248_cell_label_nmi", "q249_knn_graph_health", "q257_tier_frontier",
     "q261_threshold_advisor", "q279_decontam_agreement",
+    "q286_index_erasure",
     "q34_ann_ivf", "q53_kmeans", "q58_pq",
     "q63_embed_outliers", "q75_semantic_dedup", "q82_random_projection",
     "q95_nn_novelty", "q97_semantic_contamination")

@@ -1686,6 +1686,40 @@ class ExtSpec extends SparkSpec {
       row.getAs[Long]("mean_err_grown"))
   }
 
+  test("bitextMutualStats: mutual-top-1 yield; a hub target pairs with " +
+      "only its best source") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // en
+      (1L, Array(0.9f, 0.1f)),  // de -> best en is 0, and 0's best de is 1
+      (2L, Array(0.0f, 1.0f)),  // en
+      (3L, Array(0.1f, 0.9f)),  // de -> mutual with 2
+      (4L, Array(0.8f, 0.2f)))  // de -> best en is 0, but 0 prefers 1
+      .toDF("vec_id", "embedding")
+    val langs = Seq((0L, "en"), (1L, "de"), (2L, "en"), (3L, "de"),
+      (4L, "de")).toDF("vec_id", "lang")
+    val got = Similarity.bitextMutualStats(emb, langs, nCentroids = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("de", 3L, 2L, 666666L)))
+  }
+
+  test("erasePqIndex: deleted ids vanish from codes and every top-k; " +
+      "codebooks stay frozen") {
+    val emb = (0L until 12L).map(i =>
+      (i, Array((i % 4).toFloat, 1.0f, 0.2f * (i % 5), (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.pqBuild(emb, m = 2, dsub = 2, kCodes = 4)
+    val erased = Similarity.erasePqIndex(idx, Seq(3L, 7L).toDF("vec_id"))
+    assert(erased.codes.filter(col("id").isin(3L, 7L)).count() === 0L)
+    assert(erased.codes.count() === idx.codes.count() - 2 * idx.m)
+    val hits = Similarity.pqAdcSearch(erased,
+        emb.filter(col("vec_id") < 3), k = 5)
+      .select("cid").as[Long].collect()
+    assert(hits.nonEmpty && !hits.contains(3L) && !hits.contains(7L))
+    // remove_ids() semantics: the codebooks are the SAME object
+    assert(erased.cents eq idx.cents)
+  }
+
   test("ivfCellStats: exact counts, shares and imbalance on a planted corpus") {
     // seeds are the two smallest ids; 4 vectors land with seed 0,
     // 2 with seed 1 → shares 4/6 and 2/6, imbalance = 4·2/6 = 1.33x
