@@ -148,20 +148,24 @@ object SparkEntry {
   }
 
   /** The trained-and-applied BPE encoding shared by q80 (the per-doc
-    * table), q85 (per-lang fertility) and q278 (per-source fertility)
-    * — the 3-iteration merge training plus the encode pass is the
-    * session's most expensive text stage after the shingle chain, and
-    * three consumers must not pay it three times. */
+    * table), q85 (per-lang fertility), q278 (per-source fertility) and
+    * q288 (vocab utilization) — the 3-iteration merge training plus
+    * the encode pass is the session's most expensive text stage after
+    * the shingle chain, and four consumers must not pay it four times.
+    * The memo holds the SYMBOL-level frame (id, n_tokens, syms); count
+    * consumers project it through [[graft.ext.TextAnalysis.bpeCounts]]. */
   private val bpeEncodedMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def sharedBpeEncoded(s: SparkSession, d: String): DataFrame = {
+  private def sharedBpeSyms(s: SparkSession, d: String): DataFrame = {
     hookEviction(s)
     bpeEncodedMemo.computeIfAbsent((s, d), _ => {
       val docs = documents(s, d)
-      T.bpeEncode(docs, T.bpeMerges(docs, iters = 3), iters = 3)
+      T.bpeEncodeSymbols(docs, T.bpeMerges(docs, iters = 3), iters = 3)
         .localCheckpoint(true)
     })
   }
+  private def sharedBpeEncoded(s: SparkSession, d: String): DataFrame =
+    T.bpeCounts(sharedBpeSyms(s, d))
 
   /** Memo hygiene (ADVICE r10): the static memo maps hold SparkSession
     * and checkpointed-DataFrame references, which a long-lived JVM that
@@ -3391,6 +3395,25 @@ object SparkEntry {
       Similarity.bitextMutualStats(embeddings(s, d),
         documents(s, d).select(col("doc_id").as("vec_id"), col("lang")),
         targetLang = "en")),
+
+    // ===== BPE vocabulary-utilization audit ============================
+    // tokenizer health beyond fertility: the top-20 vocab symbols by
+    // corpus usage with exact micro shares of ALL symbol occurrences —
+    // one symbol absorbing the corpus = merges overfit to boilerplate,
+    // a flat tail = wasted vocab slots; symbol stream from the shared
+    // q80/q85/q278 encode memo (one train+encode pass, four consumers)
+    "q288_vocab_usage" -> ((s, d) =>
+      T.bpeVocabUsage(sharedBpeSyms(s, d), topK = 20)),
+
+    // ===== in-batch contrastive false-negative sweep ===================
+    // hash-batched contrastive training treats every same-batch pair
+    // as a negative; same-dup-component pairs are FALSE negatives that
+    // push identical content apart — the sweep prices that poison rate
+    // at each candidate batch size (components from the shared chain),
+    // deciding the largest safe batch, or that dedup must run first
+    "q289_false_negatives" -> ((s, d) =>
+      Curation.falseNegativeSweep(documents(s, d),
+        sharedComponents(s, d), batchSizes = Seq(4, 16, 64))),
 
     // ===== erasure re-election audit ===================================
     // what a delete-key feed does to the duplicate-cluster reps: how
@@ -12877,6 +12900,85 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS yield_micro
         |FROM rk WHERE fw_rk = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the shared BPE train+encode CTEs, then the symbol stream
+    // exploded (word separators dropped), counted per symbol, top-20
+    // by (uses, symbol) with exact micro shares of the full total
+    "q288_vocab_usage" -> {
+      val iters = 3
+      s"""WITH ${bpeTrainingCtes(iters)},
+         |${bpeEncodeCtes(iters)},
+         |symu AS (
+         |  SELECT u.s AS symbol
+         |  FROM enc$iters, UNNEST(string_split(trim(syms), ' ')) AS u(s)
+         |  WHERE n_tokens > 0 AND u.s <> chr(1) AND u.s <> ''),
+         |cnt AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_uses
+         |        FROM symu GROUP BY 1),
+         |tot AS (SELECT sum(n_uses) AS t FROM cnt),
+         |top AS (SELECT * FROM cnt ORDER BY n_uses DESC, symbol LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY n_uses DESC, symbol)
+         |    AS BIGINT) AS rank,
+         |  symbol, n_uses,
+         |  CAST(n_uses * 1000000 // greatest(t, 1) AS BIGINT)
+         |    AS share_micro
+         |FROM top, tot ORDER BY rank""".stripMargin
+    },
+
+    // the q43 component chain, then per batch size: md5-hash batch
+    // assignment (nBatches = ceil(N/B)), integer pair counting per
+    // batch and per batch×component, 1-row totals unioned
+    "q289_false_negatives" -> {
+      val sizes = Seq(4, 16, 64)
+      val blocks = sizes.map { b =>
+        s"""nb$b AS (SELECT greatest(1, (count(*) + ${b - 1}) // $b) AS nb
+           |          FROM documents),
+           |bat$b AS (
+           |  SELECT CAST(('0x' || substring(
+           |      md5('fn$b:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           |      AS BIGINT) % nb.nb AS batch,
+           |    coalesce(c.component, d.doc_id) AS component
+           |  FROM documents d LEFT JOIN comp c USING (doc_id), nb$b nb),
+           |ap$b AS (SELECT coalesce(sum(c*(c-1)//2), 0) AS n_pairs
+           |         FROM (SELECT count(*) AS c FROM bat$b GROUP BY batch)),
+           |fp$b AS (SELECT coalesce(sum(c*(c-1)//2), 0) AS n_false_neg
+           |         FROM (SELECT count(*) AS c FROM bat$b
+           |               GROUP BY batch, component)),
+           |row$b AS (
+           |  SELECT CAST($b AS BIGINT) AS batch_size,
+           |    (SELECT CAST(nb AS BIGINT) FROM nb$b) AS n_batches,
+           |    CAST(n_pairs AS BIGINT) AS n_pairs,
+           |    CAST(n_false_neg AS BIGINT) AS n_false_neg,
+           |    CAST(n_false_neg * 1000000 // greatest(n_pairs, 1)
+           |      AS BIGINT) AS fn_rate_micro
+           |  FROM ap$b, fp$b)""".stripMargin
+      }.mkString(",\n")
+      val rows = sizes.map(b => s"SELECT * FROM row$b")
+        .mkString("\n UNION ALL ")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+         |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u AS id, u AS comp FROM edges
+         |  UNION
+         |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+         |comp AS (SELECT id AS doc_id, min(comp) AS component
+         |         FROM reach GROUP BY id),
+         |$blocks
+         |$rows ORDER BY batch_size""".stripMargin
+    },
 
     // q254's component+election chain run twice — full corpus and
     // minus the % 41 delete set — compared per component

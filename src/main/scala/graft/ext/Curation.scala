@@ -1438,4 +1438,55 @@ object Curation {
       .orderBy(col("source"), col("band"), col("chosen_id"),
         col("rejected_id"))
   }
+
+  /** In-batch false-negative sweep for contrastive embedding training:
+    * when batches are drawn by hash, every same-batch pair is treated
+    * as a negative — but a pair of near-duplicates (same dup
+    * component) is a FALSE negative that pushes identical content
+    * apart and poisons the loss. For each candidate batch size this
+    * measures the expected false-negative pair rate under the
+    * deterministic hash batching, so the trainer can pick the largest
+    * batch whose poison rate is tolerable — or learn that the corpus
+    * must be deduped before contrastive training at any batch size.
+    *
+    * Emits one row per batch size: (batch_size, n_batches, n_pairs,
+    * n_false_neg, fn_rate_micro).
+    *
+    * Scale: per size, two hash aggregates (per batch, per
+    * batch×component) then 1-row totals — counting, never pair
+    * materialization; the id-keyed component join is the only
+    * corpus-width shuffle and is shared across sizes by the plan's
+    * common subtree. */
+  def falseNegativeSweep(docs: DataFrame, comps: DataFrame,
+                         batchSizes: Seq[Int],
+                         idCol: String = "doc_id"): DataFrame = {
+    require(batchSizes.nonEmpty && batchSizes.forall(_ >= 2),
+      "batch sizes below 2 have no in-batch pairs")
+    val n = docs.count()
+    val lab = docs.select(col(idCol))
+      .join(comps.select(col(idCol).as("_cid"), col("component")),
+        col(idCol) === col("_cid"), "left")
+      .drop("_cid")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    batchSizes.map { b =>
+      val nBatches = math.max(1L, (n + b - 1) / b)
+      val batched = lab.withColumn("batch",
+        pmod(TextAnalysis.md5Hash60(
+          concat(lit(s"fn$b:"), col(idCol).cast("string"))), lit(nBatches)))
+      val allPairs = batched.groupBy(col("batch"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_pairs"))
+      val fnPairs = batched.groupBy(col("batch"), col("component"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+          .as("n_false_neg"))
+      allPairs.crossJoin(fnPairs) // two 1-row aggregates
+        .select(lit(b.toLong).as("batch_size"),
+          lit(nBatches).as("n_batches"), col("n_pairs"),
+          col("n_false_neg"),
+          expr("n_false_neg * 1000000 div greatest(n_pairs, 1)")
+            .as("fn_rate_micro"))
+    }.reduce(_.unionByName(_)).orderBy(col("batch_size"))
+  }
 }

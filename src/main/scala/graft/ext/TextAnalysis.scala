@@ -893,7 +893,29 @@ object TextAnalysis {
     * inherits `bpeMerges`' non-overlapping replace contract. */
   def bpeEncode(df: DataFrame, merges: DataFrame, iters: Int,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    bpeCounts(bpeEncodeSymbols(df, merges, iters, idCol, textCol), idCol)
+
+  /** Token-count projection over a [[bpeEncodeSymbols]] frame —
+    * (id, n_tokens, n_bpe_tokens); split out so a session can
+    * materialize the symbol stream ONCE and serve both the count
+    * consumers (fertility audits) and the symbol consumers
+    * ([[bpeVocabUsage]]) from it. */
+  def bpeCounts(encoded: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    // split counts symbols AND the n_tokens-1 separators
+    encoded.select(col(idCol), col("n_tokens"),
+      when(col("n_tokens") === 0, 0L)
+        .otherwise(size(split(trim(col("syms")), " ")).cast("long")
+          - (col("n_tokens") - 1)).as("n_bpe_tokens"))
+
+  /** The encode fold of [[bpeEncode]] with the symbol stream kept:
+    * (id, n_tokens, syms) where `syms` is the sentinel-spaced encoded
+    * string — the shared tier under [[bpeCounts]] (counts) and
+    * [[bpeVocabUsage]] (per-symbol stats). */
+  def bpeEncodeSymbols(df: DataFrame, merges: DataFrame, iters: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val spacedTok = (t: Column) =>
       array_join(filter(split(t, ""), c => c =!= lit("")), " ")
@@ -902,7 +924,7 @@ object TextAnalysis {
       concat(lit(" "),
         array_join(transform(toks, spacedTok), s" $BpeSep "),
         lit(" ")).as("syms"))
-    val encoded = (1 to iters).foldLeft(enc0) { (acc, i) =>
+    (1 to iters).foldLeft(enc0) { (acc, i) =>
       // limit(1) is a no-op (iter is the election key, one row each)
       // but restores maxRows ≤ 1 through the union+filter, so the
       // broadcast nested-loop join is PROVABLY single-row in the plan.
@@ -920,11 +942,40 @@ object TextAnalysis {
               concat(lit(" "), col("_l"), col("_r"), lit(" "))))
             .as("syms"))
     }
-    // split counts symbols AND the n_tokens-1 separators
-    encoded.select(col(idCol), col("n_tokens"),
-      when(col("n_tokens") === 0, 0L)
-        .otherwise(size(split(trim(col("syms")), " ")).cast("long")
-          - (col("n_tokens") - 1)).as("n_bpe_tokens"))
+  }
+
+  /** Vocabulary-utilization audit over a [[bpeEncodeSymbols]] frame:
+    * the top-`topK` vocabulary symbols by corpus usage with each symbol's
+    * share of ALL symbol occurrences — the tokenizer-health readout
+    * that catches a degenerate vocabulary (one symbol absorbing the
+    * corpus = merges overfit to boilerplate; a flat tail of
+    * single-use symbols = wasted vocab slots). Shares are integer
+    * micros against the full symbol total, so the rows reconcile.
+    *
+    * Emits (rank, symbol, n_uses, share_micro), rank dense from 1.
+    *
+    * Scale: one explode of the encoded symbol stream into a hash
+    * aggregate keyed by symbol (vocab-cardinality groups), a
+    * TakeOrderedAndProject top-k — never a global sort — and the
+    * 1-row total crossJoined back broadcast. */
+  def bpeVocabUsage(encoded: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val counts = encoded
+      .filter(col("n_tokens") > 0)
+      .select(explode(split(trim(col("syms")), " ")).as("symbol"))
+      .filter(col("symbol") =!= BpeSep && col("symbol") =!= "")
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n_uses"))
+    val tot = counts.agg(sum(col("n_uses")).as("_tot"))
+    // the unpartitioned rank window runs over the ALREADY-limited
+    // top-k frame (contracted input), never the vocabulary
+    counts.orderBy(col("n_uses").desc, col("symbol")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_uses").desc, col("symbol"))))
+      .select(col("rank"), col("symbol"), col("n_uses"),
+        expr("n_uses * 1000000 div greatest(_tot, 1)").as("share_micro"))
+      .orderBy(col("rank"))
   }
 
   /** BM25 retrieval: top-k documents for a fixed query-term set

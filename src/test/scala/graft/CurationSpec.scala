@@ -735,4 +735,22 @@ class CurationSpec extends SparkSpec {
     assert(got === Map((1L, 2L) -> 1000000L, (1L, 3L) -> 750000L,
       (3L, 2L) -> 250000L))
   }
+
+  // ===== in-batch contrastive false negatives ===============================
+
+  test("falseNegativeSweep: single-batch row is exact; split batches " +
+      "conserve invariants") {
+    val docs = (1L to 8L).map(i => Tuple1(i)).toDF("doc_id")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "component")
+    val got = Curation.falseNegativeSweep(docs, comps, Seq(2, 8))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // B=8 -> one batch of 8: 28 pairs, the two dup pairs are in-batch
+    assert(got(8L) === ((1L, 28L, 2L, 2L * 1000000L / 28L)))
+    // B=2 -> 4 hash batches: pair totals bounded by the batch split
+    val (nb2, pairs2, fn2, rate2) = got(2L)
+    assert(nb2 === 4L && pairs2 >= 4L && pairs2 <= 28L && fn2 <= 2L)
+    assert(rate2 === fn2 * 1000000L / math.max(pairs2, 1L))
+  }
 }

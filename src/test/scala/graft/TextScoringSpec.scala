@@ -477,6 +477,19 @@ class TextScoringSpec extends SparkSpec {
     }
   }
 
+  // --- BPE vocabulary utilization -------------------------------------------
+
+  test("bpeVocabUsage: symbol counts exclude separators; shares are exact " +
+      "micros of the full total") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, iters = 1)
+    val enc = TextAnalysis.bpeEncodeSymbols(docs, merges, iters = 1)
+    val got = TextAnalysis.bpeVocabUsage(enc, topK = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // iter-1 merge is (a,b) -> 'ab': stream is [ab, SEP, ab, SEP, b]
+    assert(got.toSeq === Seq((1, "ab", 2L, 666666L), (2, "b", 1L, 333333L)))
+  }
+
   // --- keyword-lexicon topic tagging ----------------------------------------
 
   test("topicTag: argmax with lexicon-order ties; zero hits tag as none") {
