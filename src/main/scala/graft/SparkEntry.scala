@@ -3415,6 +3415,35 @@ object SparkEntry {
       Curation.falseNegativeSweep(documents(s, d),
         sharedComponents(s, d), batchSizes = Seq(4, 16, 64))),
 
+    // ===== decontamination token cost per source =======================
+    // the budget impact of the q49 exact decontam stage: per source,
+    // flagged docs and the tokens they take with them (the q251
+    // dedup-impact row for the decontamination dial) — a source losing
+    // a large token share to benchmark overlap is either leaking eval
+    // data wholesale or IS the benchmark's upstream
+    "q290_contam_cost" -> ((s, d) => {
+      val all = documents(s, d)
+      val corpus = all.filter(col("doc_id") % 31 =!= 0)
+      val flags = Curation.contamination(corpus,
+          all.filter(col("doc_id") % 31 === 0), n = 5)
+        .select(col("doc_id"), lit(1L).as("_flag"))
+      corpus.select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_toks"))
+        .join(flags, Seq("doc_id"), "left")
+        .withColumn("_flag", coalesce(col("_flag"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_flag")).as("n_flagged"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(when(col("_flag") === 1L, col("n_toks")).otherwise(0L))
+            .as("tokens_lost"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("n_tokens"), col("tokens_lost"),
+          expr("tokens_lost * 1000000 div greatest(n_tokens, 1)")
+            .as("lost_micro"))
+        .orderBy(col("source"))
+    }),
+
     // ===== erasure re-election audit ===================================
     // what a delete-key feed does to the duplicate-cluster reps: how
     // many representatives are themselves deleted, how many clusters
@@ -12979,6 +13008,43 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // q49's exact 5-gram chain, flags joined to per-doc token counts,
+    // per-source cost rollup — integer micro share of tokens lost
+    "q290_contam_cost" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |flags AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (s)),
+        |base AS (
+        |  SELECT c.doc_id, c.source,
+        |    CAST(len(list_filter(string_split_regex(lower(c.text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fflag
+        |  FROM corpus c LEFT JOIN flags f USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fflag) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN fflag = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_lost,
+        |  CAST(sum(CASE WHEN fflag = 1 THEN n_toks ELSE 0 END) * 1000000
+        |    // greatest(sum(n_toks), 1) AS BIGINT) AS lost_micro
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q254's component+election chain run twice — full corpus and
     // minus the % 41 delete set — compared per component
