@@ -3421,6 +3421,44 @@ object SparkEntry {
     // dedup-impact row for the decontamination dial) — a source losing
     // a large token share to benchmark overlap is either leaking eval
     // data wholesale or IS the benchmark's upstream
+    // ===== tokenizer train/holdout generalization ======================
+    // merges trained on the 80% split only, everything encoded with
+    // them: the fertility GAP between train and holdout is the
+    // tokenizer-overfit signal (a vocab tuned to its training slice
+    // fragments unseen text — context budget silently shrinks on
+    // exactly the data the model hasn't seen)
+    "q292_tokenizer_holdout" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = T.bpeMerges(docs.filter(col("doc_id") % 5 =!= 0),
+        iters = 3)
+      T.bpeEncode(docs, merges, iters = 3)
+        .withColumn("split", when(col("doc_id") % 5 === 0, "holdout")
+          .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("split"), col("n_docs"), col("n_tokens"),
+          col("n_bpe_tokens"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(expr("n_bpe_tokens * 1000000 div n_tokens"))
+            .as("micro_fertility"))
+        .orderBy(col("split"))
+    }),
+
+    // ===== per-source embedding-cell entropy ===========================
+    // does a source collapse into one embedding cluster (template spam,
+    // single-topic mirror) or spread across the space? the q262 entropy
+    // machinery on (source × pinned IVF cell); top_share_micro ≈ 1e6
+    // for a source is the template-farm alarm
+    "q291_source_cell_entropy" -> ((s, d) =>
+      Profiling.groupEntropyStats(
+        documents(s, d).select(col("doc_id"), col("source"))
+          .join(Similarity.pinnedCellAssign(embeddings(s, d), 16),
+            col("doc_id") === col("id"))
+          .withColumn("cell", col("c_id")),
+        "source", "cell")),
+
     "q290_contam_cost" -> ((s, d) => {
       val all = documents(s, d)
       val corpus = all.filter(col("doc_id") % 31 =!= 0)
@@ -4126,7 +4164,8 @@ object SparkEntry {
        |  JOIN e ex ON ex.id = x.cid JOIN e ey ON ey.id = y.cid),
        |${mmrGreedyCtes(k, wRel, wDiv)}""".stripMargin
 
-  private def bpeTrainingCtes(iters: Int): String = {
+  private def bpeTrainingCtes(iters: Int,
+                              trainWhere: String = ""): String = {
     val steps = (1 to iters).map { i =>
       s"""p$i AS (
          |  SELECT arr[i] AS l, arr[i+1] AS r,
@@ -4150,7 +4189,7 @@ object SparkEntry {
        |  FROM (SELECT unnest(list_filter(
        |          string_split_regex(lower(text), '\\s+'),
        |          x -> x <> '')) AS word
-       |        FROM documents)
+       |        FROM documents$trainWhere)
        |  GROUP BY word),
        |v0 AS (SELECT * FROM words),
        |$steps""".stripMargin
@@ -13008,6 +13047,75 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // the BPE training CTEs restricted to the 80% split, the encode
+    // CTEs over everything, per-split fertility rollup
+    "q292_tokenizer_holdout" -> {
+      val iters = 3
+      s"""WITH ${bpeTrainingCtes(iters, " WHERE doc_id % 5 <> 0")},
+         |${bpeEncodeCtes(iters)}
+         |SELECT CASE WHEN doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END
+         |    AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+         |    ELSE sum(n_bpe_tokens) * 1000000 // sum(n_tokens)
+         |    END AS BIGINT) AS micro_fertility
+         |FROM encoded GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the q287 pinned cell CTEs + the q262 entropy replica on
+    // (source × cell)
+    "q291_source_cell_entropy" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pe AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pc AS (
+        |  SELECT vec_id, pv,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+        |  FROM pe),
+        |sd AS (SELECT vec_id AS c_id, pv AS cv, na AS cna
+        |       FROM pc ORDER BY vec_id LIMIT 16),
+        |cells AS (
+        |  SELECT id, c_id FROM (
+        |    SELECT pc.vec_id AS id, sd.c_id, row_number() OVER (
+        |      PARTITION BY pc.vec_id
+        |      ORDER BY CASE WHEN pc.na = 0 OR sd.cna = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+        |               i -> pc.pv[i]*sd.cv[i])) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(pc.na AS DOUBLE))
+        |                * sqrt(CAST(sd.cna AS DOUBLE))) END DESC,
+        |        sd.c_id) AS rk
+        |    FROM pc CROSS JOIN sd)
+        |  WHERE rk = 1),
+        |lab AS (
+        |  SELECT d.source, cells.c_id AS cell
+        |  FROM documents d JOIN cells ON cells.id = d.doc_id),
+        |cnt AS (SELECT source, cell, CAST(count(*) AS BIGINT) AS nxv
+        |        FROM lab GROUP BY 1, 2),
+        |g AS (
+        |  SELECT *, sum(nxv) OVER (PARTITION BY source) AS ng,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY nxv DESC, cell) AS rk
+        |  FROM cnt),
+        |t AS (
+        |  SELECT *, CAST(round(-(CAST(nxv AS DOUBLE) / ng)
+        |    * ln(CAST(nxv AS DOUBLE) / ng) * 1e9) AS BIGINT) AS tn
+        |  FROM g)
+        |SELECT source, CAST(min(ng) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(round(sum(tn) / 1e3) AS BIGINT) AS entropy_micro,
+        |  CAST(max(CASE WHEN rk = 1 THEN cell END) AS BIGINT) AS top_value,
+        |  CAST(max(CASE WHEN rk = 1 THEN nxv * 1000000 // ng END)
+        |    AS BIGINT) AS top_share_micro
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // q49's exact 5-gram chain, flags joined to per-doc token counts,
     // per-source cost rollup — integer micro share of tokens lost

@@ -172,12 +172,19 @@ object Similarity {
     * Scale: the seed frame is broadcast (bounded crossJoin — the q34
     * block shape); candidates form per-cell equi-join groups, never
     * corpus²; both mutual windows are keyed per doc. */
-  def bitextMutualStats(emb: DataFrame, langs: DataFrame,
-                        targetLang: String = "en",
-                        nCentroids: Int = 16,
-                        idCol: String = "vec_id",
-                        vecCol: String = "embedding",
-                        langCol: String = "lang"): DataFrame = {
+  /** Pinned-integer IVF cell assignment — the de-floated blocking
+    * primitive under [[bitextMutualStats]] and the source×cell
+    * profile: the `nCentroids` smallest-id vectors seed the cells (the
+    * q185 seed convention), assignment is argmax of [[pinnedCosine]]
+    * over exact integer micros with (sim DESC, c_id) tie-breaks, so
+    * the labelling replays bit-for-bit in any engine. Emits (id, c_id).
+    *
+    * Scale: one broadcast crossJoin against the LIMIT-nCentroids seed
+    * frame (bounded model — the q34 block shape), one id-keyed
+    * window. */
+  def pinnedCellAssign(emb: DataFrame, nCentroids: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = emb.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("c_id"), microVec(col(vecCol)).as("cv"))
@@ -186,12 +193,24 @@ object Similarity {
       .withColumn("na", dotLong(col("pv"), col("pv")))
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("_psim").desc, col("c_id"))
-    val cells = v.crossJoin(broadcast(seeds))
+    v.crossJoin(broadcast(seeds))
       .withColumn("_psim",
         pinnedCosine(dotLong(col("pv"), col("cv")), col("na"), col("cna")))
       .withColumn("_rk", row_number().over(aw))
       .filter(col("_rk") === 1)
       .select(col("id"), col("c_id"))
+  }
+
+  def bitextMutualStats(emb: DataFrame, langs: DataFrame,
+                        targetLang: String = "en",
+                        nCentroids: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("pv"))
+      .withColumn("na", dotLong(col("pv"), col("pv")))
+    val cells = pinnedCellAssign(emb, nCentroids, idCol, vecCol)
     val lv = v
       .join(langs.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
       .join(cells, "id")

@@ -120,8 +120,8 @@ class EntrySpec extends SparkSpec {
     "q281_dedup_index_recall",
     // q287's cell assignment is the q34 block shape on pinned integers:
     // a broadcast crossJoin against the LIMIT-16 seed frame (bounded
-    // model, never the corpus)
-    "q287_bitext_yield")
+    // model, never the corpus); q291 profiles the same pinned cells
+    "q287_bitext_yield", "q291_source_cell_entropy")
 
   test("no query plans a cartesian product; nested-loop joins only where intended") {
     import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, EqualTo, Expression}
