@@ -1069,6 +1069,95 @@ object ScaleProbe {
     timed(s"jaccard_histogram x$docReps") {
       consume(Dedup.pairJaccardHistogram(docs, maxPostings = 1000))
     }
+    // contamination escape at REP scale (q282): election window over
+    // REP-dense clusters + the skinny flag join — flags stay a hash
+    // set probe, the cube is component-keyed
+    timed(s"contam_escape x$docReps") {
+      val d2 = docs.withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      val comps = Dedup.components(
+        Dedup.coShinglePairs(d2, minShared = 2, maxPostings = 1000))
+      consume(Curation.contamEscapeStats(
+        d2.filter(col("doc_id") % 9973 =!= 0), comps,
+        Curation.contamination(d2.filter(col("doc_id") % 9973 =!= 0),
+          d2.filter(col("doc_id") % 9973 === 0)).select(col("doc_id")),
+        col("n_chars")))
+    }
+    // preference pairs at REP scale (q284): map-side quality scoring,
+    // two block-keyed windows, the m^2-per-block join — pair volume
+    // must stay blocks*m^2 regardless of REP
+    timed(s"preference_pairs x$docReps") {
+      consume(Curation.preferencePairs(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)))), m = 3))
+    }
+    // in-batch false negatives at REP scale (q289): id-keyed component
+    // join + two hash aggregates per size — counting only, no pair
+    // frame ever materializes
+    timed(s"false_negatives x$docReps") {
+      val comps = Dedup.components(
+        Dedup.coShinglePairs(docs, minShared = 2, maxPostings = 1000))
+      consume(Curation.falseNegativeSweep(docs, comps, Seq(64, 1024)))
+    }
+    // topic tagging + repeat exposure at REP scale: both pure map-side
+    // (fused token_set_hits kernels; the plan is a source-cardinality
+    // frame) — the corpus is scanned once each
+    timed(s"topic_tag x$docReps") {
+      consume(TextAnalysis.topicTag(docs, Seq(
+        "exec" -> Seq("scan", "filter", "join", "agg", "sort"),
+        "engine" -> Seq("spark", "stream", "batch", "query")))
+        .groupBy(col("topic")).agg(count(lit(1)).as("n")))
+    }
+    timed(s"repeat_exposure x$docReps") {
+      consume(Curation.repeatExposure(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+        budgetTokens = 10000000L))
+    }
+    // stateless bloom decontam kernel at REP scale (the StreamDecontam
+    // path): per-row exists() over shingles x k literal-array probes,
+    // zero shuffles — the whole probe is one map pass + count
+    timed(s"stream_decontam x$docReps") {
+      val bits = graft.stream.StreamDecontam.bloomBits(
+        docs.filter(col("doc_id") % 9973 === 0))
+      consume(graft.stream.StreamDecontam.withBloomFlag(
+          docs.filter(col("doc_id") % 9973 =!= 0), bits)
+        .groupBy(col("is_contaminated")).agg(count(lit(1)).as("n")))
+    }
+    // BPE vocab usage at REP scale (q288): the symbol-stream explode is
+    // the corpus-sized stage, the aggregate is vocab-keyed, the top-k
+    // is a TakeOrderedAndProject
+    timed(s"vocab_usage x$docReps") {
+      consume(TextAnalysis.bpeVocabUsage(
+        TextAnalysis.bpeEncodeSymbols(docs,
+          TextAnalysis.bpeMerges(docs, iters = 3), iters = 3),
+        topK = 20))
+    }
+    // bitext mining at CAPPED reps (the semantic_dedup rationale: the
+    // replicated corpus has ~5k distinct directions, so pinned cells
+    // fill with exact copies and in-cell pair volume grows
+    // quadratically in reps — the op's contract is "cells bound
+    // candidates", which pure duplication deliberately violates; 20x
+    // probes the real plan shape at adversarial-but-bounded density)
+    timed(s"bitext_yield x$semReps") {
+      consume(Similarity.bitextMutualStats(embSem,
+        embSem.select(col("vec_id"),
+          element_at(lit(Array("en", "de", "fr", "es", "zh")),
+            pmod(col("vec_id"), lit(5)).cast("int") + 1).as("lang")),
+        targetLang = "en"))
+    }
+    // PQ-index erasure at REP scale (q286): the codes anti-join against
+    // the broadcastable delete set, then the ADC scan over the erased
+    // index — erase must not break the LUT-sum plan shape
+    timed(s"index_erasure x$docReps") {
+      val idx = Similarity.pqBuild(emb, m = 16, dsub = 4, kCodes = 32,
+        iters = 1)
+      consume(Similarity.pqAdcSearch(
+        Similarity.erasePqIndex(idx,
+          emb.filter(col("vec_id") % 41 === 0).select(col("vec_id"))),
+        emb.filter(col("vec_id") < 10), 5))
+    }
     spark.stop()
   }
 }

@@ -3421,6 +3421,29 @@ object SparkEntry {
     // dedup-impact row for the decontamination dial) — a source losing
     // a large token share to benchmark overlap is either leaking eval
     // data wholesale or IS the benchmark's upstream
+    // ===== filter-ordering advisor =====================================
+    // q173 measures the funnel for ONE fixed order; this decides WHICH
+    // order: each gate's independent pass rate from one corpus
+    // aggregate, rows emitted most-selective-first (with comparable
+    // per-row costs, that order minimizes rows reaching later gates)
+    "q293_gate_order" -> ((s, d) =>
+      Curation.gateOrderAdvisor(T.withQuality(documents(s, d)), Seq(
+        "min_tokens_10" -> (col("n_tokens") >= 10),
+        "max_chars_5000" -> (col("n_chars_obs") <= 5000),
+        "punct_ratio_le_10pct" -> (col("punct_ratio") <= 0.10),
+        "stop_ratio_ge_1pct" -> (col("stop_ratio") >= 0.01)))),
+
+    // ===== election-policy uplift audit ================================
+    // the quantitative case for q254's keep-best policy: mean quality
+    // of keep-best reps vs min-id reps per source, measured on a value
+    // column the n_chars election never saw — ≈0 uplift says the
+    // clusters are exact copies and the policy window buys nothing
+    "q294_election_uplift" -> ((s, d) =>
+      Dedup.electionQualityUplift(
+        T.withQuality(documents(s, d)), sharedComponents(s, d),
+        prefCol = col("n_chars"),
+        valueCol = expr("CAST(round(quality * 1000000) AS BIGINT)"))),
+
     // ===== tokenizer train/holdout generalization ======================
     // merges trained on the 80% split only, everything encoded with
     // them: the fertility GAP between train and holdout is the
@@ -13047,6 +13070,129 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // the q237 ratio chain, one 4-conditional-sum aggregate, unioned
+    // gate rows in advised (ascending pass rate) order
+    "q293_gate_order" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens, n_chars_obs,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_tok,
+        |    CAST(sum(CASE WHEN n_chars_obs <= 5000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_chr,
+        |    CAST(sum(CASE WHEN punct_ratio <= 0.10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_pun,
+        |    CAST(sum(CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_stp
+        |  FROM ratios),
+        |g AS (
+        |  SELECT 'min_tokens_10' AS gate, n_docs, p_tok AS n_pass FROM agg
+        |  UNION ALL
+        |  SELECT 'max_chars_5000', n_docs, p_chr FROM agg
+        |  UNION ALL
+        |  SELECT 'punct_ratio_le_10pct', n_docs, p_pun FROM agg
+        |  UNION ALL
+        |  SELECT 'stop_ratio_ge_1pct', n_docs, p_stp FROM agg)
+        |SELECT gate, n_docs, n_pass,
+        |  CAST(n_pass * 1000000 // greatest(n_docs, 1) AS BIGINT)
+        |    AS pass_micro
+        |FROM g ORDER BY pass_micro, gate""".stripMargin,
+
+    // the q43 component chain × the q237 quality chain, both elections
+    // as two rank columns over one component partition, per-source
+    // means of the winners' micro quality
+    "q294_election_uplift" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id,
+        |    floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      AS quality
+        |  FROM ratios),
+        |lab AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    coalesce(c.component, d.doc_id) AS component,
+        |    CAST(round(q.quality * 1000000) AS BIGINT) AS v
+        |  FROM documents d JOIN qual q USING (doc_id)
+        |  LEFT JOIN comp c USING (doc_id)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rk_best,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY doc_id) AS rk_min
+        |  FROM lab),
+        |pc AS (
+        |  SELECT component,
+        |    max(CASE WHEN rk_best = 1 THEN v END) AS v_best,
+        |    max(CASE WHEN rk_min = 1 THEN v END) AS v_min,
+        |    max(CASE WHEN rk_best = 1 THEN source END) AS source
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(v_best) // count(*) AS BIGINT) AS mean_best_micro,
+        |  CAST(sum(v_min) // count(*) AS BIGINT) AS mean_minid_micro,
+        |  CAST(sum(v_best) // count(*) - sum(v_min) // count(*) AS BIGINT)
+        |    AS uplift_micro
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the BPE training CTEs restricted to the 80% split, the encode
     // CTEs over everything, per-split fertility rollup

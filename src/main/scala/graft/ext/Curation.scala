@@ -1439,6 +1439,39 @@ object Curation {
         col("rejected_id"))
   }
 
+  /** Filter-ordering advisor over a gate set: each gate's INDEPENDENT
+    * pass rate measured in one corpus aggregate, emitted in advised
+    * execution order (ascending pass rate — with comparable per-row
+    * gate costs, running the most selective filter first minimizes
+    * rows reaching every later gate; [[filterFunnel]] measures the
+    * SEQUENTIAL funnel for one fixed order, this decides WHICH order).
+    * Rows come out in advised order; `pass_micro` is the integer micro
+    * pass share.
+    *
+    * Emits (gate, n_docs, n_pass, pass_micro), ordered by
+    * (pass_micro, gate).
+    *
+    * Scale: ONE corpus aggregate with |gates| conditional sums, then
+    * literal-frame arithmetic on the 1-row result — the corpus is
+    * scanned exactly once regardless of gate count. */
+  def gateOrderAdvisor(scored: DataFrame,
+                       gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "at least one gate required")
+    require(gates.map(_._1).distinct.size == gates.size,
+      "duplicate gate names make the advice ambiguous")
+    val aggs = count(lit(1)).as("n_docs") +:
+      gates.map { case (n, c) => sum(c.cast("long")).as(s"_p_$n") }
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), explode(array(gates.map { case (n, _) =>
+        struct(lit(n).as("gate"), col(s"_p_$n").as("n_pass"))
+      }: _*)).as("g"))
+      .select(col("g.gate").as("gate"), col("n_docs"),
+        col("g.n_pass").as("n_pass"))
+      .withColumn("pass_micro",
+        expr("n_pass * 1000000 div greatest(n_docs, 1)"))
+      .orderBy(col("pass_micro"), col("gate"))
+  }
+
   /** In-batch false-negative sweep for contrastive embedding training:
     * when batches are drawn by hash, every same-batch pair is treated
     * as a negative — but a pair of near-duplicates (same dup

@@ -1560,6 +1560,55 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Election-policy uplift audit — what keep-best election
+    * ([[electRepresentatives]] on `prefCol`) buys over the naive
+    * min-id rule, measured on a VALUE column the policy never saw:
+    * per source of the keep-best representative, the mean `valueCol`
+    * of keep-best reps vs min-id reps. A positive uplift is the
+    * quantitative case for the election policy; ≈0 says min-id was
+    * already fine (the clusters are exact copies) and the extra
+    * window is buying nothing.
+    *
+    * Emits one row per source: (source, n_components, mean_best_micro,
+    * mean_minid_micro, uplift_micro) — `valueCol` must already be an
+    * integer micro score (the q237 convention).
+    *
+    * Scale: one component-keyed window computing BOTH elections (two
+    * rank columns over the same partition ordering exchange), one
+    * component aggregate, one source rollup. */
+  def electionQualityUplift(docs: DataFrame, comps: DataFrame,
+                            prefCol: Column, valueCol: Column,
+                            idCol: String = "doc_id",
+                            srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = docs
+      .join(comps.select(col(idCol).as("_cid"), col("component")),
+        col(idCol) === col("_cid"), "left")
+      .drop("_cid")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("_v", valueCol)
+    val wBest = Window.partitionBy(col("component"))
+      .orderBy(prefCol.desc, col(idCol))
+    val wMin = Window.partitionBy(col("component"))
+      .orderBy(col(idCol))
+    lab
+      .withColumn("rk_best", row_number().over(wBest))
+      .withColumn("rk_min", row_number().over(wMin))
+      .groupBy(col("component"))
+      .agg(max(when(col("rk_best") === 1, col("_v"))).as("v_best"),
+        max(when(col("rk_min") === 1, col("_v"))).as("v_min"),
+        max(when(col("rk_best") === 1, col(srcCol))).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_components"),
+        expr("sum(v_best) div count(1)").as("mean_best_micro"),
+        expr("sum(v_min) div count(1)").as("mean_minid_micro"))
+      .select(col("source"), col("n_components"), col("mean_best_micro"),
+        col("mean_minid_micro"),
+        (col("mean_best_micro") - col("mean_minid_micro"))
+          .as("uplift_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source duplicate FLOW matrix — which sources duplicate into
     * which: every near-dup candidate pair (the same pair rule the
     * component labelling uses) is attributed to its unordered source

@@ -736,6 +736,36 @@ class CurationSpec extends SparkSpec {
       (3L, 2L) -> 250000L))
   }
 
+  // ===== filter-ordering advisor ============================================
+
+  test("gateOrderAdvisor: one aggregate, rows in ascending-pass order") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("x")
+    val got = Curation.gateOrderAdvisor(df, Seq(
+      "ge_2" -> (col("x") >= 2),
+      "even" -> (col("x") % 2 === 0),
+      "lt_10" -> (col("x") < 10))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("even", 4L, 2L, 500000L),   // most selective first
+      ("ge_2", 4L, 3L, 750000L),
+      ("lt_10", 4L, 4L, 1000000L)))
+  }
+
+  // ===== election-policy uplift =============================================
+
+  test("electionQualityUplift: keep-best vs min-id means on a value the " +
+      "election never saw") {
+    val docs = Seq(
+      (1L, "s", 10L, 100L), (2L, "s", 20L, 900L), // comp 1: best=2, min=1
+      (3L, "s", 5L, 400L))                        // singleton
+      .toDF("doc_id", "source", "n_chars", "v")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    val row = graft.ext.Dedup.electionQualityUplift(docs, comps,
+      col("n_chars"), col("v")).collect().head
+    assert((row.getString(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === (("s", 2L, 650L, 250L, 400L)))
+  }
+
   // ===== in-batch contrastive false negatives ===============================
 
   test("falseNegativeSweep: single-batch row is exact; split batches " +
