@@ -3444,6 +3444,27 @@ object SparkEntry {
         prefCol = col("n_chars"),
         valueCol = expr("CAST(round(quality * 1000000) AS BIGINT)"))),
 
+    // ===== stage-lineage fingerprints ==================================
+    // the reproducibility receipt: per funnel stage, surviving rows +
+    // an order-free bit_xor content fingerprint (seeded md5 per id) —
+    // two runs on different clusters must match byte-for-byte, and the
+    // first diverging stage localizes any drift to its gate
+    "q295_stage_lineage" -> ((s, d) =>
+      Curation.stageLineage(T.withQuality(documents(s, d)), Seq(
+        "min_tokens_10" -> (col("n_tokens") >= 10),
+        "max_chars_5000" -> (col("n_chars_obs") <= 5000),
+        "punct_ratio_le_10pct" -> (col("punct_ratio") <= 0.10),
+        "stop_ratio_ge_1pct" -> (col("stop_ratio") >= 0.01)))),
+
+    // ===== session-timeout advisor =====================================
+    // pick q101's sessionize gap from MEASURED inter-event gaps: per-
+    // user lag gaps, exact digit-count buckets (q264 style), advised =
+    // first bucket covering 99% of consecutive-event pairs (the
+    // watermark sibling watermarkAdvisor shares the tail; this fixture
+    // is ingest-ordered so ITS measured surface is the gap dial)
+    "q296_session_gap_advisor" -> ((s, d) =>
+      Profiling.sessionGapAdvisor(events(s, d), coverMicro = 990000L)),
+
     // ===== tokenizer train/holdout generalization ======================
     // merges trained on the 80% split only, everything encoded with
     // them: the fertility GAP between train and holdout is the
@@ -13070,6 +13091,97 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // the q293 ratio chain + seeded md5 id hashes, one aggregate with
+    // a conditional (count, bit_xor) pair per cumulative stage
+    "q295_stage_lineage" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens, n_chars_obs,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |f AS (
+        |  SELECT
+        |    CAST(('0x' || substring(md5('fp:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h,
+        |    CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN n_tokens >= 10 AND n_chars_obs <= 5000
+        |      THEN 1 ELSE 0 END AS c2,
+        |    CASE WHEN n_tokens >= 10 AND n_chars_obs <= 5000
+        |      AND punct_ratio <= 0.10 THEN 1 ELSE 0 END AS c3,
+        |    CASE WHEN n_tokens >= 10 AND n_chars_obs <= 5000
+        |      AND punct_ratio <= 0.10 AND stop_ratio >= 0.01
+        |      THEN 1 ELSE 0 END AS c4
+        |  FROM ratios),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS f0,
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(coalesce(bit_xor(CASE WHEN c1 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(coalesce(bit_xor(CASE WHEN c2 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f2,
+        |    CAST(sum(c3) AS BIGINT) AS n3,
+        |    CAST(coalesce(bit_xor(CASE WHEN c3 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f3,
+        |    CAST(sum(c4) AS BIGINT) AS n4,
+        |    CAST(coalesce(bit_xor(CASE WHEN c4 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f4
+        |  FROM f)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+        |  n0 AS n_rows, f0 AS fp FROM agg
+        |UNION ALL SELECT 1, 'min_tokens_10', n1, f1 FROM agg
+        |UNION ALL SELECT 2, 'max_chars_5000', n2, f2 FROM agg
+        |UNION ALL SELECT 3, 'punct_ratio_le_10pct', n3, f3 FROM agg
+        |UNION ALL SELECT 4, 'stop_ratio_ge_1pct', n4, f4 FROM agg
+        |ORDER BY stage_idx""".stripMargin,
+
+    // per-user lag gaps, digit-count buckets, exact integer
+    // cumulative coverage with the advised-bucket flag
+    "q296_session_gap_advisor" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |l AS (
+        |  SELECT ep - lag(ep) OVER (PARTITION BY user_id
+        |    ORDER BY ep, event_id) AS late_s
+        |  FROM e),
+        |lv AS (SELECT late_s FROM l WHERE late_s IS NOT NULL),
+        |hist AS (
+        |  SELECT CASE WHEN late_s = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(length(CAST(late_s AS VARCHAR)) AS BIGINT)
+        |         END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(late_s) AS BIGINT) AS max_gap_s
+        |  FROM lv GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(sum(n_events) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(n_events) OVER () AS BIGINT) AS tot
+        |  FROM hist)
+        |SELECT bucket, n_events, max_gap_s,
+        |  CAST(cum_n * 1000000 // greatest(tot, 1) AS BIGINT) AS cum_micro,
+        |  CAST((cum_n * 1000000 // greatest(tot, 1)) >= 990000
+        |    AND ((cum_n - n_events) * 1000000 // greatest(tot, 1)) < 990000
+        |    AS BIGINT) AS advised
+        |FROM c ORDER BY bucket""".stripMargin,
 
     // the q237 ratio chain, one 4-conditional-sum aggregate, unioned
     // gate rows in advised (ascending pass rate) order

@@ -1472,6 +1472,51 @@ object Curation {
       .orderBy(col("pass_micro"), col("gate"))
   }
 
+  /** Stage-lineage fingerprints over a sequential gate funnel — the
+    * reproducibility receipt a pipeline publishes with its output: for
+    * the input and after each cumulative gate, the surviving row count
+    * AND an order-free content fingerprint (bit_xor of a seeded md5
+    * hash per id). Two runs — different cluster, different partition
+    * count, different day — must produce byte-identical receipts; the
+    * first stage whose fingerprint diverges localizes a drift to the
+    * exact gate that caused it, without diffing row-level dumps.
+    *
+    * Emits (stage_idx, stage, n_rows, fp) — stage 0 is the raw input,
+    * stage i the survivors of gates 1..i; an empty stage fingerprints
+    * as 0.
+    *
+    * Scale: ONE corpus aggregate (a conditional count + bit_xor pair
+    * per stage, all fused in one pass), then literal-frame explode of
+    * the 1-row result — no sort, no collect, the xor is order-free by
+    * construction. */
+  def stageLineage(docs: DataFrame, gates: Seq[(String, Column)],
+                   idCol: String = "doc_id"): DataFrame = {
+    require(gates.nonEmpty, "at least one gate required")
+    val h = TextAnalysis.md5Hash60(
+      concat(lit("fp:"), col(idCol).cast("string")))
+    val stages = ("input", lit(true)) +:
+      gates.scanLeft(("input", lit(true))) { case ((_, acc), (n, c)) =>
+        (n, acc && c)
+      }.tail
+    val proj = stages.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(c.cast("long").as(s"_c_$i"), when(c, h).as(s"_h_$i"))
+    }
+    val aggs = stages.indices.flatMap { i =>
+      Seq(sum(col(s"_c_$i")).as(s"_n_$i"),
+        coalesce(expr(s"bit_xor(_h_$i)"), lit(0L)).as(s"_f_$i"))
+    }
+    docs
+      .select(proj: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(i.toLong).as("stage_idx"), lit(n).as("stage"),
+          col(s"_n_$i").as("n_rows"), col(s"_f_$i").as("fp"))
+      }: _*)).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_rows").as("n_rows"), col("s.fp").as("fp"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** In-batch false-negative sweep for contrastive embedding training:
     * when batches are drawn by hash, every same-batch pair is treated
     * as a negative — but a pair of near-duplicates (same dup

@@ -1008,4 +1008,96 @@ object Profiling {
           expr("nxv * 1000000 div ng"))).as("top_share_micro"))
       .orderBy(col(groupCol))
   }
+
+  /** Watermark-delay advisor from measured event-time disorder — the
+    * batch audit that tunes a streaming job's `withWatermark` before
+    * it ships: within each key's stream (arrival order proxied by
+    * `arrivalCol` — a monotone ingest id; the standing fixture
+    * assumption, documented at the call site), an event's LATENESS is
+    * how far the key's running-max event time has already passed it.
+    * Lateness is bucketed by decimal digit count (the q264 exact
+    * integer bucketing — no float log), cumulative coverage is exact
+    * integer micros, and `advised` marks the first bucket whose
+    * coverage clears `coverMicro`: a watermark of that bucket's
+    * `max_late_s` would have admitted that share of these events.
+    *
+    * Emits (bucket, n_events, max_late_s, cum_micro, advised),
+    * ordered by bucket; bucket 0 = in-order events.
+    *
+    * Scale: one key-partitioned running-max window (keyed, never
+    * global), one ≤12-group aggregate, then window math on the
+    * contracted histogram. */
+  def watermarkAdvisor(events: DataFrame, coverMicro: Long = 990000L,
+                       keyCol: String = "user_id",
+                       arrivalCol: String = "event_id",
+                       tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(coverMicro >= 0L && coverMicro <= 1000000L,
+      "coverMicro is a micro share in [0, 1e6]")
+    val ep = unix_timestamp(col(tsCol)).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    digitBucketCoverage(
+      events.select((max(ep).over(w) - ep).as("_v")),
+      coverMicro, "max_late_s")
+  }
+
+  /** Session-timeout advisor from the measured inter-event gap
+    * distribution — the data-driven way to pick the gap parameter a
+    * sessionizer (q101's session_window, `Sessionize`) otherwise
+    * hardcodes: per key, the gaps between consecutive events, digit-
+    * bucketed and cumulated exactly like [[watermarkAdvisor]];
+    * `advised` marks the first bucket covering `coverMicro` of gaps —
+    * a timeout at that bucket's `max_gap_s` keeps that share of
+    * consecutive-event pairs inside one session.
+    *
+    * Emits (bucket, n_events, max_gap_s, cum_micro, advised).
+    *
+    * Scale: one key-partitioned lag window, one ≤12-group aggregate,
+    * window math on the contracted histogram. */
+  def sessionGapAdvisor(events: DataFrame, coverMicro: Long = 990000L,
+                        keyCol: String = "user_id",
+                        tsCol: String = "ts",
+                        tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(coverMicro >= 0L && coverMicro <= 1000000L,
+      "coverMicro is a micro share in [0, 1e6]")
+    val ep = unix_timestamp(col(tsCol)).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ep, col(tieCol))
+    digitBucketCoverage(
+      events.select(ep.as("_ep"),
+          lag(ep, 1).over(w).as("_prev"))
+        .filter(col("_prev").isNotNull)
+        .select((col("_ep") - col("_prev")).as("_v")),
+      coverMicro, "max_gap_s")
+  }
+
+  /** Shared tail of the delay advisors: digit-count buckets (the q264
+    * exact integer bucketing — no float log) over a non-negative `_v`
+    * column, exact integer cumulative coverage, and the advised-bucket
+    * flag (first bucket whose coverage clears `coverMicro`). */
+  private def digitBucketCoverage(vals: DataFrame, coverMicro: Long,
+                                  maxName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = vals
+      .withColumn("bucket",
+        when(col("_v") === 0L, 0L)
+          .otherwise(length(col("_v").cast("string")).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("_v")).as(maxName))
+    val cumW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(lit(1))
+    hist
+      .withColumn("_cum_n", sum(col("n_events")).over(cumW))
+      .withColumn("_tot", sum(col("n_events")).over(totW))
+      .withColumn("cum_micro", expr("_cum_n * 1000000 div greatest(_tot, 1)"))
+      .withColumn("_prev_micro",
+        expr("(_cum_n - n_events) * 1000000 div greatest(_tot, 1)"))
+      .select(col("bucket"), col("n_events"), col(maxName),
+        col("cum_micro"),
+        (col("cum_micro") >= coverMicro &&
+          col("_prev_micro") < coverMicro).cast("long").as("advised"))
+      .orderBy(col("bucket"))
+  }
 }

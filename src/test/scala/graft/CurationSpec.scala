@@ -766,6 +766,28 @@ class CurationSpec extends SparkSpec {
       row.getLong(3), row.getLong(4)) === (("s", 2L, 650L, 250L, 400L)))
   }
 
+  // ===== stage-lineage fingerprints =========================================
+
+  test("stageLineage: monotone funnel; fingerprints are partitioning-" +
+      "invariant and localize to the filtered set") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val gates = Seq("ge_2" -> (col("doc_id") >= 2),
+      "even" -> (col("doc_id") % 2 === 0))
+    val got = Curation.stageLineage(df, gates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).toSeq === Seq(4L, 3L, 2L))
+    assert(got.map(_._2).toSeq === Seq("input", "ge_2", "even"))
+    // the receipt property: a different partitioning yields the SAME fps
+    val re = Curation.stageLineage(df.repartition(7), gates).collect()
+      .map(r => r.getLong(3))
+    assert(re.toSeq === got.map(_._4).toSeq)
+    // the last stage's fp equals the input fp of the pre-filtered frame
+    val direct = Curation.stageLineage(
+      df.filter(col("doc_id") >= 2 && col("doc_id") % 2 === 0),
+      Seq("all" -> lit(true))).collect().head.getLong(3)
+    assert(direct === got.last._4)
+  }
+
   // ===== in-batch contrastive false negatives ===============================
 
   test("falseNegativeSweep: single-batch row is exact; split batches " +

@@ -467,4 +467,37 @@ class ProfilingSpec extends SparkSpec {
     // tie on counts -> smallest value string wins
     assert(got("tie")._4 === "de")
   }
+
+  // ===== delay advisors =====================================================
+
+  private def tsOf(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
+
+  test("watermarkAdvisor: per-key running-max lateness, digit buckets, " +
+      "advised covers the target") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, tsOf(1100)), (2L, 1L, tsOf(1200)),
+      (3L, 1L, tsOf(1195)),                       // 5 s late  -> bucket 1
+      (4L, 1L, tsOf(1300)), (5L, 1L, tsOf(1100))) // 200 s late -> bucket 3
+      .toDF("event_id", "user_id", "ts")
+    val got = Profiling.watermarkAdvisor(ev, coverMicro = 600000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) === ((3L, 0L, 600000L, 1L)))   // in-order; advised here
+    assert(got(1L) === ((1L, 5L, 800000L, 0L)))
+    assert(got(3L) === ((1L, 200L, 1000000L, 0L)))
+  }
+
+  test("sessionGapAdvisor: lag gaps per key, first events dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, tsOf(1000)), (2L, 1L, tsOf(1010)), // gap 10  -> bucket 2
+      (3L, 1L, tsOf(1100)),                       // gap 90  -> bucket 2
+      (4L, 2L, tsOf(5000)))                       // lone event: no gap
+      .toDF("event_id", "user_id", "ts")
+    val got = Profiling.sessionGapAdvisor(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq((2L, 2L, 90L, 1000000L, 1L)))
+  }
 }
