@@ -3465,6 +3465,14 @@ object SparkEntry {
     "q296_session_gap_advisor" -> ((s, d) =>
       Profiling.sessionGapAdvisor(events(s, d), coverMicro = 990000L)),
 
+    // ===== reshard-stability audit =====================================
+    // the measured case for rendezvous hashing before a capacity
+    // change: mod-hash remaps ~everything on 8 -> 10 shards, HRW moves
+    // only ~2/10 — both measured on the real ids in one map-side pass;
+    // the delta is the reshuffle bill the scheme choice saves
+    "q297_reshard_stability" -> ((s, d) =>
+      Curation.reshardStability(documents(s, d), from = 8, to = 10)),
+
     // ===== tokenizer train/holdout generalization ======================
     // merges trained on the 80% split only, everything encoded with
     // them: the fertility GAP between train and holdout is the
@@ -13090,6 +13098,44 @@ object SparkEntry {
          |         FROM reach GROUP BY id),
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
+    },
+
+    // per-row seeded hashes h0..h9, greatest-argmax HRW shards (ties
+    // to the larger id, matching the struct-order rule), mod shards
+    // off the base hash, one aggregate, two scheme rows
+    "q297_reshard_stability" -> {
+      val hDefs = (0 until 10).map(i =>
+        s"""CAST(('0x' || substring(md5('hrw$i:' || CAST(doc_id AS VARCHAR)),
+           |      1, 15)) AS BIGINT) AS h$i""".stripMargin)
+        .mkString(",\n    ")
+      val g8 = (0 until 8).map("h" + _).mkString("greatest(", ", ", ")")
+      val g10 = (0 until 10).map("h" + _).mkString("greatest(", ", ", ")")
+      val s8 = (7 to 0 by -1).map(i => s"WHEN h$i = g8 THEN $i")
+        .mkString("CASE ", " ", " END")
+      val s10 = (9 to 0 by -1).map(i => s"WHEN h$i = g10 THEN $i")
+        .mkString("CASE ", " ", " END")
+      s"""WITH hh AS (
+         |  SELECT CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15)) AS BIGINT) AS hb,
+         |    $hDefs
+         |  FROM documents),
+         |gg AS (SELECT *, $g8 AS g8, $g10 AS g10 FROM hh),
+         |sh AS (
+         |  SELECT (hb % 8 <> hb % 10) AS mv_mod,
+         |    ($s8) <> ($s10) AS mv_hrw
+         |  FROM gg),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN mv_mod THEN 1 ELSE 0 END) AS BIGINT) AS m_mod,
+         |    CAST(sum(CASE WHEN mv_hrw THEN 1 ELSE 0 END) AS BIGINT) AS m_hrw
+         |  FROM sh)
+         |SELECT 'hrw' AS scheme, n_docs, m_hrw AS n_moved,
+         |  CAST(m_hrw * 1000000 // greatest(n_docs, 1) AS BIGINT)
+         |    AS moved_micro FROM agg
+         |UNION ALL
+         |SELECT 'mod', n_docs, m_mod,
+         |  CAST(m_mod * 1000000 // greatest(n_docs, 1) AS BIGINT) FROM agg
+         |ORDER BY scheme""".stripMargin
     },
 
     // the q293 ratio chain + seeded md5 id hashes, one aggregate with

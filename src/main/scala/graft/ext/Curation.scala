@@ -1472,6 +1472,55 @@ object Curation {
       .orderBy(col("pass_micro"), col("gate"))
   }
 
+  /** Reshard-stability audit — the measured case for rendezvous
+    * hashing before a shard-count change: under plain mod-hashing,
+    * growing `from` → `to` shards remaps almost every key
+    * (≈ 1 − 1/lcm share moves — a full data reshuffle); under
+    * highest-random-weight (HRW/rendezvous) hashing only ≈ (to−from)/to
+    * of keys move — the theoretical minimum. Both schemes are measured
+    * on the actual corpus ids in one pass and emitted side by side;
+    * the delta is the data-movement bill the scheme choice saves at
+    * the next capacity change.
+    *
+    * HRW shard = argmax over shard ids of a seeded per-(key, shard)
+    * hash; ties (vanishingly rare 60-bit collisions) resolve to the
+    * larger shard id — part of the contract, the oracle replays it.
+    *
+    * Emits (scheme ∈ {hrw, mod}, n_docs, n_moved, moved_micro).
+    *
+    * Scale: pure map-side hashing (from+to seeded hashes per row,
+    * fused in one projection) into ONE aggregate — no shuffle, no
+    * join; the audit costs one corpus scan. */
+  def reshardStability(docs: DataFrame, from: Int, to: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(from >= 1 && to >= 1 && from != to,
+      "from/to must be positive and differ")
+    val id = col(idCol).cast("string")
+    val h = TextAnalysis.md5Hash60(concat(lit("42:"), id))
+    def hrw(n: Int): Column =
+      array_max(array((0 until n).map(i =>
+        struct(TextAnalysis.md5Hash60(concat(lit(s"hrw$i:"), id)).as("h"),
+          lit(i.toLong).as("n"))): _*)).getField("n")
+    docs
+      .select(
+        (pmod(h, lit(from.toLong)) =!= pmod(h, lit(to.toLong)))
+          .cast("long").as("_mv_mod"),
+        (hrw(from) =!= hrw(to)).cast("long").as("_mv_hrw"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_mv_mod")).as("_m_mod"),
+        sum(col("_mv_hrw")).as("_m_hrw"))
+      .select(explode(array(
+        struct(lit("hrw").as("scheme"), col("n_docs"),
+          col("_m_hrw").as("n_moved")),
+        struct(lit("mod").as("scheme"), col("n_docs"),
+          col("_m_mod").as("n_moved")))).as("s"))
+      .select(col("s.scheme").as("scheme"), col("s.n_docs").as("n_docs"),
+        col("s.n_moved").as("n_moved"))
+      .withColumn("moved_micro",
+        expr("n_moved * 1000000 div greatest(n_docs, 1)"))
+      .orderBy(col("scheme"))
+  }
+
   /** Stage-lineage fingerprints over a sequential gate funnel — the
     * reproducibility receipt a pipeline publishes with its output: for
     * the input and after each cumulative gate, the surviving row count

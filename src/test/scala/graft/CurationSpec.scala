@@ -766,6 +766,25 @@ class CurationSpec extends SparkSpec {
       row.getLong(3), row.getLong(4)) === (("s", 2L, 650L, 250L, 400L)))
   }
 
+  // ===== reshard stability ==================================================
+
+  test("reshardStability: HRW moves ~(to-from)/to of keys, mod-hash moves " +
+      "most; both partitioning-invariant") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    val got = Curation.reshardStability(docs, from = 8, to = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (hrwMoved, hrwMicro) = got("hrw")
+    val (modMoved, modMicro) = got("mod")
+    // HRW near the 20% theoretical minimum, mod-hash near 1 - 1/lcm
+    assert(hrwMicro > 100000L && hrwMicro < 350000L, s"hrw=$hrwMicro")
+    assert(modMicro > 600000L, s"mod=$modMicro")
+    assert(hrwMoved < modMoved)
+    val re = Curation.reshardStability(docs.repartition(7), 8, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(re("hrw") === hrwMoved && re("mod") === modMoved)
+  }
+
   // ===== stage-lineage fingerprints =========================================
 
   test("stageLineage: monotone funnel; fingerprints are partitioning-" +
