@@ -3465,6 +3465,54 @@ object SparkEntry {
     "q296_session_gap_advisor" -> ((s, d) =>
       Profiling.sessionGapAdvisor(events(s, d), coverMicro = 990000L)),
 
+    // ===== pack-boundary contamination =================================
+    // packing mixes documents into one attention window: ONE flagged
+    // member leaks benchmark text into every clean packmate's loss
+    // context — per shard, the poisoned packs and the clean-token
+    // collateral (what a cross-doc attention mask is worth, and why
+    // decontam must run BEFORE packing)
+    "q299_pack_contamination" -> ((s, d) => {
+      val all = documents(s, d)
+      Curation.packContaminationStats(
+        all.filter(col("doc_id") % 31 =!= 0),
+        all.filter(col("doc_id") % 31 === 0),
+        budget = 128, shards = 8)
+    }),
+
+    // ===== end-to-end pipeline receipt =================================
+    // q295's lineage fingerprints over the PRODUCTION recipe stages —
+    // election dedup, exact decontam, quality floor — one aggregate,
+    // one receipt row per stage; the artifact a training-data release
+    // publishes so any re-run (or auditor) can verify byte-identical
+    // stage membership without row dumps
+    "q300_pipeline_receipt" -> ((s, d) => {
+      val all = documents(s, d)
+      val corpus = all.filter(col("doc_id") % 31 =!= 0)
+      val elect = Dedup.electRepresentatives(corpus,
+          sharedComponents(s, d), col("n_chars"))
+        .select(col("doc_id"), col("is_kept"))
+      val flags = Curation.contamination(corpus,
+          all.filter(col("doc_id") % 31 === 0), n = 5)
+        .select(col("doc_id"), lit(1L).as("_contam"))
+      val frame = T.withQuality(corpus)
+        .join(elect, Seq("doc_id"))
+        .join(flags, Seq("doc_id"), "left")
+        .withColumn("_contam", coalesce(col("_contam"), lit(0L)))
+      Curation.stageLineage(frame, Seq(
+        "dedup_elect" -> (col("is_kept") === 1L),
+        "decontam" -> (col("_contam") === 0L),
+        "quality_floor" -> (col("n_tokens") >= 30 &&
+          col("punct_ratio") <= 0.1 && col("stop_ratio") >= 0.05)))
+    }),
+
+    // ===== simhash hamming-distance histogram ==========================
+    // the threshold dial for q19's maxDist (q276's jaccard twin on the
+    // bit-sketch axis): hamming distribution over the banded candidate
+    // pairs — a dup spike separated from the background hump marks the
+    // safe cut; a continuum says the sketch isn't separating
+    "q298_hamming_histogram" -> ((s, d) =>
+      Dedup.simhashHammingHistogram(documents(s, d), hash = T.md5Hash60)),
+
     // ===== reshard-stability audit =====================================
     // the measured case for rendezvous hashing before a capacity
     // change: mod-hash remaps ~everything on 8 -> 10 shards, HRW moves
@@ -13098,6 +13146,194 @@ object SparkEntry {
          |         FROM reach GROUP BY id),
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
+    },
+
+    // q49's flag chain + q45's packing replica at budget 128 over the
+    // corpus split, per-pack poison flags, per-shard rollup
+    "q299_pack_contamination" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |flags AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (s)),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 128) AS BIGINT) AS pack_id
+        |  FROM t),
+        |pf AS (
+        |  SELECT p.shard, p.pack_id, p.n_tokens,
+        |    CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fflag
+        |  FROM packed p LEFT JOIN flags f USING (doc_id)),
+        |pp AS (
+        |  SELECT shard, pack_id, sum(n_tokens) AS tok, sum(fflag) AS nf,
+        |    sum(CASE WHEN fflag = 0 THEN n_tokens ELSE 0 END) AS clean
+        |  FROM pf GROUP BY 1, 2)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_poisoned,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN nf > 0 THEN clean ELSE 0 END) AS BIGINT)
+        |    AS collateral_tokens,
+        |  CAST(sum(CASE WHEN nf > 0 THEN clean ELSE 0 END) * 1000000
+        |    // greatest(sum(tok), 1) AS BIGINT) AS collateral_micro
+        |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the component chain + election + q49 flags + quality ratios,
+    // folded into the q295 conditional (count, bit_xor) receipt per
+    // cumulative recipe stage
+    "q300_pipeline_receipt" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |flags AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (s)),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM corpus),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM corpus d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT doc_id, CASE WHEN row_number() OVER (PARTITION BY component
+        |    ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS is_kept
+        |  FROM lab),
+        |f AS (
+        |  SELECT
+        |    CAST(('0x' || substring(md5('fp:' || CAST(r.doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h,
+        |    el.is_kept AS c1,
+        |    CASE WHEN el.is_kept = 1 AND fl.doc_id IS NULL
+        |      THEN 1 ELSE 0 END AS c2,
+        |    CASE WHEN el.is_kept = 1 AND fl.doc_id IS NULL
+        |      AND r.n_tokens >= 30 AND r.punct_ratio <= 0.1
+        |      AND r.stop_ratio >= 0.05 THEN 1 ELSE 0 END AS c3
+        |  FROM ratios r JOIN el ON el.doc_id = r.doc_id
+        |  LEFT JOIN flags fl ON fl.doc_id = r.doc_id),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS f0,
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(coalesce(bit_xor(CASE WHEN c1 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(coalesce(bit_xor(CASE WHEN c2 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f2,
+        |    CAST(sum(c3) AS BIGINT) AS n3,
+        |    CAST(coalesce(bit_xor(CASE WHEN c3 = 1 THEN h END), 0)
+        |      AS BIGINT) AS f3
+        |  FROM f)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+        |  n0 AS n_rows, f0 AS fp FROM agg
+        |UNION ALL SELECT 1, 'dedup_elect', n1, f1 FROM agg
+        |UNION ALL SELECT 2, 'decontam', n2, f2 FROM agg
+        |UNION ALL SELECT 3, 'quality_floor', n3, f3 FROM agg
+        |ORDER BY stage_idx""".stripMargin,
+
+    // the q19 simhash chain with the distance filter replaced by the
+    // histogram aggregate over the banded candidates
+    "q298_hamming_histogram" -> {
+      val votes = (0 until 60).map(j => s"sum((hv >> $j) & 1) AS c$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN 2*c$j >= n THEN ${1L << j} ELSE 0 END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv
+         |  FROM toks),
+         |votes AS (SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY 1),
+         |sig AS (SELECT doc_id, $bits AS simhash FROM votes),
+         |chunked AS (
+         |  SELECT doc_id, simhash, u.k, (simhash >> (16 * u.k)) & 65535 AS chunk
+         |  FROM sig, UNNEST([0, 1, 2, 3]) AS u(k)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM chunked a JOIN chunked b USING (k, chunk)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // per-row seeded hashes h0..h9, greatest-argmax HRW shards (ties

@@ -1472,6 +1472,53 @@ object Curation {
       .orderBy(col("pass_micro"), col("gate"))
   }
 
+  /** Pack-boundary contamination — the interaction gate between
+    * sequence packing and decontamination: a packed training sequence
+    * mixes several documents into one attention window, so ONE
+    * contaminated member leaks benchmark text into the loss context of
+    * every clean packmate (unless the trainer masks cross-document
+    * attention — this audit prices what that mask is worth). Per
+    * shard: packs, poisoned packs (≥1 flagged member), and the CLEAN
+    * tokens sitting inside poisoned packs — the collateral a
+    * doc-level decontam pass leaves behind when filtering runs after
+    * packing instead of before.
+    *
+    * Emits (shard, n_packs, n_poisoned, n_tokens, collateral_tokens,
+    * collateral_micro), ordered.
+    *
+    * Scale: [[contamination]]'s broadcast probe + [[graft.ext
+    * .TextAnalysis.packSequences]]' shard-parallel packing, one
+    * id-equi flag join, two keyed aggregates. */
+  def packContaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                             budget: Int = 128, shards: Int = 8,
+                             n: Int = 5,
+                             hash: Dedup.HashScheme = Dedup.FastHash,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val flags = contamination(corpus, benchmark, n, hash, idCol, textCol)
+      .select(col(idCol), lit(1L).as("_flag"))
+    TextAnalysis.packSequences(corpus, budget, shards, idCol, textCol)
+      .select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"))
+      .join(flags, Seq(idCol), "left")
+      .withColumn("_flag", coalesce(col("_flag"), lit(0L)))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("_tok"),
+        sum(col("_flag")).as("_nf"),
+        sum(when(col("_flag") === 0L, col("n_tokens")).otherwise(0L))
+          .as("_clean"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum((col("_nf") > 0L).cast("long")).as("n_poisoned"),
+        sum(col("_tok")).as("n_tokens"),
+        sum(when(col("_nf") > 0L, col("_clean")).otherwise(0L))
+          .as("collateral_tokens"))
+      .select(col("shard"), col("n_packs"), col("n_poisoned"),
+        col("n_tokens"), col("collateral_tokens"),
+        expr("collateral_tokens * 1000000 div greatest(n_tokens, 1)")
+          .as("collateral_micro"))
+      .orderBy(col("shard"))
+  }
+
   /** Reshard-stability audit — the measured case for rendezvous
     * hashing before a shard-count change: under plain mod-hashing,
     * growing `from` → `to` shards remaps almost every key

@@ -1283,6 +1283,19 @@ object Dedup {
                    textCol: String = "text",
                    hash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
+    simhashCandidates(docs, maxBucketSize, idCol, textCol, hash)
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash banded candidates WITH their Hamming distances, unfiltered
+    * — the frame [[simhashPairs]] thresholds and
+    * [[simhashHammingHistogram]] profiles. */
+  private def simhashCandidates(docs: DataFrame,
+                                maxBucketSize: Int,
+                                idCol: String,
+                                textCol: String,
+                                hash: Column => Column): DataFrame = {
     // materialize once: the chunk self-join references the signature
     // aggregate on both sides and Spark re-executes it per side otherwise
     // (exchange reuse does not fire across the join aliases)
@@ -1317,9 +1330,33 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxDist)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Hamming-distance histogram over the banded SimHash candidate
+    * pairs — the threshold dial for [[simhashPairs]]' `maxDist`, the
+    * [[pairJaccardHistogram]] twin on the bit-sketch axis: a dup spike
+    * at low distances separated from the background hump marks the
+    * safe cut; a continuum says the sketch isn't separating this
+    * corpus and the n-gram path should decide instead. Note the frame
+    * is the CANDIDATE distribution (pairs agreeing on ≥1 of 4 16-bit
+    * chunks — complete for distance ≤ 3 by pigeonhole, a biased sample
+    * above), which is exactly the population the threshold filters.
+    *
+    * Emits (hamming, n_pairs), ordered.
+    *
+    * Scale: the candidate subtree is [[simhashPairs]]' own (banded
+    * equi-joins, degenerate-bucket guard); the histogram adds one
+    * ≤61-group aggregate. */
+  def simhashHammingHistogram(docs: DataFrame,
+                              maxBucketSize: Int = Int.MaxValue,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              hash: Column => Column = xxhash64(_))
+      : DataFrame =
+    simhashCandidates(docs, maxBucketSize, idCol, textCol, hash)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
 
   /** Eval-hygiene audit: near-dup components whose members straddle the
     * train/val/test hash split — the leak a plain id-hash split cannot

@@ -639,6 +639,44 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.simhashPairs(real, maxDist = 3).count() > 0)
   }
 
+  test("simhashHammingHistogram counts the banded candidates the " +
+      "threshold filters") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = Dedup.simhashHammingHistogram(real,
+        hash = TextAnalysis.md5Hash60).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the histogram's <=3 mass must equal the pairs op's count exactly
+    val pairs = Dedup.simhashPairs(real, maxDist = 3,
+      hash = TextAnalysis.md5Hash60).count()
+    assert(hist.filter(_._1 <= 3).values.sum === pairs)
+    assert(hist.values.sum > pairs, "candidates beyond the cut exist")
+  }
+
+  test("packContaminationStats: poisoned packs counted once, collateral " +
+      "is clean tokens only") {
+    // one shard (ids hash wherever; shards=1 forces one packing line),
+    // budget 5: docs of 3 tokens each -> packs of ~2 docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon shared with benchmark set"),
+      (2L, "clean words one two three"),
+      (3L, "clean words four five six"),
+      (4L, "clean words seven eight nine"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Curation.packContaminationStats(corpus, bench,
+        budget = 9, shards = 1, n = 5).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // doc 1 (9 tokens) is flagged; every pack holding it is poisoned
+    // and contributes only its CLEAN packmates' tokens as collateral
+    assert(r.getLong(2) >= 1L, "at least one poisoned pack")
+    val total = r.getLong(3); val coll = r.getLong(4)
+    assert(total === 9L + 5L + 5L + 5L)
+    assert(coll < total - 9L + 1L, "flagged doc's own tokens not collateral")
+    assert(r.getLong(5) === coll * 1000000L / total)
+  }
+
   test("dot_product codegen expression matches manual computation") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
       .toDF("a", "b")
