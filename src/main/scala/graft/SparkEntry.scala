@@ -3465,6 +3465,31 @@ object SparkEntry {
     "q296_session_gap_advisor" -> ((s, d) =>
       Profiling.sessionGapAdvisor(events(s, d), coverMicro = 990000L)),
 
+    // ===== benchmark-side leakage audit ================================
+    // q49 turned around, for the EVAL owner: per benchmark doc, how
+    // many corpus docs share its 5-grams and how many of its grams
+    // leaked — a compromised benchmark ITEM is retired, which beats
+    // chasing every corpus copy; zero rows are the healthy baseline
+    "q301_bench_leakage" -> ((s, d) => {
+      val all = documents(s, d)
+      Curation.benchLeakage(all.filter(col("doc_id") % 31 =!= 0),
+        all.filter(col("doc_id") % 31 === 0), n = 5)
+    }),
+
+    // ===== quality ↔ LM-score agreement ================================
+    // can the cheap composite quality stand in for the unigram-LM
+    // fluency signal? per-source Spearman between the two rankings
+    // (exact integer rho, id tie-breaks) — |rho| near 0 says the
+    // funnel needs both signals, not either alone
+    "q302_quality_lm_agreement" -> ((s, d) => {
+      val docs = documents(s, d)
+      val q = T.withQuality(docs).select(col("doc_id"), col("source"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+      val lm = T.lmScore(docs).select(col("doc_id"), col("avg_microbits"))
+      Profiling.signalAgreementStats(q.join(lm, Seq("doc_id")), "source",
+        col("q_micro"), col("avg_microbits"))
+    }),
+
     // ===== pack-boundary contamination =================================
     // packing mixes documents into one attention window: ONE flagged
     // member leaks benchmark text into every clean packmate's loss
@@ -13147,6 +13172,118 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // the q49 shingle chains with bench ids kept, the leak join
+    // grouped by BENCHMARK doc, zero rows restored via the left join
+    "q301_bench_leakage" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id AS bench_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id AS cid,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |j AS (SELECT b.bench_id, c.cid, c.s
+        |      FROM csh c JOIN bsh b USING (s)),
+        |agg AS (
+        |  SELECT bench_id,
+        |    CAST(count(DISTINCT cid) AS BIGINT) AS n_leaking_docs,
+        |    CAST(count(DISTINCT s) AS BIGINT) AS n_leaked_grams,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM j GROUP BY 1)
+        |SELECT b.doc_id AS bench_id,
+        |  CAST(coalesce(n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+        |  CAST(coalesce(n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+        |FROM bench b LEFT JOIN agg ON agg.bench_id = b.doc_id
+        |ORDER BY 1""".stripMargin,
+
+    // the q237 quality chain × the q55 LM chain joined per doc,
+    // per-source rank windows, the exact signed-division rho
+    "q302_quality_lm_agreement" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(floor(least(n_tokens/100.0, 1.0)
+        |          * (1.0 - least(punct_ratio*5, 1.0))
+        |          * (0.25 + 0.75*least(stop_ratio*4, 1.0)) * 10000)/10000
+        |      * 1000000) AS BIGINT) AS q_micro
+        |  FROM ratios),
+        |toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t[i] AS token, count(*) AS tf
+        |  FROM toks, UNNEST(range(1, len(t)+1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |freq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        |bits AS (
+        |  SELECT token,
+        |         CAST(round(-log2(CAST(c AS DOUBLE) / total) * 1000000)
+        |              AS BIGINT) AS ub
+        |  FROM freq CROSS JOIN tot),
+        |lm AS (
+        |  SELECT tf.doc_id,
+        |         CAST(sum(tf.tf * bits.ub) // sum(tf.tf) AS BIGINT)
+        |           AS avg_microbits
+        |  FROM tf JOIN bits USING (token) GROUP BY 1),
+        |joined AS (
+        |  SELECT q.doc_id, q.source, q.q_micro, lm.avg_microbits
+        |  FROM qual q JOIN lm USING (doc_id)),
+        |ranked AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY q_micro, doc_id) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY avg_microbits, doc_id) AS BIGINT) AS rb
+        |  FROM joined),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        |  FROM ranked GROUP BY 1)
+        |SELECT source, n, sum_d2,
+        |  CASE WHEN n < 2 THEN 1000000
+        |       WHEN n > 10000 THEN NULL
+        |       WHEN n * (n * n - 1) - 6 * sum_d2 >= 0
+        |       THEN (n * (n * n - 1) - 6 * sum_d2) * 1000000
+        |            // (n * (n * n - 1))
+        |       ELSE -((-(n * (n * n - 1) - 6 * sum_d2)) * 1000000
+        |            // (n * (n * n - 1)))
+        |  END AS rho_micro
+        |FROM agg ORDER BY source""".stripMargin,
 
     // q49's flag chain + q45's packing replica at budget 128 over the
     // corpus split, per-pack poison flags, per-shard rollup

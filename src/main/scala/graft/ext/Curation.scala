@@ -520,6 +520,48 @@ object Curation {
       .orderBy(col("f_exact"), col("f_bloom"), col("f_semantic"))
   }
 
+  /** Benchmark-side leakage audit — [[contamination]] turned around:
+    * for each BENCHMARK document, how many corpus documents share its
+    * n-grams and how many of its distinct n-grams are leaked. The
+    * corpus-side view decides which training docs to drop; THIS view
+    * is for the eval owner — a benchmark item whose text is spread
+    * across the corpus is compromised no matter how much training
+    * data is dropped, and retiring that ITEM is usually cheaper than
+    * chasing every copy. Zero-leak benchmark docs are kept as zero
+    * rows (the healthy baseline the compromised ones stand out from).
+    *
+    * Emits one row per benchmark doc: (bench_id, n_leaking_docs,
+    * n_leaked_grams, n_hits), ordered.
+    *
+    * Scale: the benchmark shingle set is tiny and broadcast (the
+    * [[contamination]] posture); the corpus pays one map-side shingle
+    * pass and shuffles only the (rare) hits for the distinct
+    * aggregates. */
+  def benchLeakage(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                   hash: Dedup.HashScheme = Dedup.FastHash,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(graft.functions.TextFunctions.word_shingles(
+          col(textCol), n)).as("sh"))
+      .select(col(as), hash.one(col("sh")).as("hsh"))
+      .distinct()
+    val hits = hashed(corpus, "cid")
+      .join(broadcast(hashed(benchmark, "bench_id")), Seq("hsh"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("cid")).as("n_leaking_docs"),
+        countDistinct(col("hsh")).as("n_leaked_grams"),
+        count(lit(1)).as("n_hits"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("bench_id"))
+  }
+
   /** Contamination ESCAPE through dedup election — the interaction
     * gate between the dedup and decontamination stages. Production
     * pipelines decontaminate the elected REPRESENTATIVES only (the

@@ -1072,6 +1072,53 @@ object Profiling {
       coverMicro, "max_gap_s")
   }
 
+  /** Per-group Spearman agreement between two per-row signals — the
+    * cheap-vs-expensive signal gate (composite quality vs unigram-LM
+    * bits, heuristic vs learned score): high |ρ| per source says the
+    * cheap signal can stand in for that source's ranking decisions,
+    * ρ ≈ 0 says the two measure different things and the funnel needs
+    * both. Ranks are row_number by (signal, id) — id tie-breaks are
+    * part of the contract — and ρ uses the exact integer formula with
+    * the [[graft.ext.Retrieval.spearmanStats]] signed-division
+    * convention.
+    *
+    * LIMITATION: the exact integer n(n²−1)·10⁶ formula overflows past
+    * ~10⁴ rows per group; larger groups emit a NULL ρ with the counts
+    * intact (overflow loud, never silently wrapped — the r15 ADVICE
+    * convention). Sample per group before calling at corpus scale.
+    *
+    * Emits (groupCol, n, sum_d2, rho_micro), ordered.
+    *
+    * Scale: two group-keyed rank windows, one group aggregate. */
+  def signalAgreementStats(df: DataFrame, groupCol: String,
+                           valA: Column, valB: Column,
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      valA.as("_a"), valB.as("_b"))
+    val wa = Window.partitionBy(col("_g")).orderBy(col("_a"), col("_id"))
+    val wb = Window.partitionBy(col("_g")).orderBy(col("_b"), col("_id"))
+    base
+      .withColumn("_ra", row_number().over(wa).cast("long"))
+      .withColumn("_rb", row_number().over(wb).cast("long"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_ra") - col("_rb")) * (col("_ra") - col("_rb")))
+          .as("sum_d2"))
+      .select(col(groupCol), col("n"), col("sum_d2"),
+        when(col("n") < 2L, lit(1000000L))
+          .when(col("n") > 10000L, lit(null).cast("long"))
+          .otherwise(
+            expr("""CASE WHEN n * (n * n - 1) - 6 * sum_d2 >= 0
+                   |THEN (n * (n * n - 1) - 6 * sum_d2) * 1000000
+                   |     div (n * (n * n - 1))
+                   |ELSE -((-(n * (n * n - 1) - 6 * sum_d2)) * 1000000
+                   |     div (n * (n * n - 1)))
+                   |END""".stripMargin))
+          .as("rho_micro"))
+      .orderBy(col(groupCol))
+  }
+
   /** Shared tail of the delay advisors: digit-count buckets (the q264
     * exact integer bucketing — no float log) over a non-negative `_v`
     * column, exact integer cumulative coverage, and the advised-bucket

@@ -36,6 +36,21 @@ class CurationSpec extends SparkSpec {
     assert(lenient === Set(2L, 3L))
   }
 
+  // ===== benchmark-side leakage =============================================
+
+  test("benchLeakage: per-bench-doc leak counts; clean items emit zeros") {
+    val bench2 = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "nothing here overlaps the training corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Curation.benchLeakage(corpus, bench2, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // bench 100 has two 5-grams: doc1 carries both, doc3 the first
+    assert(got(100L) === ((2L, 2L, 3L)))
+    assert(got(101L) === ((0L, 0L, 0L)))
+  }
+
   // ===== multi-width substring dedup ========================================
 
   test("dedupLinesMultiWidth: coarse pass strips blocks, fine pass the rest") {

@@ -500,4 +500,23 @@ class ProfilingSpec extends SparkSpec {
         r.getLong(4)))
     assert(got.toSeq === Seq((2L, 2L, 90L, 1000000L, 1L)))
   }
+
+  // ===== per-group signal agreement =========================================
+
+  test("signalAgreementStats: rho +1e6 on agreement, -1e6 on reversal, " +
+      "1e6 convention on singletons") {
+    import spark.implicits._
+    val df = Seq(
+      ("agree", 1L, 10L, 100L), ("agree", 2L, 20L, 200L),
+      ("agree", 3L, 30L, 300L),
+      ("rev", 4L, 1L, 9L), ("rev", 5L, 2L, 8L), ("rev", 6L, 3L, 7L),
+      ("lone", 7L, 5L, 5L))
+      .toDF("source", "doc_id", "a", "b")
+    val got = Profiling.signalAgreementStats(df, "source",
+        col("a"), col("b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got("agree") === ((3L, 1000000L)))
+    assert(got("rev") === ((3L, -1000000L)))
+    assert(got("lone") === ((1L, 1000000L)))
+  }
 }
