@@ -3465,6 +3465,55 @@ object SparkEntry {
     "q296_session_gap_advisor" -> ((s, d) =>
       Profiling.sessionGapAdvisor(events(s, d), coverMicro = 990000L)),
 
+    // ===== per-source token-budget funnel ==============================
+    // q300's receipt in TOKENS, per source: where the budget actually
+    // goes through election → decontam → quality (counts say how many
+    // docs died; the trainer's currency is tokens, and sources with
+    // identical doc funnels can lose very different token masses)
+    "q303_token_funnel" -> ((s, d) => {
+      val all = documents(s, d)
+      val corpus = all.filter(col("doc_id") % 31 =!= 0)
+      val elect = Dedup.electRepresentatives(corpus,
+          sharedComponents(s, d), col("n_chars"))
+        .select(col("doc_id"), col("is_kept"))
+      val flags = Curation.contamination(corpus,
+          all.filter(col("doc_id") % 31 === 0), n = 5)
+        .select(col("doc_id"), lit(1L).as("_contam"))
+      val f = T.withQuality(corpus)
+        .join(elect, Seq("doc_id"))
+        .join(flags, Seq("doc_id"), "left")
+        .withColumn("_contam", coalesce(col("_contam"), lit(0L)))
+      val c1 = col("is_kept") === 1L
+      val c2 = c1 && col("_contam") === 0L
+      val c3 = c2 && col("n_tokens") >= 30 &&
+        col("punct_ratio") <= 0.1 && col("stop_ratio") >= 0.05
+      f.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tokens_input"),
+          sum(when(c1, col("n_tokens")).otherwise(0L)).as("tokens_elected"),
+          sum(when(c2, col("n_tokens")).otherwise(0L)).as("tokens_decontam"),
+          sum(when(c3, col("n_tokens")).otherwise(0L)).as("tokens_final"))
+        .select(col("source"), col("tokens_input"), col("tokens_elected"),
+          col("tokens_decontam"), col("tokens_final"),
+          expr("tokens_final * 1000000 div greatest(tokens_input, 1)")
+            .as("kept_micro"))
+        .orderBy(col("source"))
+    }),
+
+    // ===== embedding norm ↔ length coupling ============================
+    // embedding-health gate: a pooled embedding whose norm tracks
+    // document LENGTH leaks length into every cosine decision —
+    // per-lang Spearman between token count and the pinned squared
+    // norm; |rho| high says normalize before indexing
+    "q304_norm_length_coupling" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        T.tokenCount(col("text")).cast("long").as("n_toks"))
+      val norms = embeddings(s, d).select(col("vec_id").as("doc_id"),
+        Similarity.dotLong(Similarity.microVec(col("embedding")),
+          Similarity.microVec(col("embedding"))).as("norm2"))
+      Profiling.signalAgreementStats(docs.join(norms, Seq("doc_id")),
+        "lang", col("n_toks"), col("norm2"))
+    }),
+
     // ===== benchmark-side leakage audit ================================
     // q49 turned around, for the EVAL owner: per benchmark doc, how
     // many corpus docs share its 5-grams and how many of its grams
@@ -13172,6 +13221,143 @@ object SparkEntry {
          |$blocks
          |$rows ORDER BY batch_size""".stripMargin
     },
+
+    // the q300 receipt chains re-aggregated in TOKENS per source
+    "q303_token_funnel" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 31 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM bt, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM corpus),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+        |         || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM ct, UNNEST(range(1, len(t)-3)) AS u(i)),
+        |flags AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (s)),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |      AS punct_count,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |      x -> list_contains(['the','of','and','to','a','in','is','it','you','that'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM corpus),
+        |ratios AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    floor(punct_count / greatest(n_chars_obs, 1) * 10000)/10000
+        |      AS punct_ratio,
+        |    floor(stop_hits / greatest(n_tokens, 1) * 10000)/10000
+        |      AS stop_ratio
+        |  FROM base),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS component
+        |  FROM corpus d LEFT JOIN comp c USING (doc_id)),
+        |el AS (
+        |  SELECT doc_id, CASE WHEN row_number() OVER (PARTITION BY component
+        |    ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS is_kept
+        |  FROM lab),
+        |f AS (
+        |  SELECT r.source, r.n_tokens, r.punct_ratio, r.stop_ratio,
+        |    el.is_kept,
+        |    CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS cf
+        |  FROM ratios r JOIN el ON el.doc_id = r.doc_id
+        |  LEFT JOIN flags fl ON fl.doc_id = r.doc_id)
+        |SELECT source,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_input,
+        |  CAST(sum(CASE WHEN is_kept = 1 THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS tokens_elected,
+        |  CAST(sum(CASE WHEN is_kept = 1 AND cf = 0 THEN n_tokens
+        |    ELSE 0 END) AS BIGINT) AS tokens_decontam,
+        |  CAST(sum(CASE WHEN is_kept = 1 AND cf = 0 AND n_tokens >= 30
+        |    AND punct_ratio <= 0.1 AND stop_ratio >= 0.05 THEN n_tokens
+        |    ELSE 0 END) AS BIGINT) AS tokens_final,
+        |  CAST(sum(CASE WHEN is_kept = 1 AND cf = 0 AND n_tokens >= 30
+        |    AND punct_ratio <= 0.1 AND stop_ratio >= 0.05 THEN n_tokens
+        |    ELSE 0 END) * 1000000 // greatest(sum(n_tokens), 1) AS BIGINT)
+        |    AS kept_micro
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // raw-token counts joined to the pinned squared norms, the q302
+    // rank/rho machinery grouped by lang
+    "q304_norm_length_coupling" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pe AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+        |  FROM e),
+        |pc AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> pv[i]*pv[i])) AS BIGINT) AS norm2
+        |  FROM pe),
+        |j AS (
+        |  SELECT d.lang, d.doc_id, d.n_toks, pc.norm2
+        |  FROM d JOIN pc ON pc.vec_id = d.doc_id),
+        |ranked AS (
+        |  SELECT lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_toks, doc_id) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY norm2, doc_id) AS BIGINT) AS rb
+        |  FROM j),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        |  FROM ranked GROUP BY 1)
+        |SELECT lang, n, sum_d2,
+        |  CASE WHEN n < 2 THEN 1000000
+        |       WHEN n > 10000 THEN NULL
+        |       WHEN n * (n * n - 1) - 6 * sum_d2 >= 0
+        |       THEN (n * (n * n - 1) - 6 * sum_d2) * 1000000
+        |            // (n * (n * n - 1))
+        |       ELSE -((-(n * (n * n - 1) - 6 * sum_d2)) * 1000000
+        |            // (n * (n * n - 1)))
+        |  END AS rho_micro
+        |FROM agg ORDER BY lang""".stripMargin,
 
     // the q49 shingle chains with bench ids kept, the leak join
     // grouped by BENCHMARK doc, zero rows restored via the left join
