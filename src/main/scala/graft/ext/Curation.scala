@@ -533,6 +533,13 @@ object Curation {
     * Emits one row per benchmark doc: (bench_id, n_leaking_docs,
     * n_leaked_grams, n_hits), ordered.
     *
+    * Hash exposure: the JOIN is hash-keyed (the documented q49
+    * convention — a corpus/benchmark gram collision adds a spurious
+    * hit), but `n_leaked_grams` counts distinct RAW benchmark grams,
+    * not distinct hashes — the raw gram travels on the tiny broadcast
+    * side for free, so two distinct leaked grams colliding to one
+    * hash cannot under-count the leak.
+    *
     * Scale: the benchmark shingle set is tiny and broadcast (the
     * [[contamination]] posture); the corpus pays one map-side shingle
     * pass and shuffles only the (rare) hits for the distinct
@@ -541,17 +548,20 @@ object Curation {
                    hash: Dedup.HashScheme = Dedup.FastHash,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    def hashed(df: DataFrame, as: String) = df
+    def shingled(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
         explode(graft.functions.TextFunctions.word_shingles(
           col(textCol), n)).as("sh"))
-      .select(col(as), hash.one(col("sh")).as("hsh"))
-      .distinct()
-    val hits = hashed(corpus, "cid")
-      .join(broadcast(hashed(benchmark, "bench_id")), Seq("hsh"))
+    // corpus side stays skinny (id, hash) for the shuffle; the raw gram
+    // rides only the broadcast benchmark side, for the exact distinct
+    val hits = shingled(corpus, "cid")
+      .select(col("cid"), hash.one(col("sh")).as("hsh")).distinct()
+      .join(broadcast(shingled(benchmark, "bench_id")
+        .select(col("bench_id"), col("sh"), hash.one(col("sh")).as("hsh"))
+        .distinct()), Seq("hsh"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("cid")).as("n_leaking_docs"),
-        countDistinct(col("hsh")).as("n_leaked_grams"),
+        countDistinct(col("sh")).as("n_leaked_grams"),
         count(lit(1)).as("n_hits"))
     benchmark.select(col(idCol).as("bench_id"))
       .join(hits, Seq("bench_id"), "left")
@@ -1668,41 +1678,58 @@ object Curation {
     * Emits one row per batch size: (batch_size, n_batches, n_pairs,
     * n_false_neg, fn_rate_micro).
     *
-    * Scale: per size, two hash aggregates (per batch, per
-    * batch×component) then 1-row totals — counting, never pair
+    * Scale: ONE corpus pass for every size at once — the size list is
+    * exploded into the projection (|sizes|× row inflation, map-side),
+    * then one (size, batch, component) aggregate cascades into
+    * (size, batch) then per-size totals — counting, never pair
     * materialization; the id-keyed component join is the only
-    * corpus-width shuffle and is shared across sizes by the plan's
-    * common subtree. */
+    * corpus-width shuffle. The corpus count the batch arithmetic
+    * needs is a 1-row aggregate broadcast onto the pass (the plan
+    * stays lazy — building the frame runs nothing). */
   def falseNegativeSweep(docs: DataFrame, comps: DataFrame,
                          batchSizes: Seq[Int],
                          idCol: String = "doc_id"): DataFrame = {
     require(batchSizes.nonEmpty && batchSizes.forall(_ >= 2),
       "batch sizes below 2 have no in-batch pairs")
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("_n"))
     val lab = docs.select(col(idCol))
       .join(comps.select(col(idCol).as("_cid"), col("component")),
         col(idCol) === col("_cid"), "left")
       .drop("_cid")
       .withColumn("component", coalesce(col("component"), col(idCol)))
-    batchSizes.map { b =>
-      val nBatches = math.max(1L, (n + b - 1) / b)
-      val batched = lab.withColumn("batch",
+    val sizeLits = array(batchSizes.map(b => lit(b.toLong)): _*)
+    // seed string "fn<b>:<id>" matches the per-size literal it replaced
+    val sized = lab.crossJoin(broadcast(nDf))
+      .select(col(idCol), col("component"),
+        explode(sizeLits).as("batch_size"), col("_n"))
+      .withColumn("n_batches",
+        greatest(lit(1L), expr("(_n + batch_size - 1) div batch_size")))
+      .withColumn("batch",
         pmod(TextAnalysis.md5Hash60(
-          concat(lit(s"fn$b:"), col(idCol).cast("string"))), lit(nBatches)))
-      val allPairs = batched.groupBy(col("batch"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-          .as("n_pairs"))
-      val fnPairs = batched.groupBy(col("batch"), col("component"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
-          .as("n_false_neg"))
-      allPairs.crossJoin(fnPairs) // two 1-row aggregates
-        .select(lit(b.toLong).as("batch_size"),
-          lit(nBatches).as("n_batches"), col("n_pairs"),
-          col("n_false_neg"),
-          expr("n_false_neg * 1000000 div greatest(n_pairs, 1)")
-            .as("fn_rate_micro"))
-    }.reduce(_.unionByName(_)).orderBy(col("batch_size"))
+          concat(lit("fn"), col("batch_size").cast("string"), lit(":"),
+            col(idCol).cast("string"))), col("n_batches")))
+    val perBatch = sized
+      .groupBy(col("batch_size"), col("batch"), col("component"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("batch_size"), col("batch"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("fn_b"),
+        sum(col("c")).as("tot_b"))
+      .groupBy(col("batch_size"))
+      .agg(sum(expr("tot_b * (tot_b - 1) div 2")).as("n_pairs"),
+        sum(col("fn_b")).as("n_false_neg"))
+    // right frame of sizes so empty input still emits one row per size
+    // (n_batches = 1, zero pairs) — the pre-fuse contract
+    docs.sparkSession.range(1)
+      .select(explode(sizeLits).as("batch_size"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("n_batches",
+        greatest(lit(1L), expr("(_n + batch_size - 1) div batch_size")))
+      .join(perBatch, Seq("batch_size"), "left")
+      .select(col("batch_size"), col("n_batches"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_false_neg"), lit(0L)).as("n_false_neg"),
+        expr("coalesce(n_false_neg, 0) * 1000000 " +
+          "div greatest(coalesce(n_pairs, 0), 1)").as("fn_rate_micro"))
+      .orderBy(col("batch_size"))
   }
 }

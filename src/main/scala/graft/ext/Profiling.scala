@@ -1032,8 +1032,9 @@ object Profiling {
                        arrivalCol: String = "event_id",
                        tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(coverMicro >= 0L && coverMicro <= 1000000L,
-      "coverMicro is a micro share in [0, 1e6]")
+    require(coverMicro >= 1L && coverMicro <= 1000000L,
+      "coverMicro is a micro share in [1, 1e6] (0 would make no bucket " +
+        "advisable: the first bucket's prior coverage is already 0)")
     val ep = unix_timestamp(col(tsCol)).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1060,8 +1061,9 @@ object Profiling {
                         tsCol: String = "ts",
                         tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(coverMicro >= 0L && coverMicro <= 1000000L,
-      "coverMicro is a micro share in [0, 1e6]")
+    require(coverMicro >= 1L && coverMicro <= 1000000L,
+      "coverMicro is a micro share in [1, 1e6] (0 would make no bucket " +
+        "advisable: the first bucket's prior coverage is already 0)")
     val ep = unix_timestamp(col(tsCol)).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(ep, col(tieCol))
     digitBucketCoverage(

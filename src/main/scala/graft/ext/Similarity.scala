@@ -151,27 +151,6 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Cross-lingual bitext mining yield (LASER/CCMatrix-style
-    * mine-into-target, reduced to its deterministic skeleton): every
-    * non-`targetLang` document is paired with same-IVF-cell
-    * `targetLang` documents, ranked by pinned-integer cosine, and a
-    * pair is MINED when it is mutual-top-1 (x's best target is y AND
-    * y's best source is x — the forward∩backward filter that kills
-    * hub translations). Emits the per-source-language yield table:
-    * (lang, n_queries, n_mutual, yield_micro), where `n_queries`
-    * counts source docs with at least one same-cell target candidate
-    * — a low yield for one language flags embedding-space
-    * misalignment for that pair before any trainer consumes the
-    * mined pairs.
-    *
-    * Blocking is the 16-smallest-id-seed IVF assignment computed on
-    * PINNED integer micros (not the float-kernel `ivfAssign`) so the
-    * whole trajectory — blocking, ranking, mutuality — replays
-    * bit-for-bit in any engine (the q259/q281 convention).
-    *
-    * Scale: the seed frame is broadcast (bounded crossJoin — the q34
-    * block shape); candidates form per-cell equi-join groups, never
-    * corpus²; both mutual windows are keyed per doc. */
   /** Pinned-integer IVF cell assignment — the de-floated blocking
     * primitive under [[bitextMutualStats]] and the source×cell
     * profile: the `nCentroids` smallest-id vectors seed the cells (the
@@ -201,6 +180,27 @@ object Similarity {
       .select(col("id"), col("c_id"))
   }
 
+  /** Cross-lingual bitext mining yield (LASER/CCMatrix-style
+    * mine-into-target, reduced to its deterministic skeleton): every
+    * non-`targetLang` document is paired with same-IVF-cell
+    * `targetLang` documents, ranked by pinned-integer cosine, and a
+    * pair is MINED when it is mutual-top-1 (x's best target is y AND
+    * y's best source is x — the forward∩backward filter that kills
+    * hub translations). Emits the per-source-language yield table:
+    * (lang, n_queries, n_mutual, yield_micro), where `n_queries`
+    * counts source docs with at least one same-cell target candidate
+    * — a low yield for one language flags embedding-space
+    * misalignment for that pair before any trainer consumes the
+    * mined pairs.
+    *
+    * Blocking is the 16-smallest-id-seed IVF assignment computed on
+    * PINNED integer micros (not the float-kernel `ivfAssign`) so the
+    * whole trajectory — blocking, ranking, mutuality — replays
+    * bit-for-bit in any engine (the q259/q281 convention).
+    *
+    * Scale: the seed frame is broadcast (bounded crossJoin — the q34
+    * block shape); candidates form per-cell equi-join groups, never
+    * corpus²; both mutual windows are keyed per doc. */
   def bitextMutualStats(emb: DataFrame, langs: DataFrame,
                         targetLang: String = "en",
                         nCentroids: Int = 16,

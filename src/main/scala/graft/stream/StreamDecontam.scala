@@ -56,6 +56,14 @@ object StreamDecontam {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       "mBits must be a power of two >= 64")
     require(k >= 1, "k must be positive")
+    // build/probe parameter mismatch fails loudly: a probe with a larger
+    // mBits than the bits array was built with would element_at past the
+    // array end, read null, and silently DROP flags — violating the
+    // documented no-false-negative guarantee
+    require(bits.length == mBits / 63 + 1,
+      s"bits array has ${bits.length} words but mBits=$mBits needs " +
+        s"${mBits / 63 + 1} — probe parameters must match the " +
+        "bloomBits build")
     val bitsLit = lit(bits)
     // the variable-shift 1L << (pos % 63) as a 63-entry literal lookup
     // (the Column shiftleft only takes a literal shift count)

@@ -839,4 +839,37 @@ class CurationSpec extends SparkSpec {
     assert(nb2 === 4L && pairs2 >= 4L && pairs2 <= 28L && fn2 <= 2L)
     assert(rate2 === fn2 * 1000000L / math.max(pairs2, 1L))
   }
+
+  test("falseNegativeSweep: lazy to build (zero jobs), one corpus pass " +
+      "regardless of |sizes|, empty input keeps the row-per-size shape") {
+    val docs = (1L to 8L).map(i => Tuple1(i)).toDF("doc_id")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component")
+    // laziness: constructing the frame must run NOTHING (the pre-fuse
+    // version ran an eager docs.count() at plan-construction time)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frame = Curation.falseNegativeSweep(docs, comps, Seq(2, 4, 8))
+      Thread.sleep(300) // let any async job-start events drain
+      assert(jobs === 0, "building the sweep frame must not launch jobs")
+      frame.collect()
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // plan shape: the number of scans of the docs relation is constant
+    // in |sizes| (pre-fuse: 2 corpus aggregates PER size)
+    def docLeaves(sizes: Seq[Int]): Int =
+      Curation.falseNegativeSweep(docs, comps, sizes)
+        .queryExecution.analyzed.collectLeaves().size
+    assert(docLeaves(Seq(2, 4)) === docLeaves(Seq(2, 4, 8, 16, 32, 64)))
+    // empty input: one row per size, n_batches = 1, zero pairs
+    val empty = docs.filter(col("doc_id") < 0L)
+    val rows = Curation.falseNegativeSweep(empty, comps, Seq(2, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((2L, 1L, 0L, 0L, 0L), (8L, 1L, 0L, 0L, 0L)))
+  }
 }
