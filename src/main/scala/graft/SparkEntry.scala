@@ -3499,6 +3499,42 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ===== perceptual near-dup asset pairs =============================
+    // the q19 simhash machinery on the MULTIMODAL axis: dHash-style
+    // 60-bit perceptual hash over the asset payloads (61-cell content
+    // grid, neighbour-comparison bits), 4x15-bit chunk banding, pairs
+    // within hamming <= 3. The store is corpus + derived re-encode-
+    // class variants (localized same-length corruption, the q51-style
+    // in-query derivation — the fixture ships no byte-near payloads):
+    // each variant surfaces next to its source within a few bits
+    "q305_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.assets(
+        Multimodal.withReencodedVariants(documents(s, d))))),
+
+    // ===== perceptual-hash hamming histogram ===========================
+    // q305's threshold dial (the q298 twin on the asset axis): hamming
+    // distribution over the banded phash candidates — the variant dup
+    // spike at low distances vs the background hump marks the safe
+    // maxDist cut for the store
+    "q306_phash_histogram" -> ((s, d) =>
+      Multimodal.phashHammingHistogram(Multimodal.assets(
+        Multimodal.withReencodedVariants(documents(s, d))))),
+
+    // ===== cross-modal consistency gate ================================
+    // near-identical payloads whose EMBEDDINGS disagree = encoder
+    // alarm (stale vector cache, nondeterministic encoder, payload <->
+    // vector id mix-up) — the failure neither the asset store nor the
+    // vector index can see alone; variants inherit their source's
+    // embedding except the planted id mix-ups, which the gate must
+    // flag: per hamming bucket, pairs, pinned-cosine disagreements
+    // below 0.9, worst cosine (floor micros)
+    "q307_crossmodal_consistency" -> ((s, d) => {
+      val docs = documents(s, d)
+      Multimodal.crossModalConsistency(
+        Multimodal.assets(Multimodal.withReencodedVariants(docs)),
+        Multimodal.variantEmbeddings(docs, embeddings(s, d)))
+    }),
+
     // ===== embedding norm ↔ length coupling ============================
     // embedding-health gate: a pooled embedding whose norm tracks
     // document LENGTH leaks length into every cosine decision —
@@ -3857,6 +3893,45 @@ object SparkEntry {
         |      coalesce(lag(recall_micro) OVER (ORDER BY bands), 0)
         |      AS BIGINT) AS recall_monotone_ok
         |  FROM sweep2)""".stripMargin
+  }
+
+  /** Shared CTE chain of the q305/q306/q307 perceptual-hash family:
+    * the derived re-encode-variant store (docs + same-length-corrupted
+    * copies at id+1e6), the 61-pixel content grid (md5-bucketed evenly
+    * spaced slices), the 60 dHash neighbour-comparison bits, 4x15-bit
+    * chunk banding, and the distinct banded candidate pairs with
+    * Hamming distances (mirrors Multimodal.withReencodedVariants /
+    * withPerceptualHash / phashCandidates). */
+  private def phashCtes: String = {
+    val pixels = (0 to 60).map { i =>
+      s"""CAST(('0x' || substring(md5('px:' || substring(text,
+         |      CAST(($i * length(text)) // 61 AS INT) + 1,
+         |      greatest(length(text) // 61, 1))), 1, 15)) AS BIGINT)
+         |      % 256 AS p$i""".stripMargin
+    }.mkString(",\n    ")
+    val bits = (0 until 60)
+      .map(i => s"(CASE WHEN p$i > p${i + 1} THEN ${1L << i} ELSE 0 END)")
+      .mkString(" | ")
+    s"""store AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    concat(substring(text, 1, 100), 'ZZZZZ',
+       |      substring(text, 106, 1000000)) AS text
+       |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200),
+       |px AS (
+       |  SELECT doc_id,
+       |    $pixels
+       |  FROM store),
+       |sig AS (SELECT doc_id, $bits AS phash FROM px),
+       |chunked AS (
+       |  SELECT doc_id, phash, u.k, (phash >> (15 * u.k)) & 32767 AS chunk
+       |  FROM sig, UNNEST([0, 1, 2, 3]) AS u(k)),
+       |ppairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |  FROM chunked a JOIN chunked b USING (k, chunk)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
   private def zInterleaveSql(a: String, b: String, bits: Int): String =
@@ -13315,6 +13390,61 @@ object SparkEntry {
 
     // raw-token counts joined to the pinned squared norms, the q302
     // rank/rho machinery grouped by lang
+    // the shared phash CTE chain, distance-filtered pairs
+    "q305_phash_pairs" ->
+      s"""WITH $phashCtes
+         |SELECT doc_a, doc_b, hamming FROM ppairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the shared phash CTE chain, histogram over ALL banded candidates
+    "q306_phash_histogram" ->
+      s"""WITH $phashCtes
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ppairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the phash pair chain joined twice to the q287 pinned-micro
+    // embedding CTEs; per hamming bucket, pinned-cosine disagreement
+    // counts and the floor-scaled worst cosine
+    "q307_crossmodal_consistency" ->
+      s"""WITH $phashCtes,
+         |emb2 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT d.doc_id + 1000000 AS vec_id, e0.embedding
+         |  FROM documents d JOIN embeddings e0
+         |    ON e0.vec_id = CASE WHEN d.doc_id % 21 = 0
+         |         THEN d.doc_id + 1 ELSE d.doc_id END
+         |  WHERE d.doc_id % 7 = 0 AND length(d.text) >= 200),
+         |e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM emb2),
+         |pe AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS pv
+         |  FROM e),
+         |pc AS (
+         |  SELECT vec_id, pv,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> pv[i]*pv[i])) AS BIGINT) AS na
+         |  FROM pe),
+         |sc AS (
+         |  SELECT p.hamming,
+         |    CASE WHEN a.na = 0 OR b.na = 0 THEN 0.0
+         |      ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+         |             i -> a.pv[i]*b.pv[i])) AS BIGINT) AS DOUBLE)
+         |           / (sqrt(CAST(a.na AS DOUBLE))
+         |              * sqrt(CAST(b.na AS DOUBLE))) END AS ps
+         |  FROM ppairs p
+         |  JOIN pc a ON a.vec_id = p.doc_a
+         |  JOIN pc b ON b.vec_id = p.doc_b
+         |  WHERE p.hamming <= 3)
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN ps < 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disagree,
+         |  CAST(floor(min(ps) * 1e6) AS BIGINT) AS min_cos_micro
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q304_norm_length_coupling" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

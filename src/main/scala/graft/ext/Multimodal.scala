@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing — extension tier (SURVEY.md §7 step 5).
@@ -104,4 +104,203 @@ object Multimodal {
               .cast("int"), lit(frameLen)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_bytes")
+
+  // ===== perceptual near-dup dedup over asset payloads =====================
+
+  /** One "pixel" of the perceptual grid: the i-th of `cells` evenly
+    * spaced payload slices, content-hashed and bucketed to [0, 256).
+    * Pure integer/substring ops (the md5Hash60 convention), so the
+    * whole grid replays bit-for-bit in any engine. */
+  private def gridPixel(t: Column, i: Int, cells: Int): Column = {
+    val len = length(t).cast("long")
+    // i*len < 61 * ~1e5 « 2^53, so the double division is exact pre-floor
+    val start = floor((lit(i.toLong) * len).cast("double") / cells)
+      .cast("int") + 1
+    val clen = greatest(floor(len.cast("double") / cells).cast("int"),
+      lit(1))
+    pmod(graft.ext.TextAnalysis.md5Hash60(
+      concat(lit("px:"), t.substr(start, clen))), lit(256L))
+  }
+
+  /** The (bits+1)-cell pixel grid of a payload: decode the payload to
+    * its character stream and sample evenly spaced slices, each
+    * slice's "intensity" = bucketed content hash — the deterministic
+    * stand-in for a thumbnail's pixel row (the real decoder slots in
+    * at [[decodeStub]]). */
+  def pixelGrid(payload: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
+    val t = payload.cast("string")
+    array((0 to bits).map(gridPixel(t, _, bits + 1)): _*)
+  }
+
+  /** Adds `phash` (BIGINT) — a dHash-style 60-bit perceptual hash:
+    * bit i = 1 iff pixel(i) > pixel(i+1) over the [[pixelGrid]].
+    * Identical payloads hash identically; localized same-length
+    * corruptions (the re-encode / bit-rot / patched-watermark class)
+    * flip only the bits whose cells cover the edit, so near-identical
+    * assets land within a small Hamming distance. Length-CHANGING
+    * edits shift every cell boundary and are out of scope — exactly
+    * the alignment limit of a raw (translation-sensitive) image
+    * dHash. 60 bits, not 64, to stay inside the md5Hash60/BIGINT-safe
+    * convention shared with [[graft.ext.Dedup.withSimhash]]. The grid
+    * is materialized once in a first projection so each pixel is
+    * computed once even though neighbouring dHash bits share it. */
+  def withPerceptualHash(assetDf: DataFrame, bits: Int = 60,
+                         payloadCol: String = "payload"): DataFrame = {
+    val withPx = assetDf.withColumn("_px",
+      pixelGrid(col(payloadCol), bits))
+    val h = (0 until bits).map { i =>
+      when(element_at(col("_px"), i + 1) > element_at(col("_px"), i + 2),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    withPx.withColumn("phash", h).drop("_px")
+  }
+
+  /** Derived "re-encoded" asset variants — the in-query fixture for
+    * the perceptual-dedup family (the q51-style derivation trick: the
+    * testdata ships no byte-level near-identical payloads, so the
+    * store is modelled as corpus + re-encode-class copies, both sides
+    * replayable): every doc with `id % mod == 0` and ≥ 200 chars gets
+    * a copy at `id + offset` whose payload carries a localized
+    * SAME-LENGTH corruption (5 chars overwritten at position 101 —
+    * the re-encode artifact / bit-rot / patched-watermark class the
+    * dHash is designed to see through). */
+  def withReencodedVariants(docs: DataFrame, mod: Int = 7,
+                            offset: Long = 1000000L): DataFrame = {
+    val vars = docs
+      .filter(col("doc_id") % mod === 0 && length(col("text")) >= 200)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(substring(col("text"), 1, 100), lit("ZZZZZ"),
+          substring(col("text"), 106, 1000000)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(vars)
+  }
+
+  /** Embeddings for the [[withReencodedVariants]] store: a variant
+    * normally inherits its source's embedding (the vector cache was
+    * computed on the original — re-encoding does not re-embed), but
+    * every `id % mixMod == 0` variant gets the embedding of id+1
+    * instead — the planted payload↔vector id MIX-UP the cross-modal
+    * gate exists to catch (a mixed-up id whose neighbour embedding is
+    * missing simply has no vector, like any unembedded asset). */
+  def variantEmbeddings(docs: DataFrame, emb: DataFrame, mod: Int = 7,
+                        mixMod: Int = 21, offset: Long = 1000000L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val varSrc = docs
+      .filter(col("doc_id") % mod === 0 && length(col("text")) >= 200)
+      .select(col("doc_id"),
+        when(col("doc_id") % mixMod === 0, col("doc_id") + 1)
+          .otherwise(col("doc_id")).as("_src"))
+    val mixed = varSrc
+      .join(emb.select(col(idCol).as("_src"), col(vecCol)), Seq("_src"))
+      .select((col("doc_id") + offset).as(idCol), col(vecCol))
+    emb.select(col(idCol), col(vecCol)).unionByName(mixed)
+  }
+
+  /** Banded perceptual-hash candidates WITH Hamming distances — the
+    * [[graft.ext.Dedup]] simhashCandidates shape on the asset axis:
+    * the 60-bit phash splits into 4 15-bit chunks; by pigeonhole any
+    * pair within distance 3 agrees on ≥ 1 chunk, so candidates come
+    * from equi-joins on (chunk index, chunk value) and only candidates
+    * pay the bit_count verification — never corpus². */
+  private def phashCandidates(assetDf: DataFrame,
+                              maxBucketSize: Int): DataFrame = {
+    // materialize once: the chunk self-join references the hash
+    // projection on both sides (the simhashCandidates rationale)
+    val sigs = withPerceptualHash(assetDf)
+      .select(col("doc_id").as("id"), col("phash"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val chunks = array((0 until 4).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("phash"), 15 * k).bitwiseAND(lit(32767L)).as("chunk"))
+    }: _*)
+    val chunked0 = sigs
+      .select(col("id"), col("phash"), explode(chunks).as("c"))
+      .select(col("id"), col("phash"), col("c.k").as("k"),
+        col("c.chunk").as("chunk"))
+    // degenerate-bucket guard: m byte-identical assets in one chunk
+    // bucket yield m²/2 candidates — run exact dedup first on
+    // duplicate-heavy stores and cap the fan-out
+    val chunked = if (maxBucketSize == Int.MaxValue) chunked0 else {
+      val sizes = chunked0.groupBy(col("k"), col("chunk"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+      chunked0.join(sizes.select(col("k"), col("chunk"))
+        .hint("shuffle_hash"), Seq("k", "chunk"))
+    }
+    // merge PINNED on the self-join (the unbounded-pair broadcast
+    // failure shape — see Dedup.jaccardPairs)
+    chunked.as("a").join(chunked.as("b").hint("merge"), Seq("k", "chunk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Perceptual near-dup asset pairs with Hamming ≤ `maxDist` (< 4 —
+    * the 4-chunk pigeonhole bound). Byte-identical payloads always
+    * surface (distance 0); near-identical ones surface when their
+    * edits stay inside a few grid cells. */
+  def phashPairs(assetDf: DataFrame, maxDist: Int = 3,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist < 4, "chunk banding assumes maxDist <= 3")
+    phashCandidates(assetDf, maxBucketSize)
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Hamming histogram over the banded phash candidates — the
+    * threshold dial for [[phashPairs]]' `maxDist` (the simhash
+    * histogram's asset twin): a dup spike at low distances separated
+    * from the background hump marks the safe cut. Emits
+    * (hamming, n_pairs), ordered. */
+  def phashHammingHistogram(assetDf: DataFrame,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame =
+    phashCandidates(assetDf, maxBucketSize)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+
+  /** Cross-modal consistency gate: perceptual near-dup asset pairs
+    * joined to BOTH members' embeddings — near-identical payloads
+    * whose embeddings disagree flag an encoder problem (stale
+    * embedding cache, nondeterministic encoder, or a payload↔vector
+    * id mix-up), the one failure class neither the asset store nor
+    * the vector index can see alone. Per Hamming distance: candidate
+    * pairs, pairs whose pinned cosine falls below `agreeThreshold`
+    * (the alarms), and the worst cosine (floor-scaled micro).
+    *
+    * Cosines are [[graft.ext.Similarity.pinnedCosine]] on integer
+    * micro vectors — bit-replayable in any engine (q287 convention).
+    *
+    * Scale: the pair frame is the banded candidate set (bounded);
+    * embeddings join it twice by id — two keyed equi-joins, no
+    * corpus² anywhere. Emits (hamming, n_pairs, n_disagree,
+    * min_cos_micro), ordered. */
+  def crossModalConsistency(assetDf: DataFrame, emb: DataFrame,
+                            maxDist: Int = 3,
+                            agreeThreshold: Double = 0.9,
+                            maxBucketSize: Int = Int.MaxValue,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import graft.ext.Similarity.{microVec, dotLong, pinnedCosine}
+    val pairs = phashPairs(assetDf, maxDist, maxBucketSize)
+    val v = emb.select(col(idCol).as("_vid"),
+        microVec(col(vecCol)).as("_pv"))
+      .withColumn("_na", dotLong(col("_pv"), col("_pv")))
+    val scored = pairs
+      .join(v.select(col("_vid").as("doc_a"), col("_pv").as("_va"),
+        col("_na").as("_naa")), Seq("doc_a"))
+      .join(v.select(col("_vid").as("doc_b"), col("_pv").as("_vb"),
+        col("_na").as("_nab")), Seq("doc_b"))
+      .withColumn("_ps", pinnedCosine(dotLong(col("_va"), col("_vb")),
+        col("_naa"), col("_nab")))
+    scored.groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_ps") < agreeThreshold, 1L).otherwise(0L))
+          .as("n_disagree"),
+        floor(min(col("_ps")) * 1e6).cast("long").as("min_cos_micro"))
+      .orderBy(col("hamming"))
+  }
 }

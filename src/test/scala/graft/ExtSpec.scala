@@ -1158,6 +1158,54 @@ class ExtSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
   }
 
+  test("phash near-dup recall vs exact byte equality is total; " +
+      "localized same-length corruption stays within the band") {
+    val base = (0 until 610).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
+      .mkString
+    // chars 100-104 corrupted IN PLACE (same length) — one grid cell
+    val corrupted = base.substring(0, 100) + "ZZZZZ" + base.substring(105)
+    val other = (0 until 400).map(i => ('a' + (i * 11 + 3) % 26).toChar)
+      .mkString
+    val docs = Seq((1L, base), (2L, base), // exact dup pair
+      (3L, other), (4L, other),            // second exact dup pair
+      (5L, corrupted)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.assets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // recall vs exact byte equality: every byte-identical pair is
+    // found, at distance 0
+    assert(pairs.get((1L, 2L)) === Some(0))
+    assert(pairs.get((3L, 4L)) === Some(0))
+    // the same-length localized edit flips only the bits whose cells
+    // cover it: within the banded maxDist, but not distance 0
+    assert(pairs.contains((1L, 5L)) && pairs((1L, 5L)) > 0
+      && pairs((1L, 5L)) <= 3)
+    assert(pairs((2L, 5L)) === pairs((1L, 5L)))
+  }
+
+  test("crossModalConsistency alarms on near-identical payloads with " +
+      "disagreeing embeddings only") {
+    val a = (0 until 610).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
+      .mkString
+    val b = (0 until 400).map(i => ('a' + (i * 11 + 3) % 26).toChar)
+      .mkString
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, b))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // pair (1,2): orthogonal —
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // the encoder alarm
+      (3L, Array(0.5f, 0.5f, 0.0f, 0.0f)), // pair (3,4): identical
+      (4L, Array(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Multimodal.crossModalConsistency(
+        Multimodal.assets(docs), emb)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // both dup pairs sit at hamming 0; exactly one disagrees, and the
+    // worst cosine is the orthogonal pair's 0
+    assert(got(0) === ((2L, 1L, 0L)))
+  }
+
   test("kmeans converges to planted cluster means") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
