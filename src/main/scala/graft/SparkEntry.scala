@@ -3499,6 +3499,46 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ===== log-layout erasure divergence ===============================
+    // q280's prose caveat turned into a measured row: after the q280
+    // tombstone feed, the append-only election log can only fall back
+    // to rows it ever APPENDED (losers were never stored), while exact
+    // re-election falls back to the best surviving member — per source,
+    // the clusters where the two layouts now disagree and the clusters
+    // the log cannot serve at all; the number a platform reads before
+    // choosing log-compaction vs full re-election for erasure. The
+    // feed here is a dense takedown wave (every 4th doc — q280 keeps
+    // the sparse %41 feed): at this SF it is the density that actually
+    // exercises the divergence path (a cluster whose entire appended
+    // chain is erased while cheaper copies survive un-appended)
+    "q309_log_erasure_divergence" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.stream.ElectionStream.logErasureDivergence(docs,
+        sharedComponents(s, d),
+        deleteIds = docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id")),
+        prefCol = col("n_chars"))
+    }),
+
+    // ===== watermark advisor on MEASURED lateness ======================
+    // q296's watermark sibling given real disorder to measure: the
+    // events fixture arrives ingest-ordered (lateness degenerate
+    // zero), so the arrival order is re-derived in-query with a
+    // seeded +-300 s md5 jitter on the event time (the q51-style
+    // keep-hash trick on the time axis); the advisor then measures
+    // per-user running-max lateness over THAT arrival order — advised
+    // = first digit bucket covering 99.9% of events (the fixture is
+    // 99.7% in-order, so the advised watermark is driven by the
+    // measured late TAIL, not the in-order mass)
+    "q308_watermark_advisor" -> ((s, d) => {
+      val ev = events(s, d).withColumn("arrival",
+        unix_timestamp(col("ts")).cast("long")
+          + pmod(T.md5Hash60(concat(lit("arr:"),
+              col("event_id").cast("string"))), lit(600L)) - lit(300L))
+      Profiling.watermarkAdvisor(ev, coverMicro = 999000L,
+        arrivalCol = "arrival")
+    }),
+
     // ===== perceptual near-dup asset pairs =============================
     // the q19 simhash machinery on the MULTIMODAL axis: dHash-style
     // 60-bit perceptual hash over the asset payloads (61-cell content
@@ -13390,6 +13430,112 @@ object SparkEntry {
 
     // raw-token counts joined to the pinned squared norms, the q302
     // rank/rho machinery grouped by lang
+    // the q280 recursive component chain, election order encoded into
+    // one injective BIGINT, the per-(component, batch) winner /
+    // prefix-max append simulation, both reps after the tombstone
+    // filter, per-source divergence counts
+    "q309_log_erasure_divergence" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)),
+        |cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+        |sh AS (SELECT sh0.* FROM sh0 JOIN cold USING (s)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |comp AS (SELECT id AS doc_id, min(comp) AS component
+        |         FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.source,
+        |         coalesce(c.component, d.doc_id) AS component,
+        |         d.n_chars * 100000000 + (100000000 - d.doc_id) AS ord,
+        |         CAST(('0x' || substring(md5('eb:'
+        |           || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+        |           AS batch
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |winners AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY component, batch
+        |      ORDER BY ord DESC) AS rk FROM lab) WHERE rk = 1),
+        |appended AS (
+        |  SELECT * FROM (
+        |    SELECT *, max(ord) OVER (PARTITION BY component
+        |      ORDER BY batch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_best
+        |    FROM winners)
+        |  WHERE prev_best IS NULL OR ord > prev_best),
+        |lrep AS (
+        |  SELECT component, doc_id AS log_id FROM (
+        |    SELECT component, doc_id, row_number() OVER (
+        |      PARTITION BY component ORDER BY ord DESC) AS rk2
+        |    FROM appended WHERE doc_id % 4 <> 0) WHERE rk2 = 1),
+        |erep AS (
+        |  SELECT component, doc_id AS exact_id, source FROM (
+        |    SELECT component, doc_id, source, row_number() OVER (
+        |      PARTITION BY component ORDER BY ord DESC) AS rk2
+        |    FROM lab WHERE doc_id % 4 <> 0) WHERE rk2 = 1)
+        |SELECT erep.source,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(CASE WHEN lrep.log_id IS NULL
+        |             OR lrep.log_id <> erep.exact_id
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_divergent,
+        |  CAST(sum(CASE WHEN lrep.log_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_log_empty
+        |FROM erep LEFT JOIN lrep USING (component)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q296 digit-bucket tail over running-max lateness measured on
+    // the md5-jittered arrival order (ties broken by event_id)
+    "q308_watermark_advisor" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, ep,
+        |    ep + (CAST(('0x' || substring(md5('arr:'
+        |      || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 600)
+        |      - 300 AS arrival
+        |  FROM e),
+        |l AS (
+        |  SELECT max(ep) OVER (PARTITION BY user_id
+        |      ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ep
+        |    AS late_s
+        |  FROM a),
+        |hist AS (
+        |  SELECT CASE WHEN late_s = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(length(CAST(late_s AS VARCHAR)) AS BIGINT)
+        |         END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(max(late_s) AS BIGINT) AS max_late_s
+        |  FROM l GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(sum(n_events) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(n_events) OVER () AS BIGINT) AS tot
+        |  FROM hist)
+        |SELECT bucket, n_events, max_late_s,
+        |  CAST(cum_n * 1000000 // greatest(tot, 1) AS BIGINT) AS cum_micro,
+        |  CAST((cum_n * 1000000 // greatest(tot, 1)) >= 999000
+        |    AND ((cum_n - n_events) * 1000000 // greatest(tot, 1)) < 999000
+        |    AS BIGINT) AS advised
+        |FROM c ORDER BY bucket""".stripMargin,
+
     // the shared phash CTE chain, distance-filtered pairs
     "q305_phash_pairs" ->
       s"""WITH $phashCtes

@@ -1030,13 +1030,17 @@ object Profiling {
   def watermarkAdvisor(events: DataFrame, coverMicro: Long = 990000L,
                        keyCol: String = "user_id",
                        arrivalCol: String = "event_id",
-                       tsCol: String = "ts"): DataFrame = {
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(coverMicro >= 1L && coverMicro <= 1000000L,
       "coverMicro is a micro share in [1, 1e6] (0 would make no bucket " +
         "advisable: the first bucket's prior coverage is already 0)")
     val ep = unix_timestamp(col(tsCol)).cast("long")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+    // tieCol makes the ROWS frame deterministic when the arrival key
+    // ties (a derived/jittered arrival order is not unique per key)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(arrivalCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     digitBucketCoverage(
       events.select((max(ep).over(w) - ep).as("_v")),

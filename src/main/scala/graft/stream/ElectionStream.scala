@@ -89,6 +89,80 @@ object ElectionStream {
     bestPerKey(store.join(
       deleteIds.select(col("id")).distinct(), Seq("id"), "left_anti"))
 
+  /** Measured price of the log-structured layout under erasure — the
+    * side-by-side the [[applyTombstones]] LIMITATION note describes in
+    * prose: after a delete-key feed, the LOG can only fall back to the
+    * best surviving row it ever APPENDED (losers were never stored),
+    * while exact re-election ([[graft.ext.Dedup.erasureReElectStats]])
+    * falls back to the best surviving INGESTED copy. This audit
+    * simulates the log against a deterministic arrival order (seeded
+    * md5 batch assignment — a row is appended iff it is its batch's
+    * per-key winner and beats every earlier batch's winner, exactly
+    * [[processElectBatch]]'s admission rule), applies the tombstones
+    * to both layouts, and counts the divergence per source of the
+    * exact representative.
+    *
+    * Emits one row per source: (source, n_components, n_divergent,
+    * n_log_empty) — `n_divergent` counts clusters whose log
+    * representative differs from the exact one (a missing log rep
+    * counts), `n_log_empty` the clusters the log cannot serve at all.
+    * Clusters with no surviving member are dropped (both layouts agree
+    * they are gone).
+    *
+    * Scale shape: the election order is encoded into one injective
+    * BIGINT (`pref * 1e8 + (1e8 - id)` — argmax under (pref DESC,
+    * id ASC) becomes a plain max), so the whole audit is three
+    * component-keyed windows and one aggregate; the delete feed joins
+    * as a skinny anti-join. Nothing corpus-quadratic. */
+  def logErasureDivergence(docs: DataFrame, comps: DataFrame,
+                           deleteIds: DataFrame,
+                           prefCol: org.apache.spark.sql.Column,
+                           nBatches: Int = 5,
+                           idCol: String = "doc_id",
+                           srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBatches >= 2, "a single batch cannot exercise the log")
+    val lab = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+        prefCol.cast("long").as("pref"))
+      .join(comps.select(col(idCol).as("id"), col("component")),
+        Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("ord",
+        col("pref") * lit(100000000L) + (lit(100000000L) - col("id")))
+      .withColumn("batch",
+        pmod(graft.ext.TextAnalysis.md5Hash60(
+          concat(lit("eb:"), col("id").cast("string"))),
+          lit(nBatches.toLong)))
+    val wb = Window.partitionBy(col("component"), col("batch"))
+      .orderBy(col("ord").desc)
+    val winners = lab.withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") === 1).drop("_rn")
+    val wprev = Window.partitionBy(col("component")).orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val appended = winners
+      .withColumn("_prevBest", max(col("ord")).over(wprev))
+      .filter(col("_prevBest").isNull || col("ord") > col("_prevBest"))
+    val del = deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    def repOf(df: DataFrame, name: String) = {
+      val wr = Window.partitionBy(col("component")).orderBy(col("ord").desc)
+      df.join(del, Seq("id"), "left_anti")
+        .withColumn("_rn", row_number().over(wr))
+        .filter(col("_rn") === 1)
+        .select(col("component"), col("id").as(s"${name}_id"),
+          col("src").as(s"${name}_src"))
+    }
+    repOf(lab, "exact")
+      .join(repOf(appended, "log"), Seq("component"), "left")
+      .groupBy(col("exact_src").as(srcCol))
+      .agg(count(lit(1)).as("n_components"),
+        sum(when(col("log_id").isNull ||
+          col("log_id") =!= col("exact_id"), 1L).otherwise(0L))
+          .as("n_divergent"),
+        sum(when(col("log_id").isNull, 1L).otherwise(0L))
+          .as("n_log_empty"))
+      .orderBy(col(srcCol))
+  }
+
   /** The accumulated store MINUS `excludeBatchId`'s own partition
     * (idempotent-retry contract). Missing/empty store → typed empty
     * frame, so batch 0 needs no special case. */

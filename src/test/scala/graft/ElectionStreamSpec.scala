@@ -200,6 +200,44 @@ class ElectionStreamSpec extends SparkSpec {
     assert(emp === 1L)  // singleton 4 empties
   }
 
+  test("logErasureDivergence: log and exact re-election legitimately " +
+      "diverge when the erased best arrived before the runner-up") {
+    // the audit batches by md5("eb:"+id) % 5 — probe the assignment so
+    // the fixture can place the best BEFORE the runner-up (divergence)
+    // and AFTER it (agreement) deterministically
+    val batchOf = (1L to 40L).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"eb:$i".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      i -> java.lang.Long.parseLong(hex, 16) % 5
+    }.toMap
+    val Some((iBest, jLate)) = (for {
+      i <- 1L to 40L; j <- 1L to 40L
+      if i != j && batchOf(i) < batchOf(j)
+    } yield (i, j)).headOption
+    val Some((kBest, lEarly)) = (for {
+      k <- 1L to 40L; l <- 1L to 40L
+      if k != l && Set(k, l).intersect(Set(iBest, jLate)).isEmpty &&
+        batchOf(k) > batchOf(l)
+    } yield (k, l)).headOption
+    val docs = Seq(
+      (iBest, "s", 100L), (jLate, "s", 50L),  // best first -> j never appended
+      (kBest, "t", 100L), (lEarly, "t", 50L)) // best later  -> l appended
+      .toDF("doc_id", "source", "pref")
+    val comps = Seq((iBest, 1L), (jLate, 1L), (kBest, 2L), (lEarly, 2L))
+      .toDF("doc_id", "component")
+    val got = ElectionStream.logErasureDivergence(docs, comps,
+        Seq(iBest, kBest).toDF("doc_id"), prefCol = col("pref"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // cluster "s": best erased, runner-up was suppressed by it and
+    // never appended -> exact serves jLate, the log serves NOTHING
+    assert(got("s") === ((1L, 1L, 1L)))
+    // cluster "t": best arrived after the runner-up, so the runner-up
+    // IS in the log -> both layouts agree after the erasure
+    assert(got("t") === ((1L, 0L, 0L)))
+  }
+
   test("electMergeParityStats witnesses the monoid (n_disagree = 0)") {
     val docs = docsAll.map { case (id, k, p) =>
       (id, k, p, s"src${id % 3}") }
