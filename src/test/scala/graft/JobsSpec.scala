@@ -4,7 +4,8 @@ import java.time.LocalDate
 
 import graft.ext.Dedup
 import graft.gen.Retail
-import graft.jobs.{BatchPipeline, StreamingJob}
+import graft.jobs.{BatchPipeline, CurationJob, StreamingJob}
+import graft.stream.ElectionStream
 
 class JobsSpec extends SparkSpec {
 
@@ -85,5 +86,51 @@ class JobsSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(kept.size === 500 - dropped.size)
     assert(dropped.forall(d => !kept.contains(d)))
+  }
+
+  test("CurationJob e2e: written receipt equals q300's rows at " +
+      "sf0.001 and the curated corpus matches its final stage") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curation").toString
+    val receipt = CurationJob.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", out)
+    val want = SparkEntry.queries("q300_pipeline_receipt")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(receipt.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    // the artifact next to the output replays identically
+    val onDisk = spark.read.parquet(s"$out/_receipt")
+      .orderBy("stage_idx").collect()
+    assert(onDisk.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    // the curated corpus IS the final stage's membership
+    assert(spark.read.parquet(s"$out/corpus").count()
+      === receipt.last.getLong(2))
+  }
+
+  test("CurationJob incremental sink: bloom decontam drops the leak, " +
+      "the election log keeps the best copy per content key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curation_inc").toString
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val clean = "totally unrelated words about columnar shuffle planning"
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = CurationJob.incrementalSink(
+      stream.toDF().toDF("doc_id", "text"), bench,
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    stream.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // leak
+      (2L, clean),                                           // admitted
+      (3L, clean + " longer better copy of it"))             // other key
+    q.processAllAvailable()
+    q.stop()
+    val reps = ElectionStream.bestPerKey(
+      spark.read.option("basePath", s"$dir/store")
+        .parquet(s"$dir/store").select("k", "id", "pref"))
+      .collect().map(r => r.getLong(1)).toSet
+    // the leaking doc never reached the election; both clean content
+    // keys elected their (only) copies
+    assert(reps === Set(2L, 3L))
   }
 }
