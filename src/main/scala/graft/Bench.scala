@@ -79,18 +79,34 @@ object Bench {
            (System.nanoTime() - settleT0) < settleTimeoutMs * 1000000L)
       Thread.sleep(5000)
     val settleWaitMs = (System.nanoTime() - settleT0) / 1000000L
-    val ctx =
+    // start-time context; end-of-run load readings are appended at
+    // print time (r13-r15 driver records all STARTED near-idle by the
+    // 1m average yet drifted apart 1.02x -> 2.02x — whatever competed
+    // did so DURING the run, which only an in-run sample can show)
+    val ctxStart =
       s""""ctx":{"jvm_uptime_ms_at_start":${
         java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
       },"load_avg_1m_at_entry":$loadAtEntry,"settle_wait_ms":$settleWaitMs,"load_avg_1m_at_start":${osBean.getSystemLoadAverage
       },"heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)
       },"host_cpus":${Runtime.getRuntime.availableProcessors
-      },"spark_cpus":"$cpus"}"""
+      },"spark_cpus":"$cpus""""
+    // 5 s load sampler over the whole timed region: its own Spark work
+    // keeps the 1m average >= ~1, so the signal is the EXCESS above
+    // the run's own footprint, visible as max_during >> at_end
+    @volatile var maxLoadDuring = 0.0
+    val loadSampler = new Thread(() => {
+      while (true) {
+        maxLoadDuring = math.max(maxLoadDuring, osBean.getSystemLoadAverage)
+        Thread.sleep(5000)
+      }
+    }, "graft-load-sampler")
+    loadSampler.setDaemon(true)
+    loadSampler.start()
     // per-query measurement-history annotations (NOT correctness):
     // discontinuities a cross-round per-query comparison must know
     // about ride in the record itself, not only in NOTES.md
     val annotations =
-      """"annotations":{"q135_incremental_components":"r07+: prior-batch labelling is memoized into warmup (warmShared); r06-and-earlier timings include that rebuild (~60% of the r06 number) - not like-for-like across the r06/r07 boundary","q144_lsh_eval":"r08+: eval corpus is a deterministic md5-keep half-sample (oracle replays it); r07 timings ran the full doc set - not like-for-like across the r07/r08 boundary"}"""
+      """"annotations":{"q135_incremental_components":"r07+: prior-batch labelling is memoized into warmup (warmShared); r06-and-earlier timings include that rebuild (~60% of the r06 number) - not like-for-like across the r06/r07 boundary","q144_lsh_eval":"r08+: eval corpus is a deterministic md5-keep half-sample (oracle replays it); r07 timings ran the full doc set - not like-for-like across the r07/r08 boundary","q220_vector_ingest_parity":"times a full in-query MemoryStream stream-vs-batch LIFECYCLE (setup+teardown), not a query plan - the suite's largest round-to-round variance source; compare rounds on direction only","q226_residual_ingest_parity":"same harness-cost caveat as q220: MemoryStream lifecycle dominates the number, not the residual-PQ plan"}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -183,6 +199,9 @@ object Bench {
       else results.collect { case (k, _, n) if n > 1 => "\"" + k + "\":" + n }
         .mkString(""""median_of":{""", ",", "},")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val ctx = ctxStart +
+      s""","load_avg_1m_at_end":${osBean.getSystemLoadAverage
+      },"load_avg_1m_max_during":$maxLoadDuring}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s"""$medianOf"errors":${errors.mkString("[", ",", "]")},$ctx,$annotations,"sf":"$sfDir"}"""
     println(line)
