@@ -3499,6 +3499,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ===== frame-vote near-dup pairs ===================================
+    // the video-dedup skeleton over the variant store: 8 evenly spaced
+    // 32-char frames per payload, exact per-frame fingerprints, pairs
+    // agreeing on >= 6 positions — the localized re-encode corruption
+    // kills 1-2 frames, the vote still carries (phash's complement:
+    // q305 survives global light edits, THIS survives local hard ones)
+    "q310_frame_vote_pairs" -> ((s, d) =>
+      Multimodal.frameVotePairs(Multimodal.assets(
+        Multimodal.withReencodedVariants(documents(s, d))))),
+
+    // ===== frame-vote histogram ========================================
+    // q310's minVotes dial (the q306 twin on the frame axis): vote
+    // distribution over frame-match candidates — the variant spike at
+    // 6-8 votes vs the 1-2-vote shared-boilerplate background
+    "q311_frame_vote_histogram" -> ((s, d) =>
+      Multimodal.frameVoteHistogram(Multimodal.assets(
+        Multimodal.withReencodedVariants(documents(s, d))))),
+
     // ===== log-layout erasure divergence ===============================
     // q280's prose caveat turned into a measured row: after the q280
     // tombstone feed, the append-only election log can only fall back
@@ -3973,6 +3991,31 @@ object SparkEntry {
        |  FROM chunked a JOIN chunked b USING (k, chunk)
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** Shared CTE chain of the q310/q311 frame-vote family: the q305
+    * variant store, 8 evenly spaced 32-char frames per payload with
+    * md5 fingerprints, the (fno, fp) self-join, per-pair vote counts
+    * (mirrors Multimodal.frameVoteCandidates). */
+  private def frameVoteCtes: String =
+    s"""store AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    concat(substring(text, 1, 100), 'ZZZZZ',
+       |      substring(text, 106, 1000000)) AS text
+       |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200),
+       |fr AS (
+       |  SELECT doc_id, u.i AS fno,
+       |    CAST(('0x' || substring(md5('fr:' || substring(text,
+       |      CAST((u.i * greatest(length(text) - 32, 0)) // 7 AS INT) + 1,
+       |      32)), 1, 15)) AS BIGINT) AS fp
+       |  FROM store, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS u(i)),
+       |votes AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_frames_matched
+       |  FROM fr a JOIN fr b USING (fno, fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private def zInterleaveSql(a: String, b: String, bits: Int): String =
     (0 until bits).map(i =>
@@ -13430,6 +13473,19 @@ object SparkEntry {
 
     // raw-token counts joined to the pinned squared norms, the q302
     // rank/rho machinery grouped by lang
+    // the variant-store CTE + per-frame md5 fingerprints, (fno, fp)
+    // self-join, per-pair vote counts, >= 6 filter
+    "q310_frame_vote_pairs" ->
+      s"""WITH $frameVoteCtes
+         |SELECT doc_a, doc_b, n_frames_matched FROM votes
+         |WHERE n_frames_matched >= 6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the shared frame-vote CTEs, histogram over ALL candidates
+    "q311_frame_vote_histogram" ->
+      s"""WITH $frameVoteCtes
+         |SELECT n_frames_matched, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the q280 recursive component chain, election order encoded into
     // one injective BIGINT, the per-(component, batch) winner /
     // prefix-max append simulation, both reps after the tombstone

@@ -262,6 +262,75 @@ object Multimodal {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("hamming"))
 
+  /** Shared candidate frame of the frame-vote family: n evenly spaced
+    * fixed-width frames per payload (character-level slices of the
+    * decoded stream — [[sampleFrames]]' replayable cousin), each frame
+    * reduced to an exact content fingerprint, then per candidate pair
+    * the count of agreeing frame positions. The (fno, fp) equi-join
+    * keys candidates — never corpus². */
+  private[graft] def frameVoteCandidates(assetDf: DataFrame, n: Int,
+                                  frameLen: Int,
+                                  maxBucketSize: Int): DataFrame = {
+    val t = col("payload").cast("string")
+    val len = length(t).cast("long")
+    val frames = array((0 until n).map { i =>
+      // start_i = i*(L-frameLen)//(n-1) + 1 — both ends anchored; the
+      // double division is exact-enough pre-floor (the gridPixel bound)
+      val start = floor((lit(i.toLong) * greatest(len - frameLen, lit(0L)))
+        .cast("double") / (n - 1)).cast("int") + 1
+      struct(lit(i).as("fno"),
+        graft.ext.TextAnalysis.md5Hash60(
+          concat(lit("fr:"), t.substr(start, lit(frameLen)))).as("fp"))
+    }: _*)
+    val fpr0 = assetDf
+      .select(col("doc_id").as("id"), explode(frames).as("f"))
+      .select(col("id"), col("f.fno").as("fno"), col("f.fp").as("fp"))
+    // degenerate-bucket guard: m byte-identical assets share every
+    // frame bucket (m²/2 candidates) — exact-dedup first, or cap
+    val fpr = if (maxBucketSize == Int.MaxValue) fpr0 else {
+      val sizes = fpr0.groupBy(col("fno"), col("fp"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBucketSize)
+      fpr0.join(sizes.select(col("fno"), col("fp")).hint("shuffle_hash"),
+        Seq("fno", "fp"))
+    }
+    fpr.as("a").join(fpr.as("b").hint("merge"), Seq("fno", "fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+  }
+
+  /** Frame-vote near-dup pairs — the video-dedup skeleton: two assets
+    * are near-dups when ≥ `minVotes` of their `n` sampled frames
+    * match exactly. Complementary to [[phashPairs]]: a localized
+    * corruption kills the 1-2 frames covering it and the vote still
+    * carries, while a global light edit (every frame touched) kills
+    * the vote but stays inside phash's hamming band — the two gates
+    * together cover both corruption classes. Emits (doc_a, doc_b,
+    * n_frames_matched), ordered. */
+  def frameVotePairs(assetDf: DataFrame, n: Int = 8, frameLen: Int = 32,
+                     minVotes: Int = 6,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(n >= 2 && minVotes >= 1 && minVotes <= n,
+      "need 2+ frames and 1 <= minVotes <= n")
+    frameVoteCandidates(assetDf, n, frameLen, maxBucketSize)
+      .filter(col("n_frames_matched") >= minVotes)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Vote histogram over the frame-match candidates — the minVotes
+    * threshold dial (the q306 twin on the frame axis): a spike at
+    * high vote counts separated from the 1-2-vote background (shared
+    * boilerplate frames) marks the safe cut. Emits
+    * (n_frames_matched, n_pairs), ordered. */
+  def frameVoteHistogram(assetDf: DataFrame, n: Int = 8,
+                         frameLen: Int = 32,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame =
+    frameVoteCandidates(assetDf, n, frameLen, maxBucketSize)
+      .groupBy(col("n_frames_matched"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_frames_matched"))
+
   /** Cross-modal consistency gate: perceptual near-dup asset pairs
     * joined to BOTH members' embeddings — near-identical payloads
     * whose embeddings disagree flag an encoder problem (stale

@@ -1183,6 +1183,32 @@ class ExtSpec extends SparkSpec {
     assert(pairs((2L, 5L)) === pairs((1L, 5L)))
   }
 
+  test("frameVotePairs carries a localized corruption on the vote; " +
+      "shared-frame-only pairs stay under the threshold") {
+    val base = (0 until 640).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
+      .mkString
+    val corrupted = base.substring(0, 100) + "ZZZZZ" + base.substring(105)
+    // doc 3 shares ONLY the final 64 chars with base (its own prefix
+    // differs): at most the last frame can agree
+    val tailOnly = (0 until 576).map(i => ('a' + (i * 11 + 3) % 26).toChar)
+      .mkString + base.substring(576)
+    val docs = Seq((1L, base), (2L, corrupted), (3L, tailOnly))
+      .toDF("doc_id", "text")
+    val votes = graft.ext.Multimodal.frameVoteCandidates(
+      graft.ext.Multimodal.assets(docs), n = 8, frameLen = 32,
+      maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the 5-char corruption kills at most 2 of 8 frames
+    assert(votes((1L, 2L)) >= 6L)
+    // the tail-sharing doc agrees on at most the anchored last frame
+    assert(votes.getOrElse((1L, 3L), 0L) <= 1L)
+    val pairs = graft.ext.Multimodal.frameVotePairs(
+      graft.ext.Multimodal.assets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("crossModalConsistency alarms on near-identical payloads with " +
       "disagreeing embeddings only") {
     val a = (0 until 610).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
