@@ -1158,6 +1158,47 @@ object ScaleProbe {
           emb.filter(col("vec_id") % 41 === 0).select(col("vec_id"))),
         emb.filter(col("vec_id") < 10), 5))
     }
+    // perceptual-hash histogram at REP scale (q305/q306): 61 md5 grid
+    // cells per asset then the 4x15-bit banded self-join — the probe
+    // catches a codegen blow-up in the 61-expression projection and
+    // any unbounded bucket in the chunk join
+    timed(s"phash_histogram x$docReps") {
+      consume(graft.ext.Multimodal.phashHammingHistogram(
+        graft.ext.Multimodal.assets(docs)))
+    }
+    // frame-vote histogram at REP scale (q310/q311) WITH the bucket
+    // guard engaged: replicated docs share their 32-char prefix, so
+    // frame 0 forms reps-sized buckets per base doc — exactly the
+    // degenerate shape the guard exists for (uncapped would be
+    // reps²/2 pairs per base doc)
+    timed(s"frame_votes x$docReps") {
+      consume(graft.ext.Multimodal.frameVoteHistogram(
+        graft.ext.Multimodal.assets(docs), maxBucketSize = 64))
+    }
+    // watermark advisor at REP scale (q308): the jittered arrival
+    // derivation + per-key running-max window + digit-bucket tail over
+    // ~1M events — two keyed windows, a <=12-group aggregate
+    timed(s"watermark_advisor x$eventReps") {
+      consume(graft.ext.Profiling.watermarkAdvisor(
+        events.withColumn("arrival",
+          unix_timestamp(col("ts")).cast("long")
+            + pmod(TextAnalysis.md5Hash60(concat(lit("arr:"),
+                col("event_id").cast("string"))), lit(600L)) - lit(300L)),
+        coverMicro = 999000L, arrivalCol = "arrival"))
+    }
+    // log-erasure divergence at REP scale (q309) over synthetic ~20-doc
+    // clusters: three component-keyed windows + the skinny anti-join —
+    // the shape must stay window-bound, never cluster-quadratic
+    timed(s"log_erasure x$docReps") {
+      consume(graft.stream.ElectionStream.logErasureDivergence(
+        docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+          .withColumn("n_chars", length(col("text")).cast("long")),
+        docs.select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(20L))).as("component")),
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")),
+        prefCol = col("n_chars")))
+    }
     spark.stop()
   }
 }
