@@ -3499,6 +3499,16 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ===== asset-dedup canary recall ===================================
+    // the planted-probe monitor over the asset gates: one variant
+    // family per corruption WIDTH (5/25/125-char same-length
+    // overwrites), each family checked against BOTH detectors — the
+    // measured coverage map (narrow: both catch; medium: frames only;
+    // wide: neither — the text path's residual) a store re-reads
+    // whenever gate parameters change
+    "q312_canary_recall" -> ((s, d) =>
+      Multimodal.canaryRecallStats(documents(s, d))),
+
     // ===== frame-vote near-dup pairs ===================================
     // the video-dedup skeleton over the variant store: 8 evenly spaced
     // 32-char frames per payload, exact per-frame fingerprints, pairs
@@ -3953,6 +3963,25 @@ object SparkEntry {
         |  FROM sweep2)""".stripMargin
   }
 
+  /** The derived variant store CTE shared by the asset-dedup family:
+    * documents plus one same-length Z-overwrite variant family per
+    * (width, id offset), eligibility `id % 7 == 0 AND length >=
+    * minLen` (mirrors Multimodal.withReencodedVariants /
+    * canaryRecallStats). */
+  private def variantStoreCte(families: Seq[(Int, Long)],
+                              minLen: Int): String = {
+    val fams = families.map { case (w, off) =>
+      s"""  SELECT doc_id + $off AS doc_id,
+         |    concat(substring(text, 1, 100), '${"Z" * w}',
+         |      substring(text, ${101 + w}, 1000000)) AS text
+         |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= $minLen""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""store AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |$fams)""".stripMargin
+  }
+
   /** Shared CTE chain of the q305/q306/q307 perceptual-hash family:
     * the derived re-encode-variant store (docs + same-length-corrupted
     * copies at id+1e6), the 61-pixel content grid (md5-bucketed evenly
@@ -3960,7 +3989,12 @@ object SparkEntry {
     * chunk banding, and the distinct banded candidate pairs with
     * Hamming distances (mirrors Multimodal.withReencodedVariants /
     * withPerceptualHash / phashCandidates). */
-  private def phashCtes: String = {
+  private def phashCtes: String =
+    s"""${variantStoreCte(Seq(5 -> 1000000L), 200)},
+       |$phashChainCtes""".stripMargin
+
+  /** The px/sig/chunked/ppairs tail of the phash chain (FROM store). */
+  private def phashChainCtes: String = {
     val pixels = (0 to 60).map { i =>
       s"""CAST(('0x' || substring(md5('px:' || substring(text,
          |      CAST(($i * length(text)) // 61 AS INT) + 1,
@@ -3970,14 +4004,7 @@ object SparkEntry {
     val bits = (0 until 60)
       .map(i => s"(CASE WHEN p$i > p${i + 1} THEN ${1L << i} ELSE 0 END)")
       .mkString(" | ")
-    s"""store AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id,
-       |    concat(substring(text, 1, 100), 'ZZZZZ',
-       |      substring(text, 106, 1000000)) AS text
-       |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200),
-       |px AS (
+    s"""px AS (
        |  SELECT doc_id,
        |    $pixels
        |  FROM store),
@@ -3997,14 +4024,12 @@ object SparkEntry {
     * md5 fingerprints, the (fno, fp) self-join, per-pair vote counts
     * (mirrors Multimodal.frameVoteCandidates). */
   private def frameVoteCtes: String =
-    s"""store AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id,
-       |    concat(substring(text, 1, 100), 'ZZZZZ',
-       |      substring(text, 106, 1000000)) AS text
-       |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 200),
-       |fr AS (
+    s"""${variantStoreCte(Seq(5 -> 1000000L), 200)},
+       |$frameChainCtes""".stripMargin
+
+  /** The fr/votes tail of the frame-vote chain (FROM store). */
+  private def frameChainCtes: String =
+    s"""fr AS (
        |  SELECT doc_id, u.i AS fno,
        |    CAST(('0x' || substring(md5('fr:' || substring(text,
        |      CAST((u.i * greatest(length(text) - 32, 0)) // 7 AS INT) + 1,
@@ -13473,6 +13498,35 @@ object SparkEntry {
 
     // raw-token counts joined to the pinned squared norms, the q302
     // rank/rho machinery grouped by lang
+    // the 3-family variant store feeding BOTH detector chains, the
+    // planted pairs left-joined to each, one <=3-group aggregate
+    "q312_canary_recall" -> {
+      val fams = Seq(5 -> 1000000L, 25 -> 2000000L, 125 -> 3000000L)
+      val planted = fams.map { case (w, off) =>
+        s"""  SELECT doc_id AS doc_a, doc_id + $off AS doc_b,
+           |    CAST($w AS BIGINT) AS edit_width
+           |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 400""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${variantStoreCte(fams, 400)},
+         |$phashChainCtes,
+         |$frameChainCtes,
+         |planted AS (
+         |$planted),
+         |ph AS (SELECT doc_a, doc_b FROM ppairs WHERE hamming <= 3),
+         |fv AS (SELECT doc_a, doc_b FROM votes
+         |       WHERE n_frames_matched >= 6)
+         |SELECT p.edit_width,
+         |  CAST(count(*) AS BIGINT) AS n_planted,
+         |  CAST(sum(CASE WHEN ph.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_phash_hits,
+         |  CAST(sum(CASE WHEN fv.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_vote_hits
+         |FROM planted p
+         |LEFT JOIN ph ON ph.doc_a = p.doc_a AND ph.doc_b = p.doc_b
+         |LEFT JOIN fv ON fv.doc_a = p.doc_a AND fv.doc_b = p.doc_b
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // the variant-store CTE + per-frame md5 fingerprints, (fno, fp)
     // self-join, per-pair vote counts, >= 6 filter
     "q310_frame_vote_pairs" ->

@@ -331,6 +331,62 @@ object Multimodal {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_frames_matched"))
 
+  /** Canary-recall gate over the asset-dedup stack: plant one variant
+    * family per corruption WIDTH (same-length Z-overwrite at position
+    * 101, the [[withReencodedVariants]] derivation generalized), then
+    * measure which detector catches which family — the measured
+    * coverage map of the two gates: a narrow edit (between frame
+    * anchors, 1-2 grid cells) is caught by BOTH; a medium edit
+    * (several grid cells, one frame) escapes phash's hamming band but
+    * keeps ≥ minVotes frames; a wide edit (many cells, several
+    * frames) escapes both — the residual the n-gram/minhash TEXT path
+    * must own. Production reads this as the planted-probe monitor a
+    * store runs continuously: a recall drop on a family that used to
+    * be caught means the gate configuration (bits, bands, votes)
+    * silently rotted.
+    *
+    * Emits one row per family: (edit_width, n_planted, n_phash_hits,
+    * n_vote_hits), ordered.
+    *
+    * Scale: ONE shared store feeds both candidate machines (banded
+    * equi-joins, never corpus²); the planted pairs join them as
+    * skinny keyed left joins; one ≤|widths|-group aggregate. */
+  def canaryRecallStats(docs: DataFrame, widths: Seq[Int] = Seq(5, 25, 125),
+                        mod: Int = 7, minLen: Int = 400): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1) &&
+      widths.max + 101 <= minLen, "families must fit eligible payloads")
+    val eligible = docs
+      .filter(col("doc_id") % mod === 0 && length(col("text")) >= minLen)
+      .select(col("doc_id"), col("text"))
+    val fams = widths.zipWithIndex.map { case (w, fi) =>
+      val off = (fi + 1) * 1000000L
+      eligible.select((col("doc_id") + off).as("doc_id"),
+        concat(substring(col("text"), 1, 100), lit("Z" * w),
+          substring(col("text"), 101 + w, 1000000)).as("text"))
+    }
+    val store = docs.select(col("doc_id"), col("text"))
+      .unionByName(fams.reduce(_ unionByName _))
+    val assetDf = assets(store)
+    val ph = phashPairs(assetDf)
+    val fv = frameVotePairs(assetDf)
+    val planted = widths.zipWithIndex.map { case (w, fi) =>
+      val off = (fi + 1) * 1000000L
+      eligible.select(col("doc_id").as("doc_a"),
+        (col("doc_id") + off).as("doc_b"),
+        lit(w.toLong).as("edit_width"))
+    }.reduce(_ unionByName _)
+    planted
+      .join(ph.select(col("doc_a"), col("doc_b"), lit(1L).as("_ph")),
+        Seq("doc_a", "doc_b"), "left")
+      .join(fv.select(col("doc_a"), col("doc_b"), lit(1L).as("_fv")),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("edit_width"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum(coalesce(col("_ph"), lit(0L))).as("n_phash_hits"),
+        sum(coalesce(col("_fv"), lit(0L))).as("n_vote_hits"))
+      .orderBy(col("edit_width"))
+  }
+
   /** Cross-modal consistency gate: perceptual near-dup asset pairs
     * joined to BOTH members' embeddings — near-identical payloads
     * whose embeddings disagree flag an encoder problem (stale

@@ -1209,6 +1209,26 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("canaryRecallStats: narrow corruption caught by both gates, " +
+      "wide corruption escapes phash") {
+    val base = (0 until 640).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
+      .mkString
+    val docs = Seq((7L, base), (3L, base.reverse)) // only id 7 eligible
+      .toDF("doc_id", "text")
+    val got = graft.ext.Multimodal.canaryRecallStats(docs,
+        widths = Seq(5, 125))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // width 5: between frame anchors, 1-2 grid cells -> both catch
+    assert(got(5L) === ((1L, 1L, 1L)))
+    // width 125: ~19 grid cells flip the hash far past the band;
+    // frames carry it here (3 of 8 touched leaves 5... at L=640 the
+    // spacing is 86, the 101-225 edit touches frames 2-3 -> 6 votes)
+    val (planted, ph, fv) = got(125L)
+    assert(planted === 1L && ph === 0L)
+    assert(fv <= 1L) // frame verdict is length-dependent; phash is the gate under test
+  }
+
   test("crossModalConsistency alarms on near-identical payloads with " +
       "disagreeing embeddings only") {
     val a = (0 until 610).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
