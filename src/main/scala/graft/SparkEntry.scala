@@ -3499,6 +3499,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ===== clip/subsequence containment ================================
+    // the corruption class BOTH aligned gates miss (a clip changes
+    // length — phash grid and frame anchors all shift): sampled
+    // char-gram sketch containment over the store + planted mid-
+    // section clips (id+4e6); a pure substring clip contains at 1e6
+    // by construction, near-dup text pairs surface as genuine hits
+    "q313_clip_containment" -> ((s, d) => {
+      val docs = documents(s, d)
+      val clips = docs
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 500)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          substring(col("text"), 151, 250).as("text"))
+      Multimodal.clipContainmentPairs(Multimodal.assets(
+        docs.select(col("doc_id"), col("text")).unionByName(clips)))
+    }),
+
     // ===== asset-dedup canary recall ===================================
     // the planted-probe monitor over the asset gates: one variant
     // family per corruption WIDTH (5/25/125-char same-length
@@ -13498,6 +13514,42 @@ object SparkEntry {
 
     // raw-token counts joined to the pinned squared norms, the q302
     // rank/rho machinery grouped by lang
+    // the clip store, sampled 16-gram md5 sketch (h % 8 = 0), postings
+    // cap, self-join, containment vs the pruned-sketch minimum
+    "q313_clip_containment" ->
+      """WITH store AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id,
+        |    substring(text, 151, 250) AS text
+        |  FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 500),
+        |gr AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    CAST(('0x' || substring(md5('cg:'
+        |      || substring(text, u.i, 16)), 1, 15)) AS BIGINT) AS h
+        |  FROM store,
+        |    UNNEST(range(1, greatest(length(text) - 15, 1) + 1)) AS u(i)),
+        |kept AS (SELECT id, h FROM gr WHERE h % 8 = 0),
+        |hot AS (SELECT h FROM kept GROUP BY h HAVING count(*) <= 1000),
+        |pr AS (SELECT kept.* FROM kept JOIN hot USING (h)),
+        |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM pr GROUP BY 1),
+        |sh AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM pr a JOIN pr b USING (h)
+        |  WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  least(ca.n_kept, cb.n_kept) AS n_contained, n_shared,
+        |  CAST(n_shared * 1000000
+        |    // greatest(least(ca.n_kept, cb.n_kept), 1) AS BIGINT)
+        |    AS contain_micro
+        |FROM sh JOIN cnt ca ON ca.id = sh.doc_a
+        |JOIN cnt cb ON cb.id = sh.doc_b
+        |WHERE n_shared * 1000000
+        |  // greatest(least(ca.n_kept, cb.n_kept), 1) >= 800000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // the 3-family variant store feeding BOTH detector chains, the
     // planted pairs left-joined to each, one <=3-group aggregate
     "q312_canary_recall" -> {

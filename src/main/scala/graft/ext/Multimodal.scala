@@ -387,6 +387,64 @@ object Multimodal {
       .orderBy(col("edit_width"))
   }
 
+  /** Clip/subsequence detection — the asset-corruption class BOTH
+    * aligned gates structurally miss (a clip changes length, so the
+    * phash grid and the frame anchors all shift): a sampled char-gram
+    * sketch (every k-char window, kept when its hash ≡ 0 mod
+    * `sampleMod` — deterministic ~1/sampleMod sampling, the
+    * replayable cousin of winnowing), then pairwise containment
+    * n_shared / min(|sketch|). A pure substring clip's k-grams are
+    * all present in its source, so its kept grams are EXACTLY kept in
+    * the source too — containment 1e6 by construction, boundary-free.
+    *
+    * Emits (doc_a, doc_b, n_contained, n_shared, contain_micro) for
+    * pairs clearing `minContainMicro`, ordered.
+    *
+    * Scale shape: the sketch is ~L/sampleMod rows per doc; hot grams
+    * (shared boilerplate) are capped at `maxPostings` docs before the
+    * self-join (the coShinglePairs guard), counts re-derived from the
+    * PRUNED sketch so the containment denominator matches the join's
+    * candidate universe. The k-gram explode is a sequence/transform
+    * HOF (interpreted) — at true corpus scale a codegen char-shingle
+    * Expression (the word_shingles pattern) is the drop-in upgrade. */
+  def clipContainmentPairs(assetDf: DataFrame, k: Int = 16,
+                           sampleMod: Int = 8,
+                           minContainMicro: Long = 800000L,
+                           maxPostings: Int = 1000): DataFrame = {
+    require(k >= 2 && sampleMod >= 1 &&
+      minContainMicro >= 0 && minContainMicro <= 1000000L)
+    val t = col("payload").cast("string")
+    val kept = assetDf.select(col("doc_id").as("id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(t) - lit(k - 1), lit(1))),
+          i => t.substr(i, lit(k)))).as("g"))
+      .select(col("id"), graft.ext.TextAnalysis.md5Hash60(
+        concat(lit("cg:"), col("g"))).as("h"))
+      .filter(pmod(col("h"), lit(sampleMod.toLong)) === 0)
+      .distinct()
+    val hot = kept.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxPostings).select(col("h"))
+    val pruned = kept.join(hot.hint("shuffle_hash"), Seq("h"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val counts = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+    pruned.as("a").join(pruned.as("b").hint("merge"), Seq("h"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("id").as("doc_a"),
+        col("n_kept").as("_na")), Seq("doc_a"))
+      .join(counts.select(col("id").as("doc_b"),
+        col("n_kept").as("_nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        least(col("_na"), col("_nb")).as("n_contained"),
+        col("n_shared"),
+        expr("n_shared * 1000000 div greatest(least(_na, _nb), 1)")
+          .as("contain_micro"))
+      .filter(col("contain_micro") >= minContainMicro)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-modal consistency gate: perceptual near-dup asset pairs
     * joined to BOTH members' embeddings — near-identical payloads
     * whose embeddings disagree flag an encoder problem (stale

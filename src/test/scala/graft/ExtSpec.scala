@@ -1229,6 +1229,21 @@ class ExtSpec extends SparkSpec {
     assert(fv <= 1L) // frame verdict is length-dependent; phash is the gate under test
   }
 
+  test("clipContainmentPairs: a substring clip contains at exactly " +
+      "1e6; unrelated payloads produce no pair") {
+    val base = (0 until 640).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
+      .mkString
+    val other = (0 until 500).map(i => ('a' + (i * 11 + 3) % 26).toChar)
+      .mkString
+    val docs = Seq((1L, base), (2L, base.substring(150, 400)),
+      (3L, other)).toDF("doc_id", "text")
+    val got = graft.ext.Multimodal.clipContainmentPairs(
+        graft.ext.Multimodal.assets(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(got === Map((1L, 2L) -> 1000000L))
+  }
+
   test("crossModalConsistency alarms on near-identical payloads with " +
       "disagreeing embeddings only") {
     val a = (0 until 610).map(i => ('a' + (i * 7 + i / 13) % 26).toChar)
