@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, GramStats, WordGrams, WordShingles}
+import graft.functions.{CharShingles, DotProduct, GramStats, WordGrams, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
     ext.injectFunction(GraftExtensions.wordGramsDescriptor)
     ext.injectFunction(GraftExtensions.gramStatsDescriptor)
+    ext.injectFunction(GraftExtensions.charShinglesDescriptor)
   }
 }
 
@@ -70,6 +71,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
     (children: Seq[Expression]) => buildGrams(children))
 
+  private def buildCharShingles(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      "char_shingles(text, k) takes a string and an integer literal")
+    CharShingles(children.head, literalWidth("char_shingles", children(1)))
+  }
+
+  private[graft] val charShinglesDescriptor = (
+    new FunctionIdentifier("char_shingles"),
+    new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+    (children: Seq[Expression]) => buildCharShingles(children))
+
   private[graft] val gramStatsDescriptor = (
     new FunctionIdentifier("gram_stats"),
     new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
@@ -87,5 +99,7 @@ object GraftExtensions {
       "word_grams", buildGrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_stats", buildGramStats, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_shingles", buildCharShingles, "scala_udf")
   }
 }

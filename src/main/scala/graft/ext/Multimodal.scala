@@ -404,9 +404,9 @@ object Multimodal {
     * (shared boilerplate) are capped at `maxPostings` docs before the
     * self-join (the coShinglePairs guard), counts re-derived from the
     * PRUNED sketch so the containment denominator matches the join's
-    * candidate universe. The k-gram explode is a sequence/transform
-    * HOF (interpreted) — at true corpus scale a codegen char-shingle
-    * Expression (the word_shingles pattern) is the drop-in upgrade. */
+    * candidate universe. The k-gram enumeration is the codegen
+    * [[graft.functions.CharShingles]] kernel (map-side, fused into
+    * the scan — no interpreted HOF on the corpus hot path). */
   def clipContainmentPairs(assetDf: DataFrame, k: Int = 16,
                            sampleMod: Int = 8,
                            minContainMicro: Long = 800000L,
@@ -415,9 +415,7 @@ object Multimodal {
       minContainMicro >= 0 && minContainMicro <= 1000000L)
     val t = col("payload").cast("string")
     val kept = assetDf.select(col("doc_id").as("id"),
-        explode(transform(
-          sequence(lit(1), greatest(length(t) - lit(k - 1), lit(1))),
-          i => t.substr(i, lit(k)))).as("g"))
+        explode(graft.functions.TextFunctions.char_shingles(t, k)).as("g"))
       .select(col("id"), graft.ext.TextAnalysis.md5Hash60(
         concat(lit("cg:"), col("g"))).as("h"))
       .filter(pmod(col("h"), lit(sampleMod.toLong)) === 0)

@@ -455,11 +455,72 @@ object NormalizeText {
   }
 }
 
+/** Codegen'd character k-gram SET: every k-char sliding window of the
+  * string, first-occurrence dedup — the payload-axis counterpart of
+  * [[WordShingles]] for byte-stream/clip detection, where "tokens" do
+  * not exist and the window slides per character. A string shorter
+  * than k (including empty) yields exactly one gram, the whole
+  * string — matching `substring(text, i, k)` enumeration with
+  * `i ∈ [1, greatest(len-k+1, 1)]`, the relational form any SQL
+  * oracle replays.
+  *
+  * Map-side kernel, no per-row HOF interpretation: the clip sketch
+  * multiplies by corpus size, where kernel-versus-interpreted is the
+  * 100 TB difference (the [[WordShingles]] rationale on the char
+  * axis). */
+case class CharShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "char shingle width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_shingles expects a string input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  /** One-pass kernel: slide a k-char window, first-occurrence dedup.
+    * Called from both interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val s = text.toString
+    val m = s.length - k + 1
+    if (m <= 0)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < m) { seen.add(s.substring(i, i + k)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   /** Column API for the codegen'd shingler: distinct word n-grams of a
     * string column, first-occurrence order. */
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Column API for the codegen'd char k-gram set: every sliding
+    * k-char window of a string column, first-occurrence order. */
+  def char_shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), k))
 
   /** Column API for the codegen'd non-dedup gram enumerator: every
     * sliding word n-gram of a string column, multiplicities kept. */

@@ -29,6 +29,33 @@ class ExtensionsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 2L, 3L)))
   }
 
+  test("char_shingles is callable from SQL; kernel dedups, short and " +
+      "empty strings yield the whole string") {
+    GraftExtensions.register(spark)
+    val v = spark.sql("SELECT char_shingles('abab', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(v === Seq("aba", "bab"))
+    import graft.functions.TextFunctions.char_shingles
+    import spark.implicits._
+    val got = Seq("aaaa", "ab", "").toDF("t")
+      .select(char_shingles(org.apache.spark.sql.functions.col("t"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("aaa"))        // dedup: one distinct window
+    assert(got(1) === Seq("ab"))         // shorter than k -> whole string
+    assert(got(2) === Seq(""))           // empty -> one empty gram
+    // parity with the relational substring enumeration the oracle uses
+    val doc = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(20).select(org.apache.spark.sql.functions.col("text"))
+    val kernel = doc.select(org.apache.spark.sql.functions.explode(
+        char_shingles(org.apache.spark.sql.functions.col("text"), 16)))
+      .distinct().count()
+    val hof = doc.selectExpr(
+        "explode(transform(sequence(1, greatest(length(text) - 15, 1))," +
+          " i -> substring(text, i, 16)))")
+      .distinct().count()
+    assert(kernel === hof)
+  }
+
   test("word_shingles kernel: dedup order, ragged input, whitespace runs") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFunctions.word_shingles
