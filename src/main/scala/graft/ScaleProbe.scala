@@ -1199,6 +1199,24 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")),
         prefCol = col("n_chars")))
     }
+    // clip-containment sketch at REP scale (q313): the codegen char-
+    // shingle kernel over the full corpus (the sketch pass multiplies
+    // by corpus size), postings cap, pruned self-join
+    timed(s"clip_containment x$docReps") {
+      consume(graft.ext.Multimodal.clipContainmentPairs(
+        graft.ext.Multimodal.assets(docs), maxPostings = 64))
+    }
+    // streaming asset-dedup batch body at REP scale: phash projection
+    // + banded store probe + in-batch self-join, all keyed
+    timed(s"asset_dedup_batch x$docReps") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_assetdedup").toString
+      graft.stream.AssetDedupStream.processBatch(
+        s"$dir/store", s"$dir/out")(
+        graft.ext.Multimodal.assets(docs)
+          .select(col("doc_id"), col("payload")), 0L)
+      spark.read.parquet(s"$dir/out/batch_id=0").count()
+    }
     spark.stop()
   }
 }
