@@ -189,6 +189,7 @@ object SparkEntry {
           grownPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           grownResidualPqIndexMemo.keySet.removeIf(k => k._1 eq s)
           quantLadderMemo.keySet.removeIf(k => k._1 eq s)
+          assetSigsMemo.keySet.removeIf(k => k._1 eq s)
           evictionHooked.remove(s)
           ()
         }
@@ -229,6 +230,21 @@ object SparkEntry {
     * run. */
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqIndex]()
+  /** The q305 variant-store phash signature frame memoised per
+    * (session, dir): ONE 61-cell grid pass feeds the pair (q305),
+    * histogram (q306) and cross-modal (q307) consumers — in a
+    * deployment the signature frame is a materialized stage output
+    * every store consumer reads, not something recomputed per query.
+    * `phashSigs` checkpoints eagerly, matching the memo contract. */
+  private val assetSigsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def sharedAssetSigs(s: SparkSession, d: String): DataFrame = {
+    hookEviction(s)
+    assetSigsMemo.computeIfAbsent((s, d), _ =>
+      Multimodal.phashSigs(Multimodal.assets(
+        Multimodal.withReencodedVariants(documents(s, d)))))
+  }
+
   private def sharedPqIndex(s: SparkSession, d: String): Similarity.PqIndex = {
     hookEviction(s)
     pqIndexMemo.computeIfAbsent((s, d), _ =>
@@ -324,6 +340,7 @@ object SparkEntry {
     sharedResidualPqIndex(s, d)
     sharedGrownPqIndex(s, d)
     sharedGrownResidualPqIndex(s, d)
+    sharedAssetSigs(s, d)
     ()
   }
 
@@ -3592,8 +3609,7 @@ object SparkEntry {
     // in-query derivation — the fixture ships no byte-near payloads):
     // each variant surfaces next to its source within a few bits
     "q305_phash_pairs" -> ((s, d) =>
-      Multimodal.phashPairs(Multimodal.assets(
-        Multimodal.withReencodedVariants(documents(s, d))))),
+      Multimodal.phashPairsFromSigs(sharedAssetSigs(s, d))),
 
     // ===== perceptual-hash hamming histogram ===========================
     // q305's threshold dial (the q298 twin on the asset axis): hamming
@@ -3601,8 +3617,7 @@ object SparkEntry {
     // spike at low distances vs the background hump marks the safe
     // maxDist cut for the store
     "q306_phash_histogram" -> ((s, d) =>
-      Multimodal.phashHammingHistogram(Multimodal.assets(
-        Multimodal.withReencodedVariants(documents(s, d))))),
+      Multimodal.phashHammingHistogramFromSigs(sharedAssetSigs(s, d))),
 
     // ===== cross-modal consistency gate ================================
     // near-identical payloads whose EMBEDDINGS disagree = encoder
@@ -3612,12 +3627,9 @@ object SparkEntry {
     // embedding except the planted id mix-ups, which the gate must
     // flag: per hamming bucket, pairs, pinned-cosine disagreements
     // below 0.9, worst cosine (floor micros)
-    "q307_crossmodal_consistency" -> ((s, d) => {
-      val docs = documents(s, d)
-      Multimodal.crossModalConsistency(
-        Multimodal.assets(Multimodal.withReencodedVariants(docs)),
-        Multimodal.variantEmbeddings(docs, embeddings(s, d)))
-    }),
+    "q307_crossmodal_consistency" -> ((s, d) =>
+      Multimodal.crossModalConsistencyFromSigs(sharedAssetSigs(s, d),
+        Multimodal.variantEmbeddings(documents(s, d), embeddings(s, d)))),
 
     // ===== embedding norm ↔ length coupling ============================
     // embedding-health gate: a pooled embedding whose norm tracks

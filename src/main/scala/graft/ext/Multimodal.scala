@@ -203,14 +203,22 @@ object Multimodal {
     * pair within distance 3 agrees on ≥ 1 chunk, so candidates come
     * from equi-joins on (chunk index, chunk value) and only candidates
     * pay the bit_count verification — never corpus². */
-  private def phashCandidates(assetDf: DataFrame,
-                              maxBucketSize: Int): DataFrame = {
-    // materialize once: the chunk self-join references the hash
-    // projection on both sides (the simhashCandidates rationale)
-    val sigs = withPerceptualHash(assetDf)
+  /** The materialized (id, phash) signature frame the whole phash
+    * family probes — exposed so a session (or a production pipeline,
+    * where signatures are a stage output every consumer reads) can
+    * compute it once and feed [[phashPairsFromSigs]] /
+    * [[phashHammingHistogramFromSigs]] / [[crossModalConsistency]]
+    * without re-running the 61-cell grid per consumer. Checkpointed:
+    * the chunk self-join references it on both sides (the
+    * simhashCandidates rationale). */
+  def phashSigs(assetDf: DataFrame): DataFrame =
+    withPerceptualHash(assetDf)
       .select(col("doc_id").as("id"), col("phash"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  private def bandedCandidates(sigs: DataFrame,
+                               maxBucketSize: Int): DataFrame = {
     val chunks = array((0 until 4).map { k =>
       struct(lit(k).as("k"),
         shiftright(col("phash"), 15 * k).bitwiseAND(lit(32767L)).as("chunk"))
@@ -243,9 +251,15 @@ object Multimodal {
     * surface (distance 0); near-identical ones surface when their
     * edits stay inside a few grid cells. */
   def phashPairs(assetDf: DataFrame, maxDist: Int = 3,
-                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                 maxBucketSize: Int = Int.MaxValue): DataFrame =
+    phashPairsFromSigs(phashSigs(assetDf), maxDist, maxBucketSize)
+
+  /** [[phashPairs]] over a precomputed [[phashSigs]] frame — the
+    * shared-stage entry point: one grid pass feeds every consumer. */
+  def phashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist < 4, "chunk banding assumes maxDist <= 3")
-    phashCandidates(assetDf, maxBucketSize)
+    bandedCandidates(sigs, maxBucketSize)
       .filter(col("hamming") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -257,7 +271,14 @@ object Multimodal {
     * (hamming, n_pairs), ordered. */
   def phashHammingHistogram(assetDf: DataFrame,
                             maxBucketSize: Int = Int.MaxValue): DataFrame =
-    phashCandidates(assetDf, maxBucketSize)
+    phashHammingHistogramFromSigs(phashSigs(assetDf), maxBucketSize)
+
+  /** [[phashHammingHistogram]] over a precomputed [[phashSigs]]
+    * frame. */
+  def phashHammingHistogramFromSigs(sigs: DataFrame,
+                                    maxBucketSize: Int = Int.MaxValue)
+      : DataFrame =
+    bandedCandidates(sigs, maxBucketSize)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("hamming"))
@@ -464,9 +485,20 @@ object Multimodal {
                             agreeThreshold: Double = 0.9,
                             maxBucketSize: Int = Int.MaxValue,
                             idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    crossModalConsistencyFromSigs(phashSigs(assetDf), emb, maxDist,
+      agreeThreshold, maxBucketSize, idCol, vecCol)
+
+  /** [[crossModalConsistency]] over a precomputed [[phashSigs]]
+    * frame. */
+  def crossModalConsistencyFromSigs(sigs: DataFrame, emb: DataFrame,
+                            maxDist: Int = 3,
+                            agreeThreshold: Double = 0.9,
+                            maxBucketSize: Int = Int.MaxValue,
+                            idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     import graft.ext.Similarity.{microVec, dotLong, pinnedCosine}
-    val pairs = phashPairs(assetDf, maxDist, maxBucketSize)
+    val pairs = phashPairsFromSigs(sigs, maxDist, maxBucketSize)
     val v = emb.select(col(idCol).as("_vid"),
         microVec(col(vecCol)).as("_pv"))
       .withColumn("_na", dotLong(col("_pv"), col("_pv")))
