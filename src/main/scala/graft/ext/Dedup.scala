@@ -280,40 +280,63 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val lvl = StorageLevel.MEMORY_AND_DISK_SER
-    // null timestamps carry no event time to anchor on — excluded, the
-    // dropDuplicatesWithinWatermark convention (a null-ts row never
-    // enters streaming state either)
-    val ev = df.select(struct(keyCols.map(col): _*).as("_k"),
-        col(tsCol).cast("long").as("_t"))
-      .filter(col("_t").isNotNull)
-      .distinct()
     val fw = Window.partitionBy(col("_k")).orderBy(col("_t"))
       .rangeBetween(horizonSec + 1, Window.unboundedFollowing)
-    // f(t): first event strictly past the horizon of t (null at chain end)
-    var m = ev.withColumn("_nxt", min(col("_t")).over(fw))
+    // ONE keyed pass builds the whole working set (r16 optimization —
+    // previously: a (k,t)-hashed distinct exchange, then a k-hashed
+    // window exchange, then a k-hashed groupBy exchange, with the
+    // distinct recomputed under both checkpoint actions). The range-min
+    // window is duplicate-insensitive, so dedup can run AFTER it, where
+    // the frame is already hash(_k)-partitioned and both the (k,t)
+    // dedup and the per-key min reuse that exchange (hash(_k) satisfies
+    // their clustering), and the checkpoint makes the pass run once.
+    val base = df.select(struct(keyCols.map(col): _*).as("_k"),
+        col(tsCol).cast("long").as("_t"))
+      .filter(col("_t").isNotNull)
+      // null timestamps carry no event time to anchor on — excluded,
+      // the dropDuplicatesWithinWatermark convention (a null-ts row
+      // never enters streaming state either)
+      .withColumn("_nxt", min(col("_t")).over(fw))
+      .dropDuplicates("_k", "_t")
       .localCheckpoint(true, lvl)
-    var reach = ev.groupBy(col("_k")).agg(min(col("_t")).as("_t"))
+    // f(t): first event strictly past the horizon of t. Chain-end rows
+    // (null f) are DROPPED from the jump map: they can never produce a
+    // step, and as a jump target a missing row and a null-next row are
+    // indistinguishable through the inner joins below — while dropping
+    // them shrinks every later self-join (the map contracts
+    // geometrically, round i keeps only events with > 2^i
+    // horizon-steps remaining, so total join volume is near-linear in
+    // events instead of rounds x events)
+    var m = base.filter(col("_nxt").isNotNull)
+      .select(col("_k"), col("_t"), col("_nxt"))
+    var reach = base.groupBy(col("_k")).agg(min(col("_t")).as("_t"))
       .localCheckpoint(true, lvl)
     var size = reach.count()
     var grown = true
     var rounds = 0
     while (grown && rounds < 64) { // 64 ⇒ chains to 2⁶⁴ — unreachable
       val stepped = reach.join(m, Seq("_k", "_t"))
-        .filter(col("_nxt").isNotNull)
         .select(col("_k"), col("_nxt").as("_t"))
-      val next = reach.unionAll(stepped).distinct()
+      // no distinct() needed (r16): before round i, reach holds exactly
+      // the anchor-chain positions [0, 2^(i-1)) per key and m is
+      // f^(2^(i-1)), so stepped lands on positions [2^(i-1), 2^i) — the
+      // chain is strictly increasing in _t (each anchor > predecessor +
+      // horizon), so the union is duplicate-free by construction
+      val next = reach.unionAll(stepped)
         .localCheckpoint(true, lvl)
       val nextSize = next.count()
       grown = nextSize > size
       if (grown) {
         reach = next
         size = nextSize
-        // square the jump map: f^(2i)(t) = f^i(f^i(t))
+        // square the jump map: f^(2i)(t) = f^i(f^i(t)); inner join +
+        // null-next drop replace the original left join — a missing
+        // target row behaves exactly like a null _nxt downstream, and
+        // the contracted map keeps only rows that can still advance
         m = m.as("x").join(
             m.select(col("_k").as("_k2"), col("_t").as("_t2"),
               col("_nxt").as("_n2")).as("y"),
-            col("x._k") === col("_k2") && col("x._nxt") === col("_t2"),
-            "left")
+            col("x._k") === col("_k2") && col("x._nxt") === col("_t2"))
           .select(col("x._k").as("_k"), col("x._t").as("_t"),
             col("_n2").as("_nxt"))
           .localCheckpoint(true, lvl)
@@ -1008,12 +1031,18 @@ object Dedup {
     * SAMPLE — the exact reference side is the quadratic yardstick
     * tier by definition, and recall measured on a uniform doc sample
     * estimates corpus recall unbiasedly. */
-  def pairSetEval(exact: DataFrame, candidate: DataFrame): DataFrame = {
+  def pairSetEval(exact: => DataFrame, candidate: => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val ex = exact.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val cd = candidate.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // by-name args + Par: the two pair generators are independent
+    // pipelines with their own internal eager checkpoints (posting
+    // builds, signature aggregates) — build and pin them CONCURRENTLY
+    // (guide §2.6) so the eval costs ~max(side) instead of sum(sides);
+    // each side's plan and result are unchanged
+    val (ex, cd) = graft.Par.sections(
+      exact.select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY),
+      candidate.select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true, StorageLevel.DISK_ONLY))
     val ne = ex.agg(count(lit(1)).as("n_exact"))
     val nc = cd.agg(count(lit(1)).as("n_candidate"))
     val com = ex.join(cd, Seq("doc_a", "doc_b"), "left_semi")

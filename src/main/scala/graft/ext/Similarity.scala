@@ -2296,16 +2296,23 @@ object Similarity {
                             pc1Iters: Int = 3,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val perm = pc1SubspacePermutation(corpus, m, dsub, pc1Iters, vecCol)
-    val exact = bruteTopK(corpus, queries, k, idCol, vecCol)
-      .localCheckpoint(true)
-    val plain = recallAtK(exact,
+    // the three branches (exact yardstick, plain ladder, PC1 pass +
+    // permuted ladder) are independent experiment arms whose internal
+    // checkpoint actions otherwise serialize — overlap them (Par §2.6);
+    // each arm's plan, trajectory and result are unchanged
+    val (exact, plainTopK, permedTopK) = graft.Par.sections3(
+      bruteTopK(corpus, queries, k, idCol, vecCol)
+        .localCheckpoint(true),
       pqAdcTopK(corpus, queries, k, m, dsub, kCodes, iters,
-        idCol, vecCol))
-    val permed = recallAtK(exact,
-      pqAdcTopK(applyPermutation(corpus, perm, idCol, vecCol),
-        applyPermutation(queries, perm, idCol, vecCol),
-        k, m, dsub, kCodes, iters, idCol, vecCol))
+        idCol, vecCol),
+      {
+        val perm = pc1SubspacePermutation(corpus, m, dsub, pc1Iters, vecCol)
+        pqAdcTopK(applyPermutation(corpus, perm, idCol, vecCol),
+          applyPermutation(queries, perm, idCol, vecCol),
+          k, m, dsub, kCodes, iters, idCol, vecCol)
+      })
+    val plain = recallAtK(exact, plainTopK)
+    val permed = recallAtK(exact, permedTopK)
     permed.select(col("qid"), col("n_hits").as("hp"))
       .join(plain.select(col("qid"), col("n_hits").as("hl")), Seq("qid"))
       .agg(count(lit(1)).as("n_q"),
@@ -3415,7 +3422,12 @@ object Similarity {
     // the yardstick ranks by EXACT integer keys (pinnedBruteTopK): this
     // gate emits recall COUNTS, so a rank-boundary cosine must never be
     // decided by a native float kernel that can differ across engine
-    // versions (the r13 driver red on this very query)
+    // versions (the r13 driver red on this very query).
+    // NOTE (r16 optimization pass): overlapping the yardstick / IVF /
+    // count branches via Par was MEASURED SLOWER here (1.48 s serial vs
+    // 1.6-2.1 s parallel at sf0.1) — the branches are dominated by tiny
+    // collect-ended jobs whose concurrent scheduling contends rather
+    // than back-fills — so this operator deliberately stays serial.
     val exact = pinnedBruteTopK(filteredCorpus, queries, k, idCol, vecCol)
     val approx = filteredIvfTopK(corpus, queries, allowIds, k,
       nCentroids, nProbe, idCol, vecCol)
