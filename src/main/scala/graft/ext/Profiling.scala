@@ -15,8 +15,26 @@ object Profiling {
     * column with n, n_null, n_distinct (exact), min/max/mean rounded
     * to 4 via floor-truncation (cross-engine stable for oracle use). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = statAggs(cols, countDistinct(_))
-    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+    // r16 optimization: multiple exact countDistinct aggregates in ONE
+    // agg force Catalyst's Expand plan — every input row is replicated
+    // once per distinct column (+1), a (|cols|+1)x scan-equivalent
+    // (the profileApprox scaladoc's measured complaint). Instead the
+    // base stats run as one plain hash aggregate (no Expand) and each
+    // exact distinct count runs as its own value-contraction
+    // (map-side-partial distinct, then a count of the survivors) —
+    // |cols| skinny single-column passes whose shuffles carry only
+    // distinct values. Same exact numbers, same output shape; the
+    // subtrees are independent, so one action computes them all with
+    // stage-level parallelism.
+    val aggs = statAggs(cols, distinctAgg = None)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val nds = cols.map { c =>
+      df.select(col(c)).where(col(c).isNotNull).distinct()
+        .agg(count(lit(1)).as(s"${c}__dist"))
+    }
+    // 1-row broadcast cross joins (the library's bounded-seed shape)
+    val wide = nds.foldLeft(base)((acc, nd) => acc.crossJoin(broadcast(nd)))
+    unpivot(wide, cols)
   }
 
   /** The 100 TB form of `profile`: HLL++ sketches
@@ -30,20 +48,26 @@ object Profiling {
     * estimates to the exact profile within tolerance. */
   def profileApprox(df: DataFrame, cols: Seq[String],
                     rsd: Double = 0.02): DataFrame = {
-    val aggs = statAggs(cols, c => approx_count_distinct(c, rsd))
+    val aggs = statAggs(cols,
+      distinctAgg = Some(c => approx_count_distinct(c, rsd)))
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
   /** The shared six-stat aggregate list; only the distinct-count
-    * strategy differs between the exact and approximate profiles. */
+    * strategy differs between the exact and approximate profiles.
+    * `distinctAgg = None` omits the distinct column entirely (the
+    * exact profile derives it from per-column value contractions —
+    * see [[profile]]). */
   private def statAggs(cols: Seq[String],
-                       distinctAgg: Column => Column): Seq[Column] = {
+                       distinctAgg: Option[Column => Column])
+      : Seq[Column] = {
     val t4 = TextAnalysis.trunc4 _
     cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
-        count(when(col(c).isNull, 1)).as(s"${c}__null"),
-        distinctAgg(col(c)).as(s"${c}__dist"),
+        count(when(col(c).isNull, 1)).as(s"${c}__null")) ++
+      distinctAgg.map(da => da(col(c)).as(s"${c}__dist")).toSeq ++
+      Seq(
         t4(min(col(c)).cast("double")).as(s"${c}__min"),
         t4(max(col(c)).cast("double")).as(s"${c}__max"),
         t4(avg(col(c).cast("double"))).as(s"${c}__mean"))

@@ -130,54 +130,84 @@ object Retrieval {
     * greedy trajectory is a total order and replays exactly in the
     * unrolled-step oracle.
     *
-    * Scale: the greedy loop runs k bounded DataFrame steps — each an
-    * equi-join on (qid, …) over ≤ R rows per query (candidates) and
-    * ≤ R² per query (pair sims), never corpus-sized: the corpus work
-    * lives in the first-stage retriever that produced the lists.
-    * Inputs are eagerly pinned once (two consumers per step × k steps
-    * would otherwise replay the upstream retriever 2k times); the
-    * selected set is a k-step union of 1-row-per-query picks. */
+    * Scale: ONE cogrouped pass (r16 optimization — previously k
+    * sequential DataFrame steps, each with its own checkpoint action
+    * and window/join plan: the per-step scheduling overhead dominated
+    * at any scale because the frames are shortlists by contract). The
+    * greedy trajectory is a PER-QUERY sequential computation over a
+    * bounded candidate list (≤ R rows and ≤ R² sims per query — the
+    * corpus work lives in the first-stage retriever that produced the
+    * lists), so it cogroups both inputs by qid and replays the exact
+    * integer argmax loop in one task per query: one shuffle of the
+    * skinny inputs, zero iteration round-trips. Per-group state is
+    * O(R²) — the same bound the per-step join plans carried.
+    *
+    * Trajectory equivalence with the unrolled form (spec-pinned):
+    * duplicate candidate rows behave as their best copy (the
+    * row_number argmax picked the max-score duplicate; per-cid max rel
+    * is the same row), duplicate sim rows behave as their max, a
+    * candidate with no sim row to the selected set scores penalty 0,
+    * and a PRESENT negative max-sim stands (penalty goes negative —
+    * exactly the old left-join + coalesce semantics). */
   def mmrSelect(candidates: DataFrame, pairSims: DataFrame, k: Int,
                 wRel: Int = 7, wDiv: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val cand = candidates
-      .select(col("qid"), col("cid"), col("rel_micro").cast("long"))
-      .localCheckpoint(true)
-    val ps = pairSims.select(col("qid"), col("a"), col("b"),
-        col("sim_micro").cast("long"))
-      .localCheckpoint(true)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid"))
-    def argmax(scored: DataFrame, pick: Int): DataFrame =
-      scored.withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("qid"), col("cid"), lit(pick.toLong).as("pick"),
-          col("score"))
-    var sel = argmax(cand.select(col("qid"), col("cid"),
-      (lit(wRel.toLong) * col("rel_micro")).as("score")), 1)
-    for (t <- 2 to k) {
-      val rem = cand.join(sel.select(col("qid"), col("cid")),
-        Seq("qid", "cid"), "left_anti")
-      // renamed join keys: cand, sel and ps all share checkpointed
-      // lineage, so same-name Column references would be ambiguous
-      val maxSim = ps
-        .join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
-        .groupBy(col("qid").as("m_qid"), col("a").as("m_cid"))
-        .agg(max(col("sim_micro")).as("mx"))
-      val scored = rem.join(maxSim,
-          col("qid") === col("m_qid") && col("cid") === col("m_cid"),
-          "left")
-        .select(col("qid"), col("cid"),
-          (lit(wRel.toLong) * col("rel_micro") -
-            lit(wDiv.toLong) * coalesce(col("mx"), lit(0L))).as("score"))
-      // pin the growing selection each step: without this, step t's
-      // plan embeds the union of ALL prior steps' window+join subplans
-      // (quadratic plan growth in k — fine at k=5, minutes of planner
-      // time at k=50), and the two consumers below (anti-join + maxSim
-      // join) would re-execute the whole greedy prefix besides
-      sel = sel.unionAll(argmax(scored, t)).localCheckpoint(true)
-    }
-    sel.orderBy(col("qid"), col("pick"))
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("rel_micro").cast("long"))
+      .as[(Long, Long, Long)]
+    val ps = pairSims
+      .select(col("qid").cast("long"), col("a").cast("long"),
+        col("b").cast("long"), col("sim_micro").cast("long"))
+      .as[(Long, Long, Long, Long)]
+    cand.groupByKey(_._1).cogroup(ps.groupByKey(_._1)) { (qid, cs, ss) =>
+      import scala.collection.mutable
+      // per-cid best relevance (duplicate rows contract to max)
+      val rel = mutable.HashMap.empty[Long, Long]
+      cs.foreach { case (_, cid, r) =>
+        if (rel.get(cid).forall(r > _)) rel(cid) = r
+      }
+      // sims indexed by the SELECTED side b: b -> (a, max sim) — the
+      // directional (a = candidate, b = selected) lookup the old
+      // maxSim join performed
+      val simsByB = mutable.HashMap.empty[Long, mutable.HashMap[Long, Long]]
+      ss.foreach { case (_, a, b, s) =>
+        val m = simsByB.getOrElseUpdate(b, mutable.HashMap.empty[Long, Long])
+        if (m.get(a).forall(s > _)) m(a) = s
+      }
+      val chosen = mutable.HashSet.empty[Long]
+      // cid -> max sim to the selected set; ABSENT means "no sim row
+      // to any selected" and scores as 0, while a present negative
+      // value stands (the left-join + coalesce(mx, 0) convention)
+      val mx = mutable.HashMap.empty[Long, Long]
+      val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var t = 1
+      while (t <= k && chosen.size < rel.size) {
+        var bestCid = 0L
+        var bestScore = 0L
+        var found = false
+        rel.foreach { case (cid, r) =>
+          if (!chosen.contains(cid)) {
+            val sc = wRel.toLong * r -
+              wDiv.toLong * mx.getOrElse(cid, 0L)
+            if (!found || sc > bestScore ||
+                (sc == bestScore && cid < bestCid)) {
+              found = true; bestCid = cid; bestScore = sc
+            }
+          }
+        }
+        out += ((qid, bestCid, t.toLong, bestScore))
+        chosen += bestCid
+        simsByB.get(bestCid).foreach(_.foreach { case (a, s) =>
+          if (mx.get(a).forall(s > _)) mx(a) = s
+        })
+        t += 1
+      }
+      out.iterator
+    }.toDF("qid", "cid", "pick", "score")
+      .orderBy(col("qid"), col("pick"))
   }
 
   /** [[mmrSelect]] with the pair similarities DERIVED from an

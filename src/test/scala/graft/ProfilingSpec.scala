@@ -35,9 +35,12 @@ class ProfilingSpec extends SparkSpec {
     val plan = Profiling.profileApprox(li, cols)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile expanded rows:\n$plan")
-    assert(Profiling.profile(li, cols)
+    // r16: the exact profile no longer pays the Expand replication
+    // either — distinct counts run as per-column value contractions
+    // cross-joined (1-row broadcasts) onto the plain base aggregate
+    assert(!Profiling.profile(li, cols)
       .queryExecution.executedPlan.toString.contains("Expand"),
-      "exact multi-distinct profile should use Expand (sanity)")
+      "exact profile must not expand rows (per-column contractions)")
     cols.foreach { c =>
       // n / n_null / min / max / mean are exact in both variants
       assert(apx(c).getLong(1) === exact(c).getLong(1))
