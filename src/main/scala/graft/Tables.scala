@@ -12,8 +12,31 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * deliberately do not replicate that inefficiency).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** r16 optimization — scale-adaptive scan parallelism (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read", §6 input split sizing). The driver's testdata
+    * ships each table as ONE small parquet file with one row group, so
+    * the scan yields 1 partition (lineitem: 3) no matter how many
+    * cores the session has — which made EVERY map-side stage before
+    * the first exchange, and every broadcast-join probe over a cached
+    * base table, run in a single task (measured: a 32-core bench with
+    * 1-core shingle/md5/dot-product stages). When the scan's natural
+    * parallelism is below the session's `defaultParallelism`, the read
+    * is spread by one round-robin repartition; at deployment scale the
+    * scan already has ≥ cores partitions and this is a no-op, so
+    * nothing here is tuned to local[32] — the target follows the
+    * session. Aggregation results are partition-order-invariant by the
+    * library's integer-quantization conventions (the CPU-varied
+    * forensics gate re-checked at this round's close). The repartition
+    * sits directly above the scan, below the cache: Bench's warmTables
+    * caches exactly this plan, so every consumer's plan-fragment still
+    * matches the InMemoryRelation, and filters/pruning push through
+    * the deterministic repartition node. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

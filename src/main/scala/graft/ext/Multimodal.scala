@@ -440,10 +440,21 @@ object Multimodal {
       .select(col("id"), graft.ext.TextAnalysis.md5Hash60(
         concat(lit("cg:"), col("g"))).as("h"))
       .filter(pmod(col("h"), lit(sampleMod.toLong)) === 0)
-      .distinct()
-    val hot = kept.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxPostings).select(col("h"))
-    val pruned = kept.join(hot.hint("shuffle_hash"), Seq("h"))
+    // hot-gram prune as a count window instead of a groupBy +
+    // self-join (r16: the join shape re-enumerated the full k-gram +
+    // md5 pass for its probe side — the corpus-dominant stage ran
+    // twice — and paid extra shuffles). One explicit hash(h) exchange
+    // serves the whole chain: it satisfies the (id, h) dedup's
+    // clustering (same-h rows are colocated) and the per-h dfreq
+    // window's, so enumerate → dedup → dfreq → prune is a single pass
+    // with a single shuffle.
+    val pruned = kept
+      .repartition(col("h"))
+      .dropDuplicates("id", "h")
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("_df") <= maxPostings)
+      .drop("_df")
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
