@@ -157,11 +157,20 @@ object LinkGraph {
   def triangleCensus(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst",
                      maxWedgeDegree: Int = 10000): DataFrame = {
+    // pinned once (r16): the canonical edge set has FIVE structurally
+    // different consumers below (degree cap, both wedge sides via
+    // `capped`, the closing join, the degree union, the edge count) —
+    // exchange reuse only dedups identical subplans, so without the
+    // materialization the edge derivation + distinct re-executed per
+    // consumer (the madOutliers checkpoint lesson, verified ~1.8x on
+    // the registered q125)
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // oriented out-degree (a<b edges per a) for the wedge cap
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("odeg"))
     val capped = und.join(deg.filter(col("odeg") <= maxWedgeDegree)

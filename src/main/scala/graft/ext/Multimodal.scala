@@ -388,8 +388,15 @@ object Multimodal {
     val store = docs.select(col("doc_id"), col("text"))
       .unionByName(fams.reduce(_ unionByName _))
     val assetDf = assets(store)
-    val ph = phashPairs(assetDf)
-    val fv = frameVotePairs(assetDf)
+    // the two detectors are independent passes over the same planted
+    // store (phash: 61-cell grid + banding; frame vote: 8 fingerprints
+    // + voting self-join) — build and pin them CONCURRENTLY (Par §2.6)
+    // so the probe costs ~max(detector) instead of sum; both pair
+    // frames are bounded candidate sets, and the coverage-map tail
+    // below only left-joins them
+    val (ph, fv) = graft.Par.sections(
+      phashPairs(assetDf).localCheckpoint(true),
+      frameVotePairs(assetDf).localCheckpoint(true))
     val planted = widths.zipWithIndex.map { case (w, fi) =>
       val off = (fi + 1) * 1000000L
       eligible.select(col("doc_id").as("doc_a"),
