@@ -937,23 +937,32 @@ object SparkEntry {
         .agg(max(col("dd")).as("last_day"), count(lit(1)).as("f"),
           sum(col("cents")).as("m"))
       val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+      // pinned once (r16): base feeds FOUR structurally different
+      // consumers (three quintile contractions + the final join spine)
+      // that exchange reuse cannot dedup
       val base = perUser.crossJoin(broadcast(maxDay))
         .select(col("u"), (col("max_day") - col("last_day")).as("r"),
           col("f"), col("m"))
         .withColumn("g", lit(1))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       def quintile(dim: String): DataFrame =
         A.percentileNormalize(base.select(col("g"), col(dim)), "g", dim)
           .select(col(dim),
             (least(expr("pct_micro * 5 div 1000000"), lit(4L)) + 1)
               .as(s"${dim}_q"))
+      // the three quintile maps are independent salted-cumsum pipelines
+      // with internal eager materializations — overlap them (Par §2.6)
+      val (qr, qf, qm) = graft.Par.sections3(
+        quintile("r"), quintile("f"), quintile("m"))
       // no broadcast hints: the r/f maps are tiny but the m map is one
       // row per DISTINCT monetary value (user-cardinality at scale) —
       // AQE broadcasts the small sides at runtime and keeps the m join
       // a value-keyed shuffle join when it isn't
       base
-        .join(quintile("r"), Seq("r"))
-        .join(quintile("f"), Seq("f"))
-        .join(quintile("m"), Seq("m"))
+        .join(qr, Seq("r"))
+        .join(qf, Seq("f"))
+        .join(qm, Seq("m"))
         .select(col("u"), (lit(6L) - col("r_q")).as("r_score"),
           col("f_q").as("f_score"), col("m_q").as("m_score"), col("m"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))

@@ -102,6 +102,26 @@ class RetrievalSpec extends SparkSpec {
       (0L, 1L, 2L), (0L, 2L, 3L), (1L, 1L, 1L), (1L, 2L, 3L)))
   }
 
+  test("mmrSelect: duplicate candidate rows behave as their best copy; " +
+      "a present NEGATIVE max-sim stands (no coalesce-to-zero)") {
+    // cid 10 appears twice (rel 4e5 and 9e5): the unrolled argmax
+    // picked the max-score duplicate, so the cogrouped form must score
+    // it at rel 9e5. cid 20's only sim row to the pick is NEGATIVE:
+    // penalty = wDiv * (-1e5) INCREASES its score above cid 30's.
+    val cand = Seq(
+      (0L, 10L, 400000L), (0L, 10L, 900000L),
+      (0L, 20L, 500000L), (0L, 30L, 520000L))
+      .toDF("qid", "cid", "rel_micro")
+    val ps = Seq((0L, 20L, 10L, -100000L))
+      .toDF("qid", "a", "b", "sim_micro")
+    val got = Retrieval.mmrSelect(cand, ps, k = 2).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    // pick 1: cid 10 at 7*9e5; pick 2: cid 20 at 7*5e5 - 3*(-1e5) =
+    // 3.8e6, beating cid 30's unpenalized 7*5.2e5 = 3.64e6
+    assert(got.toSeq === Seq(
+      (1L, 10L, 6300000L), (2L, 20L, 3800000L)))
+  }
+
   test("mmrDiversify: first pick = top relevance; missing-embedding candidate " +
       "competes with similarity 0") {
     import org.apache.spark.sql.functions._
