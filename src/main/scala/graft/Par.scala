@@ -21,7 +21,18 @@ package graft
   * The pool is unbounded-but-daemon (threads die with the JVM and are
   * reused when idle); one branch always runs on the CALLER's thread,
   * so nesting `sections` inside a branch cannot deadlock and the
-  * caller's thread-local job description labels at least one branch. */
+  * caller's thread-local job description labels at least one branch.
+  *
+  * Failure contract (r17, from the r16 ADVICE): if the caller-thread
+  * branch throws, the already-submitted pool branches are CANCELLED
+  * (interrupting their Spark actions) instead of running detached with
+  * their failures swallowed; if a pool branch fails, its siblings are
+  * cancelled and awaited so no branch outlives the call, and the first
+  * failure is rethrown with any sibling failure attached as suppressed.
+  * Spark job-group/description/pool local properties are copied from
+  * the caller into each pool branch at submit time (and stale values
+  * from a reused pool thread cleared), so cancellation groups and UI
+  * labels stay correct across thread reuse. */
 object Par {
   private lazy val pool = java.util.concurrent.Executors.newCachedThreadPool(
     new java.util.concurrent.ThreadFactory {
@@ -33,8 +44,30 @@ object Par {
       }
     })
 
-  private def submit[A](a: => A): java.util.concurrent.Future[A] =
-    pool.submit(new java.util.concurrent.Callable[A] { def call(): A = a })
+  /** Spark thread-local job properties a branch must inherit from its
+    * SUBMITTING thread, not from whichever thread happened to create
+    * this reused pool thread: job group + interrupt flag (cancellation
+    * correctness), description (UI attribution), scheduler pool. */
+  private val inheritKeys = Seq(
+    "spark.jobGroup.id", "spark.job.interruptOnCancel",
+    "spark.job.description", "spark.scheduler.pool")
+
+  private def submit[A](a: => A): java.util.concurrent.Future[A] = {
+    // snapshot on the CALLER's thread; null values still ride along so
+    // a reused pool thread's stale property is cleared, not kept
+    val snap = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+      .map(sc => (sc, inheritKeys.map(k => k -> sc.getLocalProperty(k))))
+    pool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = {
+        snap.foreach { case (sc, kvs) =>
+          kvs.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        }
+        a
+      }
+    })
+  }
 
   /** Re-throw the branch's ORIGINAL failure, not the pool's wrapper —
     * callers (and tests) must see the same exception class a serial
@@ -46,11 +79,26 @@ object Par {
         throw Option(e.getCause).getOrElse(e)
     }
 
+  /** Cancel-and-drain a sibling after `primary` failed: the sibling's
+    * own failure (if any) must not vanish — attach it as suppressed. */
+  private def reap(primary: Throwable,
+                   fs: java.util.concurrent.Future[_]*): Nothing = {
+    fs.foreach(_.cancel(true))
+    fs.foreach { f =>
+      try { await(f); () }
+      catch {
+        case _: java.util.concurrent.CancellationException => ()
+        case s: Throwable if s ne primary => primary.addSuppressed(s)
+      }
+    }
+    throw primary
+  }
+
   /** Evaluate `a` on a pool thread while `b` runs on the caller's
     * thread; return both. */
   def sections[A, B](a: => A, b: => B): (A, B) = {
     val fa = submit(a)
-    val rb = b
+    val rb = try b catch { case t: Throwable => reap(t, fa) }
     (await(fa), rb)
   }
 
@@ -59,7 +107,8 @@ object Par {
   def sections3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
     val fa = submit(a)
     val fb = submit(b)
-    val rc = c
-    (await(fa), await(fb), rc)
+    val rc = try c catch { case t: Throwable => reap(t, fa, fb) }
+    val ra = try await(fa) catch { case t: Throwable => reap(t, fb) }
+    (ra, await(fb), rc)
   }
 }

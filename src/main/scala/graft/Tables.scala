@@ -12,30 +12,60 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * deliberately do not replicate that inefficiency).
   */
 object Tables {
-  /** r16 optimization — scale-adaptive scan parallelism (guide §2.5
-    * "input skew: one huge unsplittable file … repartition immediately
-    * after the read", §6 input split sizing). The driver's testdata
-    * ships each table as ONE small parquet file with one row group, so
-    * the scan yields 1 partition (lineitem: 3) no matter how many
-    * cores the session has — which made EVERY map-side stage before
-    * the first exchange, and every broadcast-join probe over a cached
-    * base table, run in a single task (measured: a 32-core bench with
-    * 1-core shingle/md5/dot-product stages). When the scan's natural
-    * parallelism is below the session's `defaultParallelism`, the read
-    * is spread by one round-robin repartition; at deployment scale the
-    * scan already has ≥ cores partitions and this is a no-op, so
-    * nothing here is tuned to local[32] — the target follows the
-    * session. Aggregation results are partition-order-invariant by the
+  /** r16/r17 optimization — scale-adaptive scan parallelism (guide
+    * §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read", §6 input split sizing, §2.2 "fewer,
+    * larger map tasks"). The driver's testdata ships each table as ONE
+    * small parquet file with one row group, so the scan yields 1
+    * partition (lineitem: 3) no matter how many cores the session has
+    * — which made EVERY map-side stage before the first exchange run
+    * in a single task (the r16 finding). r16 spread such scans to the
+    * full `defaultParallelism`; r17 measured that this OVERSHOOTS on a
+    * many-core session: a 32-way spread of KB-scale partitions makes
+    * every downstream exchange M×R ≈ cores² tiny shuffle blocks
+    * (guide §2.2's quadratic block growth), and the suite ran ~30%
+    * SLOWER at 32 cores than at 8 (BENCH_r16 390.6 s vs BENCH_r16_c8
+    * 275.9 s; 295/313 queries faster on fewer cores). The r17 rule:
+    *
+    *   target = min(defaultParallelism,
+    *                max(spreadFloor, sizeInBytes / spreadTargetBytes))
+    *
+    * — spread a below-parallelism scan by bytes (one task per
+    * `spark.graft.spread.targetPartitionBytes`, default 16 MB), but
+    * never below `spark.graft.spread.floor` (default 8) tasks, because
+    * CPU-per-byte can dwarf bytes for shingle/hash/vector kernels over
+    * small inputs. At deployment scale the scan already has ≥ cores
+    * partitions and the branch is a no-op; a single large file spreads
+    * by bytes; only tiny inputs hit the floor — the case the measured
+    * optimum (8-way at sf0.1, grid in OPTIMIZATION_r17.md) pins.
+    * Aggregation results are partition-count-invariant by the
     * library's integer-quantization conventions (the CPU-varied
-    * forensics gate re-checked at this round's close). The repartition
-    * sits directly above the scan, below the cache: Bench's warmTables
+    * forensics gate re-checks at round close). The repartition sits
+    * directly above the scan, below the cache: Bench's warmTables
     * caches exactly this plan, so every consumer's plan-fragment still
     * matches the InMemoryRelation, and filters/pruning push through
-    * the deterministic repartition node. */
+    * the deterministic repartition node.
+    *
+    * NOTE (ordering): the round-robin spread reorders rows for every
+    * consumer — safe only while consumers stay order-insensitive; an
+    * order-sensitive consumer (first()/collect_list/limit without its
+    * own sort) must sort explicitly. `queryExecution.toRdd` (not
+    * `.rdd`) reads the partition count without planning the
+    * row-encoder conversion the loader would never execute. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+    val dp = spark.sparkContext.defaultParallelism
+    val floor = spark.conf.get("spark.graft.spread.floor", "8").toInt
+    val tgtBytes = spark.conf
+      .get("spark.graft.spread.targetPartitionBytes", (16L << 20).toString)
+      .toLong
+    val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      (bytes / tgtBytes).min(BigInt(Int.MaxValue)).toInt
+    val target = math.min(dp, math.max(floor, byBytes))
+    if (raw.queryExecution.toRdd.getNumPartitions < target)
+      raw.repartition(target)
+    else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -447,21 +447,27 @@ object Multimodal {
       .select(col("id"), graft.ext.TextAnalysis.md5Hash60(
         concat(lit("cg:"), col("g"))).as("h"))
       .filter(pmod(col("h"), lit(sampleMod.toLong)) === 0)
-    // hot-gram prune as a count window instead of a groupBy +
-    // self-join (r16: the join shape re-enumerated the full k-gram +
-    // md5 pass for its probe side — the corpus-dominant stage ran
-    // twice — and paid extra shuffles). One explicit hash(h) exchange
-    // serves the whole chain: it satisfies the (id, h) dedup's
-    // clustering (same-h rows are colocated) and the per-h dfreq
-    // window's, so enumerate → dedup → dfreq → prune is a single pass
-    // with a single shuffle.
-    val pruned = kept
+    // hot-gram prune: one explicit hash(h) exchange serves the whole
+    // chain — it satisfies the (id, h) dedup's clustering (same-h rows
+    // are colocated) and the per-h dfreq aggregate's, so enumerate →
+    // dedup → dfreq → prune re-enumerates nothing (the r16 groupBy +
+    // self-join shape ran the corpus-dominant k-gram + md5 pass twice).
+    // The dfreq itself is a map-side-combinable groupBy count over the
+    // DEDUPED frame, and the prune is a broadcast anti-join against the
+    // (tiny, boilerplate-only) hot-gram list — NOT a count window: a
+    // window sorter would buffer every row of a boilerplate-hot gram
+    // (df >> maxPostings) in one task before filtering it, the exact
+    // skew blow-up maxPostings exists to prevent (r16 ADVICE, guide
+    // §2.5: a window over a non-contraction is a skew hazard).
+    val deduped = kept
       .repartition(col("h"))
       .dropDuplicates("id", "h")
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("_df") <= maxPostings)
-      .drop("_df")
+    val hotGrams = deduped.groupBy(col("h"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxPostings)
+      .select(col("h"))
+    val pruned = deduped
+      .join(broadcast(hotGrams), Seq("h"), "left_anti")
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_kept"))

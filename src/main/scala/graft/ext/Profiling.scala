@@ -5,9 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the first step of any training-data
   * intake: per-column row/null/distinct counts and numeric min/max/mean.
-  * One pass over the data (a single aggregate computes every column's
-  * stats; the per-column rows are unpivoted from that one result), so
-  * profiling a 100 TB table costs one scan, not one scan per column.
+  *
+  * Scan shape (r17 scaladoc correction, from the r16 ADVICE):
+  * [[profileApprox]] is ONE pass (a single plain hash aggregate
+  * computes every column's stats, HLL sketches for distincts).
+  * [[profile]] (exact) is one base-stats pass PLUS one skinny
+  * value-contraction subtree per column — |cols|+1 independent reads
+  * of `df` (the r16 trade that deleted Catalyst's Expand, which
+  * replicated every input row |cols|+1 times through one exchange).
+  * Both registered consumers (q36/q146) profile a CACHED base table,
+  * where the re-reads are in-memory scans; a caller profiling an
+  * EXPENSIVE uncached upstream should `localCheckpoint`/persist a
+  * narrow projection first or use `profileApprox`.
   */
 object Profiling {
 

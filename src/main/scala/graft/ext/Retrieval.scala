@@ -148,7 +148,16 @@ object Retrieval {
     * is the same row), duplicate sim rows behave as their max, a
     * candidate with no sim row to the selected set scores penalty 0,
     * and a PRESENT negative max-sim stands (penalty goes negative —
-    * exactly the old left-join + coalesce semantics). */
+    * exactly the old left-join + coalesce semantics).
+    *
+    * Input contract (r17, from the r16 ADVICE): `qid`/`cid`/`a`/`b`
+    * must be NON-NULL and long-castable — the cogroup keys and tuple
+    * encoder are primitive longs, so a null or non-numeric id fails at
+    * runtime (encoder NPE) instead of flowing through as the old
+    * pure-DataFrame joins would have. Every producer in this library
+    * (ANN shortlists, hybrid rankings, curation lists) emits dense
+    * non-null long ids; external callers with stringy or nullable ids
+    * must key-map them first. */
   def mmrSelect(candidates: DataFrame, pairSims: DataFrame, k: Int,
                 wRel: Int = 7, wDiv: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")

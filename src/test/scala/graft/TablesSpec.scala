@@ -63,6 +63,21 @@ class TablesSpec extends SparkSpec {
       === epochMicros / 1000L)
   }
 
+  test("spread rule (r17): a tiny single-file scan spreads to " +
+      "min(defaultParallelism, max(floor, bytes/targetPartitionBytes))") {
+    val dir = fixture(
+      StructField("ts", TimestampType, false),
+      (1L to 64L).map(i => Row(i, new Timestamp(epochMicros / 1000L))))
+    // tiny file → byBytes = 0 → floor (default 8) clamped to dp (4)
+    assert(Tables.table(spark, dir, "events")
+      .rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    // a floor below dp is honored as-is for a tiny input
+    spark.conf.set("spark.graft.spread.floor", "2")
+    try assert(Tables.table(spark, dir, "events")
+      .rdd.getNumPartitions === 2)
+    finally spark.conf.unset("spark.graft.spread.floor")
+  }
+
   test("events: an unexpected ts type fails loudly, naming the type") {
     val dir = fixture(
       StructField("ts", StringType, false),
