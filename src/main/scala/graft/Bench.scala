@@ -121,6 +121,14 @@ object Bench {
         "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // guide §3.1/§9: let the planner pick shuffled-hash join when its
+      // size conditions fit (build side per-partition small) instead of
+      // always sort-merge — skips both sorts on keyed equi-joins whose
+      // build side is bounded (dims, contractions, shortlists). r17
+      // probe: 18/20 queries faster, none slower >0.02 s. Results are
+      // strategy-independent; explicit merge/shuffle_hash hints in
+      // operators still override per site.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // scale-run allowance: at 30× the dup-dense component chain's
       // AQE-planned broadcast builds exceed the 1g default and killed
       // warmShared (driver merges broadcast task results in local

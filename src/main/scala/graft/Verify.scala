@@ -149,6 +149,10 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4096")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirrors Bench (guide §3.1): shuffled-hash join allowed when its
+      // size conditions fit — results are strategy-independent, and the
+      // correctness dump should run the same plans the bench times
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
