@@ -321,25 +321,36 @@ object Dedup {
       // the anchor-chain positions [0, 2^(i-1)) per key and m is
       // f^(2^(i-1)), so stepped lands on positions [2^(i-1), 2^i) — the
       // chain is strictly increasing in _t (each anchor > predecessor +
-      // horizon), so the union is duplicate-free by construction
-      val next = reach.unionAll(stepped)
-        .localCheckpoint(true, lvl)
-      val nextSize = next.count()
-      grown = nextSize > size
-      if (grown) {
-        reach = next
-        size = nextSize
-        // square the jump map: f^(2i)(t) = f^i(f^i(t)); inner join +
-        // null-next drop replace the original left join — a missing
-        // target row behaves exactly like a null _nxt downstream, and
-        // the contracted map keeps only rows that can still advance
-        m = m.as("x").join(
+      // horizon), so the union is duplicate-free by construction.
+      //
+      // r17: the jump-map squaring — f^(2i)(t) = f^i(f^i(t)); inner
+      // join + null-next drop, so a missing target row behaves exactly
+      // like a null _nxt downstream and the contracted map keeps only
+      // rows that can still advance — depends ONLY on m, not on the
+      // union/count, so the two eager actions of each round overlap
+      // (guide §2.6 via Par). Both consume the same CHECKPOINTED
+      // parents, so nothing recomputes. On the final round (grown
+      // false) the squared map is discarded; by then m has contracted
+      // geometrically (round i keeps only events with > 2^i
+      // horizon-steps left), so the wasted work is the loop's smallest
+      // squaring, not its largest.
+      val (nextM, (next, nextSize)) = graft.Par.sections(
+        m.as("x").join(
             m.select(col("_k").as("_k2"), col("_t").as("_t2"),
               col("_nxt").as("_n2")).as("y"),
             col("x._k") === col("_k2") && col("x._nxt") === col("_t2"))
           .select(col("x._k").as("_k"), col("x._t").as("_t"),
             col("_n2").as("_nxt"))
-          .localCheckpoint(true, lvl)
+          .localCheckpoint(true, lvl),
+        {
+          val n = reach.unionAll(stepped).localCheckpoint(true, lvl)
+          (n, n.count())
+        })
+      grown = nextSize > size
+      if (grown) {
+        reach = next
+        size = nextSize
+        m = nextM
       }
       rounds += 1
     }
